@@ -1,0 +1,155 @@
+"""Parquet sources/sinks with explicit schemas.
+
+The reference's only source is ``File.read`` of one EDI string
+(``lib/hippo_claim_crossover.rb:313``) and its only sink a per-record PDF
+render (``:316``). Our engine's canonical storage is columnar Parquet
+(SURVEY.md §1.4): schema-carrying, splittable, predicate-pushdown-capable —
+the properties a 100 TB scan actually needs.
+
+Schemas are declared explicitly (never ``inferSchema`` on a production
+path, SURVEY.md §1.4) and asserted against what the files carry, so a
+fixture drift fails loudly instead of silently changing types.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]),
+    "nation": T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]),
+    "customer": T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]),
+    "supplier": T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]),
+    "part": T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]),
+    "orders": T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]),
+    "lineitem": T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampType()),
+    ]),
+    "events": T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]),
+    "documents": T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]),
+    "embeddings": T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; Parquet carries the schema, Catalyst prunes
+    columns/pushes filters into the scan automatically."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright. Read the raw INT64 nanos (legacy conf) and
+    truncate to microseconds — the same truncation DuckDB applies when it
+    casts TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+
+    ``ts div 1000`` is exact LONG integer division (a double division would
+    round at 2^53 and can flip the last microsecond)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.select(
+        "event_id",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    """Register fixture tables as temp views for spark.sql() paths."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None,
+                  target_partitions: int | None = None) -> None:
+    """Canonical sink (replaces the reference's per-record PDF render,
+    ``lib/hippo_claim_crossover.rb:316``). ``partition_by`` gives
+    partition-pruned reads at scale; ``target_partitions`` applies write-side
+    coalesce discipline so small outputs don't fragment into 10k files."""
+    if target_partitions:
+        df = df.coalesce(target_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

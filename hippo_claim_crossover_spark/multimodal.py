@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted via Arrow-batched ``mapInPandas`` (§2b).
+
+The container has no image/audio codecs, so the actual decode is stubbed
+(SURVEY.md §2b mandate): ``decode_media`` raises ``NotImplementedError``
+unless the deterministic fake decoder is selected. Everything Spark-side —
+schema, batch iteration, partitioning — is real and tested
+(tests/test_multimodal.py): swapping in a real codec changes only the
+body of ``_decode_one``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Output schema of the decode stage: one row per media object with typed
+# feature metadata. BinaryType payload in, scalar features out.
+DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def _decode_one(payload: bytes, media_type: str, fake: bool) -> tuple[int, int, int]:
+    """Decode one media payload → (width, height, n_frames).
+
+    With ``fake=True`` (the only mode available in this container) the
+    features are a deterministic function of the payload bytes, so tests
+    and reruns are stable. A real deployment implements the codec here.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this container; "
+            "use fake=True for the deterministic stub decoder")
+    digest = hashlib.sha256(payload).digest()
+    width = 16 + digest[0]
+    height = 16 + digest[1]
+    n_frames = 1 if media_type == "image" else 1 + digest[2] % 32
+    return width, height, n_frames
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model documents as multimodal rows: an opaque binary payload column
+    + metadata struct. (Fixtures have no real media, so the payload is the
+    UTF-8 text — the schema/partitioning shape is what matters.)"""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video").alias("media_type"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (payload, meta) → features.
+
+    Partition-parallel, batch-at-a-time — the shape a real 100 TB media
+    decode needs (each task streams record batches; no driver involvement,
+    no per-row Python overhead beyond the codec call itself).
+    """
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                media_type = meta["media_type"]
+                w, h, nf = _decode_one(bytes(payload), media_type, fake)
+                rows.append((doc_id, media_type, w, h, nf, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)

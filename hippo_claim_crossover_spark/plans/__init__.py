@@ -1,0 +1,32 @@
+"""Query-plan registry: every declared query from SURVEY.md §2a/§2b.
+
+``ALL_SPECS`` maps query name → :class:`QuerySpec`; ``__spark_entry__.py``
+derives the driver-facing ``queries()`` / ``oracle_sql()`` dicts from it.
+"""
+
+from __future__ import annotations
+
+from hippo_claim_crossover_spark.plans import (
+    crossover,
+    dedup,
+    multimodalq,
+    nested,
+    relational,
+    scalarq,
+    similarity,
+    text,
+    timeseries,
+    windows,
+)
+from hippo_claim_crossover_spark.plans.base import QuerySpec
+
+_MODULES = [crossover, scalarq, relational, windows, nested, timeseries,
+            text, dedup, similarity, multimodalq]
+
+ALL_SPECS: dict[str, QuerySpec] = {}
+for _m in _MODULES:
+    overlap = ALL_SPECS.keys() & _m.SPECS.keys()
+    assert not overlap, f"duplicate query names: {overlap}"
+    ALL_SPECS.update(_m.SPECS)
+
+__all__ = ["ALL_SPECS", "QuerySpec"]

@@ -1,0 +1,275 @@
+"""Deduplication operators over ``documents``/``embeddings`` (§2b
+LLM-pipeline surface): exact, n-gram Jaccard, MinHash signatures + LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (100 TB): the O(n²) shapes are avoided everywhere —
+- n-gram Jaccard joins on *shingles* (pairs only materialize for docs
+  sharing a shingle; 4-gram shingles over the fixture vocabulary keep the
+  per-shingle posting lists short);
+- MinHash reduces each doc to a k-int signature; LSH banding turns
+  near-dup search into an equi-join on band keys;
+- embedding near-dup blocks on the label column (in production: an LSH or
+  IVF bucket id) before any pairwise cosine.
+
+Hash functions are md5-derived (first 15 hex chars → BIGINT), which both
+Spark and DuckDB can compute bit-identically — so even MinHash/SimHash
+signatures are oracle-checkable, unlike seed-dependent ml.feature hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+
+N_MINHASH = 8
+SIMHASH_BITS = 32
+NGRAM = 4
+JACCARD_THRESHOLD = 0.2
+
+
+def _hex2long(hexstr: Column) -> Column:
+    """First 15 hex chars of an md5 → non-negative BIGINT (< 2^60).
+    DuckDB mirror: CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(hexstr, 1, 15), 16, 10).cast("long")
+
+
+def _sql_hex2long(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _shingles(toks: Column, n: int = NGRAM) -> Column:
+    """Distinct n-gram shingles of a token array (length must be >= n)."""
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+# DuckDB: tk[i:i+n-1] is 1-based inclusive slicing; range() is end-exclusive.
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - "
+    f"{NGRAM - 2}), i -> array_to_string(string_split(text,' ')"
+    f"[i:i+{NGRAM - 1}], ' ')))"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keep the smallest doc_id per
+    distinct text. One shuffle on the (hashed) text key."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", F.md5("text").alias("content_hash"),
+                "n_copies")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_doc_id, md5(text) AS content_hash,
+       count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup: shingle → inverted-index self-join →
+    |A∩B| / |A∪B| ≥ threshold. The join is on shingles, so cost scales with
+    posting-list sizes, not n²."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        d.where(F.size(F.split(F.col("text"), " ")) >= NGRAM)
+        .select("doc_id", _shingles(toks).alias("shingles"))
+        .select("doc_id", F.size("shingles").alias("n_sh"),
+                F.explode("shingles").alias("sh"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(F.col("inter").cast("double")
+                  / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH sh AS (
+  SELECT doc_id, len({_SQL_SHINGLES}) AS n_sh,
+         unnest({_SQL_SHINGLES}) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {NGRAM}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) from md5-salted shingle hashes — the
+    signature stage of shingle→minhash→band→bucket-join. Deterministic and
+    engine-portable, hence fully oracle-checked (unlike seeded ml.feature
+    MinHashLSH, kept separately as q_dedup_near)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        d.where(F.size(toks) >= NGRAM)
+        .select("doc_id", F.explode(_shingles(toks)).alias("sh"))
+    )
+    aggs = [
+        F.min(_hex2long(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))))
+        .alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MH_COLS = ",\n       ".join(
+    "min({h}) AS mh_{i}".format(h=_sql_hex2long(f"'{i}:' || sh"), i=i)
+    for i in range(N_MINHASH))
+ORACLE_DEDUP_MINHASH = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE len(string_split(text, ' ')) >= {NGRAM}
+)
+SELECT doc_id,
+       {_MH_COLS}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) over tokens: per-bit ±1 vote from each token's md5
+    hash, sign → bit. Near-dups differ in few bits (hamming distance)."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk"))
+        .withColumn("h", _hex2long(F.md5(F.col("tk"))))
+    )
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
+              .otherwise(-1)).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return voted.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+_VOTE_COLS = ",\n       ".join(
+    f"CAST(sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS BIGINT) AS v_{j}"
+    for j in range(SIMHASH_BITS))
+_BIT_SUM = " + ".join(
+    f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(SIMHASH_BITS))
+ORACLE_DEDUP_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, {_sql_hex2long("unnest(string_split(text, ' '))")} AS h
+  FROM documents
+), voted AS (
+  SELECT doc_id,
+       {_VOTE_COLS}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash
+FROM voted
+"""
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: blocked (by label) pairwise cosine ≥ 0.25.
+    The block key stands in for an LSH/IVF bucket at scale — never a full
+    cross join."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    e = e.withColumn("nrm", norm)
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.25)
+    )
+
+
+ORACLE_DEDUP_EMBED = """
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.25
+"""
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup via pyspark.ml (HashingTF token sets →
+    approxSimilarityJoin) — the packaged scale path. Seeded hash families
+    are engine-specific ⇒ rows-only driver check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tk"))
+    tf = HashingTF(inputCol="tk", outputCol="features",
+                   numFeatures=1 << 14, binary=True)
+    feat = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=4, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(F.col("datasetA.doc_id").alias("doc_a"),
+                F.col("datasetB.doc_id").alias("doc_b"),
+                F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"))
+    )
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
+                               "exact hash-groupBy dedup"),
+    "q_dedup_ngram": QuerySpec(q_dedup_ngram, ORACLE_DEDUP_NGRAM,
+                               "n-gram Jaccard near-dup"),
+    "q_dedup_minhash": QuerySpec(q_dedup_minhash, ORACLE_DEDUP_MINHASH,
+                                 "portable MinHash signatures"),
+    "q_dedup_simhash": QuerySpec(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
+                                 "32-bit SimHash"),
+    "q_dedup_embed": QuerySpec(q_dedup_embed, ORACLE_DEDUP_EMBED,
+                               "blocked cosine near-dup"),
+    "q_dedup_near": QuerySpec(q_dedup_near, None,
+                              "ml MinHashLSH approxSimilarityJoin"),
+}

@@ -1,0 +1,228 @@
+"""§2b relational extensions: multi-agg, distinct, rollup, top-k, set ops,
+range joins (SURVEY.md §2b — generalization of the reference's single
+SUM/EXISTS surface to full batch-analytical aggregation).
+
+Scale notes: every groupBy here is partial/final HashAggregate; the rollup
+is a single Expand+Aggregate (one shuffle); top-k is a per-partition
+TakeOrdered (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    money_avg,
+    money_avg_sql,
+    money_sum,
+    money_sum_sql,
+    t,
+)
+
+
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-agg — TPC-H Q1 shape (pricing summary)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge, 2).alias("sum_charge"),
+            money_avg(F.col("l_quantity")).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice")).alias("avg_price"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_AGG_MULTI = f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql("l_quantity")} AS sum_qty,
+       {money_sum_sql("l_extendedprice")} AS sum_base_price,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {money_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {money_avg_sql("l_quantity")} AS avg_qty,
+       {money_avg_sql("l_extendedprice")} AS avg_price,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + count-distinct per group."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.countDistinct("l_orderkey").alias("n_claims"))
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_claims
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    cardinality: one pass, fixed memory, no exact-distinct shuffle.
+    Approximate ⇒ rows-only driver check (BASELINE.md)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_claims"))
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: rollup over (returnflag, linestatus) with subtotal and
+    grand-total rows (NULL-keyed), one Expand+HashAggregate plan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             money_sum(F.col("l_extendedprice")).alias("sum_price"))
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       {money_sum_sql("l_extendedprice")} AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (orderBy+limit → TakeOrderedAndProject: per-partition
+    heaps, no full sort). Unique-key tiebreak keeps selection deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(F.col("o_orderkey").alias("claim_id"),
+                F.round(F.col("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey AS claim_id, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — window rank + filter (the scalable
+    per-group top-k; no per-group sort materialization beyond the one
+    partitioned shuffle)."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(F.col("o_custkey").alias("subscriber_id"),
+                F.col("o_orderkey").alias("claim_id"),
+                F.round(F.col("o_totalprice"), 2).alias("total"),
+                F.col("rk").alias("rank_in_customer"))
+    )
+
+
+ORACLE_TOPK_GROUP = """
+SELECT o_custkey AS subscriber_id, o_orderkey AS claim_id,
+       round(o_totalprice, 2) AS total, rk AS rank_in_customer
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except, tagged per branch."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (o.where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    union = building.union(urgent).distinct().select(
+        F.col("c_custkey").alias("subscriber_id"), F.lit("union").alias("op"))
+    inter = building.intersect(urgent).select(
+        F.col("c_custkey").alias("subscriber_id"),
+        F.lit("intersect").alias("op"))
+    exc = building.exceptAll(urgent).select(
+        F.col("c_custkey").alias("subscriber_id"), F.lit("except").alias("op"))
+    return union.unionByName(inter).unionByName(exc)
+
+
+ORACLE_SETOPS = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
+SELECT c_custkey AS subscriber_id, 'union' AS op
+FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM urgent)
+UNION ALL
+SELECT c_custkey AS subscriber_id, 'intersect' AS op
+FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM urgent)
+UNION ALL
+SELECT c_custkey AS subscriber_id, 'except' AS op
+FROM (SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM urgent)
+"""
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: equi key + interval predicate (lines shipped >30
+    days after the order date). The equi conjunct keeps it a hash join with
+    the range as a post-filter — the scalable shape for banded joins."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate > F.col("o_orderdate")
+                   + F.expr("INTERVAL 30 DAYS")))
+        .select(F.col("l_orderkey").alias("claim_id"),
+                F.col("l_linenumber").alias("service_line"),
+                F.col("l_shipdate").alias("ship_ts"),
+                F.col("o_orderdate").alias("order_ts"))
+    )
+
+
+ORACLE_JOIN_RANGE = """
+SELECT l.l_orderkey AS claim_id, l.l_linenumber AS service_line,
+       l.l_shipdate AS ship_ts, o.o_orderdate AS order_ts
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_agg_multi": QuerySpec(q_agg_multi, ORACLE_AGG_MULTI, "TPC-H Q1 shape"),
+    "q_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT, "count-distinct"),
+    "q_approx_cd": QuerySpec(q_approx_cd, None, "HLL++ approx distinct"),
+    "q_rollup": QuerySpec(q_rollup, ORACLE_ROLLUP, "rollup grouping sets"),
+    "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),
+    "q_topk_group": QuerySpec(q_topk_group, ORACLE_TOPK_GROUP,
+                              "top-k per group"),
+    "q_setops": QuerySpec(q_setops, ORACLE_SETOPS, "union/intersect/except"),
+    "q_join_range": QuerySpec(q_join_range, ORACLE_JOIN_RANGE, "range join"),
+}

@@ -1,0 +1,252 @@
+"""Scalar-function queries: the reference's string/date/cast helpers (X1-X9)
+exercised as declared queries over the fixtures.
+
+Codes/zips/names are derived deterministically from numeric keys (the
+fixtures carry no medical codes), then formatted by the pure-Column helpers
+in ``functions/scalar.py`` — everything stays inside whole-stage codegen;
+the single deliberate exception is ``q_udf``, which re-runs X1 as an
+Arrow-batched pandas UDF to cover the UDF surface (SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.functions.scalar import (
+    fmt_diagnosis_code,
+    fmt_person_name,
+    fmt_postal_code,
+    join_pointers,
+)
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+
+# Derived diagnosis code: 'E'-class for every 5th part, else 'V'-class,
+# zero-padded to 5 digits → 6-char codes exercising both insert positions.
+# (Built lazily — Columns need an active SparkContext.)
+def _code_spark():
+    return F.concat(
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("E")).otherwise(F.lit("V")),
+        F.lpad((F.col("p_partkey") % 100000).cast("string"), 5, "0"),
+    )
+_CODE_SQL = ("concat(CASE WHEN p_partkey % 5 = 0 THEN 'E' ELSE 'V' END, "
+             "lpad(CAST(p_partkey % 100000 AS VARCHAR), 5, '0'))")
+
+
+def q_str_dxcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 diagnosis-code decimal insertion (format_diagnosis_code,
+    lib/hippo_claim_crossover.rb:167-178): E-codes dot after pos 4, others
+    after pos 3."""
+    return t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        _code_spark().alias("raw_code"),
+        fmt_diagnosis_code(_code_spark()).alias("diagnosis_code"),
+    )
+
+
+ORACLE_STR_DXCODE = f"""
+SELECT p_partkey AS part_id,
+       {_CODE_SQL} AS raw_code,
+       CASE WHEN {_CODE_SQL} LIKE 'E%'
+            THEN substr({_CODE_SQL}, 1, 4) || '.' || substr({_CODE_SQL}, 5)
+            ELSE substr({_CODE_SQL}, 1, 3) || '.' || substr({_CODE_SQL}, 4)
+       END AS diagnosis_code
+FROM part
+"""
+
+
+def q_str_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 postal-code formatting (format_postal_code,
+    lib/hippo_claim_crossover.rb:180-186): 9-digit → XXXXX-XXXX else first 5.
+    Even keys get 9-digit zips, odd keys 5-digit."""
+    zip_col = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.lpad(((F.col("c_custkey") * 7919) % 1000000000).cast("string"), 9, "0"),
+    ).otherwise(
+        F.lpad(((F.col("c_custkey") * 7919) % 100000).cast("string"), 5, "0"),
+    )
+    return t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("subscriber_id"),
+        zip_col.alias("raw_zip"),
+        fmt_postal_code(zip_col).alias("postal_code"),
+    )
+
+
+_ZIP_SQL = ("CASE WHEN c_custkey % 2 = 0 "
+            "THEN lpad(CAST((c_custkey * 7919) % 1000000000 AS VARCHAR), 9, '0') "
+            "ELSE lpad(CAST((c_custkey * 7919) % 100000 AS VARCHAR), 5, '0') END")
+ORACLE_STR_ZIP = f"""
+SELECT c_custkey AS subscriber_id,
+       {_ZIP_SQL} AS raw_zip,
+       CASE WHEN length({_ZIP_SQL}) = 9
+            THEN substr({_ZIP_SQL}, 1, 5) || '-' || substr({_ZIP_SQL}, 6, 4)
+            ELSE substr({_ZIP_SQL}, 1, 5)
+       END AS postal_code
+FROM customer
+"""
+
+
+def q_str_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 person/org name (get_name, lib/hippo_claim_crossover.rb:221-227):
+    entity-type '1' → "Last, First[, M]" (middle clause dropped when null),
+    else org name. concat_ws's null-dropping mirrors Ruby's conditional
+    append."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    etype = F.when(F.col("s_suppkey") % 3 == 0, F.lit("1")).otherwise(F.lit("2"))
+    middle = F.nullif(F.col("n_name"), F.lit("NATION_0"))
+    return j.select(
+        F.col("s_suppkey").alias("provider_id"),
+        fmt_person_name(etype, F.col("s_name"), F.col("n_name"), middle)
+        .alias("provider_name"),
+    )
+
+
+ORACLE_STR_NAME = """
+SELECT s.s_suppkey AS provider_id,
+       CASE WHEN (CASE WHEN s.s_suppkey % 3 = 0 THEN '1' ELSE '2' END) = '1'
+            THEN concat_ws(', ', s.s_name, n.n_name,
+                           substr(nullif(n.n_name, 'NATION_0'), 1, 1))
+            ELSE s.s_name END AS provider_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def q_str_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 pointer join ([p1..p4].join with nil → "",
+    lib/hippo_claim_crossover.rb:199): concat_ws('') drops nulls, matching
+    Ruby Array#join."""
+    li = t(spark, sf_dir, "lineitem")
+    p1 = F.when(F.col("l_linenumber") >= 1, F.lit("1"))
+    p2 = F.when(F.col("l_linenumber") >= 2, F.lit("2"))
+    p3 = F.when(F.col("l_linenumber") >= 3, F.lit("3"))
+    p4 = F.when(F.col("l_linenumber") >= 4, F.lit("4"))
+    return li.select(
+        F.col("l_orderkey").alias("claim_id"),
+        F.col("l_linenumber").alias("service_line"),
+        join_pointers(p1, p2, p3, p4).alias("diagnosis_pointers"),
+    )
+
+
+ORACLE_STR_JOIN = """
+SELECT l_orderkey AS claim_id, l_linenumber AS service_line,
+       concat_ws('',
+         CASE WHEN l_linenumber >= 1 THEN '1' END,
+         CASE WHEN l_linenumber >= 2 THEN '2' END,
+         CASE WHEN l_linenumber >= 3 THEN '3' END,
+         CASE WHEN l_linenumber >= 4 THEN '4' END) AS diagnosis_pointers
+FROM lineitem
+"""
+
+
+def q_date_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 date→string (DateTimePeriod.to_s, lib/hippo_claim_crossover.rb:108,
+    :113-115, :191)."""
+    return t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("claim_id"),
+        F.col("l_linenumber").alias("service_line"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("service_date"),
+        F.date_format("l_shipdate", "MM/dd/yyyy").alias("service_date_us"),
+    )
+
+
+ORACLE_DATE_FMT = """
+SELECT l_orderkey AS claim_id, l_linenumber AS service_line,
+       strftime(l_shipdate, '%Y-%m-%d') AS service_date,
+       strftime(l_shipdate, '%m/%d/%Y') AS service_date_us
+FROM lineitem
+"""
+
+
+def q_range_ends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 range endpoints (DateTimePeriod.first/.last,
+    lib/hippo_claim_crossover.rb:126) — on the embeddings array: first/last
+    element. All arrays are length 64, so element_at is ANSI-safe."""
+    return t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6)
+        .alias("first_dim"),
+        F.round(F.element_at("embedding", -1).cast("double"), 6)
+        .alias("last_dim"),
+    )
+
+
+ORACLE_RANGE_ENDS = """
+SELECT vec_id,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+       round(CAST(embedding[64] AS DOUBLE), 6) AS last_dim
+FROM embeddings
+"""
+
+
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 casts with Ruby nil parity (.to_f of nil = 0.0,
+    lib/hippo_claim_crossover.rb:200-209): try_cast keeps ANSI mode happy,
+    coalesce supplies the Ruby default."""
+    li = t(spark, sf_dir, "lineitem")
+    qty_str = F.concat(F.col("l_quantity").cast("int").cast("string"))
+    bad = F.when(F.col("l_linenumber") == 1, F.lit("n/a")).otherwise(qty_str)
+    return li.select(
+        F.col("l_orderkey").alias("claim_id"),
+        F.col("l_linenumber").alias("service_line"),
+        F.coalesce(bad.try_cast("double"), F.lit(0.0)).alias("units_f"),
+        F.coalesce(bad.try_cast("long"), F.lit(0)).alias("units_i"),
+        F.col("l_quantity").cast("int").cast("string").alias("units_s"),
+    )
+
+
+ORACLE_CAST = """
+SELECT l_orderkey AS claim_id, l_linenumber AS service_line,
+       coalesce(TRY_CAST(CASE WHEN l_linenumber = 1 THEN 'n/a'
+                 ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END AS DOUBLE), 0.0) AS units_f,
+       coalesce(TRY_CAST(CASE WHEN l_linenumber = 1 THEN 'n/a'
+                 ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END AS BIGINT), 0) AS units_i,
+       CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS units_s
+FROM lineitem
+"""
+
+
+def q_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2b UDF surface: X1 re-expressed as an Arrow-batched pandas UDF.
+    Deliberately the slow path (SURVEY.md "UDFs are the slow path") — kept
+    vectorized so the only tax is Arrow transfer, not per-row Python."""
+
+    @F.pandas_udf("string")
+    def dx_format(codes: pd.Series) -> pd.Series:
+        def _fmt(code):
+            if code is None:
+                return None
+            pos = 4 if code.startswith("E") else 3
+            if len(code) <= pos:
+                return code
+            return code[:pos] + "." + code[pos:]
+        return codes.map(_fmt, na_action="ignore")
+
+    return t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        dx_format(_code_spark()).alias("diagnosis_code"),
+    )
+
+
+ORACLE_UDF = f"""
+SELECT p_partkey AS part_id,
+       CASE WHEN {_CODE_SQL} LIKE 'E%'
+            THEN substr({_CODE_SQL}, 1, 4) || '.' || substr({_CODE_SQL}, 5)
+            ELSE substr({_CODE_SQL}, 1, 3) || '.' || substr({_CODE_SQL}, 4)
+       END AS diagnosis_code
+FROM part
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_str_dxcode": QuerySpec(q_str_dxcode, ORACLE_STR_DXCODE, "X1"),
+    "q_str_zip": QuerySpec(q_str_zip, ORACLE_STR_ZIP, "X2"),
+    "q_str_name": QuerySpec(q_str_name, ORACLE_STR_NAME, "X3"),
+    "q_str_join": QuerySpec(q_str_join, ORACLE_STR_JOIN, "X4"),
+    "q_date_fmt": QuerySpec(q_date_fmt, ORACLE_DATE_FMT, "X6"),
+    "q_range_ends": QuerySpec(q_range_ends, ORACLE_RANGE_ENDS, "X7"),
+    "q_cast": QuerySpec(q_cast, ORACLE_CAST, "X8"),
+    "q_udf": QuerySpec(q_udf, ORACLE_UDF, "pandas UDF mirror of X1"),
+}

@@ -1,0 +1,203 @@
+"""Text-analysis operators over ``documents`` (§2b LLM-pipeline surface):
+tokenization, token stats, language-ID heuristic, quality scoring,
+content fingerprinting.
+
+Everything is built-in Column expressions (split/explode/higher-order
+functions/md5) — no Python in the hot path, so the whole pipeline stays in
+whole-stage codegen and scales linearly with one shuffle per groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+
+_STOPWORDS = ("the", "a", "and", "of")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: tokenize (split) → explode → count.
+    The canonical wide-shuffle wordcount; partial aggregation makes the
+    shuffle carry only (token, count) pairs per partition."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+ORACLE_TEXT_TOKENS = """
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (groupBy over the lang column)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+             F.countDistinct("source").alias("n_sources"))
+    )
+
+
+ORACLE_TEXT_LANG = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_text_tokcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single punctuation), per document."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+ORACLE_TEXT_TOKCOUNT = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS bpe_tokens,
+       CAST(length(text) AS INTEGER) AS len_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword-ratio heuristics (the classic
+    pretraining-data filters). Higher-order ``filter`` counts stopword
+    tokens without leaving the JVM."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.round(n_stop.cast("double") / n_toks, 4)
+    score = F.round(
+        F.least(F.lit(1.0), n_toks.cast("double") / 80.0)
+        * (1 - n_stop.cast("double") / n_toks), 4)
+    return d.select(
+        "doc_id", "lang",
+        n_toks.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_SQL_TOKS = "string_split(text, ' ')"
+_SQL_NSTOP = (f"len(list_filter({_SQL_TOKS}, "
+              f"x -> x IN ('the', 'a', 'and', 'of')))")
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id, lang,
+       CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
+       CAST({_SQL_NSTOP} AS INTEGER) AS n_stopwords,
+       round(CAST({_SQL_NSTOP} AS DOUBLE) / len({_SQL_TOKS}), 4) AS stopword_ratio,
+       round(least(1.0, CAST(len({_SQL_TOKS}) AS DOUBLE) / 80.0)
+             * (1 - CAST({_SQL_NSTOP} AS DOUBLE) / len({_SQL_TOKS})), 4) AS quality_score
+FROM documents
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic: score languages by distinctive
+    character-bigram counts (counted portably via length-delta after
+    replace), argmax → predicted language. A stand-in for real char-n-gram
+    LID at the same plan shape: pure per-row expressions, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+
+    def count_sub(sub: str) -> F.Column:
+        return ((F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(sub), F.lit(""))))
+                / len(sub)).cast("long")
+
+    score_en = count_sub("th") + count_sub("er")
+    score_es = count_sub("rt") + count_sub("ta")
+    score_de = count_sub("sc") + count_sub("ue")
+    pred = (
+        F.when((score_en >= score_es) & (score_en >= score_de), "en")
+        .when(score_es >= score_de, "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        score_en.alias("score_en"),
+        score_es.alias("score_es"),
+        score_de.alias("score_de"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def _sql_count_sub(sub: str) -> str:
+    return (f"CAST((length(text) - length(replace(text, '{sub}', ''))) "
+            f"/ {len(sub)} AS BIGINT)")
+
+
+_EN = f"({_sql_count_sub('th')} + {_sql_count_sub('er')})"
+_ES = f"({_sql_count_sub('rt')} + {_sql_count_sub('ta')})"
+_DE = f"({_sql_count_sub('sc')} + {_sql_count_sub('ue')})"
+ORACLE_TEXT_LANGID = f"""
+SELECT doc_id,
+       {_EN} AS score_en,
+       {_ES} AS score_es,
+       {_DE} AS score_de,
+       CASE WHEN {_EN} >= {_ES} AND {_EN} >= {_DE} THEN 'en'
+            WHEN {_ES} >= {_DE} THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive bag-of-words fingerprint
+    (sorted tokens → md5) + raw-content md5 — the join keys for exact and
+    shuffled-content dedup."""
+    d = t(spark, sf_dir, "documents")
+    sorted_bag = F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " ")))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+        F.md5(sorted_bag).alias("bag_hash"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_hash
+FROM documents
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
+                               "token frequencies"),
+    "q_text_lang": QuerySpec(q_text_lang, ORACLE_TEXT_LANG, "per-lang stats"),
+    "q_text_tokcount": QuerySpec(q_text_tokcount, ORACLE_TEXT_TOKCOUNT,
+                                 "ws + BPE-ish token counts"),
+    "q_text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY,
+                                "quality scoring"),
+    "q_text_langid": QuerySpec(q_text_langid, ORACLE_TEXT_LANGID,
+                               "char-n-gram language ID"),
+    "q_text_fingerprint": QuerySpec(q_text_fingerprint,
+                                    ORACLE_TEXT_FINGERPRINT,
+                                    "md5 content/bag fingerprints"),
+}

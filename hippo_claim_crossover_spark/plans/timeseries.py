@@ -1,0 +1,147 @@
+"""Time-window operators over events.ts (§2b "streaming-shaped" batch):
+tumbling, sliding, and session windows + date_trunc rollups.
+
+These use the exact API Structured Streaming uses (`window()`,
+`session_window()`), so the same plan runs incrementally under
+``readStream`` — see ``streaming/`` for the streaming wrappers with
+watermarks. In batch they compile to one hash-partition shuffle on the
+window/session key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    money_sum,
+    money_sum_sql,
+    t,
+)
+
+# DuckDB: naive timestamp from epoch seconds (events.ts is micro-precision;
+# bucket starts are whole seconds so BIGINT arithmetic is exact).
+_TS = "TIMESTAMP '1970-01-01 00:00:00' + to_seconds({expr})"
+
+
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window agg (groupBy(window(ts, '10 minutes'))) —
+    identical API batch & streaming."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             money_sum(F.col("value")).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+ORACLE_STREAM_TUMBLE = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws, *
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+)
+SELECT {_TS.format(expr="ws")} AS window_start,
+       {_TS.format(expr="ws + 600")} AS window_end,
+       event_type, count(*) AS n_events,
+       {money_sum_sql("value")} AS sum_value
+FROM b GROUP BY ws, event_type
+"""
+
+
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute slide): each event lands
+    in exactly two windows."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             money_sum(F.col("value")).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n_events", "sum_value")
+    )
+
+
+ORACLE_STREAM_SLIDE = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS s0, *
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+), x AS (
+  SELECT unnest([s0, s0 - 300]) AS ws, * FROM b
+)
+SELECT {_TS.format(expr="ws")} AS window_start,
+       {_TS.format(expr="ws + 600")} AS window_end,
+       count(*) AS n_events,
+       {money_sum_sql("value")} AS sum_value
+FROM x GROUP BY ws
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window per user, 30-minute gap. Spark merges events whose
+    timestamps are strictly less than gap apart; session_end = last event +
+    gap. The oracle replicates with gaps-and-islands (lag + cumulative sum),
+    new session when diff >= gap — matching session_window's strict-merge."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             money_sum(F.col("value")).alias("sum_value"))
+        .select(F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+
+
+ORACLE_STREAM_SESSION = f"""
+WITH marked AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events,
+       {money_sum_sql("value")} AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_time_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: per-day event counts (date_trunc — partition-prune
+    key at scale; a date-partitioned table would prune these scans)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_TIME_TRUNC = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) GROUP BY date_trunc('day', ts)
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_stream_tumble": QuerySpec(q_stream_tumble, ORACLE_STREAM_TUMBLE,
+                                 "tumbling window"),
+    "q_stream_slide": QuerySpec(q_stream_slide, ORACLE_STREAM_SLIDE,
+                                "sliding window"),
+    "q_stream_session": QuerySpec(q_stream_session, ORACLE_STREAM_SESSION,
+                                  "session window (gaps-and-islands oracle)"),
+    "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
+                              "calendar rollup"),
+}

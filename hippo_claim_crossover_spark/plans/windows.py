@@ -1,0 +1,121 @@
+"""§2b window functions: ranking, running aggregates, explicit frames.
+
+All windows shuffle once on the partition key, then sort within partitions.
+Running sums are computed in frame order (identical left-to-right double
+accumulation in Spark and DuckDB), so results are deterministic given the
+unique-key tiebreakers in every ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+
+
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per nation by balance."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        F.col("c_custkey").alias("subscriber_id"),
+        F.col("c_nationkey").alias("nation_id"),
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+ORACLE_WIN_RANK = """
+SELECT c_custkey AS subscriber_id, c_nationkey AS nation_id,
+       round(c_acctbal, 2) AS balance,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running sum (unbounded preceding → current row) per
+    customer in order-date order."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        F.col("o_custkey").alias("subscriber_id"),
+        F.col("o_orderkey").alias("claim_id"),
+        F.col("o_orderdate").alias("claim_ts"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_claim"),
+        F.lead("o_orderkey", 1).over(w).alias("next_claim"),
+    )
+
+
+ORACLE_WIN_RUNNING = """
+SELECT o_custkey AS subscriber_id, o_orderkey AS claim_id,
+       o_orderdate AS claim_ts,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_claim,
+       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS next_claim
+FROM orders
+"""
+
+
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frames: a 3-row moving average (ROWS 2 PRECEDING) and a
+    value-range frame (RANGE 5 PRECEDING on quantity)."""
+    li = t(spark, sf_dir, "lineitem")
+    wrows = (Window.partitionBy("l_orderkey")
+             .orderBy("l_linenumber").rowsBetween(-2, 0))
+    wrange = (Window.partitionBy("l_orderkey")
+              .orderBy("l_quantity").rangeBetween(-5, 0))
+    # Portable moving average: exact DECIMAL sum over the frame / count —
+    # engines disagree on float accumulation inside window frames (DuckDB
+    # uses a segment tree), so avg() directly would flip cents at rounding
+    # boundaries. Round to 4dp, not 2: a 2dp sum over a 2-row frame divided
+    # by 2 lands exactly on .xx5, where Spark (HALF_UP on shortest repr)
+    # and DuckDB (scale-and-round on the double) disagree; at 4dp no
+    # halfway cases exist.
+    dec_sum = F.sum(F.round(F.col("l_extendedprice"), 4)
+                    .cast("decimal(18,4)")).over(wrows)
+    cnt = F.count(F.lit(1)).over(wrows)
+    return li.select(
+        F.col("l_orderkey").alias("claim_id"),
+        F.col("l_linenumber").alias("service_line"),
+        F.col("l_quantity").alias("units"),
+        F.round(dec_sum.cast("double") / cnt, 4).alias("moving_avg3"),
+        F.count(F.lit(1)).over(wrange).alias("n_similar_qty"),
+    )
+
+
+ORACLE_WIN_FRAME = """
+SELECT l_orderkey AS claim_id, l_linenumber AS service_line,
+       l_quantity AS units,
+       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+                  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+       count(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_similar_qty
+FROM lineitem
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_win_rank": QuerySpec(q_win_rank, ORACLE_WIN_RANK, "ranking fns"),
+    "q_win_running": QuerySpec(q_win_running, ORACLE_WIN_RUNNING,
+                               "lag/lead/running sum"),
+    "q_win_frame": QuerySpec(q_win_frame, ORACLE_WIN_FRAME,
+                             "rows+range frames"),
+}

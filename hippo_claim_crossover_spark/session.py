@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference has no execution engine at all (single-threaded Ruby,
+``lib/hippo_claim_crossover.rb:10-13``); everything here is the Spark-native
+replacement. Config choices follow SURVEY.md §4.2/§4.3: AQE for runtime
+re-planning + skew-join splitting, nested-schema pruning for struct columns,
+Arrow for the (rare) pandas-UDF paths, and a shuffle-partition count sized
+for the local test harness — on a real cluster these are overridden by
+spark-submit conf, which always wins over ``.config()`` defaults set here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for the local[32] test harness. On a 1000-executor cluster
+# the operative settings (shuffle partitions ~= 2-3x total cores, AQE
+# coalescing on) come from the submit conf; AQE then re-sizes partitions at
+# runtime so the static number only matters as an upper bound.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "hippo_claim_crossover_spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and (where declared) the matching
+``oracle_sql()`` on DuckDB against the same parquet fixtures, then compares
+row-count, column names, and order-insensitive values exactly.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hippo_claim_crossover_spark.io import TABLES  # noqa: E402
+from hippo_claim_crossover_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def _norm(v):
+    try:
+        if v is None or pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass  # arrays etc.
+    if isinstance(v, float):
+        return float(v)
+    if hasattr(v, "to_pydatetime"):
+        return v.to_pydatetime()
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows, key=repr)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} "
+                        f"duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count differs: spark={len(spark_df)} "
+                        f"duck={len(duck_df)}")
+        return problems
+    a, b = _canon(spark_df), _canon(duck_df)
+    cols = sorted(spark_df.columns)
+    bad_by_col: dict[str, list] = {}
+    for ra, rb in zip(a, b):
+        for c, x, y in zip(cols, ra, rb):
+            if x != y and not (x is None and y is None):
+                bad_by_col.setdefault(c, []).append((x, y))
+    for c, examples in bad_by_col.items():
+        problems.append(f"col {c}: {len(examples)} mismatched values, "
+                        f"e.g. {examples[:3]}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{tbl}.parquet')")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            n_rowsonly += 1
+            print(f"rows-only {name}: {len(sdf)} rows [{t1-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: rows={len(sdf)} [{t1-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name}: {len(sdf)} rows [{t1-t0:.1f}s]")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
