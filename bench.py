@@ -1,0 +1,71 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is fully materialized via
+the noop sink (executes the whole plan, no driver collect, no output cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hippo_claim_crossover_spark.plans import ALL_SPECS  # noqa: E402
+from hippo_claim_crossover_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per major operator family (join/agg, windows, explode,
+# time windows, text, dedup, similarity, JSON).
+HEADLINE = [
+    "q_crossover",
+    "q_agg_multi",
+    "q_join_inner",
+    "q_win_running",
+    "q_topk_group",
+    "q_explode_nested",
+    "q_stream_tumble",
+    "q_stream_session",
+    "q_json",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_sim_topk",
+    "q_sim_knn_blocked",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = ALL_SPECS[name].fn(spark, sf_dir)
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup on a trivial action so q1 doesn't pay startup cost.
+    ALL_SPECS["q_scan"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

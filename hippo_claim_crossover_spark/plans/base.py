@@ -50,37 +50,59 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def money_sum(term: Column, out_scale: int = 2) -> Column:
+def money_sum(term: Column, out_scale: int = 6) -> Column:
     """Order-insensitive, engine-portable SUM of a money-valued term.
 
-    ``round(term, 4)`` is lossless on the fixtures (all money columns are
-    2dp; products of two 2dp values are exact 4dp values), then the
-    DECIMAL(18,4) sum is exact integer arithmetic — no float ordering
+    ``round(term, 6)`` is lossless on the fixtures (all money columns are
+    exact 2dp; products of up to three 2dp factors — e.g.
+    ``price*(1-disc)*(1+tax)`` — are exact 6dp values), then the
+    DECIMAL(25,6) sum is exact integer arithmetic — no float ordering
     sensitivity — and the final double is identical in Spark and DuckDB.
+
+    The final round stays at 6dp: the exact sum is ON the 6dp grid, so no
+    half-way case exists and both engines' double-rounding agree. Rounding
+    any lower (e.g. to 2dp) reintroduces exact ``.xx5`` halfway cases where
+    Spark (HALF_UP on the shortest decimal repr) and DuckDB (scale the raw
+    double) disagree — observed on sf0.01 claim totals ending in ``.425``.
 
     Oracle-side equivalent: :func:`money_sum_sql`.
     """
-    dec = F.sum(F.round(term, 4).cast("decimal(18,4)"))
+    dec = F.sum(F.round(term, 6).cast("decimal(25,6)"))
     return F.round(dec.cast("double"), out_scale)
 
 
-def money_sum_sql(term_sql: str, out_scale: int = 2) -> str:
+def money_sum_sql(term_sql: str, out_scale: int = 6) -> str:
     """DuckDB SQL mirroring :func:`money_sum` exactly."""
-    return (f"round(CAST(sum(CAST(round({term_sql}, 4) AS DECIMAL(18,4))) "
+    return (f"round(CAST(sum(CAST(round({term_sql}, 6) AS DECIMAL(25,6))) "
             f"AS DOUBLE), {out_scale})")
+
+
+def duck_round(col: Column, scale: int) -> Column:
+    """Spark expression reproducing DuckDB's ``round(double, s)`` bit-for-bit
+    on non-negative inputs: scale the raw double, round half away from zero,
+    unscale — ``floor(x*10^s + 0.5) / 10^s``.
+
+    Needed wherever the true value can land exactly halfway at the output
+    scale (quotients like ``sum/count``): Spark's own ``round`` reconstructs
+    the shortest decimal repr and applies HALF_UP, which rounds ``6.30615``
+    up even though the double is ``6.30614999…``, while DuckDB scales the
+    raw double and rounds down. Both engines see the same IEEE double, so
+    computing DuckDB's formula inside Spark matches it exactly.
+    """
+    p = F.lit(float(10 ** scale))
+    return (F.floor(col * p + F.lit(0.5))).cast("double") / p
 
 
 def money_avg(term: Column, count: Column | None = None,
               out_scale: int = 4) -> Column:
-    """Portable AVG: exact decimal sum / count, rounded — one double
-    division, so no accumulation-order sensitivity. Default scale 4, not 2:
-    a 2dp sum divided by a small even count lands exactly on .xx5, where
-    Spark's and DuckDB's double rounding disagree (see q_win_frame note)."""
-    dec = F.sum(F.round(term, 4).cast("decimal(18,4)"))
+    """Portable AVG: exact decimal sum / count → one double division (no
+    accumulation-order sensitivity), then :func:`duck_round` so the rounding
+    of true-halfway quotients (2dp sum over an even count) matches DuckDB."""
+    dec = F.sum(F.round(term, 6).cast("decimal(25,6)"))
     n = count if count is not None else F.count(F.lit(1))
-    return F.round(dec.cast("double") / n, out_scale)
+    return duck_round(dec.cast("double") / n, out_scale)
 
 
 def money_avg_sql(term_sql: str, out_scale: int = 4) -> str:
-    return (f"round(CAST(sum(CAST(round({term_sql}, 4) AS DECIMAL(18,4))) "
+    return (f"round(CAST(sum(CAST(round({term_sql}, 6) AS DECIMAL(25,6))) "
             f"AS DOUBLE) / count(*), {out_scale})")

@@ -33,7 +33,7 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_quantity")).alias("sum_qty"),
             money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             money_sum(disc_price).alias("sum_disc_price"),
-            money_sum(charge, 2).alias("sum_charge"),
+            money_sum(charge).alias("sum_charge"),
             money_avg(F.col("l_quantity")).alias("avg_qty"),
             money_avg(F.col("l_extendedprice")).alias("avg_price"),
             F.min("l_quantity").alias("min_qty"),

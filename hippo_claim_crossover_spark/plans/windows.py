@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
 
 
 def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,17 +75,23 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit frames: a 3-row moving average (ROWS 2 PRECEDING) and a
     value-range frame (RANGE 5 PRECEDING on quantity)."""
     li = t(spark, sf_dir, "lineitem")
+    # ORDER BY must be a total order: (l_orderkey, l_linenumber) is NOT
+    # unique in the fixtures (45832 distinct pairs over 60000 rows), and a
+    # ROWS frame under an ambiguous sort is nondeterministic — adding
+    # (partkey, suppkey, extendedprice, quantity) makes the key unique.
     wrows = (Window.partitionBy("l_orderkey")
-             .orderBy("l_linenumber").rowsBetween(-2, 0))
+             .orderBy("l_linenumber", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_quantity")
+             .rowsBetween(-2, 0))
     wrange = (Window.partitionBy("l_orderkey")
               .orderBy("l_quantity").rangeBetween(-5, 0))
     # Portable moving average: exact DECIMAL sum over the frame / count —
     # engines disagree on float accumulation inside window frames (DuckDB
     # uses a segment tree), so avg() directly would flip cents at rounding
-    # boundaries. Round to 4dp, not 2: a 2dp sum over a 2-row frame divided
-    # by 2 lands exactly on .xx5, where Spark (HALF_UP on shortest repr)
-    # and DuckDB (scale-and-round on the double) disagree; at 4dp no
-    # halfway cases exist.
+    # boundaries. The quotient of a 2dp-exact sum by cnt=2 lands exactly on
+    # .xxxx5 (a true halfway at 4dp) whenever the scaled sum is odd, so the
+    # final rounding goes through duck_round (mimics DuckDB's raw-double
+    # rounding bit-for-bit) instead of Spark's shortest-repr HALF_UP.
     dec_sum = F.sum(F.round(F.col("l_extendedprice"), 4)
                     .cast("decimal(18,4)")).over(wrows)
     cnt = F.count(F.lit(1)).over(wrows)
@@ -93,7 +99,7 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("claim_id"),
         F.col("l_linenumber").alias("service_line"),
         F.col("l_quantity").alias("units"),
-        F.round(dec_sum.cast("double") / cnt, 4).alias("moving_avg3"),
+        duck_round(dec_sum.cast("double") / cnt, 4).alias("moving_avg3"),
         F.count(F.lit(1)).over(wrange).alias("n_similar_qty"),
     )
 
@@ -102,13 +108,15 @@ ORACLE_WIN_FRAME = """
 SELECT l_orderkey AS claim_id, l_linenumber AS service_line,
        l_quantity AS units,
        round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
-                  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+                  OVER wrows AS DOUBLE)
+             / count(*) OVER wrows, 4) AS moving_avg3,
        count(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_similar_qty
 FROM lineitem
+WINDOW wrows AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey,
+                          l_extendedprice, l_quantity
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -1,0 +1,77 @@
+"""Structured Streaming operators: the streaming counterparts of
+``plans/timeseries.py`` (readStream → window/session agg → writeStream).
+
+The reference has no streaming at all (single eager pipeline,
+lib/hippo_claim_crossover.rb:15-20); this is the Spark-native extension
+mandated by SURVEY.md §2b. The aggregation bodies are the *same
+expressions* as the batch queries — Structured Streaming's contract — with
+``withWatermark`` bounding state for late data.
+
+At scale: state lives in the state store keyed by (window, group); the
+watermark bounds both state size and late-data wait. Sink is normally a
+parquet/kafka writeStream; tests use the memory sink with availableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema of the *converted* event stream (µs timestamps — see io._load_events).
+EVENT_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a directory of event parquet files
+    (schema must be explicit for streaming sources)."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def tumbling_agg(events: DataFrame, window: str = "10 minutes",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation — same expressions as the
+    batch q_stream_tumble; on a stream, state for windows older than the
+    watermark is evicted and late rows beyond it are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked session-window aggregation (merging state per user)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "user_id", "n_events")
+    )
+
+
+def run_to_memory(result: DataFrame, name: str,
+                  output_mode: str = "complete") -> None:
+    """Drain the stream into an in-memory table (tests/dev): availableNow
+    processes everything currently in the source, then stops."""
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()

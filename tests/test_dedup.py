@@ -1,0 +1,77 @@
+"""Dedup operator tests with planted duplicates — the fixtures contain no
+true dups, so build small corpora in-test and verify each detector finds
+the planted pair (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.dedup import (
+    _hex2long,
+    _shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill every single day")
+NEAR = BASE.replace("warm", "cold")  # one-token edit → high Jaccard
+FAR = ("completely different content about spark query engines and "
+       "columnar storage formats with vectorized execution pipelines")
+
+
+def test_shingles(spark):
+    df = _docs(spark, [(1, "a b c d e")])
+    out = df.select(_shingles(F.split("text", " "), 4).alias("s")).head()["s"]
+    assert out == ["a b c d", "b c d e"]
+
+
+def test_hex2long_matches_duckdb(spark):
+    import duckdb
+
+    got = _docs(spark, [(1, "hello")]).select(
+        _hex2long(F.md5("text")).alias("h")).head()["h"]
+    want = duckdb.sql(
+        "SELECT CAST(('0x' || substr(md5('hello'), 1, 15)) AS BIGINT)"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    df = _docs(spark, [(1, BASE), (2, NEAR), (3, FAR)])
+    toks = F.split(F.col("text"), " ")
+    sh = df.select("doc_id", F.size(_shingles(toks)).alias("n_sh"),
+                   F.explode(_shingles(toks)).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    got = {(r["da"], r["db"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert (1, 3) not in got  # disjoint shingles never pair up
+
+
+def test_minhash_similar_docs_share_signature_components(spark):
+    from hippo_claim_crossover_spark.plans.dedup import q_dedup_minhash  # noqa: F401
+
+    df = _docs(spark, [(1, BASE), (2, NEAR), (3, FAR)])
+    toks = F.split(F.col("text"), " ")
+    sh = df.select("doc_id", F.explode(_shingles(toks)).alias("sh"))
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(_hex2long(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))))
+        .alias(f"mh_{i}") for i in range(8)])
+    rows = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)]
+            for r in sig.collect()}
+    shared_near = sum(x == y for x, y in zip(rows[1], rows[2]))
+    shared_far = sum(x == y for x, y in zip(rows[1], rows[3]))
+    assert shared_near >= 4  # ~87% Jaccard → most minhashes agree
+    assert shared_far == 0

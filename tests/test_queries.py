@@ -1,0 +1,68 @@
+"""Query-level tests at sf0.001: every declared query runs and returns a
+stable schema; a fast subset is oracle-compared against DuckDB in-process
+(the full gate is tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from hippo_claim_crossover_spark.io import TABLES
+from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+# Cheap-but-representative subset for the in-test oracle compare.
+ORACLE_SUBSET = [
+    "q_crossover", "q_agg_multi", "q_join_left", "q_win_frame",
+    "q_stream_session", "q_text_quality", "q_dedup_minhash", "q_sim_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{tbl}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ALL_SPECS))
+def test_query_runs(spark, sf_dir, name):
+    df = ALL_SPECS[name].fn(spark, sf_dir)
+    assert df.columns, name
+    # q_join_anti legitimately returns 0 rows at tiny sf; everything else
+    # must produce data.
+    n = df.count()
+    if name not in ("q_join_anti",):
+        assert n > 0, f"{name} returned no rows"
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_oracle_subset(spark, sf_dir, duck, name):
+    from tools.check_oracle import compare
+
+    spec = ALL_SPECS[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    ddf = duck.execute(spec.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    names = set(df.columns)
+    assert {"claim_id", "claim_total", "n_services"} <= names
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is a documented approximate/stateful op
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"q_approx_cd", "q_dedup_near", "q_mm_decode"}
