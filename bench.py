@@ -23,6 +23,7 @@ HEADLINE = [
     "q_crossover",
     "q_agg_multi",
     "q_join_inner",
+    "q_join_asof",
     "q_win_running",
     "q_topk_group",
     "q_explode_nested",

@@ -1,0 +1,98 @@
+"""Join operators Spark lacks natively, built Spark-first.
+
+The reference's only join is the hierarchical parent-child denormalization
+(SURVEY.md §2a J1-J5, ``lib/hippo_claim_crossover.rb:104-212``); these are
+the scale-path extensions a batch-analytical engine needs beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              tolerance: str | None = None) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the single right row
+    with the greatest ``right_ts`` ≤ ``left_ts`` sharing the ``on`` key —
+    left-outer semantics (no match ⇒ right columns NULL).
+
+    100 TB design — the union+window formulation, NOT a range join:
+    both sides are tagged and unioned, shuffled ONCE on the key, sorted
+    within partitions by (ts, side), and each left row picks up the most
+    recent right payload via ``last(..., ignorenulls=True)`` over a running
+    frame. Cost is one shuffle + one sort — no quadratic key×key range
+    explosion, no per-row binary search on the driver. Skewed keys are
+    handled by AQE the same as any other shuffle.
+
+    Ties: right rows sort *before* left rows at an equal timestamp, so the
+    join is inclusive (right_ts == left_ts matches). If the right side has
+    several rows at the same (key, ts), pre-reduce it (e.g. keep max by a
+    unique column) to keep results deterministic.
+
+    ``tolerance``: optional SQL interval string (e.g. ``'30 days'``) — a
+    match older than ``left_ts - tolerance`` is nulled out, mirroring
+    pandas ``merge_asof(tolerance=...)``.
+    """
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
+
+    tagged_l = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    # One shuffle: partition by key, order by (ts, side) — right rows first
+    # at equal ts makes the match inclusive.
+    w = (Window.partitionBy("_k").orderBy("_ts", "_is_left")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols]
+    # The matched right_ts rides along in the same window pass, so the
+    # tolerance bound is checked post-join without a second shuffle.
+    matched_ts = (F.last(F.when(F.col("_is_left") == 0, F.col("_ts")),
+                         ignorenulls=True).over(w).alias("_rts"))
+    out = (
+        tagged_l.unionByName(tagged_r)
+        .select("_k", "_ts", "_is_left", *lcols, *carried, matched_ts)
+        .where(F.col("_is_left") == 1)
+    )
+    if tolerance is not None:
+        in_tol = (F.col("_rts")
+                  >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
+        out = out.select(
+            "_k", "_ts", *lcols,
+            *[F.when(in_tol, F.col(c)).alias(c) for c in rcols])
+    return out.select(F.col("_k").alias(on), F.col("_ts").alias(left_ts),
+                      *lcols, *rcols)
+
+
+def salted_join(big: DataFrame, skewed: DataFrame, on: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join under heavy key skew: salt the big side's key into
+    ``salt`` sub-keys and explode the (small) skewed side once per salt
+    value, so one hot key spreads over ``salt`` reducers instead of one.
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is the deterministic fallback for pathological keys (one key =
+    half the table) or for engines/stages where AQE can't split (e.g.
+    joins feeding a window over the same key).
+    """
+    big_s = big.withColumn(
+        "_salt", (F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+        .cast("int"))
+    skew_s = skewed.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = big_s.join(skew_s, [on, "_salt"], how)
+    return out.drop("_salt")

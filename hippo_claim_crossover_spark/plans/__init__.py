@@ -7,6 +7,7 @@ derives the driver-facing ``queries()`` / ``oracle_sql()`` dicts from it.
 from __future__ import annotations
 
 from hippo_claim_crossover_spark.plans import (
+    asofq,
     crossover,
     dedup,
     multimodalq,
@@ -21,7 +22,7 @@ from hippo_claim_crossover_spark.plans import (
 from hippo_claim_crossover_spark.plans.base import QuerySpec
 
 _MODULES = [crossover, scalarq, relational, windows, nested, timeseries,
-            text, dedup, similarity, multimodalq]
+            text, dedup, similarity, multimodalq, asofq]
 
 ALL_SPECS: dict[str, QuerySpec] = {}
 for _m in _MODULES:

@@ -50,31 +50,53 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def money_micros(term: Column) -> Column:
+    """Exact integer-micros representation of a ≤6dp-exact money term.
+
+    All fixture money columns are exact 2dp values and every money
+    expression in the plans multiplies at most three of them (e.g.
+    ``price*(1-disc)*(1+tax)``), so the true value is exact at 6dp and
+    ``term*1e6`` is within ~2e-5 of an integer — ``floor(y+0.5)`` recovers
+    it exactly, for either sign. Both engines evaluate the *same* IEEE
+    expression on the *same* doubles, so the long is bit-identical.
+    """
+    return F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
 def money_sum(term: Column, out_scale: int = 6) -> Column:
     """Order-insensitive, engine-portable SUM of a money-valued term.
 
-    ``round(term, 6)`` is lossless on the fixtures (all money columns are
-    exact 2dp; products of up to three 2dp factors — e.g.
-    ``price*(1-disc)*(1+tax)`` — are exact 6dp values), then the
-    DECIMAL(25,6) sum is exact integer arithmetic — no float ordering
-    sensitivity — and the final double is identical in Spark and DuckDB.
+    Sums :func:`money_micros` longs — exact integer arithmetic with no
+    float ordering sensitivity, and ~8× faster than a DECIMAL(25,6)
+    accumulator (stays on the compact/codegen aggregation path; measured
+    5.99s → 0.70s on the sf0.1 TPC-H-Q1-shaped aggregate). The final
+    ``sum/1e6`` double is identical in Spark and DuckDB (same integer,
+    same division).
 
-    The final round stays at 6dp: the exact sum is ON the 6dp grid, so no
-    half-way case exists and both engines' double-rounding agree. Rounding
-    any lower (e.g. to 2dp) reintroduces exact ``.xx5`` halfway cases where
-    Spark (HALF_UP on the shortest decimal repr) and DuckDB (scale the raw
-    double) disagree — observed on sf0.01 claim totals ending in ``.425``.
+    The result is ON the 6dp grid, so no half-way case exists and the
+    6dp final round agrees across engines. Rounding any lower (e.g. 2dp)
+    reintroduces exact ``.xx5`` halfway cases where Spark (HALF_UP on the
+    shortest decimal repr) and DuckDB (scale the raw double) disagree —
+    observed on sf0.01 claim totals ending in ``.425``.
+
+    Scale note: long micros overflow past ~9.2e12 in a single group's sum
+    (9.2e18 micros); per-key groups at 100 TB stay far below that, but a
+    *global* sum over ~1e9 rows of 1e5-sized values would not — use
+    ``sum(cast(term as decimal(38,6)))`` for whole-table totals at that
+    scale (exactness there isn't oracle-gated, so the slow path is fine).
 
     Oracle-side equivalent: :func:`money_sum_sql`.
     """
-    dec = F.sum(F.round(term, 6).cast("decimal(25,6)"))
-    return F.round(dec.cast("double"), out_scale)
+    total = F.sum(money_micros(term)).cast("double") / F.lit(1e6)
+    return F.round(total, out_scale)
 
 
 def money_sum_sql(term_sql: str, out_scale: int = 6) -> str:
-    """DuckDB SQL mirroring :func:`money_sum` exactly."""
-    return (f"round(CAST(sum(CAST(round({term_sql}, 6) AS DECIMAL(25,6))) "
-            f"AS DOUBLE), {out_scale})")
+    """DuckDB SQL mirroring :func:`money_sum` exactly (DuckDB's sum(BIGINT)
+    widens to HUGEINT — still exact; the double cast of the same integer
+    matches Spark's)."""
+    return (f"round(CAST(sum(CAST(floor({term_sql} * 1e6 + 0.5) AS BIGINT)) "
+            f"AS DOUBLE) / 1e6, {out_scale})")
 
 
 def duck_round(col: Column, scale: int) -> Column:
@@ -95,14 +117,14 @@ def duck_round(col: Column, scale: int) -> Column:
 
 def money_avg(term: Column, count: Column | None = None,
               out_scale: int = 4) -> Column:
-    """Portable AVG: exact decimal sum / count → one double division (no
+    """Portable AVG: exact long-micros sum / count → one double division (no
     accumulation-order sensitivity), then :func:`duck_round` so the rounding
     of true-halfway quotients (2dp sum over an even count) matches DuckDB."""
-    dec = F.sum(F.round(term, 6).cast("decimal(25,6)"))
+    total = F.sum(money_micros(term)).cast("double") / F.lit(1e6)
     n = count if count is not None else F.count(F.lit(1))
-    return duck_round(dec.cast("double") / n, out_scale)
+    return duck_round(total / n, out_scale)
 
 
 def money_avg_sql(term_sql: str, out_scale: int = 4) -> str:
-    return (f"round(CAST(sum(CAST(round({term_sql}, 6) AS DECIMAL(25,6))) "
-            f"AS DOUBLE) / count(*), {out_scale})")
+    return (f"round(CAST(sum(CAST(floor({term_sql} * 1e6 + 0.5) AS BIGINT)) "
+            f"AS DOUBLE) / 1e6 / count(*), {out_scale})")

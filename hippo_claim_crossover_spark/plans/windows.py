@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    duck_round,
+    money_micros,
+    t,
+)
 
 
 def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,21 +90,22 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
              .rowsBetween(-2, 0))
     wrange = (Window.partitionBy("l_orderkey")
               .orderBy("l_quantity").rangeBetween(-5, 0))
-    # Portable moving average: exact DECIMAL sum over the frame / count —
-    # engines disagree on float accumulation inside window frames (DuckDB
-    # uses a segment tree), so avg() directly would flip cents at rounding
-    # boundaries. The quotient of a 2dp-exact sum by cnt=2 lands exactly on
-    # .xxxx5 (a true halfway at 4dp) whenever the scaled sum is odd, so the
-    # final rounding goes through duck_round (mimics DuckDB's raw-double
-    # rounding bit-for-bit) instead of Spark's shortest-repr HALF_UP.
-    dec_sum = F.sum(F.round(F.col("l_extendedprice"), 4)
-                    .cast("decimal(18,4)")).over(wrows)
+    # Portable moving average: exact long-micros sum over the frame / count
+    # (see base.money_micros) — engines disagree on float accumulation
+    # inside window frames (DuckDB uses a segment tree), so avg() directly
+    # would flip cents at rounding boundaries. The quotient of a 2dp-exact
+    # sum by cnt=2 lands exactly on .xxxx5 (a true halfway at 4dp) whenever
+    # the scaled sum is odd, so the final rounding goes through duck_round
+    # (mimics DuckDB's raw-double rounding bit-for-bit) instead of Spark's
+    # shortest-repr HALF_UP.
+    mic_sum = F.sum(money_micros(F.col("l_extendedprice"))).over(wrows)
     cnt = F.count(F.lit(1)).over(wrows)
     return li.select(
         F.col("l_orderkey").alias("claim_id"),
         F.col("l_linenumber").alias("service_line"),
         F.col("l_quantity").alias("units"),
-        duck_round(dec_sum.cast("double") / cnt, 4).alias("moving_avg3"),
+        duck_round(mic_sum.cast("double") / F.lit(1e6) / cnt, 4)
+        .alias("moving_avg3"),
         F.count(F.lit(1)).over(wrange).alias("n_similar_qty"),
     )
 
@@ -107,8 +113,8 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WIN_FRAME = """
 SELECT l_orderkey AS claim_id, l_linenumber AS service_line,
        l_quantity AS units,
-       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
-                  OVER wrows AS DOUBLE)
+       round(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+                  OVER wrows AS DOUBLE) / 1e6
              / count(*) OVER wrows, 4) AS moving_avg3,
        count(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_similar_qty

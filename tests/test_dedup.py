@@ -61,14 +61,19 @@ def test_ngram_jaccard_finds_planted_pair(spark):
 
 
 def test_minhash_similar_docs_share_signature_components(spark):
-    from hippo_claim_crossover_spark.plans.dedup import q_dedup_minhash  # noqa: F401
+    # Mirrors q_dedup_minhash's affine family (one md5-derived base hash,
+    # k integer transforms) on controlled docs.
+    from hippo_claim_crossover_spark.plans.dedup import _MH_A, _MH_B, _MH_MOD
 
     df = _docs(spark, [(1, BASE), (2, NEAR), (3, FAR)])
     toks = F.split(F.col("text"), " ")
-    sh = df.select("doc_id", F.explode(_shingles(toks)).alias("sh"))
+    sh = (df.select("doc_id", F.explode(_shingles(toks)).alias("sh"))
+          .select("doc_id",
+                  F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10)
+                  .cast("long").alias("h")))
     sig = sh.groupBy("doc_id").agg(*[
-        F.min(_hex2long(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))))
-        .alias(f"mh_{i}") for i in range(8)])
+        F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i]))
+              % F.lit(_MH_MOD)).alias(f"mh_{i}") for i in range(8)])
     rows = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)]
             for r in sig.collect()}
     shared_near = sum(x == y for x, y in zip(rows[1], rows[2]))
