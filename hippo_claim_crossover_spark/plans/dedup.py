@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t, t_wide
 
 N_MINHASH = 8
 SIMHASH_BITS = 32
@@ -78,7 +78,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup: shingle → inverted-index self-join →
     |A∩B| / |A∪B| ≥ threshold. The join is on shingles, so cost scales with
     posting-list sizes, not n²."""
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     # Join key is xxhash64(shingle), not the shingle string: the inverted-
     # index shuffle moves 8-byte longs instead of ~25-byte strings and the
@@ -86,22 +86,37 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting lists and perturb an intersection count — astronomically
     # unlikely, and the oracle comparison would catch it. The oracle SQL
     # joins on the raw shingle; final pairs/jaccard are hash-agnostic.
+    #
+    # Plan shape matters here: posexplode directly over the shingle
+    # transform evaluates the higher-order expression ONCE per document —
+    # projecting size(shingles) next to an explode of the same expression
+    # made Catalyst re-evaluate the transform per shingle row (measured
+    # 15s vs 0.6s at sf0.1). n_sh is recovered from max(pos)+1 in a tiny
+    # per-doc aggregate instead and broadcast back onto the pairs.
     sh = (
         d.where(F.size(F.split(F.col("text"), " ")) >= NGRAM)
-        .select("doc_id", _shingles(toks).alias("shingles"))
-        .select("doc_id", F.size("shingles").alias("n_sh"),
-                F.explode("shingles").alias("sh_str"))
-        .select("doc_id", "n_sh", F.xxhash64("sh_str").alias("sh"))
+        .select("doc_id", F.posexplode(_shingles(toks)).alias("pos", "sh_str"))
+        .select("doc_id", "pos", F.xxhash64("sh_str").alias("sh"))
+        # The shingle table feeds three consumers (both join sides and the
+        # per-doc size aggregate); persist materializes the expensive
+        # higher-order transform once instead of three times. The 100 TB
+        # analogue is writing the shingle table to storage once and joining
+        # against it — never recomputing the tokenization per consumer.
+        .persist()
     )
+    sizes = sh.groupBy("doc_id").agg((F.max("pos") + 1).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+                 F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {"doc_id": "doc_a", "n_sh": "na"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {"doc_id": "doc_b", "n_sh": "nb"})), "doc_b")
     )
     jac = F.round(F.col("inter").cast("double")
                   / (F.col("na") + F.col("nb") - F.col("inter")), 4)
@@ -147,7 +162,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle→minhash→band→bucket-join. Deterministic and engine-portable,
     hence fully oracle-checked (unlike seeded ml.feature MinHashLSH, kept
     separately as q_dedup_near)."""
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     sh = (
         d.where(F.size(toks) >= NGRAM)
@@ -184,7 +199,7 @@ FROM sh GROUP BY doc_id
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) over tokens: per-bit ±1 vote from each token's md5
     hash, sign → bit. Near-dups differ in few bits (hamming distance)."""
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk"))
         .withColumn("h", _hex2long(F.md5(F.col("tk"))))
