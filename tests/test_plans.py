@@ -1,0 +1,97 @@
+"""Physical-plan audits: assert the scale-critical plan properties hold,
+so a regression that silently de-optimizes a query (lost pushdown, lost
+broadcast, accidental cartesian product) fails CI — not a 100 TB run.
+
+These inspect the *executed* plan string (`.explain("formatted")`
+equivalent) at sf0.001; plan shape is scale-factor-independent for the
+static properties asserted here (AQE may further improve them at runtime).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = ALL_SPECS[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q_scan")
+    # The shipdate predicate must reach the parquet reader...
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+    # ...and the scan must read only the 4 projected columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_project_rename_prunes_unused_columns(spark):
+    plan = _plan(spark, "q_project_rename")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_acctbal" in read_schema
+
+
+def test_filter_eq_pushes_both_predicates(spark):
+    plan = _plan(spark, "q_filter_eq")
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "o_orderstatus" in pushed and "o_orderpriority" in pushed
+
+
+def test_broadcast_dims_are_broadcast(spark):
+    for name in ("q_join_broadcast", "q_crossover"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_crossover_aggregates_below_header_join(spark):
+    """The per-claim aggregate must sit under the orders join (shuffle one
+    row per claim, not every line) — the aggregate-before-join rewrite."""
+    plan = _plan(spark, "q_crossover")
+    agg_pos = plan.find("HashAggregate")
+    # the orders-side join appears above (earlier in the string = higher in
+    # the tree root-first rendering): the LAST HashAggregate (partial, over
+    # lineitem) must come before any o_custkey join reference below it.
+    assert agg_pos != -1
+    assert "HashAggregate" in plan
+    lineitem_scan = plan.rfind("lineitem.parquet")
+    last_agg = plan.rfind("HashAggregate")
+    assert last_agg < lineitem_scan, \
+        "expected partial aggregate directly above the lineitem scan"
+
+
+def test_topk_uses_takeordered_not_global_sort(spark):
+    plan = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_multi_has_partial_and_final_aggregate(spark):
+    plan = _plan(spark, "q_agg_multi")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+@pytest.mark.parametrize("name", sorted(
+    n for n in ALL_SPECS
+    # brute-force similarity baselines intentionally cross-join at small sf
+    # (the LSH/blocked variants are the scale path); q_sim_topk broadcasts
+    # a single query vector, which plans as BroadcastNestedLoopJoin.
+    if n not in ("q_sim_topk",)
+))
+def test_no_accidental_cartesian_products(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_covers_crossover(spark):
+    df = ALL_SPECS["q_crossover"].fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "codegen")
+    s = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen" in s
