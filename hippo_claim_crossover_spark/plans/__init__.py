@@ -10,6 +10,7 @@ from hippo_claim_crossover_spark.plans import (
     asofq,
     crossover,
     dedup,
+    extras,
     multimodalq,
     nested,
     relational,
@@ -22,7 +23,7 @@ from hippo_claim_crossover_spark.plans import (
 from hippo_claim_crossover_spark.plans.base import QuerySpec
 
 _MODULES = [crossover, scalarq, relational, windows, nested, timeseries,
-            text, dedup, similarity, multimodalq, asofq]
+            text, dedup, similarity, multimodalq, asofq, extras]
 
 ALL_SPECS: dict[str, QuerySpec] = {}
 for _m in _MODULES:

@@ -1,0 +1,127 @@
+"""Coverage extensions beyond SURVEY §2's tagged rows: percentiles, pivot,
+cube, and the sampling operators a training-data pipeline needs.
+
+Percentile portability: Spark ``percentile``/``median`` and DuckDB
+``quantile_cont``/``median`` both sort and linearly interpolate on the same
+IEEE doubles — verified bit-identical on sf0.01 (no rounding wrapper
+needed). ``approx_percentile`` would NOT be portable (different sketches);
+the exact forms are used here, and HLL/approx family portability caveats
+live with q_approx_cd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p95) + median — one partial/final
+    aggregate; at 100 TB the approx_percentile sketch replaces this when a
+    bounded-memory single pass matters more than exactness."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+             F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+             F.median("l_quantity").alias("median_units"))
+    )
+
+
+ORACLE_PERCENTILE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       median(l_quantity) AS median_units
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot on an explicit value list (explicit values keep the plan
+    a single pass — omitting them costs an extra distinct-collection job)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_fulfilled", "O": "n_open"})
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS n_fulfilled,
+       count(*) FILTER (WHERE l_linestatus = 'O') AS n_open
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 combinations in one Expand+HashAggregate
+    (one shuffle), like rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.max("l_quantity").alias("max_units"))
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       max(l_quantity) AS max_units
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed ~10% sample: hash the key, keep
+    bucket 0 of 10. This is how a training pipeline carves stable held-out
+    splits — membership depends only on the key, not on partitioning, row
+    order, engine, or run (unlike TABLESAMPLE/rand()). md5-derived so the
+    oracle computes the identical bucket."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                                1, 15), 16, 10).cast("long") % 10
+    return (
+        o.where(bucket == 0)
+        .select(F.col("o_orderkey").alias("claim_id"),
+                F.col("o_custkey").alias("subscriber_id"),
+                F.round(F.col("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE_SAMPLE_HASH = """
+SELECT o_orderkey AS claim_id, o_custkey AS subscriber_id,
+       round(o_totalprice, 2) AS total
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-stratum Bernoulli sampling (``sampleBy``) — balances class
+    proportions when building training subsets. Engine-specific RNG ⇒
+    rows-only driver check; determinism-per-seed is unit-tested instead."""
+    li = t(spark, sf_dir, "lineitem")
+    fractions = {"A": 0.05, "N": 0.10, "R": 0.05}
+    return (
+        li.sampleBy("l_returnflag", fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_percentile": QuerySpec(q_percentile, ORACLE_PERCENTILE,
+                              "exact grouped percentiles/median"),
+    "q_pivot": QuerySpec(q_pivot, ORACLE_PIVOT, "pivot w/ explicit values"),
+    "q_cube": QuerySpec(q_cube, ORACLE_CUBE, "CUBE grouping sets"),
+    "q_sample_hash": QuerySpec(q_sample_hash, ORACLE_SAMPLE_HASH,
+                               "deterministic hash-bucket sample"),
+    "q_sample_stratified": QuerySpec(q_sample_stratified, None,
+                                     "seeded sampleBy (rows-only)"),
+}
