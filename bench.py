@@ -52,9 +52,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup on a trivial action so q1 doesn't pay startup cost.
-    ALL_SPECS["q_scan"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite").save()
+    # JVM/codegen warmup so the first measured query doesn't pay session
+    # startup + whole-stage-codegen compilation: run the flagship plan once
+    # at the tiny sf0.001 (compiles the join/agg/window code paths; the
+    # measured queries still execute fully on the benchmark data).
+    for wname in ("q_scan", "q_crossover", "q_win_running"):
+        ALL_SPECS[wname].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
