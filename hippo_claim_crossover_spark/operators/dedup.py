@@ -1,0 +1,152 @@
+"""Deduplication operators over any DataFrame with an id + text column.
+
+The 100 TB shapes (see SCALE.md "Dedup / similarity"): exact dedup is one
+hash-groupBy; near-dup always goes through a reduction (shingle inverted
+index, MinHash signature, SimHash bits) before any pairwise work — never
+an O(n²) cross join. ``plans/dedup.py`` applies these to the fixture
+``documents`` table with matching DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NGRAM = 4
+
+# Affine MinHash family over one md5-derived 28-bit base hash:
+# h_i = (a_i*h + b_i) mod 2^31. One md5 per shingle; the k variants are
+# integer ops inside codegen. Fixed seedless constants.
+MINHASH_A = [0x769d1553, 0x27d4eb2f, 0x165667b1, 0x9e3779b1,
+             0x85ebca77, 0xc2b2ae3d, 0x5bd1e995, 0x2545f491]
+MINHASH_B = [0x1b873593, 0xcc9e2d51, 0x38b34ae5, 0x6c62272e,
+             0x61c88647, 0x7feb352d, 0x45d9f3b3, 0x119de1f3]
+MINHASH_MOD = 1 << 31
+SIMHASH_BITS = 32
+
+
+def shingles(toks: Column, n: int = NGRAM) -> Column:
+    """Distinct n-gram shingles of a token array (length must be ≥ n)."""
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str],
+                id_col: str) -> DataFrame:
+    """Keep the smallest id per distinct key tuple — one shuffle on the
+    (hashed) key columns. Returns (kept id, n_copies, *key_cols)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(f"keep_{id_col}"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = NGRAM) -> DataFrame:
+    """(id, pos, sh) rows — sh is xxhash64 of the shingle (8-byte shuffle
+    keys). posexplode directly over the transform evaluates the
+    higher-order expression once per document (see plans/dedup.py for the
+    measured pathology when size() is projected beside the explode)."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.where(F.size(toks) >= n)
+        .select(id_col, F.posexplode(shingles(toks, n)).alias("pos", "sh_str"))
+        .select(id_col, "pos", F.xxhash64("sh_str").alias("sh"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = NGRAM,
+                        threshold: float = 0.2) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold via the shingle
+    inverted-index self-join — cost follows posting-list sizes, not n²."""
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy(id_col).agg((F.max("pos") + 1).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {id_col: "id_a", "n_sh": "na"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {id_col: "id_b", "n_sh": "nb"})), "id_b")
+    )
+    jac = F.round(F.col("inter").cast("double")
+                  / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 8,
+                       n: int = NGRAM) -> DataFrame:
+    """k-wide MinHash signature per document (columns mh_0..mh_{k-1})."""
+    if k > len(MINHASH_A):
+        raise ValueError(f"k={k} exceeds the fixed family size "
+                         f"{len(MINHASH_A)}")
+    toks = F.split(F.col(text_col), " ")
+    sh = (
+        df.where(F.size(toks) >= n)
+        .select(id_col, F.explode(shingles(toks, n)).alias("sh"))
+        # 7 hex chars → h < 2^28, so a_i*h + b_i < 2^59 never overflows
+        # a long (ANSI mode would raise).
+        .select(id_col,
+                F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10)
+                .cast("long").alias("h"))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+              % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                   k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Candidate pairs whose MinHash signatures collide in ≥1 band — the
+    banding equi-join that makes near-dup search sub-quadratic. Emits
+    distinct (id_a, id_b) candidates for exact re-verification."""
+    n_bands = k // rows_per_band
+    bands = F.array(*[
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+                     for r in range(rows_per_band)], F.lit(b))
+        for b in range(n_bands)])
+    keyed = signatures.select(
+        id_col, F.explode(bands).alias("band_key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash: per-bit ±1 votes from each token's md5 hash,
+    sign → bit. Near-dups differ in few bits (hamming distance)."""
+    tok = (
+        df.select(id_col,
+                  F.explode(F.split(F.col(text_col), " ")).alias("tk"))
+        .withColumn("h", F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10)
+                    .cast("long"))
+    )
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
+              .otherwise(-1)).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    acc = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc + bit
+    return voted.select(id_col, acc.cast("long").alias("simhash"))

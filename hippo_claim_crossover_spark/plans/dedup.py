@@ -21,6 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hippo_claim_crossover_spark.operators import dedup as ops_dedup
+from hippo_claim_crossover_spark.operators.dedup import (
+    MINHASH_A as _MH_A,
+    MINHASH_B as _MH_B,
+    MINHASH_MOD as _MH_MOD,
+    shingles as _shingles,
+)
 from hippo_claim_crossover_spark.plans.base import QuerySpec, t, t_wide
 
 N_MINHASH = 8
@@ -37,13 +44,6 @@ def _hex2long(hexstr: Column) -> Column:
 
 def _sql_hex2long(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
-
-
-def _shingles(toks: Column, n: int = NGRAM) -> Column:
-    """Distinct n-gram shingles of a token array (length must be >= n)."""
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
 
 # DuckDB: tk[i:i+n-1] is 1-based inclusive slicing; range() is end-exclusive.
@@ -79,50 +79,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B| / |A∪B| ≥ threshold. The join is on shingles, so cost scales with
     posting-list sizes, not n²."""
     d = t_wide(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    # Join key is xxhash64(shingle), not the shingle string: the inverted-
-    # index shuffle moves 8-byte longs instead of ~25-byte strings and the
-    # sort-merge compares ints. Collisions (~n²/2^64) would merge two
-    # posting lists and perturb an intersection count — astronomically
-    # unlikely, and the oracle comparison would catch it. The oracle SQL
-    # joins on the raw shingle; final pairs/jaccard are hash-agnostic.
-    #
-    # Plan shape matters here: posexplode directly over the shingle
-    # transform evaluates the higher-order expression ONCE per document —
-    # projecting size(shingles) next to an explode of the same expression
-    # made Catalyst re-evaluate the transform per shingle row (measured
-    # 15s vs 0.6s at sf0.1). n_sh is recovered from max(pos)+1 in a tiny
-    # per-doc aggregate instead and broadcast back onto the pairs.
-    sh = (
-        d.where(F.size(F.split(F.col("text"), " ")) >= NGRAM)
-        .select("doc_id", F.posexplode(_shingles(toks)).alias("pos", "sh_str"))
-        .select("doc_id", "pos", F.xxhash64("sh_str").alias("sh"))
-        # The shingle table feeds three consumers (both join sides and the
-        # per-doc size aggregate); persist materializes the expensive
-        # higher-order transform once instead of three times. The 100 TB
-        # analogue is writing the shingle table to storage once and joining
-        # against it — never recomputing the tokenization per consumer.
-        .persist()
-    )
-    sizes = sh.groupBy("doc_id").agg((F.max("pos") + 1).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(F.broadcast(sizes.withColumnsRenamed(
-            {"doc_id": "doc_a", "n_sh": "na"})), "doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed(
-            {"doc_id": "doc_b", "n_sh": "nb"})), "doc_b")
-    )
-    jac = F.round(F.col("inter").cast("double")
-                  / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    # Implementation notes (xxhash64 join keys, posexplode plan shape,
+    # persist-once for three consumers) live on
+    # operators.dedup.ngram_jaccard_pairs / shingle_table.
     return (
-        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        ops_dedup.ngram_jaccard_pairs(d, "doc_id", "text", NGRAM,
+                                      JACCARD_THRESHOLD)
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
     )
 
 
@@ -145,17 +108,6 @@ WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= {JACCARD_THRESHOLD}
 """
 
 
-# Affine MinHash family over one 28-bit base hash: h_i = (a_i*h + b_i)
-# mod 2^31. One md5 per shingle instead of k — the k variants are integer
-# ops inside codegen. Constants are odd multipliers (fixed, seedless, so
-# both engines compute the identical family).
-_MH_A = [0x769d1553, 0x27d4eb2f, 0x165667b1, 0x9e3779b1,
-         0x85ebca77, 0xc2b2ae3d, 0x5bd1e995, 0x2545f491]
-_MH_B = [0x1b873593, 0xcc9e2d51, 0x38b34ae5, 0x6c62272e,
-         0x61c88647, 0x7feb352d, 0x45d9f3b3, 0x119de1f3]
-_MH_MOD = 1 << 31
-
-
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) from one md5-derived 28-bit shingle hash and
     k affine transforms — the signature stage of
@@ -163,22 +115,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hence fully oracle-checked (unlike seeded ml.feature MinHashLSH, kept
     separately as q_dedup_near)."""
     d = t_wide(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = (
-        d.where(F.size(toks) >= NGRAM)
-        .select("doc_id", F.explode(_shingles(toks)).alias("sh"))
-        # 7 hex chars → h < 2^28, so a_i*h + b_i < 2^59 never overflows
-        # a 64-bit long (ANSI mode would raise on overflow).
-        .select("doc_id",
-                F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10)
-                .cast("long").alias("h"))
-    )
-    aggs = [
-        F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_MH_MOD))
-        .alias(f"mh_{i}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return ops_dedup.minhash_signatures(d, "doc_id", "text",
+                                        k=N_MINHASH, n=NGRAM)
 
 
 _MH_COLS = ",\n       ".join(
@@ -196,25 +134,62 @@ FROM sh GROUP BY doc_id
 """
 
 
+N_BANDS = 4
+ROWS_PER_BAND = 2
+
+
+def q_dedup_lshband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signatures — the candidate-pair stage
+    completing shingle→minhash→band→bucket-join. Band keys here are
+    md5(band:mh_i:mh_j) so the oracle reproduces them exactly (the
+    operators API uses xxhash64 — same plan shape, engine-internal key).
+    Sub-quadratic: pairs only materialize for docs colliding in ≥1 band."""
+    d = t_wide(spark, sf_dir, "documents")
+    sigs = ops_dedup.minhash_signatures(d, "doc_id", "text",
+                                        k=N_MINHASH, n=NGRAM)
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(":", F.lit(b),
+                          *[F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)]))
+        for b in range(N_BANDS)])
+    keyed = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_BAND_KEYS = ", ".join(
+    "md5({b} || ':' || mh_{i} || ':' || mh_{j})".format(
+        b=b, i=b * ROWS_PER_BAND, j=b * ROWS_PER_BAND + 1)
+    for b in range(N_BANDS))
+ORACLE_DEDUP_LSHBAND = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest({_SQL_SHINGLES})), 1, 7)) AS BIGINT) AS h
+  FROM documents WHERE len(string_split(text, ' ')) >= {NGRAM}
+), sigs AS (
+  SELECT doc_id,
+       {_MH_COLS}
+  FROM sh GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keyed a JOIN keyed b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) over tokens: per-bit ±1 vote from each token's md5
     hash, sign → bit. Near-dups differ in few bits (hamming distance)."""
     d = t_wide(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk"))
-        .withColumn("h", _hex2long(F.md5(F.col("tk"))))
-    )
-    votes = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
-              .otherwise(-1)).alias(f"v_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    voted = tok.groupBy("doc_id").agg(*votes)
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    return voted.select("doc_id", simhash.cast("long").alias("simhash"))
+    return ops_dedup.simhash(d, "doc_id", "text", bits=SIMHASH_BITS)
 
 
 _VOTE_COLS = ",\n       ".join(
@@ -306,6 +281,8 @@ SPECS: dict[str, QuerySpec] = {
                                "n-gram Jaccard near-dup"),
     "q_dedup_minhash": QuerySpec(q_dedup_minhash, ORACLE_DEDUP_MINHASH,
                                  "portable MinHash signatures"),
+    "q_dedup_lshband": QuerySpec(q_dedup_lshband, ORACLE_DEDUP_LSHBAND,
+                                 "LSH banding candidate pairs"),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
                                  "32-bit SimHash"),
     "q_dedup_embed": QuerySpec(q_dedup_embed, ORACLE_DEDUP_EMBED,

@@ -12,11 +12,10 @@ is oracle-checkable.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hippo_claim_crossover_spark.operators import similarity as ops_sim
 from hippo_claim_crossover_spark.plans.base import QuerySpec, t
 
 DIM = 64
@@ -25,23 +24,9 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 
 
-def _hyperplane(p: int) -> list[float]:
-    """Deterministic ±1 hyperplane from md5 bits — identical constants are
-    baked into both the Spark plan and the oracle SQL."""
-    out: list[float] = []
-    for d in range(DIM):
-        h = hashlib.md5(f"plane:{p}:dim:{d}".encode()).digest()
-        out.append(1.0 if h[0] & 1 else -1.0)
-    return out
-
-
-_PLANES = [_hyperplane(p) for p in range(N_PLANES)]
-
-
-def _dot(vec, const: list[float]):
-    arr = F.array(*[F.lit(c) for c in const])
-    return F.aggregate(F.zip_with(vec, arr, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+# Hyperplanes come from the operators API (md5-seeded, deterministic) —
+# identical constants are baked into both the Spark plan and the oracle SQL.
+_PLANES = [ops_sim.srp_hyperplane(p, DIM) for p in range(N_PLANES)]
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,21 +35,11 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). Query side is a broadcast single-row join — no collect()."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
-                              lambda acc, x: acc + x * x))
-    e = e.withColumn("nrm", norm)
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
-         .select(F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
-    dot = F.aggregate(F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.round(dot / (F.col("nrm") * F.col("qnrm")), 4)
-    return (
-        e.where(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q))
-        .select("vec_id", cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(TOP_K)
-    )
+         .select(F.col("v").alias("qv"),
+                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    return ops_sim.cosine_topk(
+        e.where(F.col("vec_id") != QUERY_VEC_ID), q, TOP_K)
 
 
 ORACLE_SIM_TOPK = f"""
@@ -89,13 +64,8 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     search at scale; deterministic hyperplanes ⇒ oracle-checked."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    bucket = None
-    for p, plane in enumerate(_PLANES):
-        bit = F.when(_dot(F.col("v"), plane) > 0,
-                     F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     return (
-        e.select(bucket.cast("long").alias("bucket"))
+        e.select(ops_sim.srp_bucket(F.col("v"), _PLANES).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -120,37 +90,9 @@ def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector approximate top-3 neighbors within the SRP-LSH bucket —
     the full ANN query shape (bucket equi-join + windowed top-k), kept
     deterministic via rounded scores + id tiebreaks."""
-    from pyspark.sql.window import Window
-
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    bucket = None
-    for p, plane in enumerate(_PLANES):
-        bit = F.when(_dot(F.col("v"), plane) > 0,
-                     F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
-                              lambda acc, x: acc + x * x))
-    eb = e.withColumn("bucket", bucket.cast("long")).withColumn("nrm", norm)
-    a, b = eb.alias("a"), eb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_id"),
-                F.col("b.vec_id").alias("neighbor_id"),
-                cos.alias("cosine"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("vec_id", "neighbor_id", "cosine", F.col("rk").alias("rank"))
-    )
+    return ops_sim.knn_blocked(e, n_planes=N_PLANES, dim=DIM, k=3)
 
 
 ORACLE_SIM_KNN_BLOCKED = f"""

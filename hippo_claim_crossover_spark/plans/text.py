@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hippo_claim_crossover_spark.operators import text as ops_text
 from hippo_claim_crossover_spark.plans.base import QuerySpec, t
 
 _STOPWORDS = ("the", "a", "and", "of")
@@ -61,15 +62,8 @@ def q_text_tokcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     (letter runs / digit runs / single punctuation), per document."""
     d = t(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.col("text"), " "))
-    bpe = F.size(F.regexp_extract_all(
-        F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)))
-    return d.select(
-        "doc_id",
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
-        F.length("text").alias("len_chars"),
-    )
+    return ops_text.token_counts(d).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "len_chars")
 
 
 ORACLE_TEXT_TOKCOUNT = """
@@ -86,21 +80,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining-data filters). Higher-order ``filter`` counts stopword
     tokens without leaving the JVM."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_toks = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    stop_ratio = F.round(n_stop.cast("double") / n_toks, 4)
-    score = F.round(
-        F.least(F.lit(1.0), n_toks.cast("double") / 80.0)
-        * (1 - n_stop.cast("double") / n_toks), 4)
-    return d.select(
-        "doc_id", "lang",
-        n_toks.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
-    )
+    return ops_text.quality_metrics(
+        d, stopwords=_STOPWORDS, target_tokens=80,
+    ).select("doc_id", "lang", "n_tokens", "n_stopwords",
+             "stopword_ratio", "quality_score")
 
 
 _SQL_TOKS = "string_split(text, ' ')"
@@ -123,27 +106,8 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace), argmax → predicted language. A stand-in for real char-n-gram
     LID at the same plan shape: pure per-row expressions, no shuffle."""
     d = t(spark, sf_dir, "documents")
-
-    def count_sub(sub: str) -> F.Column:
-        return ((F.length("text")
-                 - F.length(F.replace(F.col("text"), F.lit(sub), F.lit(""))))
-                / len(sub)).cast("long")
-
-    score_en = count_sub("th") + count_sub("er")
-    score_es = count_sub("rt") + count_sub("ta")
-    score_de = count_sub("sc") + count_sub("ue")
-    pred = (
-        F.when((score_en >= score_es) & (score_en >= score_de), "en")
-        .when(score_es >= score_de, "es")
-        .otherwise("de")
-    )
-    return d.select(
-        "doc_id",
-        score_en.alias("score_en"),
-        score_es.alias("score_es"),
-        score_de.alias("score_de"),
-        pred.alias("predicted_lang"),
-    )
+    return ops_text.langid_scores(d).select(
+        "doc_id", "score_en", "score_es", "score_de", "predicted_lang")
 
 
 def _sql_count_sub(sub: str) -> str:
@@ -171,12 +135,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sorted tokens → md5) + raw-content md5 — the join keys for exact and
     shuffled-content dedup."""
     d = t(spark, sf_dir, "documents")
-    sorted_bag = F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " ")))
-    return d.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("content_hash"),
-        F.md5(sorted_bag).alias("bag_hash"),
-    )
+    return ops_text.fingerprints(d).select(
+        "doc_id", "content_hash", "bag_hash")
 
 
 ORACLE_TEXT_FINGERPRINT = """

@@ -65,4 +65,5 @@ def test_registry_contract():
     assert set(oracles) <= set(qs)
     # every oracle-less query is a documented approximate/stateful op
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q_approx_cd", "q_dedup_near", "q_mm_decode"}
+    assert rows_only == {"q_approx_cd", "q_dedup_near", "q_mm_decode",
+                         "q_sample_stratified"}
