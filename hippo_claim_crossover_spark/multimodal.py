@@ -85,3 +85,40 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
                 rows, columns=[f.name for f in DECODE_SCHEMA.fields])
 
     return media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+def sample_frames(features: DataFrame, every_nth: int = 8,
+                  max_frames: int = 4) -> DataFrame:
+    """Frame sampling over decoded media: one output row per sampled frame
+    index (every ``every_nth``-th frame, capped at ``max_frames``).
+
+    Pure built-ins — ``sequence`` + ``explode`` generate the frame list
+    JVM-side; the downstream per-frame decode would be another
+    ``mapInPandas`` stage keyed by (doc_id, frame_idx). This is the fan-out
+    step a video pipeline runs before per-frame feature extraction, and at
+    100 TB it's where row counts multiply — keeping it as a generator
+    (no join, no shuffle) matters.
+    """
+    idxs = F.slice(
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth)),
+        1, max_frames)
+    return (
+        features.where(F.col("n_frames") > 0)
+        .select("doc_id", "media_type", "n_frames",
+                F.explode(idxs).alias("frame_idx"))
+    )
+
+
+def resize_spec(features: DataFrame, target: int = 224) -> DataFrame:
+    """Resize planning: letterbox scale factor + output dims per media row
+    (the arithmetic a real resize kernel applies, computed JVM-side; the
+    pixel work itself belongs in the codec's mapInPandas stage)."""
+    scale = F.least(F.lit(float(target)) / F.col("width"),
+                    F.lit(float(target)) / F.col("height"))
+    return features.withColumns({
+        "scale": F.round(scale, 6),
+        "out_width": F.greatest(
+            F.lit(1), F.floor(F.col("width") * scale).cast("int")),
+        "out_height": F.greatest(
+            F.lit(1), F.floor(F.col("height") * scale).cast("int")),
+    })

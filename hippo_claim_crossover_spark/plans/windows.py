@@ -126,10 +126,46 @@ WINDOW wrows AS (PARTITION BY l_orderkey
 """
 
 
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + value-position window functions: ntile, percent_rank,
+    cume_dist, first/last value. Same single-shuffle shape as ranking;
+    percent_rank/cume_dist are exact rational ratios of row positions, so
+    they are bit-identical across engines (no rounding wrapper needed)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        F.col("o_custkey").alias("subscriber_id"),
+        F.col("o_orderkey").alias("claim_id"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wall).alias("biggest_claim"),
+        F.last("o_orderkey").over(wall).alias("smallest_claim"),
+    )
+
+
+ORACLE_WIN_DIST = """
+SELECT o_custkey AS subscriber_id, o_orderkey AS claim_id,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER wall AS biggest_claim,
+       last_value(o_orderkey) OVER wall AS smallest_claim
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       wall AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_win_rank": QuerySpec(q_win_rank, ORACLE_WIN_RANK, "ranking fns"),
     "q_win_running": QuerySpec(q_win_running, ORACLE_WIN_RUNNING,
                                "lag/lead/running sum"),
     "q_win_frame": QuerySpec(q_win_frame, ORACLE_WIN_FRAME,
                              "rows+range frames"),
+    "q_win_dist": QuerySpec(q_win_dist, ORACLE_WIN_DIST,
+                            "ntile/percent_rank/cume_dist/first/last"),
 }

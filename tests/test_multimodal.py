@@ -40,3 +40,51 @@ def test_decode_is_deterministic(spark, sf_dir):
 def test_real_codec_is_gated():
     with pytest.raises(NotImplementedError):
         _decode_one(b"payload", "image", fake=False)
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from hippo_claim_crossover_spark.io import load_table
+    from hippo_claim_crossover_spark.multimodal import (
+        attach_binary_payload,
+        decode_media,
+        sample_frames,
+    )
+
+    feats = decode_media(
+        attach_binary_payload(load_table(spark, sf_dir, "documents")),
+        fake=True)
+    frames = sample_frames(feats, every_nth=8, max_frames=4)
+    rows = frames.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc, idxs in by_doc.items():
+        assert idxs[0] == 0                       # always frame 0
+        assert len(idxs) <= 4                     # cap respected
+        assert all(i % 8 == 0 for i in idxs)      # stride respected
+    # images decode to a single frame -> exactly one sampled frame
+    img = [r for r in rows if r["media_type"] == "image"]
+    assert img and all(r["frame_idx"] == 0 for r in img)
+
+
+def test_resize_spec_letterbox(spark, sf_dir):
+    from hippo_claim_crossover_spark.io import load_table
+    from hippo_claim_crossover_spark.multimodal import (
+        attach_binary_payload,
+        decode_media,
+        resize_spec,
+    )
+
+    feats = decode_media(
+        attach_binary_payload(load_table(spark, sf_dir, "documents")),
+        fake=True)
+    import math
+
+    out = resize_spec(feats, target=224).collect()
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) <= 224
+        # letterbox arithmetic: one true scale applied to both dims
+        s = min(224 / r["width"], 224 / r["height"])
+        assert r["out_width"] == max(1, math.floor(r["width"] * s))
+        assert r["out_height"] == max(1, math.floor(r["height"] * s))
