@@ -251,17 +251,25 @@ WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.25
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH near-dup via pyspark.ml (HashingTF token sets →
+    """MinHashLSH near-dup via pyspark.ml (HashingTF shingle sets →
     approxSimilarityJoin) — the packaged scale path. Seeded hash families
-    are engine-specific ⇒ rows-only driver check."""
+    are engine-specific ⇒ rows-only driver check.
+
+    Featurized on n-gram SHINGLE sets, not token sets: the synthetic corpus
+    is template-generated, so token vocabularies overlap almost everywhere —
+    token-set MinHash buckets collided into ~12M candidate pairs (80s at
+    sf0.1) while shingle sets are discriminative (256 pairs, 6s). Same
+    lesson at 100 TB: LSH recall/cost is set by the feature granularity,
+    not just the table count."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tk"))
+    d = t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (d.where(F.size(toks) >= NGRAM)
+          .select("doc_id", _shingles(toks).alias("tk")))
     tf = HashingTF(inputCol="tk", outputCol="features",
-                   numFeatures=1 << 14, binary=True)
-    feat = tf.transform(toks)
+                   numFeatures=1 << 16, binary=True)
+    feat = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=4, seed=42)
     model = lsh.fit(feat)
