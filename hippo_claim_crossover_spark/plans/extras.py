@@ -115,6 +115,51 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2b UDF surface, aggregate leg: a grouped custom aggregation via
+    ``applyInPandas`` (quantity-weighted average price per return flag).
+
+    Arrow-batched per group — the escape hatch when an aggregate can't be
+    expressed with built-ins. Float determinism: pandas pairwise summation
+    disagrees with sequential engines in the last ulp, so the fold runs on
+    exact integer-scaled values (the same money_micros discipline as
+    plans/base.py) and applies DuckDB's mechanical rounding — making even
+    a Python UDAF hash-comparable against the SQL oracle.
+    """
+    import math
+
+    import pandas as pd
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        # floor(x*scale+0.5) on float64 matches both engines bit-for-bit
+        # (same doubles, same ops). p*q is exact at 4dp; q at 2dp.
+        wsum = int((pdf["l_extendedprice"] * pdf["l_quantity"] * 1e4 + 0.5)
+                   .apply(math.floor).sum())
+        qsum = int((pdf["l_quantity"] * 1e2 + 0.5).apply(math.floor).sum())
+        wavg = wsum / (100.0 * qsum)
+        wavg = math.floor(wavg * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({"l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                             "weighted_avg_price": [wavg],
+                             "n_lines": [len(pdf)]})
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(
+        weighted,
+        schema="l_returnflag string, weighted_avg_price double, n_lines long")
+
+
+ORACLE_UDAF = """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(floor(l_extendedprice * l_quantity * 1e4 + 0.5)
+                           AS BIGINT)) AS DOUBLE)
+             / (100.0 * sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT))),
+             4) AS weighted_avg_price,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_percentile": QuerySpec(q_percentile, ORACLE_PERCENTILE,
                               "exact grouped percentiles/median"),
@@ -124,4 +169,6 @@ SPECS: dict[str, QuerySpec] = {
                                "deterministic hash-bucket sample"),
     "q_sample_stratified": QuerySpec(q_sample_stratified, None,
                                      "seeded sampleBy (rows-only)"),
+    "q_udaf": QuerySpec(q_udaf, ORACLE_UDAF,
+                        "applyInPandas grouped UDAF, exact-int fold"),
 }
