@@ -87,25 +87,49 @@ FROM embeddings GROUP BY 1
 
 
 def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector approximate top-3 neighbors within the SRP-LSH bucket —
-    the full ANN query shape (bucket equi-join + windowed top-k), kept
-    deterministic via rounded scores + id tiebreaks."""
+    """Per-vector approximate top-3 neighbors — adaptive SRP-LSH: plane
+    count scales with COUNT(*) (expected bucket ≤ 64 vectors), candidates
+    unioned from 2 independent plane families, vectors pre-normalized once.
+    Deterministic via rounded scores + id tiebreaks; the oracle recomputes
+    the identical plane count from its own COUNT(*)."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return ops_sim.knn_blocked(e, n_planes=N_PLANES, dim=DIM, k=3)
+    return ops_sim.knn_blocked(e, dim=DIM, k=3)
+
+
+def _bucket_sql_gated(family: int) -> str:
+    """Bucket-id SQL for one plane family with every potential plane baked
+    in and gated on the runtime plane count ``np`` (column from the params
+    CTE) — mirrors planes_for() + srp_family() exactly."""
+    planes = ops_sim.srp_family(family, ops_sim.MAX_PLANES, DIM)
+    terms = " + ".join(
+        f"CASE WHEN {p} < np AND list_dot_product(v, {_sql_plane(plane)}) > 0"
+        f" THEN {1 << p} ELSE 0 END"
+        for p, plane in enumerate(planes))
+    return f"CAST({terms} AS BIGINT)"
 
 
 ORACLE_SIM_KNN_BLOCKED = f"""
-WITH n AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm,
-         CAST({_SQL_BUCKET} AS BIGINT) AS bucket
-  FROM embeddings
+WITH np_t AS (
+  SELECT GREATEST({ops_sim.MIN_PLANES}, COALESCE(
+    (SELECT MIN(p) FROM range(0, {ops_sim.MAX_PLANES + 1}) t(p)
+     WHERE {ops_sim.TARGET_BUCKET} * (1 << p) >=
+           (SELECT count(*) FROM embeddings)),
+    {ops_sim.MAX_PLANES})) AS np
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn,
+         {_bucket_sql_gated(0)} AS b0,
+         {_bucket_sql_gated(1)} AS b1
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), np_t
 ), pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+         round(list_dot_product(a.vn, b.vn), 4) AS cosine
+  FROM n a JOIN n b ON a.b0 = b.b0 AND a.vec_id != b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id,
+         round(list_dot_product(a.vn, b.vn), 4)
+  FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id != b.vec_id
 )
 SELECT vec_id, neighbor_id, cosine, rk AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
