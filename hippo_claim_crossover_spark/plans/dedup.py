@@ -8,8 +8,10 @@ Scale design (100 TB): the O(n²) shapes are avoided everywhere —
   per-shingle posting lists short);
 - MinHash reduces each doc to a k-int signature; LSH banding turns
   near-dup search into an equi-join on band keys;
-- embedding near-dup blocks on the label column (in production: an LSH or
-  IVF bucket id) before any pairwise cosine.
+- embedding near-dup blocks on the adaptive SRP-LSH bucket id (bucket
+  count grows with the table) before any pairwise cosine;
+- exact dedup groups on md5(text), so the shuffle carries a 32-byte
+  digest per document, never the body.
 
 Hash functions are md5-derived (first 15 hex chars → BIGINT), which both
 Spark and DuckDB can compute bit-identically — so even MinHash/SimHash
@@ -55,22 +57,25 @@ _SQL_SHINGLES = (
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content; keep the smallest doc_id per
-    distinct text. One shuffle on the (hashed) text key."""
+    """Exact dedup: keep the smallest doc_id per distinct content. Groups
+    on md5(text) — the shuffle moves a 32-byte digest per document, never
+    the document body (at 100 TB the body-keyed groupBy would ship the
+    whole corpus through the exchange). Collision risk of a 128-bit
+    digest over any realistic corpus is negligible (~n²/2^129)."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.groupBy("text")
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"),
              F.count(F.lit(1)).alias("n_copies"))
-        .select("keep_doc_id", F.md5("text").alias("content_hash"),
-                "n_copies")
+        .select("keep_doc_id", "content_hash", "n_copies")
     )
 
 
 ORACLE_DEDUP_EXACT = """
 SELECT min(doc_id) AS keep_doc_id, md5(text) AS content_hash,
        count(*) AS n_copies
-FROM documents GROUP BY text
+FROM documents GROUP BY md5(text)
 """
 
 
@@ -213,21 +218,28 @@ FROM voted
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: blocked (by label) pairwise cosine ≥ 0.25.
-    The block key stands in for an LSH/IVF bucket at scale — never a full
-    cross join."""
+    """Embedding-cosine near-dup: pairwise cosine ≥ 0.25 blocked on the
+    adaptive SRP-LSH bucket id (same planes_for policy as
+    q_sim_knn_blocked, family 0) — bucket count grows with the table, so
+    per-bucket pair work stays bounded at any scale. Vectors are
+    unit-normalized once; each surviving pair costs one dot product."""
+    from hippo_claim_crossover_spark.operators import similarity as ops_sim
+
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-    norm = F.sqrt(F.aggregate(
-        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    e = e.withColumn("nrm", norm)
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    np_ = ops_sim.planes_for(e.count())
+    planes = ops_sim.srp_family(0, np_, dim=64)
+    n = (
+        e.withColumn("_nrm", ops_sim.l2_norm(F.col("v")))
+        .select("vec_id",
+                F.transform(F.col("v"),
+                            lambda x: x / F.col("_nrm")).alias("vn"),
+                ops_sim.srp_bucket(F.col("v"), planes).alias("bucket"))
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.round(ops_sim.dot(F.col("a.vn"), F.col("b.vn")), 4)
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
@@ -236,18 +248,26 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_EMBED = """
-WITH n AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
+def _oracle_dedup_embed() -> str:
+    from hippo_claim_crossover_spark.plans.similarity import (
+        NP_T_SQL,
+        _bucket_sql_gated,
+    )
+    return f"""
+WITH {NP_T_SQL}, n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn,
+         {_bucket_sql_gated(0)} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), np_t
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.25
+       round(list_dot_product(a.vn, b.vn), 4) AS cosine
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vn, b.vn), 4) >= 0.25
 """
+
+
+ORACLE_DEDUP_EMBED = _oracle_dedup_embed()
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:

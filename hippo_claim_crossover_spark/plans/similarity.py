@@ -109,14 +109,19 @@ def _bucket_sql_gated(family: int) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
-ORACLE_SIM_KNN_BLOCKED = f"""
-WITH np_t AS (
+# planes_for() in SQL: smallest p with TARGET_BUCKET * 2^p >= COUNT(*),
+# clamped — integer-only so it matches the Python computation bit-for-bit.
+NP_T_SQL = f"""np_t AS (
   SELECT GREATEST({ops_sim.MIN_PLANES}, COALESCE(
     (SELECT MIN(p) FROM range(0, {ops_sim.MAX_PLANES + 1}) t(p)
      WHERE {ops_sim.TARGET_BUCKET} * (1 << p) >=
            (SELECT count(*) FROM embeddings)),
     {ops_sim.MAX_PLANES})) AS np
-), n AS (
+)"""
+
+
+ORACLE_SIM_KNN_BLOCKED = f"""
+WITH {NP_T_SQL}, n AS (
   SELECT vec_id,
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn,
          {_bucket_sql_gated(0)} AS b0,

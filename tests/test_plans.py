@@ -67,6 +67,21 @@ def test_crossover_aggregates_below_header_join(spark):
         "expected partial aggregate directly above the lineitem scan"
 
 
+def test_dedup_exact_shuffles_digest_not_text(spark):
+    """The exact-dedup exchange must partition on the md5 digest — a
+    text-keyed groupBy would ship every document body through the
+    shuffle at 100 TB."""
+    plan = _plan(spark, "q_dedup_exact")
+    assert "hashpartitioning(content_hash" in plan
+    assert "hashpartitioning(text" not in plan
+
+
+def test_dedup_embed_blocks_on_srp_bucket(spark):
+    plan = _plan(spark, "q_dedup_embed")
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_uses_takeordered_not_global_sort(spark):
     plan = _plan(spark, "q_topk")
     assert "TakeOrderedAndProject" in plan
