@@ -118,9 +118,22 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
 
     ``ts div 1000`` is exact LONG integer division (a double division would
-    round at 2^53 and can flip the last microsecond)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    round at 2^53 and can flip the last microsecond).
+
+    The legacy conf is scoped to this read: the parquet relation captures
+    it at analysis time (verified: execution after restore still reads
+    nanos-as-long), so save/restore keeps the session's handling of any
+    *other* TIMESTAMP(NANOS) parquet unchanged."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return raw.select(
         "event_id",
         F.expr("timestamp_micros(ts div 1000)").alias("ts"),

@@ -57,12 +57,34 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Cached shingle tables from ngram_jaccard_pairs invocations. Each new
+# call releases the previous cache, bounding a long-lived session to one
+# resident shingle table; callers wanting eager release after materializing
+# the pairs call release_shingle_caches().
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def release_shingle_caches() -> None:
+    """Unpersist every shingle table cached by ngram_jaccard_pairs. Call
+    after the returned pairs DataFrame has been materialized (unpersisting
+    earlier just makes the consumers recompute the shingles)."""
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist()
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = NGRAM,
                         threshold: float = 0.2) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold via the shingle
-    inverted-index self-join — cost follows posting-list sizes, not n²."""
+    inverted-index self-join — cost follows posting-list sizes, not n².
+
+    The shingle table is persisted for its three consumers (size lookup +
+    both join sides); the cache lives until the next invocation or an
+    explicit :func:`release_shingle_caches` — it cannot be dropped inside
+    this function because the returned plan is lazy."""
+    release_shingle_caches()
     sh = shingle_table(df, id_col, text_col, n).persist()
+    _SHINGLE_CACHE.append(sh)
     sizes = sh.groupBy(id_col).agg((F.max("pos") + 1).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

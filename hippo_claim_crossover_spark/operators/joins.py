@@ -39,8 +39,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     rcols = [c for c in right.columns if c != on]
     overlap = set(lcols) & set(rcols)
+    if left_ts in rcols:
+        overlap.add(left_ts)  # e.g. both sides call their timestamp 'ts'
     if overlap:
         raise ValueError(f"column overlap between sides: {sorted(overlap)}")
+    internal = {"_k", "_ts", "_is_left", "_rts"}
+    clash = internal & set(left.columns) | internal & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with asof_join internals: {sorted(clash)}")
 
     tagged_l = left.select(
         F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
@@ -78,19 +85,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                       *lcols, *rcols)
 
 
+_SALTED_JOIN_HOW = {"inner", "left", "leftouter", "left_outer",
+                    "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(big: DataFrame, skewed: DataFrame, on: str,
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join under heavy key skew: salt the big side's key into
     ``salt`` sub-keys and explode the (small) skewed side once per salt
     value, so one hot key spreads over ``salt`` reducers instead of one.
 
+    Only big-side-preserving join types are valid: the skewed side is
+    replicated ``salt`` times, so right/full-outer would emit each
+    unmatched skewed-side row once per replica — ``how`` is validated.
+    The salt is round-robin over ``monotonically_increasing_id()`` rather
+    than a hash of the row's columns, so fully-duplicate hot rows still
+    spread across all ``salt`` reducers (a content hash would send every
+    copy to the same sub-key, defeating the whole point).
+
     AQE's skew-join split handles moderate skew automatically; explicit
     salting is the deterministic fallback for pathological keys (one key =
     half the table) or for engines/stages where AQE can't split (e.g.
     joins feeding a window over the same key).
     """
+    if how.lower() not in _SALTED_JOIN_HOW:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTED_JOIN_HOW)}, got {how!r}: "
+            "the skewed side is replicated per salt value, so join types "
+            "preserving unmatched skewed-side rows would duplicate them")
     big_s = big.withColumn(
-        "_salt", (F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
         .cast("int"))
     skew_s = skewed.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

@@ -138,8 +138,11 @@ FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
 def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 sink: write parquet, read it back (replaces the per-record PDF
     render, lib/hippo_claim_crossover.rb:316). Write-side coalesce keeps
-    small outputs from fragmenting into many files."""
-    out = "/root/repo/_scratch/q_sink.parquet"
+    small outputs from fragmenting into many files. The output path is
+    scoped to this Spark application (applicationId is unique per
+    session), so concurrent harness runs never race on a shared file."""
+    out = ("/root/repo/_scratch/"
+           f"q_sink-{spark.sparkContext.applicationId}.parquet")
     agg = (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")

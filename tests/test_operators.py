@@ -66,3 +66,59 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(big, dim, "k", salt=8).select("k", "payload", "name")
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_preserves_unmatched_big_rows(spark):
+    big = spark.createDataFrame([(1, "a"), (9, "b")], "k int, payload string")
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    rows = sorted(map(tuple, salted_join(big, dim, "k", salt=4, how="left")
+                      .select("k", "payload", "name").collect()))
+    assert rows == [(1, "a", "one"), (9, "b", None)]
+
+
+def test_salted_join_rejects_skew_side_preserving_how(spark):
+    big = spark.createDataFrame([(1, "a")], "k int, payload string")
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    for how in ("right", "full", "outer", "full_outer"):
+        try:
+            salted_join(big, dim, "k", how=how)
+            raise AssertionError(f"expected ValueError for {how}")
+        except ValueError as exc:
+            assert "salted_join supports" in str(exc)
+
+
+def test_salted_join_spreads_fully_duplicate_hot_rows(spark):
+    # 400 identical rows (one hot key, identical payload): a content-hash
+    # salt would put them all in one sub-key; round-robin must not.
+    big = spark.createDataFrame([(1, "same")] * 400, "k int, payload string")
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    salted = big.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int"))
+    n_subkeys = salted.select("_salt").distinct().count()
+    assert n_subkeys > 1
+    out = salted_join(big, dim, "k", salt=8)
+    assert out.count() == 400
+
+
+def test_asof_rejects_shared_timestamp_name(spark):
+    left = spark.createDataFrame([(1, _ts(1), "x")],
+                                 "k int, ts timestamp, ev string")
+    right = spark.createDataFrame([(1, _ts(1), 2.0)],
+                                  "k int, ts timestamp, val double")
+    try:
+        asof_join(left, right, "k", "ts", "ts")
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "ts" in str(exc)
+
+
+def test_asof_rejects_internal_name_collision(spark):
+    left = spark.createDataFrame([(1, _ts(1), "x")],
+                                 "k int, ts timestamp, _rts string")
+    right = spark.createDataFrame([(1, _ts(2), 2.0)],
+                                  "k int, rts timestamp, val double")
+    try:
+        asof_join(left, right, "k", "ts", "rts")
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "_rts" in str(exc)
