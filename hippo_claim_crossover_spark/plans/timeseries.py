@@ -10,6 +10,9 @@ window/session key.
 
 from __future__ import annotations
 
+import datetime as dt
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -117,6 +120,92 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+_LATE_RUN = itertools.count()
+
+
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark/late-data semantics as a declared query: a real
+    two-micro-batch Structured Streaming run (file source,
+    maxFilesPerTrigger=1) through the same ``tumbling_agg`` used by the
+    streaming wrappers, drained with availableNow into a memory sink in
+    APPEND mode (only watermark-finalized windows are emitted).
+
+    Deterministic fixture (fixed timestamps, not wall clock), built around
+    Spark's actual two-phase watermark semantics — late input is filtered
+    with the *previous* batch's watermark while state eviction uses the
+    current one, so a row must arrive ≥2 batches after the
+    watermark-advancing data to be provably dropped:
+    - batch 0: three rows in the 10:00–10:10 window plus one row at 11:00,
+      which advances the watermark to 10:30 (30-minute delay);
+    - batch 1: one on-time row at 11:01 — during this batch the 10:00
+      window finalizes (end 10:10 ≤ watermark 10:30) and is emitted;
+    - batch 2: a LATE row at 10:05 (now behind the filter watermark 10:30
+      ⇒ dropped, numRowsDroppedByWatermark=1) and a row at 11:05 whose
+      window never finalizes.
+
+    Expected output is therefore exactly the finalized 10:00 window
+    *without* the late row — hash-checked against a VALUES oracle, which
+    pins the drop semantics harder than the rows-only check a streaming
+    query would normally get. Unit tests in tests/test_streaming.py cover
+    the incremental state machinery itself.
+    """
+    import glob
+    import os
+    import shutil
+
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream,
+        run_to_memory,
+        tumbling_agg,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, minutes, etype, value):
+        return (eid, base + dt.timedelta(minutes=minutes), 1, etype,
+                value, None)
+
+    batches = [
+        [ev(1, 0, "click", 1.0), ev(2, 4, "click", 2.0),
+         ev(3, 9, "view", 3.0), ev(4, 60, "click", 9.0)],
+        [ev(5, 61, "click", 4.0)],
+        [ev(6, 5, "click", 100.0),   # late: behind the 10:30 watermark
+         ev(7, 65, "view", 5.0)],
+    ]
+
+    run_id = next(_LATE_RUN)
+    src = ("/root/repo/_scratch/"
+           f"late_src-{spark.sparkContext.applicationId}-{run_id}")
+    os.makedirs(src, exist_ok=True)
+    from hippo_claim_crossover_spark.streaming.ops import EVENT_STREAM_SCHEMA
+    for i, rows in enumerate(batches):
+        stage = f"{src}.stage"
+        (spark.createDataFrame(rows, EVENT_STREAM_SCHEMA)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        shutil.copyfile(part, dst)
+        # the file source orders micro-batches by modification time —
+        # pin mtimes so batch order never depends on write latency
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        shutil.rmtree(stage)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out_name = f"late_out_{run_id}"
+    run_to_memory(tumbling_agg(stream), out_name, output_mode="append")
+    return spark.table(out_name)
+
+
+ORACLE_STREAM_LATE = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
+   'click', CAST(2 AS BIGINT), CAST(3.0 AS DOUBLE)),
+  (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
+   'view', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE))
+) AS t(window_start, window_end, event_type, n_events, sum_value)
+"""
+
+
 def q_time_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup: per-day event counts (date_trunc — partition-prune
     key at scale; a date-partitioned table would prune these scans)."""
@@ -142,6 +231,9 @@ SPECS: dict[str, QuerySpec] = {
                                 "sliding window"),
     "q_stream_session": QuerySpec(q_stream_session, ORACLE_STREAM_SESSION,
                                   "session window (gaps-and-islands oracle)"),
+    "q_stream_late": QuerySpec(q_stream_late, ORACLE_STREAM_LATE,
+                               "watermarked late-data drop (real 2-batch "
+                               "streaming run, VALUES oracle)"),
     "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
                               "calendar rollup"),
 }
