@@ -215,6 +215,68 @@ FROM lineitem l JOIN orders o
 """
 
 
+# One bucketed-table write per (session, sf_dir); the join below then runs
+# shuffle-free forever after — the write is the one-time cost the 100 TB
+# story amortizes. Keyed by applicationId so concurrent harness runs never
+# share catalog tables or paths.
+_BUCKETED_READY: set[tuple[str, str]] = set()
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import re
+
+    from hippo_claim_crossover_spark.operators.bucketing import write_bucketed
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_",
+                 f"{spark.sparkContext.applicationId}_"
+                 f"{sf_dir.rstrip('/').split('/')[-1]}")
+    li_tbl, o_tbl = f"lineitem_b_{tag}", f"orders_b_{tag}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_READY:
+        base = f"/root/repo/_scratch/bucketed-{tag}"
+        write_bucketed(t(spark, sf_dir, "lineitem"), li_tbl,
+                       "l_orderkey", _N_BUCKETS, sort_by="l_orderkey",
+                       path=f"{base}/lineitem")
+        write_bucketed(t(spark, sf_dir, "orders"), o_tbl,
+                       "o_orderkey", _N_BUCKETS, sort_by="o_orderkey",
+                       path=f"{base}/orders")
+        _BUCKETED_READY.add(key)
+    return li_tbl, o_tbl
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Exchange fact-fact join: lineitem⋈orders both stored bucketed
+    (+sorted) on the order key, so the sort-merge join reads co-located
+    buckets with NO shuffle on either side, and the same-key groupBy on
+    top reuses the bucket partitioning too — the whole plan has no
+    Exchange (asserted in tests/test_plans.py). The merge hint keeps the
+    planner from broadcasting the small fixture side, which would hide
+    the property being demonstrated."""
+    li_tbl, o_tbl = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_tbl).hint("merge")
+    o = spark.table(o_tbl)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(money_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .select(F.col("o_orderkey").alias("claim_id"),
+                F.col("o_orderstatus").alias("claim_status"),
+                "revenue", "n_lines")
+    )
+
+
+ORACLE_JOIN_BUCKETED = f"""
+SELECT o.o_orderkey AS claim_id, o.o_orderstatus AS claim_status,
+       {money_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_agg_multi": QuerySpec(q_agg_multi, ORACLE_AGG_MULTI, "TPC-H Q1 shape"),
     "q_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT, "count-distinct"),
@@ -225,4 +287,6 @@ SPECS: dict[str, QuerySpec] = {
                               "top-k per group"),
     "q_setops": QuerySpec(q_setops, ORACLE_SETOPS, "union/intersect/except"),
     "q_join_range": QuerySpec(q_join_range, ORACLE_JOIN_RANGE, "range join"),
+    "q_join_bucketed": QuerySpec(q_join_bucketed, ORACLE_JOIN_BUCKETED,
+                                 "zero-Exchange bucketed fact-fact join"),
 }

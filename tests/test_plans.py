@@ -82,6 +82,15 @@ def test_dedup_embed_blocks_on_srp_bucket(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_has_zero_exchange(spark):
+    """Bucketed lineitem⋈orders + same-key groupBy must plan with no
+    Exchange anywhere — the bucket layout replaces both the join shuffle
+    and the aggregation shuffle."""
+    plan = _plan(spark, "q_join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_topk_uses_takeordered_not_global_sort(spark):
     plan = _plan(spark, "q_topk")
     assert "TakeOrderedAndProject" in plan
