@@ -37,6 +37,10 @@ HEADLINE = [
     "q_dedup_ngram",
     "q_sim_topk",
     "q_sim_knn_blocked",
+    "q_sim_lsh_buckets",
+    "q_dedup_lshband",
+    "q_udaf",
+    "q_percentile",
 ]
 
 

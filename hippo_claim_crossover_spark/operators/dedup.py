@@ -57,35 +57,24 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-# Cached shingle tables from ngram_jaccard_pairs invocations. Each new
-# call releases the previous cache, bounding a long-lived session to one
-# resident shingle table; callers wanting eager release after materializing
-# the pairs call release_shingle_caches().
-_SHINGLE_CACHE: list[DataFrame] = []
-
-
-def release_shingle_caches() -> None:
-    """Unpersist every shingle table cached by ngram_jaccard_pairs. Call
-    after the returned pairs DataFrame has been materialized (unpersisting
-    earlier just makes the consumers recompute the shingles)."""
-    while _SHINGLE_CACHE:
-        _SHINGLE_CACHE.pop().unpersist()
-
-
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = NGRAM,
                         threshold: float = 0.2) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold via the shingle
     inverted-index self-join — cost follows posting-list sizes, not n².
 
-    The shingle table is persisted for its three consumers (size lookup +
-    both join sides); the cache lives until the next invocation or an
-    explicit :func:`release_shingle_caches` — it cannot be dropped inside
-    this function because the returned plan is lazy."""
-    release_shingle_caches()
-    sh = shingle_table(df, id_col, text_col, n).persist()
-    _SHINGLE_CACHE.append(sh)
-    sizes = sh.groupBy(id_col).agg((F.max("pos") + 1).alias("n_sh"))
+    The Jaccard denominators come from a per-document size table computed
+    straight off the source rows (one ``size(transform(...))`` per doc —
+    no explode, so the size()-beside-explode re-evaluation pathology in
+    SCALE.md never applies, and nothing needs a persist). The self-join's
+    two sides shuffle the identical shingle plan on ``sh``, which AQE
+    collapses into one scan + ReusedExchange."""
+    toks = F.split(F.col(text_col), " ")
+    sizes = (
+        df.where(F.size(toks) >= n)
+        .select(id_col, F.size(shingles(toks, n)).alias("n_sh"))
+    )
+    sh = shingle_table(df, id_col, text_col, n)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -93,10 +82,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                  F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
-        .join(F.broadcast(sizes.withColumnsRenamed(
-            {id_col: "id_a", "n_sh": "na"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed(
-            {id_col: "id_b", "n_sh": "nb"})), "id_b")
+        # sizes is one row per document — small at test scale (AQE will
+        # broadcast it), billions of rows at 100 TB (AQE will shuffle);
+        # never force a broadcast hint on a table that grows with N.
+        .join(sizes.withColumnsRenamed(
+            {id_col: "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed(
+            {id_col: "id_b", "n_sh": "nb"}), "id_b")
     )
     jac = F.round(F.col("inter").cast("double")
                   / (F.col("na") + F.col("nb") - F.col("inter")), 4)

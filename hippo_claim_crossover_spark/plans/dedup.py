@@ -85,7 +85,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list sizes, not n²."""
     d = t_wide(spark, sf_dir, "documents")
     # Implementation notes (xxhash64 join keys, posexplode plan shape,
-    # persist-once for three consumers) live on
+    # explode-free size table, ReusedExchange self-join) live on
     # operators.dedup.ngram_jaccard_pairs / shingle_table.
     return (
         ops_dedup.ngram_jaccard_pairs(d, "doc_id", "text", NGRAM,
