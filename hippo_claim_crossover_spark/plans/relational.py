@@ -277,6 +277,50 @@ GROUP BY o.o_orderkey, o.o_orderstatus
 """
 
 
+# Tiny event-type dimension for the salted-join demo. The fixture
+# events table has 5 event types (each ~20% of the table) — the canonical
+# pathological join key: a plain shuffle join lands each type on ONE
+# reducer regardless of cluster size.
+_EVENT_DIM = [("click", "engagement"), ("view", "engagement"),
+              ("purchase", "conversion"), ("signup", "conversion"),
+              ("error", "ops")]
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: events (5 hot event_type keys) ⋈ type dim through
+    :func:`operators.joins.salted_join` — the big side salts its key into
+    8 sub-keys, the dim is exploded per salt value, so every hot key
+    spreads over 8 reducers instead of serializing on one. The
+    shuffle_hash hint keeps the tiny fixture dim off the broadcast path
+    so the salted shuffle (the thing being demonstrated) actually runs;
+    at 100 TB the dim side of a genuinely skewed join is big enough that
+    no hint is needed."""
+    from hippo_claim_crossover_spark.operators.joins import salted_join
+
+    e = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        _EVENT_DIM, "event_type string, category string").hint("shuffle_hash")
+    joined = salted_join(e, dim, on="event_type", salt=8, how="inner")
+    return (
+        joined.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"),
+             money_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+ORACLE_JOIN_SALTED = f"""
+WITH dim(event_type, category) AS (VALUES
+  ('click','engagement'), ('view','engagement'),
+  ('purchase','conversion'), ('signup','conversion'), ('error','ops'))
+SELECT category, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {money_sum_sql("value")} AS sum_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY category
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_agg_multi": QuerySpec(q_agg_multi, ORACLE_AGG_MULTI, "TPC-H Q1 shape"),
     "q_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT, "count-distinct"),
@@ -289,4 +333,6 @@ SPECS: dict[str, QuerySpec] = {
     "q_join_range": QuerySpec(q_join_range, ORACLE_JOIN_RANGE, "range join"),
     "q_join_bucketed": QuerySpec(q_join_bucketed, ORACLE_JOIN_BUCKETED,
                                  "zero-Exchange bucketed fact-fact join"),
+    "q_join_salted": QuerySpec(q_join_salted, ORACLE_JOIN_SALTED,
+                               "salted join under pathological key skew"),
 }

@@ -91,6 +91,15 @@ def test_bucketed_join_has_zero_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_salted_join_shuffles_on_salt(spark):
+    """The salted join must actually shuffle on (event_type, _salt) — if
+    the dim slips onto the broadcast path the skew spreading being
+    demonstrated never runs."""
+    plan = _plan(spark, "q_join_salted")
+    assert "_salt" in plan
+    assert "hashpartitioning(event_type" in plan
+
+
 def test_topk_uses_takeordered_not_global_sort(spark):
     plan = _plan(spark, "q_topk")
     assert "TakeOrderedAndProject" in plan
