@@ -1,0 +1,100 @@
+"""Graph operators for dedup clustering: distributed connected components.
+
+Near-dup detection (LSH banding, n-gram Jaccard, SimHash) emits *pairs*;
+deduplication needs *groups* — every document assigned to exactly one
+cluster so one representative per cluster can be kept. That closure step
+is connected components over the candidate-pair graph.
+
+100 TB design: the alternating large-star/small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm, reimplemented here on DataFrames). Every round is two
+groupBy-shuffles over the edge list, and the edge set contracts toward a
+forest of stars in O(log n) rounds even for path-shaped graphs — unlike
+naive min-label propagation whose round count is the component *diameter*
+(adversarial near-dup chains of template documents can be arbitrarily
+long). Each round materializes via ``localCheckpoint`` so the iterative
+lineage never stacks up, and convergence is detected with an
+order-insensitive edge-set fingerprint (count + sum of pair hashes), one
+tiny action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (hi, lo) with hi > lo; self-loops
+    dropped."""
+    return (
+        edges.select(F.greatest(F.col(src), F.col(dst)).alias("hi"),
+                     F.least(F.col(src), F.col(dst)).alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, link every strictly-larger neighbor to the minimum
+    of N(u) ∪ {u}. Output edges stay canonical (hi > lo)."""
+    sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("mv"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), m.alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u, link u and all its smaller neighbors to the
+    minimum of those neighbors. Canonical input (hi > lo) already directs
+    every edge at its smaller endpoint, so no symmetrization is needed."""
+    mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    relink = (
+        e.join(mins, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+    )
+    root_link = mins.select("hi", F.col("m").alias("lo"))
+    return relink.unionAll(root_link).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive and can't overflow under ANSI mode
+    # (edges are distinct, so xor-cancellation of duplicates can't occur).
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0))
+                .alias("h")).head()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+    """Component assignment (node, comp) for every node appearing in
+    ``edges``; ``comp`` is the smallest node id in the component.
+
+    Nodes with no edges don't appear — left-join the caller's node table
+    and coalesce to the node's own id to keep singletons."""
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp2 = _fingerprint(e2)
+        e = e2
+        if fp2 == fp:
+            break
+        fp = fp2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # Fixpoint is a forest of stars: every edge points a node at its
+    # component root, and roots appear only on the lo side.
+    members = e.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
+    roots = e.select(F.col("lo").alias("node"),
+                     F.col("lo").alias("comp")).distinct()
+    return members.unionAll(roots).distinct()

@@ -143,12 +143,10 @@ N_BANDS = 4
 ROWS_PER_BAND = 2
 
 
-def q_dedup_lshband(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding over the MinHash signatures — the candidate-pair stage
-    completing shingle→minhash→band→bucket-join. Band keys here are
-    md5(band:mh_i:mh_j) so the oracle reproduces them exactly (the
-    operators API uses xxhash64 — same plan shape, engine-internal key).
-    Sub-quadratic: pairs only materialize for docs colliding in ≥1 band."""
+def _band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) colliding in ≥1 MinHash band —
+    shared by q_dedup_lshband (which returns them) and q_dedup_cluster
+    (which closes them into components)."""
     d = t_wide(spark, sf_dir, "documents")
     sigs = ops_dedup.minhash_signatures(d, "doc_id", "text",
                                         k=N_MINHASH, n=NGRAM)
@@ -165,6 +163,40 @@ def q_dedup_lshband(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def q_dedup_lshband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signatures — the candidate-pair stage
+    completing shingle→minhash→band→bucket-join. Band keys here are
+    md5(band:mh_i:mh_j) so the oracle reproduces them exactly (the
+    operators API uses xxhash64 — same plan shape, engine-internal key).
+    Sub-quadratic: pairs only materialize for docs colliding in ≥1 band."""
+    return _band_pairs(spark, sf_dir)
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *groups*: connected components over the LSH candidate
+    pairs (large-star/small-star, O(log n) rounds — see operators/graph.py
+    for the 100 TB reasoning), then every document assigned its cluster's
+    smallest doc_id. Singletons cluster with themselves; ``is_keeper``
+    marks the one representative a dedup pass would keep per cluster.
+
+    The oracle computes the same closure with a DuckDB recursive CTE
+    (min id reachable in the transitive closure) — two genuinely
+    independent component algorithms cross-checking each other."""
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+
+    comp = connected_components(_band_pairs(spark, sf_dir),
+                                src="doc_a", dst="doc_b")
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return (
+        d.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", cluster.alias("cluster_id"),
+                (cluster == F.col("doc_id")).alias("is_keeper"))
     )
 
 
@@ -187,6 +219,37 @@ WITH sh AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM keyed a JOIN keyed b
   ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+ORACLE_DEDUP_CLUSTER = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest({_SQL_SHINGLES})), 1, 7)) AS BIGINT) AS h
+  FROM documents WHERE len(string_split(text, ' ')) >= {NGRAM}
+), sigs AS (
+  SELECT doc_id,
+       {_MH_COLS}
+  FROM sh GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node
+), comp AS (
+  SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node
+)
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id,
+       coalesce(c.comp, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -309,6 +372,8 @@ SPECS: dict[str, QuerySpec] = {
                                "n-gram Jaccard near-dup"),
     "q_dedup_minhash": QuerySpec(q_dedup_minhash, ORACLE_DEDUP_MINHASH,
                                  "portable MinHash signatures"),
+    "q_dedup_cluster": QuerySpec(q_dedup_cluster, ORACLE_DEDUP_CLUSTER,
+                                 "connected-components dedup clusters"),
     "q_dedup_lshband": QuerySpec(q_dedup_lshband, ORACLE_DEDUP_LSHBAND,
                                  "LSH banding candidate pairs"),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,

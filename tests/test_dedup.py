@@ -98,3 +98,42 @@ def test_lsh_band_recall_covers_true_near_dups(spark, sf_dir):
     # 4 bands x 2 rows at jaccard>=0.2 gives high-but-not-certain recall;
     # on the deterministic fixtures the observed recall is total.
     assert not missed, f"banding missed true near-dups: {missed}"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_connected_components_basic(spark):
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+    # two components {1,2,3,4} (path) and {10,11}; duplicate + reversed
+    # + self-loop edges must not matter
+    e = _edges(spark, [(1, 2), (2, 3), (4, 3), (10, 11), (11, 10),
+                       (2, 1), (5, 5)])
+    got = {(r["node"], r["comp"])
+           for r in connected_components(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_path(spark):
+    """A 40-node path converges in O(log n) star rounds, far under the
+    max_iter cap - the shape where diameter-bound label propagation
+    would need 40 rounds."""
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+    e = _edges(spark, [(i, i + 1) for i in range(1, 40)])
+    rows = connected_components(e).collect()
+    assert len(rows) == 40
+    assert {r["comp"] for r in rows} == {1}
+
+
+def test_connected_components_empty(spark):
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+    e = _edges(spark, []) if False else spark.createDataFrame(
+        [], "src long, dst long")
+    assert connected_components(e).count() == 0
