@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators import text as ops_text
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
 
 _STOPWORDS = ("the", "a", "and", "of")
 
@@ -147,9 +147,53 @@ FROM documents
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(document, token) TF-IDF. Two partial-aggregated shuffles (tf
+    by (doc, token), df by token) + one equi-join on token — the standard
+    linear-scaling shape; no per-document collect, no UDFs.
+
+    The IDF is the *rational* form (N+1)/(df+1) rather than its log:
+    IEEE division is bit-identical across engines, while ln() can differ
+    in the last ulp between Spark's Math.log and DuckDB's libm and flip a
+    rounded 6th decimal. Monotonicity (what TF-IDF ranking consumes) is
+    unchanged. duck_round keeps any true halfway case on DuckDB's side."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (tok.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (tok.groupBy("token")
+           .agg(F.count_distinct("doc_id").alias("df_docs")))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = (F.col("tf")
+             * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + 1.0)))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "token", "tf", "df_docs",
+                duck_round(tfidf, 6).alias("tfidf"))
+    )
+
+
+ORACLE_TEXT_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df_docs FROM tok GROUP BY token
+)
+SELECT tf.doc_id, tf.token, tf.tf, df.df_docs,
+       round(tf.tf * ((SELECT count(*) FROM documents) + 1.0)
+             / (df.df_docs + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (token)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
+    "q_text_tfidf": QuerySpec(q_text_tfidf, ORACLE_TEXT_TFIDF,
+                              "per-(doc,token) TF-IDF"),
     "q_text_lang": QuerySpec(q_text_lang, ORACLE_TEXT_LANG, "per-lang stats"),
     "q_text_tokcount": QuerySpec(q_text_tokcount, ORACLE_TEXT_TOKCOUNT,
                                  "ws + BPE-ish token counts"),
