@@ -77,6 +77,84 @@ def srp_bucket(v: Column, planes: list[list[float]]) -> Column:
     return acc.cast("long")
 
 
+def _round6(c: Column) -> Column:
+    """DuckDB-compatible round(x, 6) — same formula as plans/base
+    duck_round (floor(x·1e6+0.5)/1e6), inlined here so operators stay
+    below the plans layer."""
+    return (F.floor(c * F.lit(1e6) + F.lit(0.5))).cast("double") / F.lit(1e6)
+
+
+def ivf_centroids(df: DataFrame, n_cells: int, id_col: str = "vec_id",
+                  vec_col: str = "v") -> DataFrame:
+    """Deterministic hash-sampled centroids: the ``n_cells`` vectors with
+    the smallest (md5(id), id) — content-independent, engine-portable, and
+    a stand-in for k-means (true IVF training would refine these by
+    alternating assign/mean with the exact same plan shapes; the sampled
+    version keeps the oracle reproducible)."""
+    return (
+        df.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+        .withColumn("_ck", F.md5(F.col("cent_id").cast("string")))
+        .orderBy("_ck", "cent_id")
+        .limit(n_cells)
+        .drop("_ck")
+    )
+
+
+def ivf_assign(df: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "v") -> DataFrame:
+    """(id, cell) nearest-centroid assignment. The C centroids broadcast;
+    the N×C cosine scoring is map-side, and ``min_by`` over a
+    (−cos, cent_id) struct is a declarative aggregate with partial
+    (map-side) combine — the shuffle carries ~one row per vector, never
+    N×C. Cosines are rounded to 6dp with cent_id tiebreak so the argmax
+    is engine-deterministic."""
+    e = df.withColumn("_nrm", l2_norm(F.col(vec_col)))
+    c = cents.withColumn("_cnrm", l2_norm(F.col("cv")))
+    cos = _round6(dot(F.col(vec_col), F.col("cv"))
+                  / (F.col("_nrm") * F.col("_cnrm")))
+    return (
+        e.join(F.broadcast(c))
+        .select(id_col, cos.alias("_cos"), "cent_id")
+        .groupBy(id_col)
+        .agg(F.min_by("cent_id",
+                      F.struct((-F.col("_cos")).alias("nc"),
+                               F.col("cent_id").alias("ci"))).alias("cell"))
+    )
+
+
+def ivf_probe_topk(df: DataFrame, cents: DataFrame, assign: DataFrame,
+                   query: DataFrame, k: int, nprobe: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "v") -> DataFrame:
+    """IVF search: rank cells by centroid↔query cosine, scan only the
+    ``nprobe`` closest cells, exact top-k within them. The scan side is a
+    semi-join against the probed cell ids — at 100 TB (with the
+    assignment written out cell-partitioned) this prunes to
+    nprobe/n_cells of the data before any vector math."""
+    c = cents.withColumn("_cnrm", l2_norm(F.col("cv")))
+    ccos = _round6(dot(F.col("cv"), F.col("qv"))
+                   / (F.col("_cnrm") * F.col("qnrm")))
+    probed = (
+        c.join(F.broadcast(query))
+        .select("cent_id", ccos.alias("_ccos"))
+        .orderBy(F.col("_ccos").desc(), "cent_id")
+        .limit(nprobe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        df.join(assign, id_col)
+        .join(F.broadcast(probed), "cell", "left_semi")
+    )
+    nrm = l2_norm(F.col(vec_col))
+    cos = F.round(dot(F.col(vec_col), F.col("qv")) / (nrm * F.col("qnrm")), 4)
+    return (
+        cand.join(F.broadcast(query))
+        .select(id_col, "cell", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk(df: DataFrame, query: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
     """Top-k rows of ``df`` by cosine similarity to the single-row
