@@ -16,6 +16,14 @@ long). Each round materializes via ``localCheckpoint`` so the iterative
 lineage never stacks up, and convergence is detected with an
 order-insensitive edge-set fingerprint (count + sum of pair hashes), one
 tiny action per round.
+
+Fault-tolerance tradeoff: ``localCheckpoint`` stores blocks on executors
+only — losing an executor mid-run loses its blocks and fails the job
+(lineage was truncated, so Spark cannot recompute them). That is the
+right trade locally and for short jobs; a production 100 TB run over many
+rounds should swap in reliable ``checkpoint()`` against the cluster
+checkpoint dir (or write each round's edge set to object storage), which
+survives executor loss at the cost of a round-trip to storage per round.
 """
 
 from __future__ import annotations

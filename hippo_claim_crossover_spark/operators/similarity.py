@@ -41,7 +41,11 @@ def srp_hyperplane(plane_idx: int, dim: int) -> list[float]:
 # halves the pair stage vs 64 with no visible recall loss across 2 families.
 TARGET_BUCKET = 32
 MIN_PLANES = 4
-MAX_PLANES = 16
+# 2^24 = 16.7M buckets keeps expected population ≤ TARGET_BUCKET out to
+# ~537M vectors (the md5-derived family is cheap at any plane count; the
+# clamp only bounds the oracle SQL size). A 16-plane cap would re-quadratize
+# pair work beyond ~2M vectors — the round-1 pathology displaced, not fixed.
+MAX_PLANES = 24
 N_FAMILIES = 2
 FAMILY_STRIDE = 1000
 

@@ -22,8 +22,13 @@ from hippo_claim_crossover_spark.plans import (
 )
 from hippo_claim_crossover_spark.plans.base import QuerySpec
 
-_MODULES = [crossover, scalarq, relational, windows, nested, timeseries,
-            text, dedup, similarity, multimodalq, asofq, extras]
+# Declaration order matters: the driver's CORRECTNESS gate checks the first
+# 50 entries of ``queries()`` in this order.  Modules whose queries have never
+# had a driver row (r1/r2 checked the first 50 only) go first; the crossover /
+# scalar / relational / window queries they displace are proven by two prior
+# driver rounds plus the identical local gate (tools/check_oracle.py).
+_MODULES = [nested, timeseries, text, dedup, similarity, multimodalq,
+            asofq, extras, crossover, scalarq, relational, windows]
 
 ALL_SPECS: dict[str, QuerySpec] = {}
 for _m in _MODULES:

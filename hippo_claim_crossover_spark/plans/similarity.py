@@ -143,6 +143,71 @@ WHERE rk <= 3
 """
 
 
+N_CELLS = 16
+NPROBE = 4
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN against one query vector: deterministic
+    hash-sampled centroids → broadcast nearest-centroid assignment →
+    probe the ``NPROBE`` closest cells → exact top-k inside them.
+
+    The 100 TB shape: the cell assignment is the partition key — written
+    out cell-partitioned, a query touches nprobe/n_cells of the data
+    before any vector math, and the centroid table (KBs) broadcasts. The
+    probe's candidate pruning is a broadcast semi-join, so the big side
+    never shuffles."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("v").alias("qv"),
+                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    s = e.where(F.col("vec_id") != QUERY_VEC_ID)
+    cents = ops_sim.ivf_centroids(s, N_CELLS)
+    assign = ops_sim.ivf_assign(s, cents)
+    return ops_sim.ivf_probe_topk(s, cents, assign, q, TOP_K, NPROBE)
+
+
+# floor(x*1e6 + 0.5)/1e6 mirrors operators.similarity._round6 exactly
+# (same association order) — NOT DuckDB round(), whose half-away-from-zero
+# differs from the floor formula on negative halfway cosines.
+def _r6(expr: str) -> str:
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+ORACLE_SIM_IVF = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qnrm FROM e
+  WHERE vec_id = {QUERY_VEC_ID}
+), s AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+  WHERE vec_id != {QUERY_VEC_ID}
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+  FROM s ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}
+), assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT s.vec_id, cents.cent_id, row_number() OVER (
+      PARTITION BY s.vec_id ORDER BY
+      {_r6('list_dot_product(s.v, cents.cv) / (s.nrm * cents.cnrm)')} DESC,
+      cents.cent_id) AS rn
+    FROM s, cents) WHERE rn = 1
+), probed AS (
+  SELECT cent_id AS cell FROM cents, q
+  ORDER BY {_r6('list_dot_product(cents.cv, q.qv) / (cents.cnrm * q.qnrm)')}
+  DESC, cent_id
+  LIMIT {NPROBE}
+)
+SELECT s.vec_id, assign.cell,
+       round(list_dot_product(s.v, q.qv) / (s.nrm * q.qnrm), 4) AS cosine
+FROM s JOIN assign USING (vec_id) JOIN probed ON assign.cell = probed.cell, q
+ORDER BY cosine DESC, s.vec_id
+LIMIT {TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_sim_topk": QuerySpec(q_sim_topk, ORACLE_SIM_TOPK,
                             "brute-force cosine top-k"),
@@ -150,4 +215,6 @@ SPECS: dict[str, QuerySpec] = {
                                    "SRP-LSH bucket histogram"),
     "q_sim_knn_blocked": QuerySpec(q_sim_knn_blocked, ORACLE_SIM_KNN_BLOCKED,
                                    "bucketed approximate kNN"),
+    "q_sim_ivf": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
+                           "IVF cell-probed ANN top-k"),
 }

@@ -156,7 +156,10 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division is bit-identical across engines, while ln() can differ
     in the last ulp between Spark's Math.log and DuckDB's libm and flip a
     rounded 6th decimal. Monotonicity (what TF-IDF ranking consumes) is
-    unchanged. duck_round keeps any true halfway case on DuckDB's side."""
+    unchanged. duck_round keeps any true halfway case on DuckDB's side.
+    The oracle SQL parenthesizes tf * ((N+1)/(df+1)) the same way — IEEE
+    multiplication/division are individually exact-rounded but not
+    associative, so both engines must evaluate in the same order."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = (tok.groupBy("doc_id", "token")
@@ -183,8 +186,8 @@ WITH tok AS (
   SELECT token, count(DISTINCT doc_id) AS df_docs FROM tok GROUP BY token
 )
 SELECT tf.doc_id, tf.token, tf.tf, df.df_docs,
-       round(tf.tf * ((SELECT count(*) FROM documents) + 1.0)
-             / (df.df_docs + 1.0), 6) AS tfidf
+       round(tf.tf * (((SELECT count(*) FROM documents) + 1.0)
+             / (df.df_docs + 1.0)), 6) AS tfidf
 FROM tf JOIN df USING (token)
 """
 

@@ -134,6 +134,5 @@ def test_connected_components_empty(spark):
     from hippo_claim_crossover_spark.operators.graph import (
         connected_components,
     )
-    e = _edges(spark, []) if False else spark.createDataFrame(
-        [], "src long, dst long")
+    e = spark.createDataFrame([], "src long, dst long")
     assert connected_components(e).count() == 0

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from hippo_claim_crossover_spark.operators.similarity import (
     MAX_PLANES,
     MIN_PLANES,
+    cosine_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_probe_topk,
     knn_blocked,
+    l2_norm,
     planes_for,
     srp_family,
     srp_hyperplane,
@@ -31,6 +36,13 @@ def test_planes_for_grows_with_n_and_clamps():
     # doubling N adds one plane: bucket population stays bounded
     assert planes_for(8192) == planes_for(4096) + 1
     assert planes_for(10**12) == MAX_PLANES
+    # the clamp must sit far past the old 16-plane quadratic knee:
+    # at 10^9 vectors the plane count keeps growing (monotone), so
+    # expected bucket population stays ≤ TARGET, not ∝ N
+    assert planes_for(10**9) > 16
+    assert MAX_PLANES >= 24
+    for n in (2**16, 2**20, 2**24, 2**28):
+        assert planes_for(2 * n) >= planes_for(n)
 
 
 def test_planes_for_matches_log_formula():
@@ -59,6 +71,64 @@ def test_knn_blocked_pairs_are_disjoint_across_families(spark):
     out = knn_blocked(df, dim=8, k=40, n_planes=2, n_families=3)
     pairs = out.select("vec_id", "neighbor_id").collect()
     assert len(pairs) == len({(r.vec_id, r.neighbor_id) for r in pairs})
+
+
+def _query_df(spark, seed: int, dim: int = 8):
+    qrow = spark.createDataFrame([(_vec(seed, dim),)], "qv array<double>")
+    return qrow.select("qv", l2_norm(F.col("qv")).alias("qnrm"))
+
+
+def test_ivf_centroids_deterministic_hash_sample(spark):
+    rows = [(i, _vec(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    c1 = sorted(r.cent_id for r in ivf_centroids(df, 5).collect())
+    c2 = sorted(r.cent_id for r in ivf_centroids(df, 5).collect())
+    assert len(c1) == 5 and c1 == c2
+    assert set(c1) <= set(range(30))
+
+
+def test_ivf_assign_picks_max_cosine_cell(spark):
+    rows = [(i, _vec(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = ivf_centroids(df, 4)
+    got = {r.vec_id: r.cell for r in ivf_assign(df, cents).collect()}
+    assert len(got) == 30
+    cvs = {r.cent_id: r.cv for r in cents.collect()}
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
+
+    for i, v in rows:
+        best = min(((-cos6(v, cv), cid) for cid, cv in cvs.items()))[1]
+        assert got[i] == best, i
+
+
+def test_ivf_probe_all_cells_matches_bruteforce(spark):
+    # nprobe == n_cells probes every cell, so IVF degenerates to the exact
+    # scan and must return the same ids as the brute-force baseline
+    rows = [(i, _vec(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = _query_df(spark, 999)
+    cents = ivf_centroids(df, 4)
+    assign = ivf_assign(df, cents)
+    ivf = ivf_probe_topk(df, cents, assign, q, k=5, nprobe=4).collect()
+    brute = cosine_topk(df, q, k=5).collect()
+    assert [r.vec_id for r in ivf] == [r.vec_id for r in brute]
+    assert [r.cosine for r in ivf] == [r.cosine for r in brute]
+
+
+def test_ivf_probe_prunes_to_probed_cells(spark):
+    rows = [(i, _vec(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = _query_df(spark, 999)
+    cents = ivf_centroids(df, 8)
+    assign = ivf_assign(df, cents)
+    out = ivf_probe_topk(df, cents, assign, q, k=40, nprobe=2).collect()
+    assert 0 < len(out) < 40          # pruned: only ~2/8 of rows scanned
+    assert len({r.cell for r in out}) <= 2
 
 
 def test_knn_blocked_finds_exact_duplicates(spark):
