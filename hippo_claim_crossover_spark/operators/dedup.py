@@ -45,15 +45,21 @@ def exact_dedup(df: DataFrame, key_cols: list[str],
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = NGRAM) -> DataFrame:
-    """(id, pos, sh) rows — sh is xxhash64 of the shingle (8-byte shuffle
-    keys). posexplode directly over the transform evaluates the
-    higher-order expression once per document (see plans/dedup.py for the
-    measured pathology when size() is projected beside the explode)."""
+    """(id, n_sh, sh) rows — sh is xxhash64 of the shingle (8-byte shuffle
+    keys), n_sh the document's distinct-shingle count carried through the
+    explode (free: Generate keeps parent columns). The shingle array is
+    materialized in its own projection so posexplode and size() share one
+    evaluation per document instead of re-running the higher-order
+    expression (the measured pathology in SCALE.md)."""
     toks = F.split(F.col(text_col), " ")
-    return (
+    arr = (
         df.where(F.size(toks) >= n)
-        .select(id_col, F.posexplode(shingles(toks, n)).alias("pos", "sh_str"))
-        .select(id_col, "pos", F.xxhash64("sh_str").alias("sh"))
+        .select(id_col, shingles(toks, n).alias("_sh_arr"))
+    )
+    return (
+        arr.select(id_col, F.size("_sh_arr").alias("n_sh"),
+                   F.posexplode("_sh_arr").alias("pos", "sh_str"))
+        .select(id_col, "n_sh", F.xxhash64("sh_str").alias("sh"))
     )
 
 
@@ -63,32 +69,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-dup pairs by n-gram Jaccard ≥ threshold via the shingle
     inverted-index self-join — cost follows posting-list sizes, not n².
 
-    The Jaccard denominators come from a per-document size table computed
-    straight off the source rows (one ``size(transform(...))`` per doc —
-    no explode, so the size()-beside-explode re-evaluation pathology in
-    SCALE.md never applies, and nothing needs a persist). The self-join's
-    two sides shuffle the identical shingle plan on ``sh``, which AQE
-    collapses into one scan + ReusedExchange."""
-    toks = F.split(F.col(text_col), " ")
-    sizes = (
-        df.where(F.size(toks) >= n)
-        .select(id_col, F.size(shingles(toks, n)).alias("n_sh"))
-    )
-    sh = shingle_table(df, id_col, text_col, n)
+    The shingle table is materialized once via ``localCheckpoint`` (lazy,
+    so no extra job at plan-build): the self-join would otherwise evaluate
+    the shingle pipeline (split → transform → array_join → array_distinct
+    → hash) once per side, and InferFiltersFromGenerate pushes
+    size/notnull predicates that re-evaluate it again inside the scan —
+    4-6 evaluations measured vs 1 here (2.6s → 0.7s on sf0.1).  Jaccard
+    denominators ride along as the carried n_sh column, so no separate
+    size table or extra joins. Fault-tolerance trade at 100 TB: checkpoint
+    blocks are non-replicated executor state (same trade as
+    operators/graph.py documents) — an executor loss fails the job instead
+    of recomputing lineage; swap for ``persist(MEMORY_AND_DISK)`` +
+    reliable checkpoint dir when running on preemptible fleets."""
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 F.col("a.n_sh").alias("na"),
+                 F.col("b.n_sh").alias("nb"))
         .agg(F.count(F.lit(1)).alias("inter"))
-        # sizes is one row per document — small at test scale (AQE will
-        # broadcast it), billions of rows at 100 TB (AQE will shuffle);
-        # never force a broadcast hint on a table that grows with N.
-        .join(sizes.withColumnsRenamed(
-            {id_col: "id_a", "n_sh": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed(
-            {id_col: "id_b", "n_sh": "nb"}), "id_b")
     )
     jac = F.round(F.col("inter").cast("double")
                   / (F.col("na") + F.col("nb") - F.col("inter")), 4)

@@ -72,6 +72,17 @@ def _small_star(e: DataFrame) -> DataFrame:
     return relink.unionAll(root_link).distinct()
 
 
+def _round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction. The large-star output is
+    lazily checkpointed: small-star references its input three times
+    (min-aggregation, relink join, root links), so without a
+    materialization the whole large-star join+agg subtree is re-planned
+    per reference — 11 live exchanges per round measured vs 7 with the
+    checkpoint. Lazy (eager=False) so the blocks materialize inside the
+    round's own first job rather than as an extra blocking action."""
+    return _small_star(_large_star(e).localCheckpoint(eager=False))
+
+
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
     # bit_xor: order-insensitive and can't overflow under ANSI mode
     # (edges are distinct, so xor-cancellation of duplicates can't occur).
@@ -82,24 +93,32 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Component assignment (node, comp) for every node appearing in
     ``edges``; ``comp`` is the smallest node id in the component.
 
     Nodes with no edges don't appear — left-join the caller's node table
-    and coalesce to the node's own id to keep singletons."""
+    and coalesce to the node's own id to keep singletons. Pass a dict as
+    ``stats`` to receive ``{"rounds": k}`` — the O(log n) round bound is
+    pinned by a test (tests/test_dedup.py) so a semantics change that
+    silently degrades to diameter-bound propagation fails CI."""
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
     fp = _fingerprint(e)
+    rounds = 0
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _round(e).localCheckpoint(eager=True)
         fp2 = _fingerprint(e2)
         e = e2
+        rounds += 1
         if fp2 == fp:
             break
         fp = fp2
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     # Fixpoint is a forest of stars: every edge points a node at its
     # component root, and roots appear only on the lo side.
     members = e.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))

@@ -85,7 +85,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list sizes, not n²."""
     d = t_wide(spark, sf_dir, "documents")
     # Implementation notes (xxhash64 join keys, posexplode plan shape,
-    # explode-free size table, ReusedExchange self-join) live on
+    # carried n_sh column, lazy localCheckpoint of the shingle table so
+    # the self-join reads one materialization instead of re-deriving the
+    # shingle pipeline per side) live on
     # operators.dedup.ngram_jaccard_pairs / shingle_table.
     return (
         ops_dedup.ngram_jaccard_pairs(d, "doc_id", "text", NGRAM,

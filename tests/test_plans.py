@@ -122,6 +122,73 @@ def test_no_accidental_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan, name
 
 
+def test_dedup_ngram_computes_shingles_once(spark):
+    """The shingle pipeline (split → transform → array_distinct → hash)
+    must be materialized once (lazy localCheckpoint) and NOT appear in the
+    self-join plan — the round-2/3 regression was this expression being
+    re-evaluated 4-6× across the join sides and pushed-down generate
+    filters (4.3s vs 0.7s at sf0.1)."""
+    plan = _plan(spark, "q_dedup_ngram")
+    assert "array_distinct" not in plan, \
+        "shingle expression leaked into the self-join plan"
+    # both sides read the one checkpointed RDD
+    assert "ExistingRDD" in plan
+
+
+def test_udaf_is_partial_final_two_phase(spark):
+    """q_udaf must fold partials in Python *before* the exchange (tiny
+    shuffle, bounded worker memory) and finish with a built-in
+    HashAggregate — never shuffle whole groups into pandas."""
+    plan = _plan(spark, "q_udaf")
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan, \
+        "whole-group applyInPandas is the OOM-at-scale shape"
+    assert "HashAggregate" in plan
+    # the exchange must carry the partial schema, not raw lineitem rows
+    assert "hashpartitioning(l_returnflag" in plan
+    mip = plan.find("MapInPandas")
+    exch = plan.find("hashpartitioning(l_returnflag")
+    assert exch < mip, "exchange should sit above the Python partial fold"
+
+
+def test_components_rounds_are_logarithmic(spark):
+    """Large-star/small-star must converge in O(log n) rounds on a path
+    graph — the adversarial shape where min-label propagation needs n
+    rounds. 64-node path ⇒ rounds ≤ log2(64)+2 = 8."""
+    import math
+
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 64
+    e = spark.createDataFrame([(i, i + 1) for i in range(1, n)],
+                              "src long, dst long")
+    stats: dict = {}
+    rows = connected_components(e, stats=stats).collect()
+    assert len(rows) == n and {r["comp"] for r in rows} == {1}
+    assert stats["rounds"] <= math.log2(n) + 2, stats
+
+
+def test_components_round_plan_has_bounded_shuffles(spark):
+    """One large-star+small-star round over a checkpointed edge set must
+    *execute* with a bounded number of live exchanges. Small-star
+    references its input three times, so without the lazy checkpoint in
+    graph._round the large-star join+agg subtree is re-planned per
+    reference — 11 live exchanges measured vs ≤7 with it."""
+    from hippo_claim_crossover_spark.operators.graph import _round
+
+    e = spark.createDataFrame([(i + 1, i) for i in range(1, 30)],
+                              "hi long, lo long").localCheckpoint()
+    df = _round(e)
+    df.collect()  # finalize this DataFrame's own adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    live = plan.count("Exchange hashpartitioning") - plan.count(
+        "ReusedExchange")
+    assert live <= 7, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_covers_crossover(spark):
     df = ALL_SPECS["q_crossover"].fn(spark, SF_DIR)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
