@@ -145,6 +145,60 @@ def lsh_band_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_hamming_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                          bits: int = SIMHASH_BITS,
+                          max_hamming: int = 3) -> DataFrame:
+    """Pairs of documents whose SimHash signatures are within
+    ``max_hamming`` bits — the detector step that turns signatures into
+    near-dup candidates.
+
+    Sub-quadratic via chunk banding (pigeonhole): split the ``bits``-bit
+    signature into ``max_hamming + 1`` chunks; any pair with hamming ≤ d
+    differs in ≤ d chunks, so at least one chunk matches *exactly* —
+    an equi-join on (chunk_idx, chunk_value) finds every qualifying pair
+    without an all-pairs comparison, then ``bit_count(xor)`` verifies the
+    exact distance. This is Manku et al.'s simhash-dedup table scheme
+    (WWW'07, public) expressed as one self-join.
+
+    The signature table is lazily checkpointed: the self-join would
+    otherwise re-run the whole simhash pipeline (token explode + 32-bit
+    vote aggregation) once per side. First-colliding-chunk rule keeps the
+    chunk outputs disjoint, so no distinct shuffle — same device as
+    operators/similarity.knn_blocked's family rule, unrolled statically
+    to stay on the codegen path."""
+    n_chunks = max_hamming + 1
+    cb = bits // n_chunks  # last chunk absorbs the remainder bits
+
+    def chunk(col: Column, c: int) -> Column:
+        width = cb if c < n_chunks - 1 else bits - cb * (n_chunks - 1)
+        return F.shiftright(col, c * cb).bitwiseAND(F.lit((1 << width) - 1))
+
+    sig = signatures.localCheckpoint(eager=False)
+    keyed = sig.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[chunk(F.col("simhash"), c)
+                               for c in range(n_chunks)])).alias("ck", "cv"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    earlier_hit = F.lit(False)
+    for c in range(1, n_chunks):
+        hit_c = F.lit(False)
+        for i in range(c):
+            hit_c = hit_c | (chunk(F.col("a.simhash"), i)
+                             == chunk(F.col("b.simhash"), i))
+        earlier_hit = earlier_hit | ((F.col("a.ck") == c) & hit_c)
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.ck") == F.col("b.ck"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               & ~earlier_hit)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-document SimHash: per-bit ±1 votes from each token's md5 hash,

@@ -81,11 +81,19 @@ def srp_bucket(v: Column, planes: list[list[float]]) -> Column:
     return acc.cast("long")
 
 
+def _duck_round(c: Column, nd: int) -> Column:
+    """Engine-portable round-half-up at ``nd`` digits — same formula as
+    plans/base duck_round (floor(x·10^nd + 0.5)/10^nd), inlined here so
+    operators stay below the plans layer. Used for every emitted cosine:
+    builtin round()'s half-away-from-zero differs from this on exact
+    negative halfway values, so both sides of the oracle compare use the
+    identical floor formula instead."""
+    s = F.lit(float(10 ** nd))
+    return (F.floor(c * s + F.lit(0.5))).cast("double") / s
+
+
 def _round6(c: Column) -> Column:
-    """DuckDB-compatible round(x, 6) — same formula as plans/base
-    duck_round (floor(x·1e6+0.5)/1e6), inlined here so operators stay
-    below the plans layer."""
-    return (F.floor(c * F.lit(1e6) + F.lit(0.5))).cast("double") / F.lit(1e6)
+    return _duck_round(c, 6)
 
 
 def ivf_centroids(df: DataFrame, n_cells: int, id_col: str = "vec_id",
@@ -150,7 +158,7 @@ def ivf_probe_topk(df: DataFrame, cents: DataFrame, assign: DataFrame,
         .join(F.broadcast(probed), "cell", "left_semi")
     )
     nrm = l2_norm(F.col(vec_col))
-    cos = F.round(dot(F.col(vec_col), F.col("qv")) / (nrm * F.col("qnrm")), 4)
+    cos = _duck_round(dot(F.col(vec_col), F.col("qv")) / (nrm * F.col("qnrm")), 4)
     return (
         cand.join(F.broadcast(query))
         .select(id_col, "cell", cos.alias("cosine"))
@@ -166,7 +174,7 @@ def cosine_topk(df: DataFrame, query: DataFrame, k: int,
     exact-scoring baseline. Scores rounded to 4dp with id tiebreak for
     cross-engine determinism."""
     nrm = l2_norm(F.col(vec_col))
-    cos = F.round(dot(F.col(vec_col), F.col("qv")) / (nrm * F.col("qnrm")), 4)
+    cos = _duck_round(dot(F.col(vec_col), F.col("qv")) / (nrm * F.col("qnrm")), 4)
     return (
         df.join(F.broadcast(query))
         .select(id_col, cos.alias("cosine"))
@@ -228,7 +236,7 @@ def knn_blocked(df: DataFrame, dim: int, k: int = 3,
         for i in range(f):
             hit_f = hit_f | (F.col("a._bs")[i] == F.col("b._bs")[i])
         earlier_hit = earlier_hit | ((F.col("a._fam") == f) & hit_f)
-    cos = F.round(dot(F.col("a._vn"), F.col("b._vn")), 4)
+    cos = _duck_round(dot(F.col("a._vn"), F.col("b._vn")), 4)
     cand = (
         a.join(b, (F.col("a._fam") == F.col("b._fam"))
                & (F.col("a._bk") == F.col("b._bk"))

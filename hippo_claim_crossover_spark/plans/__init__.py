@@ -22,18 +22,65 @@ from hippo_claim_crossover_spark.plans import (
 )
 from hippo_claim_crossover_spark.plans.base import QuerySpec
 
-# Declaration order matters: the driver's CORRECTNESS gate checks the first
-# 50 entries of ``queries()`` in this order.  Modules whose queries have never
-# had a driver row (r1/r2 checked the first 50 only) go first; the crossover /
-# scalar / relational / window queries they displace are proven by two prior
-# driver rounds plus the identical local gate (tools/check_oracle.py).
 _MODULES = [nested, timeseries, text, dedup, similarity, multimodalq,
             asofq, extras, crossover, scalarq, relational, windows]
 
-ALL_SPECS: dict[str, QuerySpec] = {}
+_BY_NAME: dict[str, QuerySpec] = {}
 for _m in _MODULES:
-    overlap = ALL_SPECS.keys() & _m.SPECS.keys()
+    overlap = _BY_NAME.keys() & _m.SPECS.keys()
     assert not overlap, f"duplicate query names: {overlap}"
-    ALL_SPECS.update(_m.SPECS)
+    _BY_NAME.update(_m.SPECS)
 
-__all__ = ["ALL_SPECS", "QuerySpec"]
+# The driver's CORRECTNESS gate checks the first GATE_WINDOW entries of
+# ``queries()``, so the emission order is load-bearing. It is pinned here
+# explicitly (not derived from module import order) and verified below to
+# cover every declared query exactly once. Maintenance rule: put queries
+# that are NEW or whose code CHANGED since their last green driver row at
+# the front; rotate long-unchecked ones into the remaining window slots;
+# unchanged queries with a recent driver row go last (they stay covered by
+# the identical local gate, tools/check_oracle.py, run before each round).
+GATE_WINDOW = 50
+GATE_ORDER = [
+    # new this round, then changed (perf rewrites + cosine rounding)
+    "q_dedup_simhash_pairs", "q_mm_binfile",
+    "q_dedup_ngram", "q_dedup_cluster", "q_udaf",
+    "q_sim_topk", "q_sim_knn_blocked", "q_sim_ivf", "q_sim_lsh_buckets",
+    # last driver row r2 (displaced from the r3 window): rotate back in
+    "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
+    "q_case_2way", "q_case_multi", "q_case_struct", "q_case_dict",
+    "q_bool_eq", "q_bool_or", "q_coalesce2", "q_coalesce_pair",
+    "q_branch_route",
+    "q_str_dxcode", "q_str_zip", "q_str_name", "q_str_join",
+    "q_date_fmt", "q_range_ends", "q_cast", "q_udf",
+    "q_agg_multi", "q_distinct", "q_approx_cd", "q_rollup",
+    "q_topk", "q_topk_group", "q_setops", "q_join_range",
+    "q_join_bucketed", "q_join_salted",
+    "q_win_rank", "q_win_running", "q_win_frame", "q_win_dist",
+    # window filler: dedup/text/asof re-checks
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
+    "q_dedup_simhash", "q_dedup_embed", "q_dedup_near",
+    # ---- end of gate window (first GATE_WINDOW entries) ----
+    # unchanged with a green r3 driver row
+    "q_text_tfidf", "q_join_asof",
+    "q_explode", "q_explode_nested", "q_unpivot", "q_json", "q_json_project",
+    "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_stream_late",
+    "q_time_trunc",
+    "q_text_tokens", "q_text_lang", "q_text_tokcount", "q_text_quality",
+    "q_text_langid", "q_text_fingerprint",
+    "q_mm_meta", "q_mm_decode",
+    "q_percentile", "q_pivot", "q_cube", "q_sample_hash",
+    "q_sample_stratified",
+    "q_crossover", "q_scan", "q_sink", "q_project_rename", "q_parent_denorm",
+    "q_filter_first", "q_filter_eq", "q_filter_notnull", "q_having",
+    "q_join_inner", "q_join_broadcast", "q_join_left",
+]
+
+_missing = _BY_NAME.keys() - set(GATE_ORDER)
+_unknown = set(GATE_ORDER) - _BY_NAME.keys()
+assert not _missing and not _unknown and len(GATE_ORDER) == len(_BY_NAME), (
+    f"GATE_ORDER out of sync: missing={_missing} unknown={_unknown} "
+    f"dups={len(GATE_ORDER) - len(set(GATE_ORDER))}")
+
+ALL_SPECS: dict[str, QuerySpec] = {n: _BY_NAME[n] for n in GATE_ORDER}
+
+__all__ = ["ALL_SPECS", "GATE_ORDER", "GATE_WINDOW", "QuerySpec"]

@@ -282,6 +282,50 @@ FROM voted
 """
 
 
+MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup *detector*: pairs within hamming distance ≤ 3 of
+    each other's 32-bit SimHash — chunk banding (pigeonhole over 4 chunks)
+    so candidates come from an equi-join, never an all-pairs scan; exact
+    ``bit_count(xor)`` verification on the candidates. Completes the
+    signature stage (q_dedup_simhash) into a usable detector, the simhash
+    analogue of q_dedup_lshband. See operators.dedup.simhash_hamming_pairs
+    for the 100 TB reasoning."""
+    d = t_wide(spark, sf_dir, "documents")
+    sigs = ops_dedup.simhash(d, "doc_id", "text", bits=SIMHASH_BITS)
+    return (
+        ops_dedup.simhash_hamming_pairs(sigs, "doc_id", bits=SIMHASH_BITS,
+                                        max_hamming=MAX_HAMMING)
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+# The oracle verifies the banding result against the brute-force truth:
+# every pair with bit_count(xor) ≤ d, straight off the signature CTE. The
+# pigeonhole guarantee (hamming ≤ d ⇒ some chunk equal) makes the banded
+# plan EXACTLY equal to the quadratic reference — a recall proof, not just
+# a consistency check.
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, {_sql_hex2long("unnest(string_split(text, ' '))")} AS h
+  FROM documents
+), voted AS (
+  SELECT doc_id,
+       {_VOTE_COLS}
+  FROM tok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash FROM voted
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+"""
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairwise cosine ≥ 0.25 blocked on the
     adaptive SRP-LSH bucket id (same planes_for policy as
@@ -380,6 +424,9 @@ SPECS: dict[str, QuerySpec] = {
                                  "LSH banding candidate pairs"),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
                                  "32-bit SimHash"),
+    "q_dedup_simhash_pairs": QuerySpec(
+        q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS,
+        "SimHash hamming-banded near-dup pairs"),
     "q_dedup_embed": QuerySpec(q_dedup_embed, ORACLE_DEDUP_EMBED,
                                "blocked cosine near-dup"),
     "q_dedup_near": QuerySpec(q_dedup_near, None,

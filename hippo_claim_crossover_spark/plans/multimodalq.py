@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from hippo_claim_crossover_spark.multimodal import (
     attach_binary_payload,
     decode_media,
+    materialize_binary_fixture,
+    read_binary_files,
 )
 from hippo_claim_crossover_spark.plans.base import QuerySpec, t
 
@@ -40,6 +42,44 @@ FROM documents
 """
 
 
+N_BINFILES = 100
+
+
+def q_mm_binfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion through ``spark.read.format("binaryFile")``:
+    materialize a bounded ``doc_<id>.bin`` fixture set (payload = doc
+    text; the parquet fixtures ship no real media), read the files back
+    through the binaryFile source with a path glob, parse the id out of
+    the file path, and emit (doc_id, n_bytes, digest) — byte length from
+    the source's own ``length`` column and sha-256 over the BinaryType
+    ``content``. Oracle: DuckDB computes the identical triple straight
+    from the documents table, so a mismatch anywhere in write → list →
+    read → hash fails the gate."""
+    import os
+
+    d = t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir, "_scratch", "binfiles", sf_tag)
+    materialize_binary_fixture(d, out_dir, max_files=N_BINFILES)
+    files = read_binary_files(spark, out_dir, glob="*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    )
+
+
+ORACLE_MM_BINFILE = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents WHERE doc_id < {N_BINFILES}
+"""
+
+
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub decode pipeline: binary payload → mapInPandas fake codec →
     typed features, aggregated per media type. Rows-only check (the fake
@@ -58,6 +98,8 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPECS: dict[str, QuerySpec] = {
     "q_mm_meta": QuerySpec(q_mm_meta, ORACLE_MM_META,
                            "binary payload metadata"),
+    "q_mm_binfile": QuerySpec(q_mm_binfile, ORACLE_MM_BINFILE,
+                              "binaryFile source ingestion"),
     "q_mm_decode": QuerySpec(q_mm_decode, None,
                              "mapInPandas stub decode pipeline"),
 }

@@ -29,6 +29,18 @@ TOP_K = 10
 _PLANES = [ops_sim.srp_hyperplane(p, DIM) for p in range(N_PLANES)]
 
 
+# floor(x*10^nd + 0.5)/10^nd mirrors operators.similarity._duck_round
+# exactly (same association order) — NOT DuckDB round(), whose
+# half-away-from-zero differs from the floor formula on negative halfway
+# cosines. Used for every cosine the oracles emit or rank on.
+def _r6(expr: str) -> str:
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+def _r4(expr: str) -> str:
+    return f"floor(({expr}) * 1e4 + 0.5) / 1e4"
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against one query vector (vec_id=0),
     ranked on the rounded score with vec_id tiebreak (deterministic across
@@ -50,7 +62,7 @@ WITH n AS (
   FROM embeddings
 ), q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = {QUERY_VEC_ID})
 SELECT n.vec_id,
-       round(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 4) AS cosine
+       {_r4('list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm)')} AS cosine
 FROM n, q
 WHERE n.vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id
@@ -129,11 +141,11 @@ WITH {NP_T_SQL}, n AS (
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), np_t
 ), pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(a.vn, b.vn), 4) AS cosine
+         {_r4('list_dot_product(a.vn, b.vn)')} AS cosine
   FROM n a JOIN n b ON a.b0 = b.b0 AND a.vec_id != b.vec_id
   UNION
   SELECT a.vec_id, b.vec_id,
-         round(list_dot_product(a.vn, b.vn), 4)
+         {_r4('list_dot_product(a.vn, b.vn)')}
   FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id != b.vec_id
 )
 SELECT vec_id, neighbor_id, cosine, rk AS rank
@@ -168,13 +180,6 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_sim.ivf_probe_topk(s, cents, assign, q, TOP_K, NPROBE)
 
 
-# floor(x*1e6 + 0.5)/1e6 mirrors operators.similarity._round6 exactly
-# (same association order) — NOT DuckDB round(), whose half-away-from-zero
-# differs from the floor formula on negative halfway cosines.
-def _r6(expr: str) -> str:
-    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
-
-
 ORACLE_SIM_IVF = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -201,7 +206,7 @@ WITH e AS (
   LIMIT {NPROBE}
 )
 SELECT s.vec_id, assign.cell,
-       round(list_dot_product(s.v, q.qv) / (s.nrm * q.qnrm), 4) AS cosine
+       {_r4('list_dot_product(s.v, q.qv) / (s.nrm * q.qnrm)')} AS cosine
 FROM s JOIN assign USING (vec_id) JOIN probed ON assign.cell = probed.cell, q
 ORDER BY cosine DESC, s.vec_id
 LIMIT {TOP_K}

@@ -136,3 +136,42 @@ def test_connected_components_empty(spark):
     )
     e = spark.createDataFrame([], "src long, dst long")
     assert connected_components(e).count() == 0
+
+
+def test_simhash_hamming_pairs_equal_brute_force(spark):
+    """Chunk banding must return EXACTLY the brute-force hamming-ball
+    pairs (pigeonhole guarantees recall; bit_count verification removes
+    false candidates). Randomized signatures, fixed seed."""
+    import random
+
+    from hippo_claim_crossover_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    rng = random.Random(7)
+    sigs = [(i, rng.getrandbits(32)) for i in range(80)]
+    # plant near pairs at known distances
+    sigs.append((100, sigs[0][1] ^ 0b1))            # hamming 1
+    sigs.append((101, sigs[1][1] ^ 0b10000001))     # hamming 2
+    sigs.append((102, sigs[2][1] ^ 0b1111))         # hamming 4 (excluded)
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in simhash_hamming_pairs(df, max_hamming=3).collect()}
+    want = {(a, b, bin(sa ^ sb).count("1"))
+            for (a, sa) in sigs for (b, sb) in sigs
+            if a < b and bin(sa ^ sb).count("1") <= 3}
+    assert got == want
+    assert (0, 100, 1) in want and (1, 101, 2) in want
+    assert not any(p[:2] == (2, 102) for p in want)
+
+
+def test_simhash_pairs_signature_computed_once(spark):
+    """The self-join must read one checkpointed signature table, not
+    re-run the token-explode + 32-bit vote pipeline per side."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    df = ALL_SPECS["q_dedup_simhash_pairs"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "Generate explode" not in plan, \
+        "token explode leaked into the pair join plan"

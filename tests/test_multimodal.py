@@ -88,3 +88,38 @@ def test_resize_spec_letterbox(spark, sf_dir):
         s = min(224 / r["width"], 224 / r["height"])
         assert r["out_width"] == max(1, math.floor(r["width"] * s))
         assert r["out_height"] == max(1, math.floor(r["height"] * s))
+
+
+def test_binaryfile_roundtrip(spark, tmp_path):
+    """binaryFile source: files written on disk come back one row per
+    file with the exact bytes in `content` and size in `length`, honoring
+    the path glob (non-.bin files excluded) and recursive lookup."""
+    from hippo_claim_crossover_spark.multimodal import read_binary_files
+
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (tmp_path / "doc_1.bin").write_bytes(b"alpha")
+    (sub / "doc_2.bin").write_bytes(b"beta-longer")
+    (tmp_path / "ignore.txt").write_bytes(b"nope")
+
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in read_binary_files(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"doc_1.bin", "doc_2.bin"}
+    assert bytes(rows["doc_1.bin"]["content"]) == b"alpha"
+    assert rows["doc_2.bin"]["length"] == len(b"beta-longer")
+
+
+def test_binary_fixture_bounded_and_idempotent(spark, sf_dir, tmp_path):
+    from hippo_claim_crossover_spark.io import load_table
+    from hippo_claim_crossover_spark.multimodal import (
+        materialize_binary_fixture,
+        read_binary_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "bin")
+    materialize_binary_fixture(docs, out, max_files=7)
+    materialize_binary_fixture(docs, out, max_files=7)  # overwrite, no dup
+    got = read_binary_files(spark, out).count()
+    want = docs.where("doc_id < 7").count()
+    assert got == want

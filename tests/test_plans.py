@@ -122,6 +122,21 @@ def test_no_accidental_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan, name
 
 
+def test_gate_order_is_explicit_and_complete():
+    """The driver checks the first GATE_WINDOW entries of queries() — the
+    emission order must come from the explicit GATE_ORDER list (not module
+    import order) and cover every declared query exactly once."""
+    from hippo_claim_crossover_spark.plans import (
+        ALL_SPECS,
+        GATE_ORDER,
+        GATE_WINDOW,
+    )
+
+    assert list(ALL_SPECS) == GATE_ORDER
+    assert len(GATE_ORDER) == len(set(GATE_ORDER))
+    assert GATE_WINDOW <= len(GATE_ORDER)
+
+
 def test_dedup_ngram_computes_shingles_once(spark):
     """The shingle pipeline (split → transform → array_distinct → hash)
     must be materialized once (lazy localCheckpoint) and NOT appear in the
