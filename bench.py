@@ -41,6 +41,15 @@ HEADLINE = [
     "q_dedup_lshband",
     "q_udaf",
     "q_percentile",
+    # round-4 additions: the operator families that had correctness proof
+    # but no perf number (round-3 verdict "What's missing" #1), plus the
+    # new simhash detector.
+    "q_dedup_cluster",
+    "q_dedup_simhash_pairs",
+    "q_text_tfidf",
+    "q_sim_ivf",
+    "q_join_salted",
+    "q_join_bucketed",
 ]
 
 

@@ -1,12 +1,15 @@
 from hippo_claim_crossover_spark.streaming.ops import (
+    dedup_stream,
     read_event_stream,
+    run_to_memory,
     sessionized,
     tumbling_agg,
-    run_to_memory,
+    write_foreach_batch,
 )
 from hippo_claim_crossover_spark.streaming.stateful import (
     cumulative_user_profile,
 )
 
 __all__ = ["read_event_stream", "tumbling_agg", "sessionized",
-           "run_to_memory", "cumulative_user_profile"]
+           "run_to_memory", "dedup_stream", "write_foreach_batch",
+           "cumulative_user_profile"]

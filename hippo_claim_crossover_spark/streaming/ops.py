@@ -68,6 +68,42 @@ def sessionized(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str],
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming counterpart of operators/dedup.exact_dedup for at-least-once
+    sources (Kafka redeliveries, retried file loads).
+
+    At scale the state store holds one entry per key seen within the
+    watermark window, and — unlike plain ``dropDuplicates`` on a stream,
+    whose state grows forever — eviction is bounded by the watermark, so
+    state is O(keys per horizon), not O(stream lifetime)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+def write_foreach_batch(result: DataFrame, out_dir: str,
+                        checkpoint_dir: str) -> None:
+    """Sink surface: ``foreachBatch`` writeStream — each micro-batch
+    arrives as a *batch* DataFrame, so any batch writer (partitioned
+    parquet here, MERGE INTO / JDBC upsert in production) becomes a
+    streaming sink. The (batch_id, checkpoint) pair is what makes redelivery
+    idempotent: a replayed batch id overwrites its own output. Drains with
+    availableNow, same as run_to_memory."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (result.writeStream.foreachBatch(_write)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_to_memory(result: DataFrame, name: str,
                   output_mode: str = "complete") -> None:
     """Drain the stream into an in-memory table (tests/dev): availableNow

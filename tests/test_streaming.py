@@ -15,6 +15,9 @@ from hippo_claim_crossover_spark.streaming import (
     tumbling_agg,
 )
 
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
 
 @pytest.fixture(scope="module")
 def stream_src(spark, sf_dir, tmp_path_factory):
@@ -94,3 +97,44 @@ def test_stateful_cumulative_profile_across_microbatches(spark, sf_dir,
     from collections import Counter
     emits = Counter(r["user_id"] for r in out)
     assert max(emits.values()) == 2
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids delivered within
+    the watermark horizon must come out once."""
+    import datetime as dt
+
+    from hippo_claim_crossover_spark.streaming import dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0, None),
+        (1, t0, 10, "click", 1.0, None),           # exact redelivery
+        (2, t0 + dt.timedelta(minutes=1), 11, "view", 2.0, None),
+        (2, t0 + dt.timedelta(minutes=2), 11, "view", 2.0, None),  # same id
+        (3, t0 + dt.timedelta(minutes=3), 12, "click", 3.0, None),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(src)
+    stream = read_event_stream(spark, src)
+    run_to_memory(dedup_stream(stream, ["event_id"]), "dedup_out", "append")
+    out = spark.table("dedup_out").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_foreach_batch_sink_writes_batches(spark, stream_src, tmp_path):
+    """foreachBatch sink: every micro-batch lands as parquet stamped with
+    its batch_id; 2 source files + maxFilesPerTrigger=1 => 2 batch ids,
+    and the union of batches equals the source row count."""
+    from hippo_claim_crossover_spark.streaming import write_foreach_batch
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, stream_src, max_files_per_trigger=1)
+    write_foreach_batch(stream.select("event_id", "ts", "user_id"),
+                        out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    n_src = spark.read.parquet(stream_src).count()
+    assert got.count() == n_src
+    batch_ids = {r["batch_id"] for r in got.select("batch_id").distinct().collect()}
+    assert batch_ids == {0, 1}
