@@ -183,6 +183,46 @@ def cosine_topk(df: DataFrame, query: DataFrame, k: int,
     )
 
 
+def embed_near_pairs(df: DataFrame, dim: int, threshold: float = 0.25,
+                     n_planes: int | None = None,
+                     target_bucket_size: int = TARGET_BUCKET,
+                     max_planes: int = MAX_PLANES,
+                     id_col: str = "vec_id",
+                     vec_col: str = "v") -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ ``threshold``) blocked on
+    the family-0 SRP bucket — the same adaptive planes_for policy as
+    :func:`knn_blocked`, single family (near-dups at high cosine collide
+    in any single family with high probability).
+
+    ``n_planes=None`` derives the plane count from ``df.count()`` — one
+    metadata-only job on Parquet sources, but a full scan on anything
+    without count stats (JDBC, unbounded views); pass it explicitly there,
+    exactly like knn_blocked's escape hatch. Emitted cosines use builtin
+    round(): every survivor is ≥ threshold > 0, so the negative-halfway
+    divergence the _duck_round formula exists for cannot occur."""
+    if n_planes is None:
+        n_planes = planes_for(df.count(), target_bucket_size,
+                              max_planes=max_planes)
+    planes = srp_family(0, n_planes, dim)
+    n = (
+        df.withColumn("_nrm", l2_norm(F.col(vec_col)))
+        .select(id_col,
+                F.transform(F.col(vec_col),
+                            lambda x: x / F.col("_nrm")).alias("vn"),
+                srp_bucket(F.col(vec_col), planes).alias("bucket"))
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.round(dot(F.col("a.vn"), F.col("b.vn")), 4)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("vec_a"),
+                F.col(f"b.{id_col}").alias("vec_b"),
+                cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def knn_blocked(df: DataFrame, dim: int, k: int = 3,
                 n_planes: int | None = None,
                 n_families: int = N_FAMILIES,

@@ -331,30 +331,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive SRP-LSH bucket id (same planes_for policy as
     q_sim_knn_blocked, family 0) — bucket count grows with the table, so
     per-bucket pair work stays bounded at any scale. Vectors are
-    unit-normalized once; each surviving pair costs one dot product."""
+    unit-normalized once; each surviving pair costs one dot product.
+    The plane count derives from count() here (the oracle must recompute
+    the same value from its own COUNT(*)); non-Parquet callers pass
+    ``n_planes`` to operators.similarity.embed_near_pairs directly."""
     from hippo_claim_crossover_spark.operators import similarity as ops_sim
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    np_ = ops_sim.planes_for(e.count())
-    planes = ops_sim.srp_family(0, np_, dim=64)
-    n = (
-        e.withColumn("_nrm", ops_sim.l2_norm(F.col("v")))
-        .select("vec_id",
-                F.transform(F.col("v"),
-                            lambda x: x / F.col("_nrm")).alias("vn"),
-                ops_sim.srp_bucket(F.col("v"), planes).alias("bucket"))
-    )
-    a, b = n.alias("a"), n.alias("b")
-    cos = F.round(ops_sim.dot(F.col("a.vn"), F.col("b.vn")), 4)
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                cos.alias("cosine"))
-        .where(F.col("cosine") >= 0.25)
-    )
+    return ops_sim.embed_near_pairs(e, dim=64, threshold=0.25)
 
 
 def _oracle_dedup_embed() -> str:

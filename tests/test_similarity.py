@@ -16,6 +16,7 @@ from hippo_claim_crossover_spark.operators.similarity import (
     MAX_PLANES,
     MIN_PLANES,
     cosine_topk,
+    embed_near_pairs,
     ivf_assign,
     ivf_centroids,
     ivf_probe_topk,
@@ -129,6 +130,17 @@ def test_ivf_probe_prunes_to_probed_cells(spark):
     out = ivf_probe_topk(df, cents, assign, q, k=40, nprobe=2).collect()
     assert 0 < len(out) < 40          # pruned: only ~2/8 of rows scanned
     assert len({r.cell for r in out}) <= 2
+
+
+def test_embed_near_pairs_explicit_planes_finds_duplicate(spark):
+    # explicit n_planes skips the plan-build count() (the non-Parquet
+    # escape hatch); an exact duplicate shares the family-0 bucket and
+    # must surface at cosine 1.0, ordered (lo, hi)
+    rows = [(i, _vec(i)) for i in range(20)] + [(100, _vec(3))]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = embed_near_pairs(df, dim=8, threshold=0.99, n_planes=3).collect()
+    assert (3, 100, 1.0) in {(r.vec_a, r.vec_b, r.cosine) for r in out}
+    assert all(r.vec_a < r.vec_b for r in out)
 
 
 def test_knn_blocked_finds_exact_duplicates(spark):
