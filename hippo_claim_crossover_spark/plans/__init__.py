@@ -16,6 +16,7 @@ from hippo_claim_crossover_spark.plans import (
     relational,
     scalarq,
     similarity,
+    sources,
     text,
     timeseries,
     windows,
@@ -23,7 +24,8 @@ from hippo_claim_crossover_spark.plans import (
 from hippo_claim_crossover_spark.plans.base import QuerySpec
 
 _MODULES = [nested, timeseries, text, dedup, similarity, multimodalq,
-            asofq, extras, crossover, scalarq, relational, windows]
+            asofq, extras, crossover, scalarq, relational, windows,
+            sources]
 
 _BY_NAME: dict[str, QuerySpec] = {}
 for _m in _MODULES:
@@ -42,8 +44,9 @@ for _m in _MODULES:
 GATE_WINDOW = 50
 GATE_ORDER = [
     # new this round, then changed (perf rewrites + cosine rounding)
+    "q_part_prune", "q_src_csv", "q_src_jsonl",
     "q_dedup_simhash_pairs", "q_mm_binfile",
-    "q_dedup_ngram", "q_dedup_cluster", "q_udaf",
+    "q_dedup_ngram", "q_dedup_cluster", "q_dedup_embed", "q_udaf",
     "q_sim_topk", "q_sim_knn_blocked", "q_sim_ivf", "q_sim_lsh_buckets",
     # last driver row r2 (displaced from the r3 window): rotate back in
     "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
@@ -56,11 +59,11 @@ GATE_ORDER = [
     "q_topk", "q_topk_group", "q_setops", "q_join_range",
     "q_join_bucketed", "q_join_salted",
     "q_win_rank", "q_win_running", "q_win_frame", "q_win_dist",
-    # window filler: dedup/text/asof re-checks
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
-    "q_dedup_simhash", "q_dedup_embed", "q_dedup_near",
+    # window filler: dedup re-checks (unchanged, green r3 rows)
+    "q_dedup_exact", "q_dedup_minhash",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # unchanged with a green r3 driver row
+    "q_dedup_lshband", "q_dedup_simhash", "q_dedup_near",
     "q_text_tfidf", "q_join_asof",
     "q_explode", "q_explode_nested", "q_unpivot", "q_json", "q_json_project",
     "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_stream_late",

