@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from hippo_claim_crossover_spark.plans import (
     asofq,
+    clustering,
     crossover,
     dedup,
     extras,
@@ -25,7 +26,7 @@ from hippo_claim_crossover_spark.plans.base import QuerySpec
 
 _MODULES = [nested, timeseries, text, dedup, similarity, multimodalq,
             asofq, extras, crossover, scalarq, relational, windows,
-            sources]
+            sources, clustering]
 
 _BY_NAME: dict[str, QuerySpec] = {}
 for _m in _MODULES:
@@ -44,6 +45,7 @@ for _m in _MODULES:
 GATE_WINDOW = 50
 GATE_ORDER = [
     # new this round, then changed (perf rewrites + cosine rounding)
+    "q_cluster_kmeans",
     "q_part_prune", "q_src_csv", "q_src_jsonl",
     "q_dedup_simhash_pairs", "q_mm_binfile",
     "q_dedup_ngram", "q_dedup_cluster", "q_dedup_embed", "q_udaf",
