@@ -206,6 +206,37 @@ SELECT * FROM (VALUES
 """
 
 
+def q_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join declared in batch: each `view` event
+    paired with the same user's `purchase` events in the following 4 hours
+    (attribution). The expression comes from ``streaming.interval_join`` —
+    identical plan batch & streaming (on two streams the watermarks bound
+    both state stores); in batch it is ONE shuffle per side on ``user_id``
+    with the time range as a SortMergeJoin post-filter, no range explosion.
+    ``gap_us`` is exact BIGINT µs arithmetic on both engines."""
+    from hippo_claim_crossover_spark.streaming.ops import interval_join
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    buys = e.filter(F.col("event_type") == "purchase")
+    return interval_join(views, buys, key="user_id", upper="4 hours")
+
+
+ORACLE_STREAM_INTERVAL = """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events
+)
+SELECT l.event_id AS left_id, r.event_id AS right_id,
+       l.user_id AS join_key,
+       epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+FROM e l JOIN e r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+"""
+
+
 def q_time_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup: per-day event counts (date_trunc — partition-prune
     key at scale; a date-partitioned table would prune these scans)."""
@@ -234,6 +265,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_stream_late": QuerySpec(q_stream_late, ORACLE_STREAM_LATE,
                                "watermarked late-data drop (real 2-batch "
                                "streaming run, VALUES oracle)"),
+    "q_stream_interval": QuerySpec(q_stream_interval, ORACLE_STREAM_INTERVAL,
+                                   "stream-stream interval join "
+                                   "(attribution, batch parity)"),
     "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
                               "calendar rollup"),
 }

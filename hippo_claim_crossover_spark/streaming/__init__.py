@@ -1,5 +1,6 @@
 from hippo_claim_crossover_spark.streaming.ops import (
     dedup_stream,
+    interval_join,
     read_event_stream,
     run_to_memory,
     sessionized,
@@ -11,5 +12,5 @@ from hippo_claim_crossover_spark.streaming.stateful import (
 )
 
 __all__ = ["read_event_stream", "tumbling_agg", "sessionized",
-           "run_to_memory", "dedup_stream", "write_foreach_batch",
-           "cumulative_user_profile"]
+           "run_to_memory", "dedup_stream", "interval_join",
+           "write_foreach_batch", "cumulative_user_profile"]

@@ -85,6 +85,50 @@ def dedup_stream(events: DataFrame, keys: list[str],
     )
 
 
+def interval_join(left: DataFrame, right: DataFrame,
+                  key: str = "user_id",
+                  upper: str = "4 hours",
+                  watermark: str = "4 hours") -> DataFrame:
+    """Stream-stream interval join: pair each `left` event with the `right`
+    events of the same ``key`` that occur within ``[left.ts, left.ts +
+    upper]`` — the attribution shape (view → purchase within N hours).
+
+    The SAME expression runs batch and streaming (Structured Streaming's
+    contract). On two streams, Spark requires exactly what this builds —
+    a watermark on BOTH sides plus a time-range join condition — and uses
+    them to bound the join state: each side's state store retains only
+    rows young enough to still find a match under the other side's
+    watermark, so state is O(events per horizon), not O(stream lifetime).
+    In batch the same plan is one hash-partition shuffle per side on
+    ``key`` (SortMergeJoin) with the range condition as a post-filter —
+    no range explosion, scale-safe.
+
+    ``gap_us`` is exact BIGINT µs arithmetic (no float), so results are
+    bit-comparable across engines.
+    """
+    l = left.select(F.col("event_id").alias("left_id"),
+                    F.col(key).alias("join_key"),
+                    F.col("ts").alias("left_ts"))
+    r = right.select(F.col("event_id").alias("right_id"),
+                     F.col(key).alias("right_key"),
+                     F.col("ts").alias("right_ts"))
+    if l.isStreaming:
+        l = l.withWatermark("left_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("right_ts", watermark)
+    cond = ((F.col("join_key") == F.col("right_key"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts")
+               <= F.col("left_ts") + F.expr(f"INTERVAL {upper}")))
+    return (
+        l.join(r, cond)
+        .select(F.col("left_id"), F.col("right_id"),
+                F.col("join_key"),
+                (F.unix_micros("right_ts")
+                 - F.unix_micros("left_ts")).alias("gap_us"))
+    )
+
+
 def write_foreach_batch(result: DataFrame, out_dir: str,
                         checkpoint_dir: str) -> None:
     """Sink surface: ``foreachBatch`` writeStream — each micro-batch

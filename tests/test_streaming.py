@@ -122,6 +122,33 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
 
 
+def test_interval_join_stream_matches_batch(spark, sf_dir, stream_src):
+    """Stream-stream interval join: the same interval_join expression over
+    two streaming sides (forcing the multi-batch path with
+    maxFilesPerTrigger=1) must emit exactly the batch join's pairs —
+    inner-join results stream out as they match; watermarks only bound
+    state, never drop on-time rows under availableNow."""
+    from hippo_claim_crossover_spark.streaming import interval_join
+
+    def sides(df):
+        return (df.filter(F.col("event_type") == "view"),
+                df.filter(F.col("event_type") == "purchase"))
+
+    stream = read_event_stream(spark, stream_src, max_files_per_trigger=1)
+    joined = interval_join(*sides(stream), upper="24 hours",
+                           watermark="48 hours")
+    assert joined.isStreaming
+    run_to_memory(joined, "ivj_out", "append")
+    got = {(r["left_id"], r["right_id"], r["gap_us"])
+           for r in spark.table("ivj_out").collect()}
+
+    batch = interval_join(*sides(load_table(spark, sf_dir, "events")),
+                          upper="24 hours")
+    want = {(r["left_id"], r["right_id"], r["gap_us"])
+            for r in batch.collect()}
+    assert got == want and want
+
+
 def test_foreach_batch_sink_writes_batches(spark, stream_src, tmp_path):
     """foreachBatch sink: every micro-batch lands as parquet stamped with
     its batch_id; 2 source files + maxFilesPerTrigger=1 => 2 batch ids,
