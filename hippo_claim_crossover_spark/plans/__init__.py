@@ -45,7 +45,8 @@ for _m in _MODULES:
 GATE_WINDOW = 50
 GATE_ORDER = [
     # new this round, then changed (perf rewrites + cosine rounding)
-    "q_stream_interval", "q_cluster_kmeans",
+    "q_stream_interval", "q_dedup_keep_best", "q_src_orc", "q_text_vocab",
+    "q_cluster_kmeans",
     "q_part_prune", "q_src_csv", "q_src_jsonl",
     "q_dedup_simhash_pairs", "q_mm_binfile",
     "q_dedup_ngram", "q_dedup_cluster", "q_dedup_embed", "q_udaf",

@@ -224,7 +224,9 @@ FROM keyed a JOIN keyed b
 """
 
 
-ORACLE_DEDUP_CLUSTER = f"""
+# Shared CTE prefix: LSH band pairs closed into components (min reachable
+# id per node) — the base of both cluster oracles below.
+_CLUSTER_CTES = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(unnest({_SQL_SHINGLES})), 1, 7)) AS BIGINT) AS h
@@ -248,10 +250,82 @@ WITH RECURSIVE sh AS (
   SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node
 ), comp AS (
   SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node
-)
+)"""
+
+ORACLE_DEDUP_CLUSTER = f"""{_CLUSTER_CTES}
 SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id,
        coalesce(c.comp, d.doc_id) = d.doc_id AS is_keeper
 FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the step that makes near-dup
+    clustering *actionable*: within each connected component, keep the
+    highest-quality document (quality heuristics from
+    operators.text.quality_metrics), not merely the smallest id. One row
+    per cluster: representative, member count, and its quality.
+
+    Composition of three declared operators (LSH banding → components →
+    quality scoring) finished by a per-cluster row_number window. Scale:
+    the window partitions on cluster_id — cardinality ∝ documents — and
+    clusters are near-dup groups (tiny fan-in), so no partition skews even
+    when one document has thousands of copies: the heavy key is the
+    *cluster*, whose members arrive pre-shuffled by the components join.
+    """
+    from pyspark.sql.window import Window
+
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+    from hippo_claim_crossover_spark.operators.text import quality_metrics
+
+    comp = connected_components(_band_pairs(spark, sf_dir),
+                                src="doc_a", dst="doc_b")
+    scored = quality_metrics(
+        t(spark, sf_dir, "documents"),
+        stopwords=("the", "a", "and", "of"), target_tokens=80,
+    ).select("doc_id", "quality_score")
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    members = (
+        scored.join(comp.withColumnRenamed("node", "doc_id"),
+                    "doc_id", "left")
+        .select("doc_id", cluster.alias("cluster_id"), "quality_score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        members
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members",
+                    F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("best_doc_id"),
+                "n_members", F.col("quality_score").alias("best_quality"))
+    )
+
+
+_SQL_QTOKS = "string_split(text, ' ')"
+_SQL_QNSTOP = (f"len(list_filter({_SQL_QTOKS}, "
+               f"x -> x IN ('the', 'a', 'and', 'of')))")
+_SQL_QUALITY = (f"round(least(1.0, CAST(len({_SQL_QTOKS}) AS DOUBLE) / 80.0)"
+                f" * (1 - CAST({_SQL_QNSTOP} AS DOUBLE) / len({_SQL_QTOKS}))"
+                f", 4)")
+ORACLE_DEDUP_KEEP_BEST = f"""{_CLUSTER_CTES},
+members AS (
+  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id,
+         {_SQL_QUALITY} AS quality_score
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT cluster_id, doc_id AS best_doc_id, n_members,
+       quality_score AS best_quality
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY quality_score DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM members
+)
+WHERE rk = 1
 """
 
 
@@ -405,6 +479,8 @@ SPECS: dict[str, QuerySpec] = {
                                  "portable MinHash signatures"),
     "q_dedup_cluster": QuerySpec(q_dedup_cluster, ORACLE_DEDUP_CLUSTER,
                                  "connected-components dedup clusters"),
+    "q_dedup_keep_best": QuerySpec(q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
+                                   "per-cluster best-quality representative"),
     "q_dedup_lshband": QuerySpec(q_dedup_lshband, ORACLE_DEDUP_LSHBAND,
                                  "LSH banding candidate pairs"),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,

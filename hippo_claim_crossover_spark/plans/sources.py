@@ -176,9 +176,51 @@ GROUP BY n.n_name
 """
 
 
+ORC_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("p_name", T.StringType()),
+    T.StructField("p_brand", T.StringType()),
+    T.StructField("p_type", T.StringType()),
+    T.StructField("p_size", T.IntegerType()),
+    T.StructField("p_retailprice", T.DoubleType()),
+])
+
+
+def q_src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion: part round-tripped through ORC (the other columnar
+    format a lakehouse migration meets; Spark's reader is vectorized and
+    pushes down predicates/column pruning just like parquet) and
+    aggregated per brand for sizable parts only — the p_size predicate
+    rides the ORC min/max stripe statistics at scale. Doubles survive
+    exactly: ORC stores the IEEE bits, no text round-trip."""
+    def write(out: str) -> None:
+        (t(spark, sf_dir, "part").repartition(4)
+         .write.mode("overwrite").orc(out))
+
+    out = _materialize(spark, sf_dir, "orc", write)
+    p = spark.read.schema(ORC_SCHEMA).orc(out)
+    return (
+        p.where(F.col("p_size") >= 25)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             money_sum(F.col("p_retailprice")).alias("total_price"),
+             F.min("p_partkey").alias("min_key"))
+    )
+
+
+ORACLE_SRC_ORC = f"""
+SELECT p_brand AS brand, count(*) AS n_parts,
+       {money_sum_sql("p_retailprice")} AS total_price,
+       min(p_partkey) AS min_key
+FROM part WHERE p_size >= 25 GROUP BY p_brand
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_part_prune": QuerySpec(q_part_prune, ORACLE_PART_PRUNE,
                               "partitionBy layout + pruned readback"),
+    "q_src_orc": QuerySpec(q_src_orc, ORACLE_SRC_ORC,
+                           "ORC source, explicit schema"),
     "q_src_csv": QuerySpec(q_src_csv, ORACLE_SRC_CSV,
                            "CSV source, explicit schema"),
     "q_src_jsonl": QuerySpec(q_src_jsonl, ORACLE_SRC_JSONL,

@@ -192,6 +192,46 @@ FROM tf JOIN df USING (token)
 """
 
 
+VOCAB_TOP = 100
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: top bigrams by *document frequency*
+    (distinct per doc, so a doc repeating a phrase votes once — the robust
+    vocab/tokenizer-training statistic). Distinct bigrams via the same
+    shingle expression the dedup family uses (n=2), then one
+    partial-aggregated groupBy; the top-k compiles to TakeOrdered (per-
+    partition heaps + driver merge of k rows), never a global sort. Full
+    (doc_freq DESC, bigram) tiebreak makes the cut deterministic."""
+    from hippo_claim_crossover_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.where(F.size(toks) >= 2)
+        .select(F.explode(shingles(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("bigram"))
+        .limit(VOCAB_TOP)
+    )
+
+
+_SQL_BIGRAMS = ("list_distinct(list_transform("
+                "range(1, len(string_split(text, ' '))), "
+                "i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))")
+ORACLE_TEXT_VOCAB = f"""
+WITH bg AS (
+  SELECT unnest({_SQL_BIGRAMS}) AS bigram
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+)
+SELECT bigram, count(*) AS doc_freq
+FROM bg GROUP BY bigram
+ORDER BY doc_freq DESC, bigram
+LIMIT {VOCAB_TOP}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
@@ -207,4 +247,6 @@ SPECS: dict[str, QuerySpec] = {
     "q_text_fingerprint": QuerySpec(q_text_fingerprint,
                                     ORACLE_TEXT_FINGERPRINT,
                                     "md5 content/bag fingerprints"),
+    "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB,
+                              "bigram vocab by document frequency"),
 }
