@@ -60,7 +60,7 @@ SCHEMAS: dict[str, T.StructType] = {
         T.StructField("o_custkey", T.LongType()),
         T.StructField("o_orderstatus", T.StringType()),
         T.StructField("o_totalprice", T.DoubleType()),
-        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
         T.StructField("o_orderpriority", T.StringType()),
     ]),
     "lineitem": T.StructType([
@@ -74,11 +74,11 @@ SCHEMAS: dict[str, T.StructType] = {
         T.StructField("l_tax", T.DoubleType()),
         T.StructField("l_returnflag", T.StringType()),
         T.StructField("l_linestatus", T.StringType()),
-        T.StructField("l_shipdate", T.TimestampType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
     ]),
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -112,18 +112,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. Read the raw INT64 nanos (legacy conf) and
-    truncate to microseconds — the same truncation DuckDB applies when it
-    casts TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+    """Current fixtures store ``ts`` as plain TIMESTAMP(MICROS) (untagged,
+    so Spark resolves TIMESTAMP_NTZ — the same type ``o_orderdate`` /
+    ``l_shipdate`` carry, and what DuckDB's naive TIMESTAMP compares
+    against). Earlier fixture generations stored TIMESTAMP(NANOS), which
+    Spark's parquet schema converter rejects at read-resolution time; keep
+    that read path as a fallback so the loader works against either
+    generation of files.
 
-    ``ts div 1000`` is exact LONG integer division (a double division would
-    round at 2^53 and can flip the last microsecond).
-
-    The legacy conf is scoped to this read: the parquet relation captures
-    it at analysis time (verified: execution after restore still reads
-    nanos-as-long), so save/restore keeps the session's handling of any
-    *other* TIMESTAMP(NANOS) parquet unchanged."""
+    In the fallback, ``ts div 1000`` is exact LONG integer division (a
+    double division would round at 2^53 and can flip the last
+    microsecond) — the same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP. The legacy conf is scoped to the read: the
+    parquet relation captures it at analysis time, so save/restore keeps
+    the session's handling of any other TIMESTAMP(NANOS) parquet
+    unchanged."""
+    try:
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception:  # legacy nanos footer: schema conversion throws
+        pass
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")

@@ -44,11 +44,20 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # new this round, then changed (perf rewrites + cosine rounding)
+    # new this session
+    "q_grouping_sets", "q_pack_sequences", "q_funnel",
+    # new earlier this round (never driver-checked)
     "q_stream_interval", "q_dedup_keep_best", "q_src_orc", "q_text_vocab",
     "q_cluster_kmeans",
     "q_part_prune", "q_src_csv", "q_src_jsonl",
     "q_dedup_simhash_pairs", "q_mm_binfile",
+    # events ts fixture changed TIMESTAMP(NANOS) → untagged micros, so
+    # every query emitting ts-derived columns changed output type
+    # (TIMESTAMP → TIMESTAMP_NTZ): re-prove under the driver.
+    # (q_stream_late builds its own TimestampType fixture — unaffected.)
+    "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_time_trunc",
+    "q_join_asof", "q_json", "q_json_project",
+    # perf rewrites + cosine-rounding change this round
     "q_dedup_ngram", "q_dedup_cluster", "q_dedup_embed", "q_udaf",
     "q_sim_topk", "q_sim_knn_blocked", "q_sim_ivf", "q_sim_lsh_buckets",
     # last driver row r2 (displaced from the r3 window): rotate back in
@@ -58,19 +67,19 @@ GATE_ORDER = [
     "q_branch_route",
     "q_str_dxcode", "q_str_zip", "q_str_name", "q_str_join",
     "q_date_fmt", "q_range_ends", "q_cast", "q_udf",
-    "q_agg_multi", "q_distinct", "q_approx_cd", "q_rollup",
+    "q_agg_multi",
+    # ---- end of gate window (first GATE_WINDOW entries) ----
+    # displaced r2-row queries (unchanged code, re-proven by the local
+    # gate tools/check_oracle.py each round) and green-r3 unchanged rows
+    "q_distinct", "q_approx_cd", "q_rollup",
     "q_topk", "q_topk_group", "q_setops", "q_join_range",
     "q_join_bucketed", "q_join_salted",
     "q_win_rank", "q_win_running", "q_win_frame", "q_win_dist",
-    # window filler: dedup re-checks (unchanged, green r3 rows)
     "q_dedup_exact", "q_dedup_minhash",
-    # ---- end of gate window (first GATE_WINDOW entries) ----
-    # unchanged with a green r3 driver row
     "q_dedup_lshband", "q_dedup_simhash", "q_dedup_near",
-    "q_text_tfidf", "q_join_asof",
-    "q_explode", "q_explode_nested", "q_unpivot", "q_json", "q_json_project",
-    "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_stream_late",
-    "q_time_trunc",
+    "q_text_tfidf",
+    "q_explode", "q_explode_nested", "q_unpivot",
+    "q_stream_late",
     "q_text_tokens", "q_text_lang", "q_text_tokcount", "q_text_quality",
     "q_text_langid", "q_text_fingerprint",
     "q_mm_meta", "q_mm_decode",

@@ -109,6 +109,38 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube specialize:
+    exactly the three sets (flag,status), (flag), (status) — note (status)
+    alone is NOT in the rollup lattice, and the empty grand-total set is
+    deliberately absent. Still ONE Expand + partial/final HashAggregate
+    (each input row is replicated once per set before the shuffle), so the
+    cost at 100 TB is |sets| × the single-grouping aggregate, never extra
+    passes over the table. Fixture keys are non-null, so the NULL-keyed
+    subtotal rows are unambiguous without grouping_id()."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"],
+             ["l_linestatus"]],
+            "l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             money_sum(F.col("l_extendedprice")).alias("sum_price"),
+             money_avg(F.col("l_discount")).alias("avg_disc"))
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       {money_sum_sql("l_extendedprice")} AS sum_price,
+       {money_avg_sql("l_discount")} AS avg_disc
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus))
+"""
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (orderBy+limit → TakeOrderedAndProject: per-partition
     heaps, no full sort). Unique-key tiebreak keeps selection deterministic."""
@@ -326,6 +358,8 @@ SPECS: dict[str, QuerySpec] = {
     "q_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT, "count-distinct"),
     "q_approx_cd": QuerySpec(q_approx_cd, None, "HLL++ approx distinct"),
     "q_rollup": QuerySpec(q_rollup, ORACLE_ROLLUP, "rollup grouping sets"),
+    "q_grouping_sets": QuerySpec(q_grouping_sets, ORACLE_GROUPING_SETS,
+                                 "arbitrary GROUPING SETS (non-lattice)"),
     "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),
     "q_topk_group": QuerySpec(q_topk_group, ORACLE_TOPK_GROUP,
                               "top-k per group"),

@@ -75,7 +75,7 @@ def q_part_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explicit schema: data columns + the string partition column
         T.StructType([
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),

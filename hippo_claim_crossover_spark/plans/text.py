@@ -232,6 +232,64 @@ LIMIT {VOCAB_TOP}
 """
 
 
+_PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training sequence packing: per source, concatenate documents in
+    doc_id order and chop the token stream into fixed 512-token bins
+    (documents may span a bin boundary — concat-and-chunk, the padding-free
+    way pretraining pipelines fill context windows).
+
+    The running token offset is ONE window sum partitioned by ``source``:
+    each source shard packs independently, so there is no global-ordering
+    bottleneck — a single global pack would serialize the 100 TB corpus
+    onto one partition, while sharding by source (or any stable shard key)
+    keeps every partition's pack local to its shuffle partition. All
+    arithmetic is exact BIGINT (``div``/``%``), bit-identical across
+    engines. doc_id is unique, so the window's default RANGE frame equals
+    the ROWS frame the oracle pins."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    staged = (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("start_tok",
+                    F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    b = _PACK_BUDGET
+    return staged.select(
+        "doc_id", "source", "n_tokens", "start_tok",
+        F.expr(f"start_tok div {b}").alias("bin_id"),
+        (F.col("start_tok") % b).alias("offset_in_bin"),
+        F.expr(f"(start_tok + n_tokens - 1) div {b} - start_tok div {b} + 1")
+        .alias("bins_spanned"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_tok,
+       start_tok // {_PACK_BUDGET} AS bin_id,
+       start_tok % {_PACK_BUDGET} AS offset_in_bin,
+       (start_tok + n_tokens - 1) // {_PACK_BUDGET}
+         - start_tok // {_PACK_BUDGET} + 1 AS bins_spanned
+FROM c
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
@@ -249,4 +307,6 @@ SPECS: dict[str, QuerySpec] = {
                                     "md5 content/bag fingerprints"),
     "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB,
                               "bigram vocab by document frequency"),
+    "q_pack_sequences": QuerySpec(q_pack_sequences, ORACLE_PACK_SEQUENCES,
+                                  "concat-and-chunk sequence packing"),
 }

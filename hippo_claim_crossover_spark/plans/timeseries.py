@@ -237,6 +237,58 @@ FROM e l JOIN e r
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first ``view`` is followed by
+    a ``click``, whose first such click is followed by a ``purchase`` —
+    the product-analytics sequence query. Each stage is one grouped MIN
+    plus an equi-join back on ``user_id``: every shuffle is on the same
+    key, so at 100 TB the three stages are co-partitioned hash aggregates
+    (AQE reuses the partitioning) — never a per-user self-join explosion
+    or an ordered-row window over the whole stream."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (e.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users")
+
+    return (stage(v, "viewed")
+            .unionByName(stage(c, "clicked_after_view"))
+            .unionByName(stage(p, "purchased_after_click")))
+
+
+ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), v AS (
+  SELECT user_id, min(ts) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT 'viewed' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 'clicked_after_view', count(*) FROM c
+UNION ALL SELECT 'purchased_after_click', count(*) FROM p
+"""
+
+
 def q_time_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup: per-day event counts (date_trunc — partition-prune
     key at scale; a date-partitioned table would prune these scans)."""
@@ -270,4 +322,6 @@ SPECS: dict[str, QuerySpec] = {
                                    "(attribution, batch parity)"),
     "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
                               "calendar rollup"),
+    "q_funnel": QuerySpec(q_funnel, ORACLE_FUNNEL,
+                          "ordered conversion funnel (view→click→purchase)"),
 }

@@ -104,7 +104,11 @@ def interval_join(left: DataFrame, right: DataFrame,
     no range explosion, scale-safe.
 
     ``gap_us`` is exact BIGINT µs arithmetic (no float), so results are
-    bit-comparable across engines.
+    bit-comparable across engines. The ``cast("timestamp")`` before
+    ``unix_micros`` makes the expression type-agnostic: batch fixtures
+    carry TIMESTAMP_NTZ (untagged parquet micros) while the stream schema
+    carries TIMESTAMP — the cast is a no-op for the latter, and for NTZ
+    the session-tz offset it introduces cancels in the subtraction.
     """
     l = left.select(F.col("event_id").alias("left_id"),
                     F.col(key).alias("join_key"),
@@ -124,8 +128,9 @@ def interval_join(left: DataFrame, right: DataFrame,
         l.join(r, cond)
         .select(F.col("left_id"), F.col("right_id"),
                 F.col("join_key"),
-                (F.unix_micros("right_ts")
-                 - F.unix_micros("left_ts")).alias("gap_us"))
+                (F.unix_micros(F.col("right_ts").cast("timestamp"))
+                 - F.unix_micros(F.col("left_ts").cast("timestamp")))
+                .alias("gap_us"))
     )
 
 

@@ -1,0 +1,74 @@
+"""Semantics tests for the round-4 pipeline operators: GROUPING SETS,
+sequence packing, and the ordered funnel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans import ALL_SPECS
+from hippo_claim_crossover_spark.plans.text import _PACK_BUDGET
+
+
+def test_grouping_sets_row_count_is_sum_of_sets(spark, sf_dir):
+    """Output = one row per (flag,status) combo + one per flag + one per
+    status — the non-lattice set list, distinct from rollup/cube."""
+    from hippo_claim_crossover_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    combos = li.select("l_returnflag", "l_linestatus").distinct().count()
+    flags = li.select("l_returnflag").distinct().count()
+    statuses = li.select("l_linestatus").distinct().count()
+    got = ALL_SPECS["q_grouping_sets"].fn(spark, sf_dir).count()
+    assert got == combos + flags + statuses
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """All three sets come out of ONE Expand + aggregate — never one pass
+    per set over the table."""
+    df = ALL_SPECS["q_grouping_sets"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert "HashAggregate" in plan
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing is a per-source running sum: first doc of each source
+    starts at token 0, offsets stay inside the budget, and consecutive
+    docs are contiguous (start = previous start + previous length)."""
+    rows = (ALL_SPECS["q_pack_sequences"].fn(spark, sf_dir)
+            .orderBy("source", "doc_id").collect())
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1  # packing is sharded, not global
+    for docs in by_source.values():
+        assert docs[0].start_tok == 0
+        for prev, cur in zip(docs, docs[1:]):
+            assert cur.start_tok == prev.start_tok + prev.n_tokens
+        for d in docs:
+            assert 0 <= d.offset_in_bin < _PACK_BUDGET
+            assert d.bin_id == d.start_tok // _PACK_BUDGET
+            span = (d.start_tok + d.n_tokens - 1) // _PACK_BUDGET - d.bin_id + 1
+            assert d.bins_spanned == span >= 1
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    """Each funnel stage can only lose users, and ordering matters: the
+    clicked_after_view count is ≤ the unordered view∩click user count."""
+    got = {r.stage: r.n_users
+           for r in ALL_SPECS["q_funnel"].fn(spark, sf_dir).collect()}
+    assert set(got) == {"viewed", "clicked_after_view",
+                        "purchased_after_click"}
+    assert got["viewed"] >= got["clicked_after_view"] >= (
+        got["purchased_after_click"])
+
+    from hippo_claim_crossover_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    both = (e.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                       .otherwise(0)).alias("v"),
+                 F.sum(F.when(F.col("event_type") == "click", 1)
+                       .otherwise(0)).alias("c"))
+            .where((F.col("v") > 0) & (F.col("c") > 0)).count())
+    assert got["clicked_after_view"] <= both
