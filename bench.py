@@ -50,6 +50,12 @@ HEADLINE = [
     "q_sim_ivf",
     "q_join_salted",
     "q_join_bucketed",
+    # round-4 session additions
+    "q_sim_pq",
+    "q_grouping_sets",
+    "q_pack_sequences",
+    "q_funnel",
+    "q_decontaminate",
 ]
 
 

@@ -167,6 +167,98 @@ def ivf_probe_topk(df: DataFrame, cents: DataFrame, assign: DataFrame,
     )
 
 
+# Product-quantization geometry: M_SUB subspaces × K_CODES codes each.
+# 8×16 compresses a 64-dim float vector to 8 nibbles (4 bytes) — the PQ
+# codes for 100 TB of embeddings fit in ~0.8% of the original footprint,
+# which is the whole point: the ADC scan reads codes, never vectors.
+PQ_M = 8
+PQ_K = 16
+
+
+def _subslices(v: Column, dim: int, m_sub: int = PQ_M) -> Column:
+    """Array of the M contiguous sub-vectors of ``v`` (F.slice is 1-based,
+    matching DuckDB list_slice in the oracles)."""
+    sub = dim // m_sub
+    return F.array(*[F.slice(v, m * sub + 1, sub) for m in range(m_sub)])
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via the dot expansion ‖a‖² − 2a·b + ‖b‖² — three
+    left-fold dots instead of a zipped (x−y)² fold, because
+    list_dot_product is the one vector primitive both engines evaluate
+    bit-identically (the same identity keeps the oracle exact)."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def pq_codebook(df: DataFrame, dim: int, id_col: str = "vec_id",
+                vec_col: str = "v", m_sub: int = PQ_M,
+                k_codes: int = PQ_K) -> DataFrame:
+    """(m, j, cv) codebook: the ``k_codes`` vectors with the smallest
+    (md5(id), id) — the same content-independent hash sampling as
+    ivf_centroids, so the oracle reproduces it — each split into
+    ``m_sub`` sub-vectors. True PQ training would k-means each subspace;
+    the sampled codebook keeps every downstream plan shape identical
+    while staying engine-portable. M×K rows (128 here) — broadcast-sized
+    at any data scale."""
+    samp = (
+        df.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .withColumn("_ck", F.md5(F.col("sid").cast("string")))
+        .orderBy("_ck", "sid").limit(k_codes)
+    )
+    j = F.row_number().over(Window.orderBy("_ck", "sid")) - 1
+    return (
+        samp.select(j.alias("j"), "sv")
+        .select("j", F.posexplode(_subslices(F.col("sv"), dim, m_sub))
+                .alias("m", "cv"))
+    )
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame, dim: int,
+              id_col: str = "vec_id", vec_col: str = "v",
+              m_sub: int = PQ_M) -> DataFrame:
+    """(id, m, code) PQ codes: per subspace, the codebook entry with the
+    smallest squared L2 to the sub-vector (6dp-rounded, j tiebreak —
+    engine-deterministic argmin). The codebook broadcasts; scoring is
+    map-side and ``min_by`` partial-aggregates, so the shuffle carries
+    M rows per vector — the code table itself, which at scale is written
+    out once and reused by every query's ADC scan."""
+    sub = df.select(
+        id_col, F.posexplode(_subslices(F.col(vec_col), dim, m_sub))
+        .alias("m", "sv"))
+    d = _round6(_l2sq(F.col("sv"), F.col("cv")))
+    return (
+        sub.join(F.broadcast(codebook), "m")
+        .groupBy(id_col, "m")
+        .agg(F.min_by("j", F.struct(d.alias("d"),
+                                    F.col("j").alias("jj"))).alias("code"))
+    )
+
+
+def pq_adc_topk(codes: DataFrame, codebook: DataFrame, query: DataFrame,
+                k: int, dim: int, id_col: str = "vec_id",
+                m_sub: int = PQ_M) -> DataFrame:
+    """Asymmetric-distance top-k: build the query's M×K distance table
+    (broadcast), look every (m, code) up, sum per vector. The per-cell
+    distances go through exact integer micros (floor(d·1e6+0.5) as LONG)
+    so the M-way sum is order-insensitive and bit-identical across
+    engines — the same trick as plans/base.money_sum. At 100 TB the scan
+    side is the 4-byte-per-vector code table; no vector data is read."""
+    qsub = query.select(
+        F.posexplode(_subslices(F.col("qv"), dim, m_sub)).alias("m", "qs"))
+    dmic = F.floor(_round6(_l2sq(F.col("qs"), F.col("cv"))) * F.lit(1e6)
+                   + F.lit(0.5)).cast("long")
+    dtab = (qsub.join(F.broadcast(codebook), "m")
+            .select("m", "j", dmic.alias("dmic")))
+    return (
+        codes.join(F.broadcast(dtab),
+                   (codes.m == dtab.m) & (codes.code == dtab.j))
+        .groupBy(id_col)
+        .agg((F.sum("dmic").cast("double") / F.lit(1e6)).alias("approx_d2"))
+        .orderBy("approx_d2", id_col)
+        .limit(k)
+    )
+
+
 def cosine_topk(df: DataFrame, query: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
     """Top-k rows of ``df`` by cosine similarity to the single-row

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators import clustering as ops_km
 from hippo_claim_crossover_spark.operators.similarity import l2_norm
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t_wide
 
 N_CELLS = 8
 ITERS = 2
@@ -35,7 +35,7 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     member count + 4dp centroid norm. Assignment is map-side over a
     broadcast centroid array (zero shuffle); each update shuffles only
     C×D partial sums (operators/clustering.py)."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     assign, cents = ops_km.kmeans_fit(e, N_CELLS, ITERS)
     sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))

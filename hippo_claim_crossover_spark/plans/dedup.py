@@ -411,7 +411,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_planes`` to operators.similarity.embed_near_pairs directly."""
     from hippo_claim_crossover_spark.operators import similarity as ops_sim
 
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return ops_sim.embed_near_pairs(e, dim=64, threshold=0.25)
 
@@ -470,6 +470,71 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_SOURCE = "src0"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: for each eval-corpus document
+    (source = src0), the fraction of its distinct 4-gram shingles that
+    appear anywhere in the train corpus (every other source) — the
+    benchmark-leakage check run before any pretraining job.
+
+    Shape at 100 TB: train shingles reduce to DISTINCT 8-byte xxhash64
+    keys (partial-agg shuffle over hashes, never text); the eval side
+    left-semi-joins its own shingle hashes against them (the classic
+    inverted-index probe, cost ∝ posting lists); hit counts group back on
+    doc_id. Three shuffles total, all on compact keys; the train corpus
+    is never re-shipped. Rates round via duck_round so inexact k/n
+    quotients that print as 5-decimal halfway values round identically in
+    both engines."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+
+    d = t_wide(spark, sf_dir, "documents")
+    ev = d.where(F.col("source") == EVAL_SOURCE)
+    tr = d.where(F.col("source") != EVAL_SOURCE)
+    ev_sh = ops_dedup.shingle_table(ev, "doc_id", "text", NGRAM)
+    tr_sh = (ops_dedup.shingle_table(tr, "doc_id", "text", NGRAM)
+             .select("sh").distinct())
+    hits = (ev_sh.join(tr_sh, "sh", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_hits")))
+    docs = ev_sh.select("doc_id", "n_sh").distinct()
+    n_cont = F.coalesce(F.col("_hits"), F.lit(0)).cast("long")
+    return (
+        docs.join(hits, "doc_id", "left")
+        .select("doc_id", "n_sh",
+                n_cont.alias("n_contaminated"),
+                duck_round(n_cont.cast("double") / F.col("n_sh"), 4)
+                .alias("contamination_rate"))
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH evsh AS (
+  SELECT doc_id, len({_SQL_SHINGLES}) AS n_sh,
+         unnest({_SQL_SHINGLES}) AS sh
+  FROM documents
+  WHERE source = '{EVAL_SOURCE}'
+    AND len(string_split(text, ' ')) >= {NGRAM}
+), trsh AS (
+  SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh
+  FROM documents
+  WHERE source != '{EVAL_SOURCE}'
+    AND len(string_split(text, ' ')) >= {NGRAM}
+), hits AS (
+  SELECT doc_id, count(*) AS n_cont
+  FROM evsh WHERE sh IN (SELECT sh FROM trsh)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_sh,
+       COALESCE(h.n_cont, 0) AS n_contaminated,
+       floor((CAST(COALESCE(h.n_cont, 0) AS DOUBLE) / d.n_sh) * 1e4 + 0.5)
+         / 1e4 AS contamination_rate
+FROM (SELECT DISTINCT doc_id, n_sh FROM evsh) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
                                "exact hash-groupBy dedup"),
@@ -492,4 +557,6 @@ SPECS: dict[str, QuerySpec] = {
                                "blocked cosine near-dup"),
     "q_dedup_near": QuerySpec(q_dedup_near, None,
                               "ml MinHashLSH approxSimilarityJoin"),
+    "q_decontaminate": QuerySpec(q_decontaminate, ORACLE_DECONTAMINATE,
+                                 "eval-vs-train n-gram decontamination"),
 }

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators import similarity as ops_sim
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t_wide
 
 DIM = 64
 N_PLANES = 8
@@ -45,7 +45,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against one query vector (vec_id=0),
     ranked on the rounded score with vec_id tiebreak (deterministic across
     engines). Query side is a broadcast single-row join — no collect()."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("v").alias("qv"),
@@ -74,7 +74,7 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucket assignment + histogram: sign(dot(v, hyperplane_p))
     per plane → bucket id. The equi-join key for approximate neighbor
     search at scale; deterministic hyperplanes ⇒ oracle-checked."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return (
         e.select(ops_sim.srp_bucket(F.col("v"), _PLANES).alias("bucket"))
@@ -104,7 +104,7 @@ def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned from 2 independent plane families, vectors pre-normalized once.
     Deterministic via rounded scores + id tiebreaks; the oracle recomputes
     the identical plane count from its own COUNT(*)."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return ops_sim.knn_blocked(e, dim=DIM, k=3)
 
@@ -169,7 +169,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any vector math, and the centroid table (KBs) broadcasts. The
     probe's candidate pruning is a broadcast semi-join, so the big side
     never shuffles."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("v").alias("qv"),
@@ -213,6 +213,73 @@ LIMIT {TOP_K}
 """
 
 
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: hash-sampled per-subspace codebook
+    (8 subspaces × 16 codes) → 4-bit-per-subspace encoding → asymmetric
+    distance (ADC) top-k against the query's broadcast distance table.
+
+    The 100 TB story is compression: the scan side of the ADC ranking is
+    the (vec_id, m, code) table — ~4 bytes of codes per 256-byte vector —
+    written once and reused by every query; the codebook and the per-query
+    M×K distance table are KB-sized broadcasts, so nothing but the code
+    table is ever read or shuffled at query time. Here codes are built in
+    the same plan (the fixture is small); operators/similarity.py
+    documents the encode/scan split."""
+    e = t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("v").alias("qv")))
+    s = e.where(F.col("vec_id") != QUERY_VEC_ID)
+    book = ops_sim.pq_codebook(s, DIM)
+    codes = ops_sim.pq_encode(s, book, DIM)
+    return ops_sim.pq_adc_topk(codes, book, q, TOP_K, DIM)
+
+
+_PQ_SUB = DIM // ops_sim.PQ_M
+# Squared L2 via the dot expansion — the same three list_dot_product calls
+# (and the same association order) the Spark _l2sq helper evaluates.
+_L2SQ = ("(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+         " + list_dot_product({b}, {b}))")
+
+
+ORACLE_SIM_PQ = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+s AS (SELECT vec_id, v FROM e WHERE vec_id != {QUERY_VEC_ID}),
+samp AS (
+  SELECT v AS sv, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM s ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ops_sim.PQ_K}
+), code AS (
+  SELECT j, m, list_slice(sv, m*{_PQ_SUB}+1, m*{_PQ_SUB}+{_PQ_SUB}) AS cv
+  FROM samp, range(0, {ops_sim.PQ_M}) t(m)
+), sub AS (
+  SELECT vec_id, m, list_slice(v, m*{_PQ_SUB}+1, m*{_PQ_SUB}+{_PQ_SUB}) AS sv
+  FROM s, range(0, {ops_sim.PQ_M}) t(m)
+), enc AS (
+  SELECT vec_id, m, j FROM (
+    SELECT sub.vec_id, sub.m, code.j, row_number() OVER (
+      PARTITION BY sub.vec_id, sub.m
+      ORDER BY {_r6(_L2SQ.format(a='sub.sv', b='code.cv'))}, code.j) AS rn
+    FROM sub JOIN code ON sub.m = code.m) WHERE rn = 1
+), qsub AS (
+  SELECT m, list_slice(qv, m*{_PQ_SUB}+1, m*{_PQ_SUB}+{_PQ_SUB}) AS qs
+  FROM q, range(0, {ops_sim.PQ_M}) t(m)
+), dtab AS (
+  SELECT code.m, code.j,
+         CAST(floor(({_r6(_L2SQ.format(a='qsub.qs', b='code.cv'))}) * 1e6
+              + 0.5) AS BIGINT) AS dmic
+  FROM qsub JOIN code ON qsub.m = code.m
+)
+SELECT enc.vec_id, CAST(sum(dtab.dmic) AS DOUBLE) / 1e6 AS approx_d2
+FROM enc JOIN dtab ON enc.m = dtab.m AND enc.j = dtab.j
+GROUP BY enc.vec_id
+ORDER BY approx_d2, vec_id
+LIMIT {TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_sim_topk": QuerySpec(q_sim_topk, ORACLE_SIM_TOPK,
                             "brute-force cosine top-k"),
@@ -222,4 +289,6 @@ SPECS: dict[str, QuerySpec] = {
                                    "bucketed approximate kNN"),
     "q_sim_ivf": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                            "IVF cell-probed ANN top-k"),
+    "q_sim_pq": QuerySpec(q_sim_pq, ORACLE_SIM_PQ,
+                          "product-quantization ADC top-k"),
 }

@@ -72,3 +72,44 @@ def test_funnel_is_monotone(spark, sf_dir):
                        .otherwise(0)).alias("c"))
             .where((F.col("v") > 0) & (F.col("c") > 0)).count())
     assert got["clicked_after_view"] <= both
+
+
+def test_decontaminate_rates_bounded_and_planted_hit(spark, sf_dir):
+    """Rates live in [0,1] with n_contaminated ≤ n_sh; only eval-source
+    docs appear."""
+    from hippo_claim_crossover_spark.io import load_table
+    from hippo_claim_crossover_spark.plans.dedup import EVAL_SOURCE
+
+    rows = ALL_SPECS["q_decontaminate"].fn(spark, sf_dir).collect()
+    assert rows
+    ev_ids = {r.doc_id for r in load_table(spark, sf_dir, "documents")
+              .where(F.col("source") == EVAL_SOURCE).collect()}
+    for r in rows:
+        assert r.doc_id in ev_ids
+        assert 0 <= r.n_contaminated <= r.n_sh
+        assert 0.0 <= r.contamination_rate <= 1.0
+
+
+def test_decontaminate_detects_verbatim_leak(spark):
+    """A train document duplicated verbatim into the eval split must come
+    back 100% contaminated; a disjoint-vocabulary doc must be 0%."""
+    from hippo_claim_crossover_spark.operators import dedup as ops_dedup
+    from pyspark.sql import functions as SF
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    clean = "uno dos tres cuatro cinco seis siete ocho"
+    docs = spark.createDataFrame(
+        [(1, leak, "evalsrc"), (2, clean, "evalsrc"),
+         (3, leak + " iota kappa", "trainsrc")],
+        "doc_id long, text string, source string")
+    ev = docs.where(SF.col("source") == "evalsrc")
+    tr = docs.where(SF.col("source") != "evalsrc")
+    ev_sh = ops_dedup.shingle_table(ev, "doc_id", "text", 4)
+    tr_sh = ops_dedup.shingle_table(tr, "doc_id", "text", 4).select("sh").distinct()
+    hits = {r.doc_id: r.n for r in
+            ev_sh.join(tr_sh, "sh", "left_semi")
+            .groupBy("doc_id").agg(SF.count(SF.lit(1)).alias("n")).collect()}
+    n_sh = {r.doc_id: r.n_sh for r in
+            ev_sh.select("doc_id", "n_sh").distinct().collect()}
+    assert hits[1] == n_sh[1]      # verbatim leak: every shingle hit
+    assert 2 not in hits           # disjoint vocab: zero hits

@@ -152,3 +152,62 @@ def test_knn_blocked_finds_exact_duplicates(spark):
     top = {r.vec_id: (r.neighbor_id, r.cosine) for r in out}
     assert top[7] == (100, 1.0)
     assert top[100] == (7, 1.0)
+
+
+def test_pq_codebook_shape_and_determinism(spark):
+    from hippo_claim_crossover_spark.operators.similarity import pq_codebook
+
+    rows = [(i, _vec(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    book = pq_codebook(df, dim=8, m_sub=4, k_codes=8)
+    got = book.collect()
+    assert len(got) == 4 * 8                       # M×K entries
+    assert {r.m for r in got} == set(range(4))
+    assert {r.j for r in got} == set(range(8))
+    assert all(len(r.cv) == 2 for r in got)        # dim/m_sub sub-vectors
+    again = {(r.m, r.j): r.cv for r in pq_codebook(
+        df, dim=8, m_sub=4, k_codes=8).collect()}
+    assert {(r.m, r.j): r.cv for r in got} == again
+
+
+def test_pq_encode_one_code_per_subspace(spark):
+    from hippo_claim_crossover_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    rows = [(i, _vec(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    book = pq_codebook(df, dim=8, m_sub=4, k_codes=8)
+    codes = pq_encode(df, book, dim=8, m_sub=4).collect()
+    assert len(codes) == 30 * 4
+    assert all(0 <= r.code < 8 for r in codes)
+    # a vector IN the codebook encodes to itself: sub-distance 0 per m
+    sampled = {r.j for r in book.collect()}
+    assert sampled  # sanity
+
+
+def test_pq_adc_with_full_codebook_is_exact_l2(spark):
+    """k_codes ≥ N ⇒ every vector is its own codebook entry, each
+    sub-distance is exact, and ADC top-k equals brute-force squared-L2
+    top-k — the PQ analogue of the IVF nprobe=all ≡ brute-force test."""
+    from hippo_claim_crossover_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    rows = [(i, _vec(i)) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = spark.createDataFrame([(_vec(999),)], "qv array<double>")
+    book = pq_codebook(df, dim=8, m_sub=4, k_codes=25)
+    codes = pq_encode(df, book, dim=8, m_sub=4)
+    got = pq_adc_topk(codes, book, q, k=5, dim=8, m_sub=4).collect()
+
+    qv = _vec(999)
+    exact = sorted(
+        (round(sum((a - b) ** 2 for a, b in zip(r[1], qv)), 4), r[0])
+        for r in rows)[:5]
+    assert [r.vec_id for r in got] == [vid for _, vid in exact]
+    for r, (d2, _) in zip(got, exact):
+        assert math.isclose(r.approx_d2, d2, abs_tol=2e-4)
