@@ -56,6 +56,9 @@ HEADLINE = [
     "q_pack_sequences",
     "q_funnel",
     "q_decontaminate",
+    "q_latest_snapshot",
+    "q_histogram",
+    "q_profile",
 ]
 
 

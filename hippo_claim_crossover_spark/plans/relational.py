@@ -109,6 +109,75 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+_HIST_WIDTH = 25_000
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the numeric-profiling
+    bread-and-butter (one partial/final aggregate, bin id from exact
+    FLOOR division). Bin edges are exact doubles (2dp totals, power-of-
+    ten-ish width), so the bin id is bit-identical across engines; a
+    data-dependent equi-depth variant would swap in approx_percentile
+    edges at 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(float(_HIST_WIDTH)))
+    return (
+        o.groupBy(b.cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_claims"),
+             money_sum(F.col("o_totalprice")).alias("sum_total"))
+        .select((F.col("bin") * _HIST_WIDTH).cast("double").alias("bin_lo"),
+                ((F.col("bin") + 1) * _HIST_WIDTH).cast("double")
+                .alias("bin_hi"),
+                "n_claims", "sum_total")
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+SELECT CAST(bin * {_HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       CAST((bin + 1) * {_HIST_WIDTH} AS DOUBLE) AS bin_hi,
+       count(*) AS n_claims,
+       {money_sum_sql("o_totalprice")} AS sum_total
+FROM (SELECT *, CAST(floor(o_totalprice / {_HIST_WIDTH}.0) AS BIGINT) AS bin
+      FROM orders)
+GROUP BY bin
+"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard data-quality profile of the documents corpus — the
+    ANALYZE-style pass a training pipeline runs per ingest batch: row
+    count, distinct languages, char-length spread, and a consistency
+    assertion (stored n_chars vs recomputed length(text)). ONE
+    partial/final aggregate over the corpus — never one job per metric."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("lang").alias("n_langs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"),
+             duck_round(F.sum("n_chars").cast("double")
+                        / F.count(F.lit(1)), 2).alias("avg_chars"),
+             F.sum(F.when(F.col("n_chars") != F.length("text"), 1)
+                   .otherwise(0)).alias("n_len_mismatch"))
+    )
+
+
+ORACLE_PROFILE = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1e2 + 0.5) / 1e2
+         AS avg_chars,
+       CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_len_mismatch
+FROM documents GROUP BY source
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS — the general form rollup/cube specialize:
     exactly the three sets (flag,status), (flag), (status) — note (status)
@@ -361,6 +430,10 @@ SPECS: dict[str, QuerySpec] = {
     "q_rollup": QuerySpec(q_rollup, ORACLE_ROLLUP, "rollup grouping sets"),
     "q_grouping_sets": QuerySpec(q_grouping_sets, ORACLE_GROUPING_SETS,
                                  "arbitrary GROUPING SETS (non-lattice)"),
+    "q_histogram": QuerySpec(q_histogram, ORACLE_HISTOGRAM,
+                             "fixed-width numeric histogram"),
+    "q_profile": QuerySpec(q_profile, ORACLE_PROFILE,
+                           "per-shard corpus QA profile"),
     "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),
     "q_topk_group": QuerySpec(q_topk_group, ORACLE_TOPK_GROUP,
                               "top-k per group"),

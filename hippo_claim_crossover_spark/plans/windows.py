@@ -160,6 +160,39 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
 """
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction — the CDC/SCD "current snapshot"
+    every log-structured pipeline runs: ``row_number() = 1`` over
+    (user_id ORDER BY ts DESC, event_id DESC). ONE shuffle on the key,
+    no self-join against a max-ts aggregate (the naive two-pass form);
+    at 100 TB this is the log→snapshot compaction job, and the batch
+    analogue of streaming last-wins dropDuplicates. event_id breaks
+    equal-ts ties deterministically."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.round(F.col("value"), 2).alias("last_value"))
+    )
+
+
+ORACLE_LATEST_SNAPSHOT = """
+SELECT user_id, event_id AS last_event_id, CAST(ts AS TIMESTAMP) AS last_ts,
+       event_type AS last_type, round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_win_rank": QuerySpec(q_win_rank, ORACLE_WIN_RANK, "ranking fns"),
     "q_win_running": QuerySpec(q_win_running, ORACLE_WIN_RUNNING,
@@ -168,4 +201,6 @@ SPECS: dict[str, QuerySpec] = {
                              "rows+range frames"),
     "q_win_dist": QuerySpec(q_win_dist, ORACLE_WIN_DIST,
                             "ntile/percent_rank/cume_dist/first/last"),
+    "q_latest_snapshot": QuerySpec(q_latest_snapshot, ORACLE_LATEST_SNAPSHOT,
+                                   "latest-record-per-key compaction"),
 }
