@@ -9,8 +9,10 @@ from hippo_claim_crossover_spark.streaming.ops import (
 )
 from hippo_claim_crossover_spark.streaming.stateful import (
     cumulative_user_profile,
+    profile_with_topk,
 )
 
 __all__ = ["read_event_stream", "tumbling_agg", "sessionized",
            "run_to_memory", "dedup_stream", "interval_join",
-           "write_foreach_batch", "cumulative_user_profile"]
+           "write_foreach_batch", "cumulative_user_profile",
+           "profile_with_topk"]

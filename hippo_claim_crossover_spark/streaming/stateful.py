@@ -58,3 +58,72 @@ def cumulative_user_profile(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TWS_OUTPUT_SCHEMA = ("user_id long, n_events long, sum_value double, "
+                     "top1 double, top2 double, top3 double")
+
+
+def profile_with_topk(events: DataFrame) -> DataFrame:
+    """The same cumulative profile through ``transformWithStateInPandas``
+    — Spark 4's successor to applyInPandasWithState — plus what the old
+    API could not express cleanly: a SECOND, independently-typed state
+    variable. ``totals`` is a ValueState row; ``top`` is a ListState
+    holding the user's 3 largest values so far (bounded: the state store
+    keeps ≤3 rows per key no matter how long the stream runs).
+
+    At scale the state store shards by the grouping key exactly like the
+    windowed aggregations; per-key state stays fixed-width, and the
+    processor's typed handles let a future variant add timers/TTL
+    (handle.registerTimer) without restructuring state.
+
+    Environment gates (documented, not hidden): TWS requires the RocksDB
+    state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass``), and its Python
+    state protocol is protobuf-encoded — this container ships no
+    ``google.protobuf``, so the cross-batch test in
+    tests/test_streaming.py skips here and runs wherever protobuf
+    exists. The applyInPandasWithState profile above stays the
+    container-proven stateful path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ProfileTopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+            self._top = handle.getListState("top", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            top = ([float(r[0]) for r in self._top.get()]
+                   if self._top.exists() else [])
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                s += float(vals.sum())
+                top.extend(float(v) for v in vals)
+            top = sorted(top, reverse=True)[:3]
+            self._totals.update((n, s))
+            self._top.put([(v,) for v in top])
+            pad = top + [None] * (3 - len(top))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "top1": [pad[0]], "top2": [pad[1]], "top3": [pad[2]],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_ProfileTopK(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

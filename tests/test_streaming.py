@@ -165,3 +165,67 @@ def test_foreach_batch_sink_writes_batches(spark, stream_src, tmp_path):
     assert got.count() == n_src
     batch_ids = {r["batch_id"] for r in got.select("batch_id").distinct().collect()}
     assert batch_ids == {0, 1}
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's state-server protocol is protobuf-encoded; the
+    # container ships no google.protobuf, so the TWS Python driver worker
+    # cannot start here (ImportError inside StateMessage_pb2). The operator
+    # itself is environment-gated, same policy as the multimodal codec stub.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_available(),
+                    reason="transformWithState needs google.protobuf "
+                           "(absent in this container)")
+def test_transform_with_state_profile_topk(spark, sf_dir, stream_src):
+    """transformWithStateInPandas (Spark 4 stateful-processor API): both
+    state variables — the ValueState totals and the bounded ListState
+    top-3 — must carry across micro-batches and end equal to the
+    whole-table batch aggregate. Requires the RocksDB state store
+    provider (the HDFS-backed default does not support TWS)."""
+    from hippo_claim_crossover_spark.streaming import profile_with_topk
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        stream = read_event_stream(spark, stream_src, max_files_per_trigger=1)
+        run_to_memory(profile_with_topk(stream), "tws_out", "update")
+    finally:
+        spark.conf.unset(key) if prev is None else spark.conf.set(key, prev)
+    out = spark.table("tws_out").collect()
+    got = {}
+    for r in out:
+        prev = got.get(r["user_id"])
+        cur = (r["n_events"], r["sum_value"], r["top1"], r["top2"], r["top3"])
+        if prev is None or cur[0] > prev[0]:
+            got[r["user_id"]] = cur
+
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    tops = (e.where(F.col("value").isNotNull())
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .groupBy("user_id")
+            .agg(F.collect_list(F.struct("rk", "value")).alias("tv")))
+    totals = (e.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2)
+                   .alias("s")))
+    want = {}
+    for r in totals.join(tops, "user_id", "left").collect():
+        tv = sorted(r["tv"] or [], key=lambda x: x["rk"])
+        vals = [x["value"] for x in tv] + [None] * 3
+        want[r["user_id"]] = (r["n"], r["s"], vals[0], vals[1], vals[2])
+    assert got == want
+    # state really crossed batches: someone was emitted in both
+    from collections import Counter
+    assert max(Counter(r["user_id"] for r in out).values()) == 2
