@@ -47,6 +47,7 @@ GATE_ORDER = [
     # new this session
     "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
     "q_decontaminate", "q_latest_snapshot", "q_histogram", "q_profile",
+    "q_sink_clustered",
     # new earlier this round (never driver-checked)
     "q_stream_interval", "q_dedup_keep_best", "q_src_orc", "q_text_vocab",
     "q_cluster_kmeans",
@@ -66,9 +67,10 @@ GATE_ORDER = [
     "q_case_2way", "q_case_multi", "q_case_struct", "q_case_dict",
     "q_bool_eq", "q_bool_or", "q_coalesce2", "q_coalesce_pair",
     "q_branch_route",
-    "q_str_dxcode", "q_str_zip", "q_str_name", "q_str_join",
+    "q_str_dxcode", "q_str_zip", "q_str_name",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_date_fmt", "q_range_ends", "q_cast", "q_udf", "q_agg_multi",
+    "q_str_join", "q_date_fmt", "q_range_ends", "q_cast", "q_udf",
+    "q_agg_multi",
     # displaced r2-row queries (unchanged code, re-proven by the local
     # gate tools/check_oracle.py each round) and green-r3 unchanged rows
     "q_distinct", "q_approx_cd", "q_rollup",

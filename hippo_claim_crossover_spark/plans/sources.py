@@ -216,6 +216,47 @@ FROM part WHERE p_size >= 25 GROUP BY p_brand
 """
 
 
+def q_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sink: lineitem rewritten
+    ``repartitionByRange(l_shipdate).sortWithinPartitions(l_shipdate)``
+    — the layout lever for time-range scans at 100 TB. Randomly-laid-out
+    data gives every parquet row group the full date span, so min/max
+    stats prune nothing; range-clustered, a one-quarter filter skips all
+    but the overlapping files/row-groups before any decode (the same
+    reason tables get Z-ordered/clustered in lakehouse formats).
+    tests/test_io.py asserts the written files' footer min/max ranges
+    are pairwise disjoint. The readback query filters one quarter and
+    aggregates; the oracle reproduces it from the raw table, proving the
+    rewrite is lossless."""
+    def write(out: str) -> None:
+        (t(spark, sf_dir, "lineitem")
+         .repartitionByRange(8, F.col("l_shipdate"))
+         .sortWithinPartitions("l_shipdate")
+         .write.mode("overwrite").parquet(out))
+
+    out = _materialize(spark, sf_dir, "clustered", write)
+    li = spark.read.parquet(out)
+    return (
+        li.where((F.col("l_shipdate") >= "1995-01-01")
+                 & (F.col("l_shipdate") < "1995-04-01"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             money_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")))
+             .alias("revenue"))
+    )
+
+
+ORACLE_SINK_CLUSTERED = f"""
+SELECT l_returnflag, count(*) AS n_lines,
+       {money_sum_sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1995-04-01'
+GROUP BY l_returnflag
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_part_prune": QuerySpec(q_part_prune, ORACLE_PART_PRUNE,
                               "partitionBy layout + pruned readback"),
@@ -225,4 +266,6 @@ SPECS: dict[str, QuerySpec] = {
                            "CSV source, explicit schema"),
     "q_src_jsonl": QuerySpec(q_src_jsonl, ORACLE_SRC_JSONL,
                              "JSON-lines source, explicit schema"),
+    "q_sink_clustered": QuerySpec(q_sink_clustered, ORACLE_SINK_CLUSTERED,
+                                  "range-clustered rewrite + pruned scan"),
 }

@@ -34,3 +34,36 @@ def test_write_side_coalesce_bounds_file_count(spark, sf_dir, tmp_path):
     files = glob.glob(f"{path}/part-*.parquet")
     assert len(files) <= 2
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_clustered_sink_ranges_are_disjoint(spark, sf_dir):
+    """q_sink_clustered's rewrite must actually cluster: the written
+    files' footer min/max l_shipdate ranges are pairwise disjoint, so a
+    range filter can skip whole files before any decode."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    # executing the query materializes the clustered copy
+    assert ALL_SPECS["q_sink_clustered"].fn(spark, sf_dir).count() > 0
+    from hippo_claim_crossover_spark.plans.sources import _tag
+
+    paths = glob.glob(
+        f"/root/repo/_scratch/src_clustered-{_tag(spark, sf_dir)}/"
+        "part-*.parquet")
+    assert len(paths) >= 2
+    spans = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["l_shipdate"]).statistics
+            los.append(st.min)
+            his.append(st.max)
+        spans.append((min(los), max(his)))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, "file shipdate ranges overlap"
