@@ -109,6 +109,56 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    orders ⋈ lineitem with date windows on both fact sides, revenue per
+    order, top 10. The classic composite: both filters push into the
+    scans, the two joins shuffle on their keys (AQE picks broadcast for
+    whichever side collapses after filtering — at 100 TB both stay
+    shuffles), the aggregate is partial/final on the join key it already
+    shares, and the top-10 is TakeOrdered. Revenue rides the exact
+    integer-micros sum, so the ranking itself is engine-deterministic."""
+    cutoff = "1995-06-30"
+    c = (t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") < cutoff)
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"))
+    li = (t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")))
+             .alias("revenue"))
+        .select(F.col("o_orderkey").alias("claim_id"),
+                F.col("o_orderdate").alias("claim_date"),
+                F.col("o_orderpriority").alias("priority"), "revenue")
+        .orderBy(F.col("revenue").desc(), "claim_id")
+        .limit(10)
+    )
+
+
+ORACLE_SHIP_PRIORITY = f"""
+SELECT o.o_orderkey AS claim_id, o.o_orderdate AS claim_date,
+       o.o_orderpriority AS priority,
+       {money_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-06-30'
+  AND l.l_shipdate > TIMESTAMP '1995-06-30'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, claim_id
+LIMIT 10
+"""
+
+
 _HIST_WIDTH = 25_000
 
 
@@ -432,6 +482,8 @@ SPECS: dict[str, QuerySpec] = {
                                  "arbitrary GROUPING SETS (non-lattice)"),
     "q_histogram": QuerySpec(q_histogram, ORACLE_HISTOGRAM,
                              "fixed-width numeric histogram"),
+    "q_ship_priority": QuerySpec(q_ship_priority, ORACLE_SHIP_PRIORITY,
+                                 "TPC-H Q3-shaped composite top-10"),
     "q_profile": QuerySpec(q_profile, ORACLE_PROFILE,
                            "per-shard corpus QA profile"),
     "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),

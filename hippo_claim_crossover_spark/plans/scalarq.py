@@ -20,7 +20,7 @@ from hippo_claim_crossover_spark.functions.scalar import (
     fmt_postal_code,
     join_pointers,
 )
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t, t_wide
 
 # Derived diagnosis code: 'E'-class for every 5th part, else 'V'-class,
 # zero-padded to 5 digits → 6-char codes exercising both insert positions.
@@ -240,6 +240,57 @@ FROM part
 """
 
 
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2b UDF surface, zero-copy tier: ``mapInArrow`` — each batch
+    arrives as a pyarrow RecordBatch (no pandas materialization at all,
+    one level below pandas_udf), and the kernel is numpy over the
+    ListArray's flat values buffer: one vectorized pass for thousands of
+    vectors, no per-row Python.
+
+    Hash-checkability inside a Python kernel: per-element squared-micros
+    (``floor(x²·1e12+0.5)`` as int64) summed per vector with
+    ``np.add.reduceat`` — exact integer arithmetic, so the fold order
+    numpy picks is irrelevant and DuckDB's ``list_sum`` of the identical
+    BIGINT terms matches bit-for-bit (the money_sum discipline applied
+    inside a UDF). Per-vector sums stay ≤ ~1e15, far under int64.
+    float32 values are widened to float64 *before* squaring, mirroring
+    the oracle's CAST(embedding AS DOUBLE[])."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for b in batches:
+            vid = b.column(0)
+            emb = b.column(1)
+            offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = emb.values.to_numpy(zero_copy_only=False)
+            # a sliced ListArray's offsets are absolute into the shared
+            # values buffer: trim + rebase so reduceat's last segment
+            # ends exactly at the final offset
+            vals = vals[offs[0]:offs[-1]].astype(np.float64)
+            offs = offs - offs[0]
+            sq = np.floor(vals * vals * 1e12 + 0.5).astype(np.int64)
+            seg = np.add.reduceat(sq, offs[:-1])
+            nrm = np.sqrt(seg.astype(np.float64) / 1e12)
+            nrm4 = np.floor(nrm * 1e4 + 0.5) / 1e4
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(nrm4, pa.float64())], ["vec_id", "nrm"])
+
+    return e.mapInArrow(norms, "vec_id long, nrm double")
+
+
+ORACLE_UDF_ARROW = """
+SELECT vec_id,
+       floor(sqrt(CAST(list_sum(list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * x * 1e12 + 0.5) AS BIGINT)))
+         AS DOUBLE) / 1e12) * 1e4 + 0.5) / 1e4 AS nrm
+FROM embeddings
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_str_dxcode": QuerySpec(q_str_dxcode, ORACLE_STR_DXCODE, "X1"),
     "q_str_zip": QuerySpec(q_str_zip, ORACLE_STR_ZIP, "X2"),
@@ -249,4 +300,6 @@ SPECS: dict[str, QuerySpec] = {
     "q_range_ends": QuerySpec(q_range_ends, ORACLE_RANGE_ENDS, "X7"),
     "q_cast": QuerySpec(q_cast, ORACLE_CAST, "X8"),
     "q_udf": QuerySpec(q_udf, ORACLE_UDF, "pandas UDF mirror of X1"),
+    "q_udf_arrow": QuerySpec(q_udf_arrow, ORACLE_UDF_ARROW,
+                             "mapInArrow exact-integer norms"),
 }
