@@ -59,6 +59,8 @@ HEADLINE = [
     "q_latest_snapshot",
     "q_histogram",
     "q_profile",
+    "q_ship_priority",
+    "q_udf_arrow",
 ]
 
 

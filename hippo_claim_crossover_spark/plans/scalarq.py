@@ -291,6 +291,53 @@ FROM embeddings
 """
 
 
+_CHUNK_TOKENS = 10
+
+
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2b UDF surface, table-function tier: a Python UDTF applied per
+    row through a LATERAL join — each document expands to one row per
+    10-token chunk with its ordinal (the RAG/context-window chunking
+    pass; arbitrary-arity expansion neither scalar UDFs nor
+    explode-over-builtins cover when the chunking logic is Python).
+    Registered and invoked through SQL LATERAL, which also exercises
+    Spark's lateral-correlation planning.
+
+    Scale posture: UDTF eval is the Python slow path (documented) —
+    declared to cover the surface, kept out of hot paths. The chunking
+    is deterministic string work, so the output still hash-checks
+    against DuckDB's zipped-unnest oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, chunk string")
+    class _ChunkSplit:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), _CHUNK_TOKENS):
+                yield (i // _CHUNK_TOKENS + 1,
+                       " ".join(toks[i:i + _CHUNK_TOKENS]))
+
+    spark.udtf.register("chunk_split", _ChunkSplit)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+      SELECT d.doc_id, c.pos, c.chunk
+      FROM documents d, LATERAL chunk_split(d.text) c
+    """)
+
+
+_N_CHUNKS = ("CAST(ceil(len(string_split(text, ' ')) / "
+             f"{_CHUNK_TOKENS}.0) AS BIGINT)")
+ORACLE_UDTF = f"""
+SELECT doc_id,
+       CAST(unnest(range(1, {_N_CHUNKS} + 1)) AS INTEGER) AS pos,
+       unnest(list_transform(range(1, {_N_CHUNKS} + 1),
+              i -> array_to_string(list_slice(string_split(text, ' '),
+                   (i - 1) * {_CHUNK_TOKENS} + 1, i * {_CHUNK_TOKENS}),
+                   ' '))) AS chunk
+FROM documents
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_str_dxcode": QuerySpec(q_str_dxcode, ORACLE_STR_DXCODE, "X1"),
     "q_str_zip": QuerySpec(q_str_zip, ORACLE_STR_ZIP, "X2"),
@@ -302,4 +349,6 @@ SPECS: dict[str, QuerySpec] = {
     "q_udf": QuerySpec(q_udf, ORACLE_UDF, "pandas UDF mirror of X1"),
     "q_udf_arrow": QuerySpec(q_udf_arrow, ORACLE_UDF_ARROW,
                              "mapInArrow exact-integer norms"),
+    "q_udtf": QuerySpec(q_udtf, ORACLE_UDTF,
+                        "Python UDTF via LATERAL (sentence expansion)"),
 }

@@ -307,6 +307,46 @@ FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, 
 """
 
 
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free calendar rollup via a RECURSIVE CTE (Spark 4 WITH
+    RECURSIVE): generate the 1995 month spine, left-join per-month claim
+    counts — empty months surface as 0 instead of vanishing (the
+    difference between a groupBy rollup and a reporting calendar).
+
+    The recursion is 12 driver-side rows; the work stays in the one
+    hash-aggregated join against orders. The same pattern at 100 TB
+    seeds a broadcast spine against a date-partitioned fact — the spine
+    never shuffles."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '1995-12-01'
+      )
+      SELECT m AS month_start,
+             count(o_orderkey) AS n_claims
+      FROM months LEFT JOIN orders
+        ON date_trunc('MONTH', o_orderdate) = CAST(m AS TIMESTAMP_NTZ)
+      GROUP BY m
+    """)
+
+
+ORACLE_DATE_SPINE = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '1995-12-01'
+)
+SELECT m AS month_start, count(o_orderkey) AS n_claims
+FROM months LEFT JOIN orders
+  ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_stream_tumble": QuerySpec(q_stream_tumble, ORACLE_STREAM_TUMBLE,
                                  "tumbling window"),
@@ -324,4 +364,6 @@ SPECS: dict[str, QuerySpec] = {
                               "calendar rollup"),
     "q_funnel": QuerySpec(q_funnel, ORACLE_FUNNEL,
                           "ordered conversion funnel (view→click→purchase)"),
+    "q_date_spine": QuerySpec(q_date_spine, ORACLE_DATE_SPINE,
+                              "recursive-CTE month spine, gap-free rollup"),
 }
