@@ -115,6 +115,36 @@ FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, 
 """
 
 
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT (Spark 4): ``parse_json`` turns props into
+    the binary variant encoding once, then ``try_variant_get`` does typed
+    path extraction — the open-schema third way between
+    ``get_json_object`` (string re-tokenize per path) and ``from_json``
+    (fixed StructType). At 100 TB the parse happens once at ingest and
+    lands in Parquet's variant shredding; every later extraction is a
+    path read over the binary encoding, no JSON re-parse per access."""
+    e = t(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.withColumn("k", k)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+ORACLE_VARIANT = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY user_id
+"""
+
+
 def q_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level JSON field projection (from_json with explicit schema —
     the production path for typed extraction)."""
@@ -140,6 +170,8 @@ SPECS: dict[str, QuerySpec] = {
                                   "E2 nested array round-trip"),
     "q_unpivot": QuerySpec(q_unpivot, ORACLE_UNPIVOT, "E3 stack unpivot"),
     "q_json": QuerySpec(q_json, ORACLE_JSON, "JSON agg"),
+    "q_variant": QuerySpec(q_variant, ORACLE_VARIANT,
+                           "VARIANT parse + typed path extraction"),
     "q_json_project": QuerySpec(q_json_project, ORACLE_JSON_PROJECT,
                                 "from_json projection"),
 }

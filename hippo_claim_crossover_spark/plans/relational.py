@@ -159,6 +159,32 @@ LIMIT 10
 """
 
 
+def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>``): the linear FROM → WHERE →
+    AGGREGATE form of a filtered pricing summary. Pure syntax — it
+    compiles to the identical partial/final HashAggregate plan as the
+    nested SELECT, which is exactly the point being demonstrated: the
+    money-sum formula below is the same integer-micros expression
+    money_sum builds, spelled in SQL."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    msum = ("round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)"
+            " * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 6)")
+    return spark.sql(f"""
+      FROM lineitem
+      |> WHERE l_quantity < 25
+      |> AGGREGATE count(*) AS n_lines, {msum} AS revenue
+         GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+ORACLE_PIPE_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       {money_sum_sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+FROM lineitem WHERE l_quantity < 25
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 _HIST_WIDTH = 25_000
 
 
@@ -484,6 +510,8 @@ SPECS: dict[str, QuerySpec] = {
                              "fixed-width numeric histogram"),
     "q_ship_priority": QuerySpec(q_ship_priority, ORACLE_SHIP_PRIORITY,
                                  "TPC-H Q3-shaped composite top-10"),
+    "q_pipe_sql": QuerySpec(q_pipe_sql, ORACLE_PIPE_SQL,
+                            "SQL pipe syntax (|>) pricing summary"),
     "q_profile": QuerySpec(q_profile, ORACLE_PROFILE,
                            "per-shard corpus QA profile"),
     "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),
