@@ -80,12 +80,15 @@ def main() -> None:
     # startup + whole-stage-codegen compilation: run the flagship plan once
     # at the tiny sf0.001 (compiles the join/agg/window code paths; the
     # measured queries still execute fully on the benchmark data).
-    # q_udaf is included for its side effect of forking the Python worker
-    # pool: the first Arrow-batched stage in the session pays a one-time
-    # fork+import of one Python worker per core (~3-5s on 32 cores), which
-    # is session startup cost — the same class as the JVM/codegen warmup
-    # above, not per-query work — so it is excluded the same way.
-    for wname in ("q_scan", "q_crossover", "q_win_running", "q_udaf"):
+    # q_udaf and q_udf_arrow are included for their side effect of forking
+    # the Python worker pools (pandas-UDF and mapInArrow use separate
+    # worker launch paths): the first Arrow-batched stage in a session
+    # pays a one-time fork+import of one Python worker per core (~3-5s on
+    # 32 cores), which is session startup cost — the same class as the
+    # JVM/codegen warmup above, not per-query work — so it is excluded
+    # the same way.
+    for wname in ("q_scan", "q_crossover", "q_win_running", "q_udaf",
+                  "q_udf_arrow"):
         ALL_SPECS[wname].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
     timings: dict[str, float] = {}
