@@ -49,6 +49,7 @@ GATE_ORDER = [
     "q_decontaminate", "q_latest_snapshot", "q_histogram", "q_profile",
     "q_sink_clustered", "q_ship_priority", "q_udf_arrow",
     "q_date_spine", "q_udtf", "q_variant", "q_pipe_sql",
+    "q_assoc_rules", "q_histogram_eq",
     # new earlier this round (never driver-checked)
     "q_stream_interval", "q_dedup_keep_best", "q_src_orc", "q_text_vocab",
     "q_cluster_kmeans",
@@ -66,8 +67,8 @@ GATE_ORDER = [
     # last driver row r2 (displaced from the r3 window): rotate back in
     "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
     "q_case_2way", "q_case_multi", "q_case_struct", "q_case_dict",
-    "q_bool_eq", "q_bool_or",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_bool_eq", "q_bool_or",
     "q_coalesce2",
     "q_coalesce_pair", "q_branch_route",
     "q_str_dxcode", "q_str_zip", "q_str_name",

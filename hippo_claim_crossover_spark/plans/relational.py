@@ -185,6 +185,105 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+ASSOC_TOP = 20
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over claims: part pairs
+    co-occurring on one order, scored by support / confidence / lift.
+    The pair generation is a self-join on the order key — bounded by the
+    basket size (≤7 lines per order in the fixtures), so candidate pairs
+    are O(orders · basket²), never O(parts²); the per-part and per-pair
+    supports are partial-aggregated shuffles on compact keys. Ratios go
+    through duck_round so inexact k/n quotients rank identically in both
+    engines; top-20 by lift with full tiebreaks."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = (t(spark, sf_dir, "orders")
+                .select(F.count(F.lit(1)).alias("n_orders")))
+    part_sup = (li.groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).alias("sup")))
+    a, b = li.alias("a"), li.alias("b")
+    pair_sup = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+    )
+    sa = part_sup.select(F.col("l_partkey").alias("part_a"),
+                         F.col("sup").alias("sup_a"))
+    sb = part_sup.select(F.col("l_partkey").alias("part_b"),
+                         F.col("sup").alias("sup_b"))
+    out = (
+        pair_sup.join(sa, "part_a").join(sb, "part_b").join(n_orders)
+        .select(
+            "part_a", "part_b", "sup_ab",
+            duck_round(F.col("sup_ab") / F.col("sup_a"), 4)
+            .alias("confidence"),
+            duck_round(F.col("sup_ab") * F.col("n_orders")
+                       / (F.col("sup_a") * F.col("sup_b")), 4)
+            .alias("lift"))
+    )
+    return out.orderBy(F.col("lift").desc(), F.col("sup_ab").desc(),
+                       "part_a", "part_b").limit(ASSOC_TOP)
+
+
+ORACLE_ASSOC_RULES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(*) AS n_orders FROM orders),
+ps AS (SELECT l_partkey, count(*) AS sup FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS sup_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, sup_ab,
+       floor((CAST(sup_ab AS DOUBLE) / sa.sup) * 1e4 + 0.5) / 1e4
+         AS confidence,
+       floor((CAST(sup_ab AS DOUBLE) * n.n_orders / (sa.sup * sb.sup))
+             * 1e4 + 0.5) / 1e4 AS lift
+FROM pairs
+JOIN ps sa ON pairs.part_a = sa.l_partkey
+JOIN ps sb ON pairs.part_b = sb.l_partkey, n
+ORDER BY lift DESC, sup_ab DESC, part_a, part_b
+LIMIT {ASSOC_TOP}
+"""
+
+
+def q_histogram_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (deciles) of order totals: ntile(10) over the
+    fully-tiebroken global order, then per-bucket count/min/max — the
+    data-dependent complement of q_histogram's fixed-width bins. The
+    global ntile is a single-partition sort here (fixture-sized); the
+    100 TB form replaces it with approx_percentile boundaries + a
+    broadcast range join, which the docstring exists to say out loud."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_claims"),
+             F.round(F.min("o_totalprice"), 2).alias("lo"),
+             F.round(F.max("o_totalprice"), 2).alias("hi"))
+    )
+
+
+ORACLE_HISTOGRAM_EQ = """
+SELECT decile, count(*) AS n_claims,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (SELECT *, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+GROUP BY decile
+"""
+
+
 _HIST_WIDTH = 25_000
 
 
@@ -512,6 +611,10 @@ SPECS: dict[str, QuerySpec] = {
                                  "TPC-H Q3-shaped composite top-10"),
     "q_pipe_sql": QuerySpec(q_pipe_sql, ORACLE_PIPE_SQL,
                             "SQL pipe syntax (|>) pricing summary"),
+    "q_assoc_rules": QuerySpec(q_assoc_rules, ORACLE_ASSOC_RULES,
+                               "market-basket support/confidence/lift"),
+    "q_histogram_eq": QuerySpec(q_histogram_eq, ORACLE_HISTOGRAM_EQ,
+                                "equi-depth decile histogram"),
     "q_profile": QuerySpec(q_profile, ORACLE_PROFILE,
                            "per-shard corpus QA profile"),
     "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),
