@@ -1,0 +1,130 @@
+"""Graph analytics over the part co-purchase graph (§2b training-pipeline
+surface): distributed PageRank, hash-checked through the full iterative
+computation like the k-means fit in ``plans/clustering.py``.
+
+Graph: parts are nodes; an undirected edge joins two parts that appear on
+the same order (distinct pairs — the same basket-bounded self-join as
+q_assoc_rules). Connected components (plans/dedup.py) covers reachability;
+PageRank covers importance — together the two canonical iterative graph
+shapes.
+
+Determinism across engines: per-edge contributions are rounded to the 6dp
+grid and then summed as exact integer micros (order-insensitive), the
+damping update runs on identical IEEE doubles (literals are inlined with
+full repr into both plans), and each iteration re-rounds onto the grid —
+so even after two Lloyd-style rounds the driver's value-hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
+
+DAMPING = 0.85
+ITERS = 2
+TOP = 25
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .unionByName(pairs.select(F.col("v").alias("src"),
+                                      F.col("u").alias("dst"))))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped PageRank rounds over the co-purchase graph, top-25 by
+    rank. Each round is ONE shuffle: edges ⋈ broadcast-sized (rank, deg)
+    state on src — map-side contribution compute — then a partial/final
+    sum grouped by dst. Undirected edges mean no dangling mass and every
+    node keeps receiving, so no outer-join patch-up is needed. At 100 TB
+    the state table is (node, rank, deg) — fixed-width rows co-partitioned
+    with the edge list's src key across rounds; the O(log n)-round
+    alternative for reachability lives in operators/graph.py.
+
+    The edge build's ``distinct()`` and the plan-build ``count()`` follow
+    the documented pattern (metadata-only for Parquet; the oracle needs
+    the identical N)."""
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    base = (1.0 - DAMPING) / n  # identical IEEE double inlined both sides
+    pr = deg.select(F.col("src").alias("node"),
+                    F.lit(1.0 / n).alias("pr"))
+    for _ in range(ITERS):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.floor(duck_round(F.col("pr") / F.col("deg"), 6)
+                            * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("cmic"))
+        )
+        pr = (
+            contrib.groupBy("node")
+            .agg(duck_round(
+                F.lit(base) + F.lit(DAMPING)
+                * (F.sum("cmic").cast("double") / F.lit(1e6)), 6)
+                .alias("pr"))
+        )
+    return (pr.select("node", "pr")
+            .orderBy(F.col("pr").desc(), "node")
+            .limit(TOP))
+
+
+def _oracle() -> str:
+    # Every numeric literal is CAST to DOUBLE (DuckDB parses bare 0.85 /
+    # 1.0 as DECIMAL, whose arithmetic is not IEEE) and inlined with full
+    # Python repr, so both engines evaluate bit-identical doubles; N
+    # comes from the same deg relation the Spark plan counts.
+    r6 = "floor(({x}) * 1e6 + 0.5) / 1e6"
+    contrib = ("CAST(floor((" + r6.format(x="p.pr / d.deg")
+               + ") * 1e6 + 0.5) AS BIGINT)")
+    base = f"CAST({(1.0 - DAMPING)!r} AS DOUBLE) / nn.n"
+    damp = f"CAST({DAMPING!r} AS DOUBLE)"
+
+    def it(prev: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT e.dst AS node,
+         {r6.format(x=f"{base} + {damp} * "
+                      f"(CAST(sum({contrib}) AS DOUBLE) / 1e6)")} AS pr
+  FROM edges e JOIN {prev} p ON e.src = p.node
+  JOIN deg d ON e.src = d.src, nn
+  GROUP BY e.dst, nn.n
+)"""
+
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn),
+{it("pr0", "pr1")},
+{it("pr1", "pr2")}
+SELECT node, pr FROM pr2 ORDER BY pr DESC, node LIMIT {TOP}
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_pagerank": QuerySpec(q_pagerank, _oracle(),
+                            "damped PageRank, 2 rounds, exact-micros sums"),
+}

@@ -67,3 +67,17 @@ def test_registry_contract():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"q_approx_cd", "q_dedup_near", "q_mm_decode",
                          "q_sample_stratified"}
+
+
+def test_gate_window_marker_is_accurate():
+    """The '---- end of gate window ----' comment in plans/__init__.py is
+    how round-to-round window rotation is reasoned about — it must sit
+    exactly at the GATE_WINDOW boundary, not drift as entries are added."""
+    import re
+
+    from hippo_claim_crossover_spark import plans
+
+    src = open(plans.__file__).read()
+    pre = src.split("# ---- end of gate window")[0]
+    names = re.findall(r'"(q_\w+)"', pre.split("GATE_ORDER = [")[1])
+    assert names == plans.GATE_ORDER[:plans.GATE_WINDOW]
