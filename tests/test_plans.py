@@ -221,3 +221,43 @@ def test_whole_stage_codegen_covers_crossover(spark):
         "codegen")
     s = df._jdf.queryExecution().explainString(mode)
     assert "WholeStageCodegen" in s
+
+
+def test_ship_priority_pushes_both_date_filters_and_takeordered(spark):
+    """The Q3 composite must push the date windows into both fact scans
+    (no post-join filtering of unfiltered scans) and end in TakeOrdered,
+    never a global sort."""
+    plan = _plan(spark, "q_ship_priority")
+    assert "TakeOrderedAndProject" in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("l_shipdate" in p for p in pushed)
+
+
+def test_assoc_rules_aggregates_partially(spark):
+    """Pair and part supports must partial-aggregate (map-side combine)
+    before their shuffles — the candidate stream never ships raw."""
+    plan = _plan(spark, "q_assoc_rules")
+    assert plan.count("HashAggregate") >= 4  # partial+final × (pair, part)
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_reuses_checkpointed_edges(spark):
+    """Every PageRank round must read the ONE checkpointed edge
+    materialization (Scan ExistingRDD), never re-run the basket
+    self-join — the parquet scan appears zero times below the
+    iteration joins. Join strategy is left to AQE (the tiny rank state
+    broadcast-izes at runtime); statically we pin reuse + no cartesian."""
+    plan = _plan(spark, "q_pagerank")
+    # 2 rounds × (edge join + deg join) + deg build all read the checkpoint
+    assert plan.count("Scan ExistingRDD") >= 4
+    assert "CartesianProduct" not in plan
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_latest_snapshot_single_shuffle_window(spark):
+    """Latest-per-key is ONE hash partitioning on the key + window —
+    never a max-ts self-join (which would be two shuffles + a join)."""
+    plan = _plan(spark, "q_latest_snapshot")
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
