@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators import text as ops_text
-from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    duck_round,
+    t,
+    t_wide,
+)
 
 _STOPWORDS = ("the", "a", "and", "of")
 
@@ -290,6 +295,61 @@ FROM c
 """
 
 
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter: the published pretraining-data
+    heuristics as one row-local expression — token-count bounds, mean
+    word length window, and a repetition (distinct-token-ratio) floor —
+    emitting the per-document metrics plus the pass/fail verdict.
+
+    All built-ins, fully row-local (no shuffle at all: the filter runs
+    inside the scan stage at any scale). Mean word length uses the exact
+    identity (chars − (n−1)) / n — the fixture text is single-space
+    separated — so no second tokenization pass; both derived ratios go
+    through duck_round before the rule comparisons, which keeps the
+    booleans engine-deterministic too."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+
+    d = t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = duck_round((F.length("text") - (n - F.lit(1)))
+                          .cast("double") / n, 4)
+    distinct_ratio = duck_round(
+        F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    out = (
+        d.select("doc_id", n.alias("n_tokens"),
+                 mean_len.alias("mean_word_len"),
+                 distinct_ratio.alias("distinct_ratio"))
+        .withColumn("passes",
+                    (F.col("n_tokens") >= 50)
+                    & (F.col("n_tokens") <= 100000)
+                    & (F.col("mean_word_len") >= 3.0)
+                    & (F.col("mean_word_len") <= 10.0)
+                    & (F.col("distinct_ratio") >= 0.2))
+    )
+    return out
+
+
+ORACLE_TEXT_GOPHER = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         floor((CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                AS DOUBLE) / len(string_split(text, ' '))) * 1e4 + 0.5)
+           / 1e4 AS mean_word_len,
+         floor((CAST(len(list_distinct(string_split(text, ' ')))
+                AS DOUBLE) / len(string_split(text, ' '))) * 1e4 + 0.5)
+           / 1e4 AS distinct_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, mean_word_len, distinct_ratio,
+       (n_tokens >= 50 AND n_tokens <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND distinct_ratio >= 0.2) AS passes
+FROM m
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
@@ -309,4 +369,6 @@ SPECS: dict[str, QuerySpec] = {
                               "bigram vocab by document frequency"),
     "q_pack_sequences": QuerySpec(q_pack_sequences, ORACLE_PACK_SEQUENCES,
                                   "concat-and-chunk sequence packing"),
+    "q_text_gopher": QuerySpec(q_text_gopher, ORACLE_TEXT_GOPHER,
+                               "Gopher-style quality-rule filter"),
 }
