@@ -76,3 +76,41 @@ def test_join_pointers_matches_ruby_join(spark, rows):
                            F.col("p4")).alias("out")).collect()}
     want = {i: "".join(p or "" for p in r) for i, r in enumerate(rows)}
     assert got == want
+
+
+# ---- pure-formula properties (no Spark session: these pin the shared
+# arithmetic both the Spark plan and the DuckDB oracle evaluate) ----
+
+@given(st.integers(min_value=0, max_value=10**12),
+       st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_pack_bin_formula_matches_brute_force(start_tok, n_tokens):
+    """q_pack_sequences' BIGINT div/mod bin math vs the brute-force
+    definition: bin of the first token, offset inside it, and the number
+    of distinct bins the [start, start+n) token span touches."""
+    from hippo_claim_crossover_spark.plans.text import _PACK_BUDGET as B
+
+    bin_id = start_tok // B
+    offset = start_tok % B
+    spans = (start_tok + n_tokens - 1) // B - bin_id + 1
+    assert bin_id * B <= start_tok < (bin_id + 1) * B
+    assert offset == start_tok - bin_id * B
+    first, last = start_tok // B, (start_tok + n_tokens - 1) // B
+    assert spans == last - first + 1 >= 1
+
+
+@given(st.integers(min_value=1, max_value=2 * 10**9))
+@settings(max_examples=300, deadline=None)
+def test_histogram_float_division_bin_equals_exact_integer_bin(cents):
+    """q_histogram computes bins as floor(x / 25000.0) on doubles; for
+    every exact-2dp money value in range the result must equal the exact
+    integer computation (x_cents // 2_500_000) — i.e. the IEEE division
+    never lands a value on the wrong side of a bin edge."""
+    from hippo_claim_crossover_spark.plans.relational import _HIST_WIDTH
+
+    import math
+
+    x = cents / 100.0  # nearest-double of a 2dp value, as in the fixtures
+    float_bin = math.floor(x / float(_HIST_WIDTH))
+    exact_bin = cents // (_HIST_WIDTH * 100)
+    assert float_bin == exact_bin
