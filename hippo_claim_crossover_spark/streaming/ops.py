@@ -88,7 +88,8 @@ def dedup_stream(events: DataFrame, keys: list[str],
 def interval_join(left: DataFrame, right: DataFrame,
                   key: str = "user_id",
                   upper: str = "4 hours",
-                  watermark: str = "4 hours") -> DataFrame:
+                  watermark: str = "4 hours",
+                  how: str = "inner") -> DataFrame:
     """Stream-stream interval join: pair each `left` event with the `right`
     events of the same ``key`` that occur within ``[left.ts, left.ts +
     upper]`` — the attribution shape (view → purchase within N hours).
@@ -109,6 +110,13 @@ def interval_join(left: DataFrame, right: DataFrame,
     carry TIMESTAMP_NTZ (untagged parquet micros) while the stream schema
     carries TIMESTAMP — the cast is a no-op for the latter, and for NTZ
     the session-tz offset it introduces cancels in the subtraction.
+
+    ``how="left_outer"`` emits left rows with no match in their interval —
+    on streams, only once the right watermark has passed the interval's
+    end (the row is then provably matchless), which is why outer
+    stream-stream joins REQUIRE the watermark+range bound: without it the
+    "no match yet" state could never finalize. gap_us is NULL for the
+    unmatched rows.
     """
     l = left.select(F.col("event_id").alias("left_id"),
                     F.col(key).alias("join_key"),
@@ -125,7 +133,7 @@ def interval_join(left: DataFrame, right: DataFrame,
             & (F.col("right_ts")
                <= F.col("left_ts") + F.expr(f"INTERVAL {upper}")))
     return (
-        l.join(r, cond)
+        l.join(r, cond, how)
         .select(F.col("left_id"), F.col("right_id"),
                 F.col("join_key"),
                 (F.unix_micros(F.col("right_ts").cast("timestamp"))

@@ -282,3 +282,56 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
         by_batch.setdefault(r.batch_id, set()).add(r.event_id)
     assert by_batch.keys() == {0, 1}
     assert by_batch[1] == {4, 5}
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(
+        spark, tmp_path):
+    """Left-outer stream-stream interval join: a view with no purchase in
+    its interval is emitted (NULL-matched) only once the right watermark
+    proves it matchless; a view whose deadline the watermark has not yet
+    passed stays in state and is NOT emitted."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from hippo_claim_crossover_spark.streaming import interval_join
+    from hippo_claim_crossover_spark.streaming.ops import (
+        EVENT_STREAM_SCHEMA,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "src")
+    shutil.os.makedirs(src)
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def land(rows, i):
+        stage = str(tmp_path / "stage")
+        (spark.createDataFrame(rows, EVENT_STREAM_SCHEMA)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src}/batch-{i}.parquet"
+        shutil.copyfile(part, dst)
+        shutil.os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        shutil.rmtree(stage)
+
+    ev = lambda eid, minutes, uid, etype: (  # noqa: E731
+        eid, base + dt.timedelta(minutes=minutes), uid, etype, 1.0, None)
+
+    land([ev(1, 0, 1, "view"), ev(2, 30, 1, "purchase"),
+          ev(3, 5, 2, "view")], 0)                        # u2: no purchase
+    land([ev(4, 360, 3, "view"), ev(5, 360, 4, "purchase")], 1)  # wm → 15:00
+    land([ev(6, 420, 9, "view")], 2)                      # drives eviction
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    views = stream.where(F.col("event_type") == "view")
+    buys = stream.where(F.col("event_type") == "purchase")
+    out = interval_join(views, buys, key="user_id", upper="1 hour",
+                        watermark="1 hour", how="left_outer")
+    run_to_memory(out, "outer_join_out", "append")
+    rows = {r.left_id: (r.right_id, r.gap_us)
+            for r in spark.table("outer_join_out").collect()}
+    assert rows[1] == (2, 30 * 60 * 1_000_000)   # matched pair
+    assert rows[3] == (None, None)               # proven matchless, emitted
+    # u3 (view 16:00, deadline 17:00 > final wm 16:00) must still be held
+    assert 4 not in rows
