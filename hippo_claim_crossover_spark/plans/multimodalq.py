@@ -95,6 +95,68 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHARD_BYTES = 4096
+
+
+def q_mm_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style shard assignment: pack binary payloads into
+    ~fixed-byte output shards per media type — the layout step before a
+    training job reads media sequentially. Same shape as sequence
+    packing, applied to bytes: a per-media-type running byte sum (one
+    shuffle, each type packs independently — the shard key is what keeps
+    a 100 TB pack parallel), then exact BIGINT div for the shard id and
+    a per-shard summary. A row bigger than the shard budget still gets a
+    shard (its own), which is the degenerate case the division handles
+    for free."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = (F.when(F.col("doc_id") % 3 == 0, "image")
+             .when(F.col("doc_id") % 3 == 1, "audio")
+             .otherwise("video"))
+    w = Window.partitionBy("media_type").orderBy("doc_id")
+    staged = (
+        d.select("doc_id", media.alias("media_type"),
+                 F.octet_length(payload).cast("long").alias("n_bytes"))
+        .withColumn("start_byte",
+                    F.sum("n_bytes").over(w) - F.col("n_bytes"))
+        .withColumn("shard_id", F.expr(f"start_byte div {SHARD_BYTES}"))
+    )
+    return (
+        staged.groupBy("media_type", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("n_bytes").alias("shard_bytes"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+    )
+
+
+ORACLE_MM_SHARD = f"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), c AS (
+  SELECT *,
+         CAST(sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_bytes AS BIGINT) AS start_byte
+  FROM staged
+)
+SELECT media_type, start_byte // {SHARD_BYTES} AS shard_id,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY media_type, start_byte // {SHARD_BYTES}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_mm_meta": QuerySpec(q_mm_meta, ORACLE_MM_META,
                            "binary payload metadata"),
@@ -102,4 +164,6 @@ SPECS: dict[str, QuerySpec] = {
                               "binaryFile source ingestion"),
     "q_mm_decode": QuerySpec(q_mm_decode, None,
                              "mapInPandas stub decode pipeline"),
+    "q_mm_shard": QuerySpec(q_mm_shard, ORACLE_MM_SHARD,
+                            "webdataset-style byte-budget shard packing"),
 }
