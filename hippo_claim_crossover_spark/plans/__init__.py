@@ -51,7 +51,7 @@ GATE_ORDER = [
     "q_sink_clustered", "q_ship_priority", "q_udf_arrow",
     "q_date_spine", "q_udtf", "q_variant", "q_pipe_sql",
     "q_assoc_rules", "q_histogram_eq", "q_pagerank", "q_text_gopher",
-    "q_mm_shard",
+    "q_mm_shard", "q_src_evolve",
     # new earlier this round (never driver-checked)
     "q_stream_interval", "q_dedup_keep_best", "q_src_orc", "q_text_vocab",
     "q_cluster_kmeans",
@@ -68,9 +68,8 @@ GATE_ORDER = [
     "q_sim_topk", "q_sim_knn_blocked", "q_sim_ivf", "q_sim_lsh_buckets",
     # last driver row r2 (displaced from the r3 window): rotate back in
     "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
-    "q_case_2way",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_case_multi",
+    "q_case_2way", "q_case_multi",
     "q_case_struct", "q_case_dict",
     "q_bool_eq",
     "q_bool_or",

@@ -257,6 +257,47 @@ GROUP BY l_returnflag
 """
 
 
+def q_src_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch written
+    WITHOUT ``o_orderpriority`` (even keys) and a later batch WITH it
+    (odd keys) land in one dataset; ``mergeSchema`` reconciles the
+    footers at read time and the missing column surfaces as NULL for the
+    old rows — the additive-column lifecycle every long-lived 100 TB
+    table goes through (mergeSchema costs a footer read per file, so
+    production tables pin the merged schema in a catalog instead; the
+    read path is the same). The aggregate labels pre-schema rows
+    explicitly, and the oracle derives the identical split straight from
+    the raw table — proving no row was lost or mislabeled across the
+    evolution boundary."""
+    def write(out: str) -> None:
+        o = t(spark, sf_dir, "orders")
+        (o.where(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey", "o_totalprice")
+         .repartition(2).write.mode("overwrite").parquet(f"{out}/b1"))
+        (o.where(F.col("o_orderkey") % 2 == 1)
+         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+         .repartition(2).write.mode("overwrite").parquet(f"{out}/b2"))
+
+    out = _materialize(spark, sf_dir, "evolve", write)
+    merged = (spark.read.option("mergeSchema", True)
+              .parquet(f"{out}/b1", f"{out}/b2"))
+    return (
+        merged.groupBy(F.coalesce(F.col("o_orderpriority"),
+                                  F.lit("(pre-schema)")).alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_claims"),
+             money_sum(F.col("o_totalprice")).alias("sum_total"))
+    )
+
+
+ORACLE_SRC_EVOLVE = f"""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-schema)'
+            ELSE o_orderpriority END AS priority,
+       count(*) AS n_claims,
+       {money_sum_sql("o_totalprice")} AS sum_total
+FROM orders GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_part_prune": QuerySpec(q_part_prune, ORACLE_PART_PRUNE,
                               "partitionBy layout + pruned readback"),
@@ -268,4 +309,6 @@ SPECS: dict[str, QuerySpec] = {
                              "JSON-lines source, explicit schema"),
     "q_sink_clustered": QuerySpec(q_sink_clustered, ORACLE_SINK_CLUSTERED,
                                   "range-clustered rewrite + pruned scan"),
+    "q_src_evolve": QuerySpec(q_src_evolve, ORACLE_SRC_EVOLVE,
+                              "mergeSchema additive-column evolution"),
 }
