@@ -19,8 +19,16 @@ from hippo_claim_crossover_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per major operator family (join/agg, windows, explode,
 # time windows, text, dedup, similarity, JSON).
+# Order note: q_udaf / q_udf_arrow run FIRST among Python-stage queries on
+# purpose — the session's one-time Python-worker-pool spawn (~1-4s for 32
+# workers importing numpy/pandas/pyarrow) lands on whichever Python stage
+# executes first, and attributing it to these two small UDF demos keeps the
+# similarity/dedup numbers representative of their plans. Total is
+# unaffected; the cost is paid exactly once either way.
 HEADLINE = [
     "q_crossover",
+    "q_udaf",
+    "q_udf_arrow",
     "q_agg_multi",
     "q_join_inner",
     "q_join_asof",
@@ -39,7 +47,6 @@ HEADLINE = [
     "q_sim_knn_blocked",
     "q_sim_lsh_buckets",
     "q_dedup_lshband",
-    "q_udaf",
     "q_percentile",
     # round-4 additions: the operator families that had correctness proof
     # but no perf number (round-3 verdict "What's missing" #1), plus the
@@ -60,7 +67,6 @@ HEADLINE = [
     "q_histogram",
     "q_profile",
     "q_ship_priority",
-    "q_udf_arrow",
     "q_pagerank",
     "q_assoc_rules",
     "q_udtf",

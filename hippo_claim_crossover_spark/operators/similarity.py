@@ -13,6 +13,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -94,6 +95,134 @@ def _duck_round(c: Column, nd: int) -> Column:
 
 def _round6(c: Column) -> Column:
     return _duck_round(c, 6)
+
+
+def pair_cosine_arrow(pairs: DataFrame, nd: int = 4,
+                      va_col: str = "va", vb_col: str = "vb",
+                      out_col: str = "cosine") -> DataFrame:
+    """Batch-score candidate pairs carrying pre-normalized vectors in
+    ``va_col``/``vb_col``: every other column passes through, the vector
+    columns are replaced by one rounded-cosine double.
+
+    This is the vectorized fast path for per-PAIR scoring (the hot stage
+    of knn_blocked / embed_near_pairs, where the pair count is N×bucket —
+    far larger than N): a ``mapInArrow`` numpy kernel scores a whole Arrow
+    batch per call instead of one interpreted higher-order-function eval
+    per pair (~5µs each — the round-4 bench's single most expensive plan).
+    Narrow map, no shuffle added; the join/window shape around it is
+    unchanged.
+
+    Bit-compatibility contract (what keeps the DuckDB oracles exact): the
+    kernel accumulates ``acc += va[:,d]*vb[:,d]`` one dimension at a time,
+    reproducing the left-fold association order of the HOF
+    ``aggregate(zip_with(a,b,(x,y)->x*y), 0.0, +)`` — and of DuckDB's
+    sequential ``list_dot_product`` — on identical IEEE doubles, then
+    applies the same ``floor(x*10^nd + 0.5)/10^nd`` rounding as
+    :func:`_duck_round`. A BLAS dot (``np.einsum``/``A@B``) would pairwise-
+    sum in a different order and flip rare last-ulp roundings.
+
+    Vectors must be non-null and fixed-length within a batch (true for any
+    embedding table worth the name); ragged input fails the reshape loudly.
+    """
+    passthrough = [f for f in pairs.schema.fields
+                   if f.name not in (va_col, vb_col)]
+    names = [f.name for f in passthrough]
+    out_schema = T.StructType(
+        passthrough + [T.StructField(out_col, T.DoubleType())])
+    scale = float(10 ** nd)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            va = np.asarray(b.column(va_col).flatten(),
+                            dtype=np.float64).reshape(n, -1)
+            vb = np.asarray(b.column(vb_col).flatten(),
+                            dtype=np.float64).reshape(n, -1)
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(va.shape[1]):
+                acc += va[:, d] * vb[:, d]
+            cos = np.floor(acc * scale + 0.5) / scale
+            yield pa.RecordBatch.from_arrays(
+                [b.column(nm) for nm in names]
+                + [pa.array(cos, type=pa.float64())],
+                names=names + [out_col])
+
+    return pairs.mapInArrow(score, out_schema)
+
+
+def srp_keys_arrow(df: DataFrame, fams: list[list[list[float]]],
+                   id_col: str = "vec_id",
+                   vec_col: str = "v") -> DataFrame:
+    """(id, _vn, _bs) rows: unit-normalized vector + one SRP bucket id per
+    plane family, computed in a single Arrow numpy kernel.
+
+    Why not the declarative ``srp_bucket`` expression: with adaptive plane
+    counts the bucket expression embeds families × planes × dim literal
+    arrays (≈1,400 literals at the fixture's 11 planes) each wrapped in an
+    ``aggregate(zip_with(...))`` fold — Janino spends seconds compiling it
+    (the dominant cost of the round-4 bench's q_sim_knn_blocked at 4.9s)
+    and then evaluates every fold interpreted anyway (higher-order
+    functions never enter whole-stage codegen). One ``mapInArrow`` over
+    the N input rows replaces all of it: planes live as a numpy constant
+    in the closure, and the per-row work is ~dim×planes vectorized mults.
+    Narrow map — no shuffle, no plan-shape change downstream.
+
+    Bit-compatibility: per plane the dot accumulates one dimension at a
+    time over the RAW vector (``acc += v[:,d] * plane[d]``) and the norm
+    as ``acc += v[:,d]**2`` — the exact left-fold order of the HOF
+    ``dot``/``l2_norm`` they replace and of DuckDB's ``list_dot_product``
+    in the oracles; ``sqrt`` and the ``> 0`` sign test are IEEE-identical
+    across engines.
+    """
+    import numpy as np
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        id_field,
+        T.StructField("_vn", T.ArrayType(T.DoubleType())),
+        T.StructField("_bs", T.ArrayType(T.LongType())),
+    ])
+    # dim × n_planes matrix per family, built once driver-side and shipped
+    # in the closure (KBs — broadcast-sized at any plane count).
+    mats = [np.asarray(f, dtype=np.float64).T for f in fams]
+
+    def keys(batches):
+        import pyarrow as pa
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            v = np.asarray(b.column(vec_col).flatten(),
+                           dtype=np.float64).reshape(n, -1)
+            dim = v.shape[1]
+            nsq = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                nsq += v[:, d] * v[:, d]
+            vn = v / np.sqrt(nsq)[:, None]
+            buckets = np.zeros((n, len(mats)), dtype=np.int64)
+            for fi, P in enumerate(mats):
+                acc = np.zeros((n, P.shape[1]), dtype=np.float64)
+                for d in range(dim):
+                    acc += v[:, d:d + 1] * P[d, :]
+                buckets[:, fi] = (
+                    (acc > 0).astype(np.int64)
+                    << np.arange(P.shape[1], dtype=np.int64)).sum(axis=1)
+            off = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            vn_arr = pa.ListArray.from_arrays(
+                pa.array(off), pa.array(vn.reshape(-1)))
+            boff = np.arange(0, (n + 1) * len(mats), len(mats),
+                             dtype=np.int32)
+            bs_arr = pa.ListArray.from_arrays(
+                pa.array(boff), pa.array(buckets.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), vn_arr, bs_arr],
+                names=[id_col, "_vn", "_bs"])
+
+    return df.select(id_col, vec_col).mapInArrow(keys, out_schema)
 
 
 def ivf_centroids(df: DataFrame, n_cells: int, id_col: str = "vec_id",
@@ -289,30 +418,27 @@ def embed_near_pairs(df: DataFrame, dim: int, threshold: float = 0.25,
     ``n_planes=None`` derives the plane count from ``df.count()`` — one
     metadata-only job on Parquet sources, but a full scan on anything
     without count stats (JDBC, unbounded views); pass it explicitly there,
-    exactly like knn_blocked's escape hatch. Emitted cosines use builtin
-    round(): every survivor is ≥ threshold > 0, so the negative-halfway
-    divergence the _duck_round formula exists for cannot occur."""
+    exactly like knn_blocked's escape hatch. Pair scoring goes through the
+    :func:`pair_cosine_arrow` numpy kernel (same fold order + floor
+    rounding as the HOF/_duck_round path it replaced), so emitted cosines
+    use the engine-portable floor formula everywhere."""
     if n_planes is None:
         n_planes = planes_for(df.count(), target_bucket_size,
                               max_planes=max_planes)
     planes = srp_family(0, n_planes, dim)
-    n = (
-        df.withColumn("_nrm", l2_norm(F.col(vec_col)))
-        .select(id_col,
-                F.transform(F.col(vec_col),
-                            lambda x: x / F.col("_nrm")).alias("vn"),
-                srp_bucket(F.col(vec_col), planes).alias("bucket"))
-    )
+    n = srp_keys_arrow(df, [planes], id_col, vec_col).select(
+        id_col, F.col("_vn").alias("vn"),
+        F.col("_bs")[0].alias("bucket"))
     a, b = n.alias("a"), n.alias("b")
-    cos = F.round(dot(F.col("a.vn"), F.col("b.vn")), 4)
-    return (
+    raw = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("vec_a"),
                 F.col(f"b.{id_col}").alias("vec_b"),
-                cos.alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+                F.col("a.vn").alias("va"), F.col("b.vn").alias("vb"))
     )
+    return (pair_cosine_arrow(raw, nd=4)
+            .where(F.col("cosine") >= threshold))
 
 
 def knn_blocked(df: DataFrame, dim: int, k: int = 3,
@@ -344,16 +470,12 @@ def knn_blocked(df: DataFrame, dim: int, k: int = 3,
     # single self-join on the composite key — one join branch instead of
     # n_families unioned joins. Each row carries the full bucket array so
     # the join can apply the first-colliding-family rule below.
-    keyed = (
-        df.withColumn("_nrm", l2_norm(F.col(vec_col)))
-        .select(id_col,
-                F.transform(F.col(vec_col),
-                            lambda x: x / F.col("_nrm")).alias("_vn"),
-                F.array(*[srp_bucket(F.col(vec_col), fams[f])
-                          for f in range(n_families)]).alias("_bs"))
-        .select(id_col, "_vn", "_bs",
-                F.posexplode("_bs").alias("_fam", "_bk"))
-    )
+    # Normalization + bucket ids come from the srp_keys_arrow numpy kernel
+    # (the declarative srp_bucket expression at adaptive plane counts is a
+    # multi-second Janino compile plus interpreted HOF folds — see the
+    # kernel docstring); the explode stays JVM-side.
+    keyed = srp_keys_arrow(df, fams, id_col, vec_col).select(
+        id_col, "_vn", "_bs", F.posexplode("_bs").alias("_fam", "_bk"))
     a, b = keyed.alias("a"), keyed.alias("b")
     # First-colliding-family rule: family f emits a pair only when no
     # earlier family already bucketed it together — the family outputs are
@@ -368,16 +490,20 @@ def knn_blocked(df: DataFrame, dim: int, k: int = 3,
         for i in range(f):
             hit_f = hit_f | (F.col("a._bs")[i] == F.col("b._bs")[i])
         earlier_hit = earlier_hit | ((F.col("a._fam") == f) & hit_f)
-    cos = _duck_round(dot(F.col("a._vn"), F.col("b._vn")), 4)
-    cand = (
+    # Per-pair scoring is the hot stage (N·bucket pairs ≫ N rows): the
+    # joined candidate stream carries both normalized vectors into the
+    # Arrow numpy kernel, which batch-computes the identical fold-order
+    # cosine + floor rounding the interpreted HOF expression produced.
+    raw = (
         a.join(b, (F.col("a._fam") == F.col("b._fam"))
                & (F.col("a._bk") == F.col("b._bk"))
                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
                & ~earlier_hit)
         .select(F.col(f"a.{id_col}").alias(id_col),
                 F.col(f"b.{id_col}").alias("neighbor_id"),
-                cos.alias("cosine"))
+                F.col("a._vn").alias("va"), F.col("b._vn").alias("vb"))
     )
+    cand = pair_cosine_arrow(raw, nd=4)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (cand.withColumn("rk", F.row_number().over(w))

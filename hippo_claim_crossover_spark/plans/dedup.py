@@ -417,10 +417,17 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_embed() -> str:
+    # _r4 = floor(x*1e4 + 0.5)/1e4 — the same engine-portable rounding the
+    # pair_cosine_arrow kernel applies on the Spark side (NOT DuckDB
+    # round(), whose shortest-repr-independent scaling already matches the
+    # formula, but keeping literally the same expression on both sides
+    # leaves nothing to diverge).
     from hippo_claim_crossover_spark.plans.similarity import (
         NP_T_SQL,
         _bucket_sql_gated,
+        _r4,
     )
+    cos = _r4('list_dot_product(a.vn, b.vn)')
     return f"""
 WITH {NP_T_SQL}, n AS (
   SELECT vec_id,
@@ -429,9 +436,9 @@ WITH {NP_T_SQL}, n AS (
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), np_t
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.vn, b.vn), 4) AS cosine
+       {cos} AS cosine
 FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.vn, b.vn), 4) >= 0.25
+WHERE {cos} >= 0.25
 """
 
 
