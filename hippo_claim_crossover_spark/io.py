@@ -123,14 +123,31 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     In the fallback, ``ts div 1000`` is exact LONG integer division (a
     double division would round at 2^53 and can flip the last
     microsecond) — the same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP. The legacy conf is scoped to the read: the
-    parquet relation captures it at analysis time, so save/restore keeps
-    the session's handling of any other TIMESTAMP(NANOS) parquet
-    unchanged."""
+    TIMESTAMP_NS → TIMESTAMP; the ``timestamp_micros`` result (LTZ) is
+    cast to ``timestamp_ntz`` so both read paths emit the declared schema
+    type and downstream ts-derived columns cannot flip type with the
+    fixture generation.
+
+    The primary read passes the declared schema explicitly, so the ts
+    type does not silently depend on
+    ``spark.sql.parquet.inferTimestampNTZ.enabled``; only the nanos
+    schema-conversion failure falls through to the legacy path — any
+    other failure (missing file, corrupt footer) re-raises as itself.
+    The legacy conf is scoped to the read: the parquet relation captures
+    it at analysis time, so save/restore keeps the session's handling of
+    any other TIMESTAMP(NANOS) parquet unchanged."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
-        return spark.read.parquet(f"{sf_dir}/events.parquet")
-    except Exception:  # legacy nanos footer: schema conversion throws
+        # Footer probe: schema inference is where a TIMESTAMP(NANOS)
+        # footer throws (an explicit-schema read would defer the failure
+        # to execution time, past this fallback).
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    except AnalysisException:  # legacy nanos footer: conversion throws
         pass
+    else:
+        return spark.read.schema(SCHEMAS["events"]).parquet(
+            f"{sf_dir}/events.parquet")
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")
@@ -143,7 +160,8 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
     return raw.select(
         "event_id",
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        .alias("ts"),
         "user_id", "event_type", "value", "props",
     )
 

@@ -178,7 +178,12 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_id").alias("last_event_id"),
                 F.col("ts").alias("last_ts"),
                 F.col("event_type").alias("last_type"),
-                F.round(F.col("value"), 2).alias("last_value"))
+                # duck_round, not F.round: value is a full-precision double
+                # in some fixture generations, and Spark round()'s
+                # shortest-decimal HALF_UP can diverge from DuckDB's scaled
+                # rounding on .xx5-printing values (non-negative here, so
+                # the floor formula matches DuckDB round exactly).
+                duck_round(F.col("value"), 2).alias("last_value"))
     )
 
 

@@ -105,11 +105,12 @@ def interval_join(left: DataFrame, right: DataFrame,
     no range explosion, scale-safe.
 
     ``gap_us`` is exact BIGINT µs arithmetic (no float), so results are
-    bit-comparable across engines. The ``cast("timestamp")`` before
-    ``unix_micros`` makes the expression type-agnostic: batch fixtures
-    carry TIMESTAMP_NTZ (untagged parquet micros) while the stream schema
-    carries TIMESTAMP — the cast is a no-op for the latter, and for NTZ
-    the session-tz offset it introduces cancels in the subtraction.
+    bit-comparable across engines. ``timestampdiff(MICROSECOND, ...)``
+    operates directly on both TIMESTAMP and TIMESTAMP_NTZ (batch fixtures
+    carry NTZ, the stream schema TIMESTAMP) with no timezone round-trip —
+    the earlier cast-to-TIMESTAMP formulation relied on session-tz offsets
+    cancelling, which breaks when a DST transition falls inside the
+    interval in a non-UTC session timezone.
 
     ``how="left_outer"`` emits left rows with no match in their interval —
     on streams, only once the right watermark has passed the interval's
@@ -136,8 +137,7 @@ def interval_join(left: DataFrame, right: DataFrame,
         l.join(r, cond, how)
         .select(F.col("left_id"), F.col("right_id"),
                 F.col("join_key"),
-                (F.unix_micros(F.col("right_ts").cast("timestamp"))
-                 - F.unix_micros(F.col("left_ts").cast("timestamp")))
+                F.expr("timestampdiff(MICROSECOND, left_ts, right_ts)")
                 .alias("gap_us"))
     )
 
