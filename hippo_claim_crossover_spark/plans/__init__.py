@@ -45,58 +45,48 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # new this session
-    "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
-    "q_decontaminate", "q_latest_snapshot", "q_histogram", "q_profile",
-    "q_sink_clustered", "q_ship_priority", "q_udf_arrow",
-    "q_date_spine", "q_udtf", "q_variant", "q_pipe_sql",
-    "q_assoc_rules", "q_histogram_eq", "q_pagerank", "q_text_gopher",
-    "q_mm_shard", "q_src_evolve",
-    # new earlier this round (never driver-checked)
-    "q_stream_interval", "q_dedup_keep_best", "q_src_orc", "q_text_vocab",
-    "q_cluster_kmeans",
-    "q_part_prune", "q_src_csv", "q_src_jsonl",
-    "q_dedup_simhash_pairs", "q_mm_binfile",
-    # events ts fixture changed TIMESTAMP(NANOS) → untagged micros, so
-    # every query emitting ts-derived columns changed output type
-    # (TIMESTAMP → TIMESTAMP_NTZ): re-prove under the driver.
-    # (q_stream_late builds its own TimestampType fixture — unaffected.)
-    "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_time_trunc",
-    "q_join_asof", "q_json", "q_json_project",
-    # perf rewrites + cosine-rounding change this round
-    "q_dedup_ngram", "q_dedup_cluster", "q_dedup_embed", "q_udaf",
-    "q_sim_topk", "q_sim_knn_blocked", "q_sim_ivf", "q_sim_lsh_buckets",
-    # last driver row r2 (displaced from the r3 window): rotate back in
-    "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
+    # -- new or code-changed this session (round 5) --
+    # left-outer interval join newly oracle-declared; the four below were
+    # rewritten this session (Arrow kernels: knn/embed; duck_round:
+    # latest_snapshot; timestampdiff gap_us: stream_interval).
+    "q_stream_interval_lo",
+    "q_sim_knn_blocked", "q_dedup_embed", "q_latest_snapshot",
+    "q_stream_interval",
+    # -- last driver row is r2 (oldest — rotate all 31 back through) --
+    "q_agg_multi", "q_approx_cd", "q_bool_eq", "q_bool_or",
+    "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
+    "q_case_struct", "q_cast", "q_coalesce2", "q_coalesce_pair",
+    "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
+    "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
+    "q_str_dxcode", "q_str_join", "q_str_name", "q_str_zip",
+    "q_topk", "q_topk_group", "q_udf", "q_win_dist", "q_win_frame",
+    "q_win_rank", "q_win_running",
+    # -- last driver row r3: oldest 14 fill out the 50-slot window --
+    "q_crossover", "q_scan", "q_sink", "q_percentile", "q_pivot",
+    "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
+    "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
+    "q_unpivot",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_case_2way", "q_case_multi",
-    "q_case_struct", "q_case_dict",
-    "q_bool_eq",
-    "q_bool_or",
-    "q_coalesce2",
-    "q_coalesce_pair", "q_branch_route",
-    "q_str_dxcode", "q_str_zip", "q_str_name",
-    "q_str_join", "q_date_fmt", "q_range_ends", "q_cast", "q_udf",
-    "q_agg_multi",
-    # displaced r2-row queries (unchanged code, re-proven by the local
-    # gate tools/check_oracle.py each round) and green-r3 unchanged rows
-    "q_distinct", "q_approx_cd", "q_rollup",
-    "q_topk", "q_topk_group", "q_setops", "q_join_range",
-    "q_join_bucketed", "q_join_salted",
-    "q_win_rank", "q_win_running", "q_win_frame", "q_win_dist",
-    "q_dedup_exact", "q_dedup_minhash",
-    "q_dedup_lshband", "q_dedup_simhash", "q_dedup_near",
-    "q_text_tfidf",
-    "q_explode", "q_explode_nested", "q_unpivot",
-    "q_stream_late",
-    "q_text_tokens", "q_text_lang", "q_text_tokcount", "q_text_quality",
-    "q_text_langid", "q_text_fingerprint",
-    "q_mm_meta", "q_mm_decode",
-    "q_percentile", "q_pivot", "q_cube", "q_sample_hash",
-    "q_sample_stratified",
-    "q_crossover", "q_scan", "q_sink", "q_project_rename", "q_parent_denorm",
-    "q_filter_first", "q_filter_eq", "q_filter_notnull", "q_having",
-    "q_join_inner", "q_join_broadcast", "q_join_left",
+    # -- remaining r3-last rows (re-proven by the local gate each round) --
+    "q_dedup_near", "q_filter_eq", "q_filter_first", "q_filter_notnull",
+    "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
+    "q_mm_decode", "q_mm_meta", "q_parent_denorm", "q_project_rename",
+    "q_sample_hash", "q_sample_stratified", "q_stream_late",
+    "q_text_fingerprint", "q_text_lang", "q_text_langid",
+    "q_text_quality", "q_text_tokcount", "q_text_tokens",
+    # -- green driver row in r4, code unchanged since --
+    "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
+    "q_decontaminate", "q_histogram", "q_profile", "q_sink_clustered",
+    "q_ship_priority", "q_udf_arrow", "q_date_spine", "q_udtf",
+    "q_variant", "q_pipe_sql", "q_assoc_rules", "q_histogram_eq",
+    "q_pagerank", "q_text_gopher", "q_mm_shard", "q_src_evolve",
+    "q_dedup_keep_best", "q_src_orc", "q_text_vocab", "q_cluster_kmeans",
+    "q_part_prune", "q_src_csv", "q_src_jsonl", "q_dedup_simhash_pairs",
+    "q_mm_binfile", "q_stream_tumble", "q_stream_slide",
+    "q_stream_session", "q_time_trunc", "q_join_asof", "q_json",
+    "q_json_project", "q_dedup_ngram", "q_dedup_cluster", "q_udaf",
+    "q_sim_topk", "q_sim_ivf", "q_sim_lsh_buckets", "q_join_semi",
+    "q_join_anti", "q_agg_sum", "q_agg_exists",
 ]
 
 _missing = _BY_NAME.keys() - set(GATE_ORDER)

@@ -237,6 +237,41 @@ FROM e l JOIN e r
 """
 
 
+def q_stream_interval_lo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join — q_stream_interval plus the matchless
+    view events (NULL right_id/gap_us): the attribution query that also
+    counts the views that did NOT convert. Same
+    ``streaming.interval_join`` expression with ``how="left_outer"``; on
+    two streams the unmatched rows emit only once the right watermark
+    passes the interval end (provably matchless), which is exactly why
+    outer stream-stream joins require the watermark + time-range bound.
+    In batch: one shuffle per side on ``user_id``, NULL-extending
+    SortMergeJoin — this oracle-checks the batch parity of the streaming
+    left-outer shape (unit-proven in tests/test_streaming.py)."""
+    from hippo_claim_crossover_spark.streaming.ops import interval_join
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    buys = e.filter(F.col("event_type") == "purchase")
+    return interval_join(views, buys, key="user_id", upper="4 hours",
+                         how="left_outer")
+
+
+ORACLE_STREAM_INTERVAL_LO = """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events
+), l AS (SELECT * FROM e WHERE event_type = 'view'),
+   r AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT l.event_id AS left_id, r.event_id AS right_id,
+       l.user_id AS join_key,
+       epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: users whose first ``view`` is followed by
     a ``click``, whose first such click is followed by a ``purchase`` —
@@ -360,6 +395,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_stream_interval": QuerySpec(q_stream_interval, ORACLE_STREAM_INTERVAL,
                                    "stream-stream interval join "
                                    "(attribution, batch parity)"),
+    "q_stream_interval_lo": QuerySpec(
+        q_stream_interval_lo, ORACLE_STREAM_INTERVAL_LO,
+        "left-outer interval join (batch parity incl. matchless rows)"),
     "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
                               "calendar rollup"),
     "q_funnel": QuerySpec(q_funnel, ORACLE_FUNNEL,
