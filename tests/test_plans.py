@@ -76,6 +76,21 @@ def test_dedup_exact_shuffles_digest_not_text(spark):
     assert "hashpartitioning(text" not in plan
 
 
+def test_ngram_shingle_table_materialized_once(spark):
+    """The ngram self-join must read ONE materialization of the shingle
+    table per side (the lazy localCheckpoint in ngram_jaccard_pairs) —
+    twice now (r2, r4-adjacent) a plan change re-derived the shingle
+    pipeline (split → transform → array_join → array_distinct → xxhash64)
+    inside the join, multiplying the most expensive expression in the
+    query by 4-6×. Pin the fixed shape: both join sides are checkpoint
+    RDD scans, and no shingle-pipeline operator appears anywhere in the
+    executed plan."""
+    plan = _plan(spark, "q_dedup_ngram")
+    assert plan.count("Scan ExistingRDD") == 2
+    for rederived in ("xxhash64", "array_distinct", "Generate", "FileScan"):
+        assert rederived not in plan, f"shingle pipeline re-derived: {rederived}"
+
+
 def test_dedup_embed_blocks_on_srp_bucket(spark):
     plan = _plan(spark, "q_dedup_embed")
     assert "bucket" in plan
