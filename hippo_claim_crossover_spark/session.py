@@ -12,8 +12,47 @@ spark-submit conf, which always wins over ``.config()`` defaults set here.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import SparkSession
+
+# Run-scoped scratch output (q_sink, bucketed tables, source
+# materializations, streaming fixtures) is keyed by applicationId so
+# concurrent runs never race — but nothing else ever deletes those dirs,
+# so repeated harness runs accumulate one generation per session. Prune
+# anything carrying a different session's `local-<millis>` tag at startup.
+_SCRATCH_ROOTS = ("/root/repo/_scratch", "/root/repo/spark-warehouse/bktest.db")
+_RUN_TAG = re.compile(r"local[-_](\d+)")
+_PRUNED_FOR: set[str] = set()
+
+
+def _prune_stale_scratch(app_id: str) -> None:
+    """Best-effort removal of scratch dirs left by previous sessions:
+    every entry whose name embeds a run tag different from ``app_id``'s.
+    Entries without a run tag (e.g. the binfiles fixture cache) are
+    shared across sessions and kept."""
+    m = _RUN_TAG.search(app_id)
+    if not m:
+        return
+    current = m.group(1)
+    for root in _SCRATCH_ROOTS:
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            continue
+        for name in entries:
+            tag = _RUN_TAG.search(name)
+            if not tag or tag.group(1) == current:
+                continue
+            path = os.path.join(root, name)
+            try:
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.remove(path)
+            except OSError:
+                pass
 
 # Defaults tuned for the local[32] test harness. On a 1000-executor cluster
 # the operative settings (shuffle partitions ~= 2-3x total cores, AQE
@@ -46,4 +85,9 @@ def get_spark(app_name: str = "hippo_claim_crossover_spark",
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _PRUNED_FOR:  # once per session, not per call
+        _PRUNED_FOR.add(app_id)
+        _prune_stale_scratch(app_id)
+    return spark
