@@ -211,3 +211,57 @@ def test_pq_adc_with_full_codebook_is_exact_l2(spark):
     assert [r.vec_id for r in got] == [vid for _, vid in exact]
     for r, (d2, _) in zip(got, exact):
         assert math.isclose(r.approx_d2, d2, abs_tol=2e-4)
+
+
+def test_arrow_kernels_bit_match_hof_expressions(spark):
+    """The Arrow numpy kernels (srp_keys_arrow, pair_cosine_arrow) must
+    reproduce the interpreted HOF expressions they replaced BIT-FOR-BIT —
+    same left-fold accumulation order, same floor rounding — or the
+    DuckDB oracles built against the HOF semantics drift. Compares every
+    normalized component, bucket id, and rounded pair cosine on awkward
+    (non-round, sign-mixed) vectors."""
+    from pyspark.sql import types as T
+
+    from hippo_claim_crossover_spark.operators.similarity import (
+        _duck_round,
+        dot,
+        pair_cosine_arrow,
+        srp_bucket,
+        srp_keys_arrow,
+    )
+
+    dim = 8
+    rows = [(i, _vec(i * 3 + 1, dim)) for i in range(60)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    fams = [srp_family(f, 5, dim) for f in range(2)]
+
+    hof = (df.withColumn("_nrm", l2_norm(F.col("v")))
+           .select("vec_id",
+                   F.transform(F.col("v"),
+                               lambda x: x / F.col("_nrm")).alias("_vn"),
+                   F.array(*[srp_bucket(F.col("v"), f)
+                             for f in fams]).alias("_bs")))
+    ker = srp_keys_arrow(df, fams)
+    h = {r["vec_id"]: r for r in hof.collect()}
+    k = {r["vec_id"]: r for r in ker.collect()}
+    assert h.keys() == k.keys()
+    for i in h:
+        assert h[i]["_bs"] == k[i]["_bs"], i
+        assert h[i]["_vn"] == k[i]["_vn"], i  # exact doubles, not approx
+
+    # pair scoring: kernel cosine == HOF duck_round(dot) on all pairs
+    a, b = hof.alias("a"), hof.alias("b")
+    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     F.col("a._vn").alias("va"), F.col("b._vn").alias("vb")))
+    want = {(r["id_a"], r["id_b"]): r["c"] for r in pairs.select(
+        "id_a", "id_b",
+        _duck_round(dot(F.col("va"), F.col("vb")), 4).alias("c")).collect()}
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in pair_cosine_arrow(pairs, nd=4).collect()}
+    assert want == got
