@@ -49,7 +49,7 @@ GATE_ORDER = [
     # left-outer interval join newly oracle-declared; the four below were
     # rewritten this session (Arrow kernels: knn/embed; duck_round:
     # latest_snapshot; timestampdiff gap_us: stream_interval).
-    "q_stream_interval_lo",
+    "q_stream_interval_lo", "q_region_volume",
     "q_sim_knn_blocked", "q_dedup_embed", "q_latest_snapshot",
     "q_stream_interval",
     # -- last driver row is r2 (oldest — rotate all 31 back through) --

@@ -159,6 +159,64 @@ LIMIT 10
 """
 
 
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the 6-table join chain
+    region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    *local-supplier* condition (customer and supplier share a nation) and
+    a one-year order window, revenue per nation.
+
+    The composite every warehouse join planner is graded on: the two
+    fact tables (orders, lineitem) join on their natural keys as
+    shuffles; the three dimension hops (supplier→nation→region) are
+    broadcast joins (KB-sized at any scale — region/nation are fixed
+    enumerations, supplier is the smallest fact side after AQE sees the
+    filter); the c_nationkey = s_nationkey condition rides the supplier
+    join as a residual predicate, never a second shuffle. Revenue rides
+    exact integer micros so per-nation ordering is engine-deterministic."""
+    r = (t(spark, sf_dir, "region")
+         .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01"))
+         .select("o_orderkey", "o_custkey"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(money_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+ORACLE_REGION_VOLUME = f"""
+SELECT n.n_name AS nation,
+       {money_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
 def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4 ``|>``): the linear FROM → WHERE →
     AGGREGATE form of a filtered pricing summary. Pure syntax — it
@@ -609,6 +667,8 @@ SPECS: dict[str, QuerySpec] = {
                              "fixed-width numeric histogram"),
     "q_ship_priority": QuerySpec(q_ship_priority, ORACLE_SHIP_PRIORITY,
                                  "TPC-H Q3-shaped composite top-10"),
+    "q_region_volume": QuerySpec(q_region_volume, ORACLE_REGION_VOLUME,
+                                 "TPC-H Q5-shaped 6-table join composite"),
     "q_pipe_sql": QuerySpec(q_pipe_sql, ORACLE_PIPE_SQL,
                             "SQL pipe syntax (|>) pricing summary"),
     "q_assoc_rules": QuerySpec(q_assoc_rules, ORACLE_ASSOC_RULES,
