@@ -67,6 +67,9 @@ HEADLINE = [
     "q_histogram",
     "q_profile",
     "q_ship_priority",
+    # round-5 additions
+    "q_region_volume",
+    "q_stream_interval_lo",
     "q_pagerank",
     "q_assoc_rules",
     "q_udtf",
