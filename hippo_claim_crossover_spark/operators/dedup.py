@@ -92,8 +92,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                  F.col("b.n_sh").alias("nb"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.round(F.col("inter").cast("double")
-                  / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    # floor-formula rounding (≡ DuckDB round on this non-negative
+    # quotient): intersection/union can print as .xxx5 while the raw
+    # double sits below it — Spark round()'s repr-based HALF_UP would
+    # diverge from the oracle there.
+    s4 = F.lit(1e4)
+    jac = (F.floor(F.col("inter").cast("double")
+                   / (F.col("na") + F.col("nb") - F.col("inter")) * s4
+                   + F.lit(0.5))).cast("double") / s4
     return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 

@@ -52,6 +52,9 @@ GATE_ORDER = [
     "q_stream_interval_lo", "q_region_volume",
     "q_sim_knn_blocked", "q_dedup_embed", "q_latest_snapshot",
     "q_stream_interval",
+    # rounding hardened to the floor formula this session (quotient /
+    # accumulated-double outputs): re-prove under the driver
+    "q_text_lang", "q_text_quality", "q_dedup_ngram", "q_dedup_keep_best",
     # -- last driver row is r2 (oldest — rotate all 31 back through) --
     "q_agg_multi", "q_approx_cd", "q_bool_eq", "q_bool_or",
     "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
@@ -64,27 +67,27 @@ GATE_ORDER = [
     # -- last driver row r3: oldest 14 fill out the 50-slot window --
     "q_crossover", "q_scan", "q_sink", "q_percentile", "q_pivot",
     "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
-    "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- remaining r3-last rows (re-proven by the local gate each round) --
+    "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot",
     "q_dedup_near", "q_filter_eq", "q_filter_first", "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
     "q_mm_decode", "q_mm_meta", "q_parent_denorm", "q_project_rename",
     "q_sample_hash", "q_sample_stratified", "q_stream_late",
-    "q_text_fingerprint", "q_text_lang", "q_text_langid",
-    "q_text_quality", "q_text_tokcount", "q_text_tokens",
+    "q_text_fingerprint", "q_text_langid",
+    "q_text_tokcount", "q_text_tokens",
     # -- green driver row in r4, code unchanged since --
     "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
     "q_decontaminate", "q_histogram", "q_profile", "q_sink_clustered",
     "q_ship_priority", "q_udf_arrow", "q_date_spine", "q_udtf",
     "q_variant", "q_pipe_sql", "q_assoc_rules", "q_histogram_eq",
     "q_pagerank", "q_text_gopher", "q_mm_shard", "q_src_evolve",
-    "q_dedup_keep_best", "q_src_orc", "q_text_vocab", "q_cluster_kmeans",
+    "q_src_orc", "q_text_vocab", "q_cluster_kmeans",
     "q_part_prune", "q_src_csv", "q_src_jsonl", "q_dedup_simhash_pairs",
     "q_mm_binfile", "q_stream_tumble", "q_stream_slide",
     "q_stream_session", "q_time_trunc", "q_join_asof", "q_json",
-    "q_json_project", "q_dedup_ngram", "q_dedup_cluster", "q_udaf",
+    "q_json_project", "q_dedup_cluster", "q_udaf",
     "q_sim_topk", "q_sim_ivf", "q_sim_lsh_buckets", "q_join_semi",
     "q_join_anti", "q_agg_sum", "q_agg_exists",
 ]

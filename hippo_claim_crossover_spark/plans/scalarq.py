@@ -20,7 +20,12 @@ from hippo_claim_crossover_spark.functions.scalar import (
     fmt_postal_code,
     join_pointers,
 )
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t, t_wide
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    duck_round,
+    t,
+    t_wide,
+)
 
 # Derived diagnosis code: 'E'-class for every 5th part, else 'V'-class,
 # zero-padded to 5 digits → 6-char codes exercising both insert positions.
@@ -163,20 +168,26 @@ FROM lineitem
 def q_range_ends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 range endpoints (DateTimePeriod.first/.last,
     lib/hippo_claim_crossover.rb:126) — on the embeddings array: first/last
-    element. All arrays are length 64, so element_at is ANSI-safe."""
+    element. All arrays are length 64, so element_at is ANSI-safe.
+
+    Embedding components are sign-mixed, so the 6dp rounding uses the
+    floor formula on BOTH sides (duck_round here, the same expression in
+    the oracle) — the one construction that is bit-identical across
+    engines for any sign; engine-native round()s differ in halfway mode
+    and representation on negatives."""
     return t(spark, sf_dir, "embeddings").select(
         F.col("vec_id"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6)
+        duck_round(F.element_at("embedding", 1).cast("double"), 6)
         .alias("first_dim"),
-        F.round(F.element_at("embedding", -1).cast("double"), 6)
+        duck_round(F.element_at("embedding", -1).cast("double"), 6)
         .alias("last_dim"),
     )
 
 
 ORACLE_RANGE_ENDS = """
 SELECT vec_id,
-       round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
-       round(CAST(embedding[64] AS DOUBLE), 6) AS last_dim
+       floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) / 1e6 AS first_dim,
+       floor(CAST(embedding[64] AS DOUBLE) * 1e6 + 0.5) / 1e6 AS last_dim
 FROM embeddings
 """
 

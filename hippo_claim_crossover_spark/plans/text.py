@@ -49,7 +49,7 @@ def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"),
-             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+             duck_round(F.avg("n_chars"), 2).alias("avg_chars"),
              F.countDistinct("source").alias("n_sources"))
     )
 

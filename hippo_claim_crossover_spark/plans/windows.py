@@ -56,7 +56,10 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("subscriber_id"),
         F.col("o_orderkey").alias("claim_id"),
         F.col("o_orderdate").alias("claim_ts"),
-        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+        # duck_round: the running sum of 2dp-exact doubles accumulates
+        # binary error and can print as .xx5 — the quotient/accumulation
+        # class where Spark round() diverges from scaled-double engines.
+        duck_round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
         F.lag("o_orderkey", 1).over(w).alias("prev_claim"),
         F.lead("o_orderkey", 1).over(w).alias("next_claim"),
     )
