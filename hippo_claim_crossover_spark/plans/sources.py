@@ -216,6 +216,48 @@ FROM part WHERE p_size >= 25 GROUP BY p_brand
 """
 
 
+XML_SCHEMA = T.StructType([
+    T.StructField("n_nationkey", T.IntegerType()),
+    T.StructField("n_name", T.StringType()),
+    T.StructField("n_regionkey", T.IntegerType()),
+])
+
+
+def q_src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 built-in ``xml`` datasource): nation
+    round-tripped through row-tagged XML and re-joined to region. XML is
+    the interchange format legacy feeds (EDI bridges, healthcare
+    clearinghouses — the reference's own X12 world,
+    lib/hippo_claim_crossover.rb:313) actually deliver; the explicit
+    schema read keeps types deterministic exactly as the CSV/JSONL paths
+    do. Integer/string columns only — XML is a text format, and unlike
+    the CSV writer's shortest-repr doubles, exact float round-tripping
+    is not part of its contract."""
+    def write(out: str) -> None:
+        (t(spark, sf_dir, "nation").coalesce(1)
+         .write.mode("overwrite").option("rootTag", "nations")
+         .option("rowTag", "nation").format("xml").save(out))
+
+    out = _materialize(spark, sf_dir, "xml", write)
+    x = (spark.read.schema(XML_SCHEMA).option("rowTag", "nation")
+         .format("xml").load(out))
+    r = t(spark, sf_dir, "region")
+    return (
+        x.join(F.broadcast(r), x.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_nations"),
+             F.min("n_name").alias("first_nation"))
+    )
+
+
+ORACLE_SRC_XML = """
+SELECT r.r_name AS region, count(*) AS n_nations,
+       min(n.n_name) AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def q_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered sink: lineitem rewritten
     ``repartitionByRange(l_shipdate).sortWithinPartitions(l_shipdate)``
@@ -307,6 +349,8 @@ SPECS: dict[str, QuerySpec] = {
                            "CSV source, explicit schema"),
     "q_src_jsonl": QuerySpec(q_src_jsonl, ORACLE_SRC_JSONL,
                              "JSON-lines source, explicit schema"),
+    "q_src_xml": QuerySpec(q_src_xml, ORACLE_SRC_XML,
+                           "XML source (Spark 4 built-in), explicit schema"),
     "q_sink_clustered": QuerySpec(q_sink_clustered, ORACLE_SINK_CLUSTERED,
                                   "range-clustered rewrite + pruned scan"),
     "q_src_evolve": QuerySpec(q_src_evolve, ORACLE_SRC_EVOLVE,
