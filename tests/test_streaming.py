@@ -335,3 +335,35 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(
     assert rows[3] == (None, None)               # proven matchless, emitted
     # u3 (view 16:00, deadline 17:00 > final wm 16:00) must still be held
     assert 4 not in rows
+
+
+def test_tumbling_agg_with_rocksdb_state_store(spark, sf_dir, stream_src):
+    """The RocksDB state store provider — the 100 TB streaming-state
+    backend (state lives off-heap on local disk with changelog
+    checkpointing instead of on the JVM heap, so per-executor state is
+    bounded by disk, not memory) — must run the same watermarked tumbling
+    aggregation as the default HDFS-backed provider with identical
+    results. Unlike transformWithStateInPandas (protobuf-gated in this
+    container), plain stateful aggs exercise RocksDB with no extra
+    dependency, so this pins the provider actually working here."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        stream = read_event_stream(spark, stream_src)
+        run_to_memory(tumbling_agg(stream), "tumble_rocks_out", "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                  r["sum_value"])
+           for r in spark.table("tumble_rocks_out").collect()}
+    run_to_memory(tumbling_agg(read_event_stream(spark, stream_src)),
+                  "tumble_hdfs_out", "complete")
+    want = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                   r["sum_value"])
+            for r in spark.table("tumble_hdfs_out").collect()}
+    assert got == want and got
