@@ -82,6 +82,14 @@ def materialize_binary_fixture(docs: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     rows = (docs.where(F.col("doc_id") < max_files)
             .select("doc_id", "text").collect())
+    # Remove files for ids not in the current fixture: the harness
+    # regenerates /root/testdata between rounds, and a lingering
+    # doc_<id>.bin for a vanished id would be read back by the glob and
+    # break the oracle parity (which derives from the live table only).
+    keep = {f"doc_{r['doc_id']}.bin" for r in rows}
+    for name in os.listdir(out_dir):
+        if name.endswith(".bin") and name not in keep:
+            os.remove(os.path.join(out_dir, name))
     for r in rows:
         fp = os.path.join(out_dir, f"doc_{r['doc_id']}.bin")
         with open(fp, "wb") as f:
