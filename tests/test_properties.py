@@ -114,3 +114,54 @@ def test_histogram_float_division_bin_equals_exact_integer_bin(cents):
     float_bin = math.floor(x / float(_HIST_WIDTH))
     exact_bin = cents // (_HIST_WIDTH * 100)
     assert float_bin == exact_bin
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.lists(st.floats(min_value=-10, max_value=10,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=6, max_size=6),
+    min_size=2, max_size=20))
+def test_pair_cosine_kernel_matches_python_fold(spark, vecs):
+    """pair_cosine_arrow vs a plain-Python left fold over generated
+    float32-ish vectors: the kernel's numpy accumulation must equal the
+    scalar fold exactly (same order ⇒ same IEEE result), including the
+    floor rounding."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from hippo_claim_crossover_spark.operators.similarity import (
+        pair_cosine_arrow,
+    )
+
+    # normalize in python (the kernel consumes pre-normalized vectors)
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        s = math.sqrt(acc)
+        return [x / s for x in v] if s > 0 else None
+
+    vn = [norm(v) for v in vecs]
+    vn = [v for v in vn if v is not None]
+    if len(vn) < 2:
+        return
+    pairs = [(i, j, vn[i], vn[j])
+             for i in range(len(vn)) for j in range(i + 1, len(vn))]
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("va", T.ArrayType(T.DoubleType())),
+        T.StructField("vb", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(pairs, schema)
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in pair_cosine_arrow(df, nd=4).collect()}
+    for i, j, va, vb in pairs:
+        acc = 0.0
+        for a, b in zip(va, vb):
+            acc += a * b
+        want = math.floor(acc * 1e4 + 0.5) / 1e4
+        assert got[(i, j)] == want, (i, j)
