@@ -1,0 +1,71 @@
+"""Custom connector surface: the Spark 4 Python DataSource API.
+
+The reference's only ingestion is ``File.read`` of one EDI string
+(lib/hippo_claim_crossover.rb:313); real pipelines also meet feeds no
+built-in reader speaks (internal record services, proprietary archive
+formats, metered APIs). Spark 4's Python DataSource API is the idiomatic
+extension point: the source declares its schema and its PARTITION PLAN
+driver-side, and each partition is read independently executor-side — so a
+custom feed scales exactly like a file scan (N splits → N tasks), with no
+driver-side collect and no single-reader bottleneck.
+
+``SynthDocsDataSource`` is the demonstration instance: a deterministic
+generator (row ``i`` → ``md5(str(i))`` prefix) chosen precisely because an
+independent engine can replay it — the DuckDB oracle recomputes the same
+rows from ``range()`` + ``md5()``, turning the whole connector path
+(registration → partition planning → per-partition read → scan) into a
+hash-checked query. At 100 TB the same class shape wraps a real feed:
+``partitions()`` returns shard descriptors (file ranges, key ranges, topic
+partitions) and ``read()`` pulls one shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+TOKEN_LEN = 8
+
+
+def synth_token(i: int) -> str:
+    """Deterministic per-row payload: first 8 hex chars of md5(str(i)) —
+    reproducible by any engine with md5 (DuckDB oracle included)."""
+    return hashlib.md5(str(i).encode()).hexdigest()[:TOKEN_LEN]
+
+
+class _SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 100))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        # Driver-side partition PLAN only (cheap descriptors) — the rows
+        # themselves are produced executor-side in read(). This split is
+        # what makes a custom source scale like a file format.
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition: InputPartition):
+        lo = self.n * partition.value // self.parts
+        hi = self.n * (partition.value + 1) // self.parts
+        for i in range(lo, hi):
+            yield (i, synth_token(i), len(synth_token(i)))
+
+
+class SynthDocsDataSource(DataSource):
+    """``spark.read.format("synthdocs").option("n", ...).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, token string, n_chars int"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SynthDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(SynthDocsDataSource)

@@ -258,6 +258,36 @@ GROUP BY r.r_name
 """
 
 
+PYDS_N = 200
+
+
+def q_src_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API
+    (hippo_claim_crossover_spark/datasource.py): partition planning
+    driver-side, per-partition generation executor-side — the extension
+    point for feeds no built-in reader speaks. The generator is
+    deterministic (md5-derived), so the DuckDB oracle replays the exact
+    rows from ``range()`` and the whole connector path — registration,
+    partition plan, distributed read, scan — is hash-checked like any
+    table. ``sf_dir`` is unused: the source IS the data."""
+    from hippo_claim_crossover_spark import datasource
+
+    datasource.register(spark)
+    d = (spark.read.format("synthdocs")
+         .option("n", str(PYDS_N)).option("parts", "8").load())
+    return d.select(
+        "doc_id", "token", "n_chars",
+        F.substring("token", 1, 1).alias("bucket"))
+
+
+ORACLE_SRC_PYDS = f"""
+SELECT i AS doc_id, substr(md5(CAST(i AS VARCHAR)), 1, 8) AS token,
+       CAST(8 AS INTEGER) AS n_chars,
+       substr(md5(CAST(i AS VARCHAR)), 1, 1) AS bucket
+FROM range(0, {PYDS_N}) t(i)
+"""
+
+
 def q_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered sink: lineitem rewritten
     ``repartitionByRange(l_shipdate).sortWithinPartitions(l_shipdate)``
@@ -351,6 +381,8 @@ SPECS: dict[str, QuerySpec] = {
                              "JSON-lines source, explicit schema"),
     "q_src_xml": QuerySpec(q_src_xml, ORACLE_SRC_XML,
                            "XML source (Spark 4 built-in), explicit schema"),
+    "q_src_pyds": QuerySpec(q_src_pyds, ORACLE_SRC_PYDS,
+                            "custom Python DataSource connector"),
     "q_sink_clustered": QuerySpec(q_sink_clustered, ORACLE_SINK_CLUSTERED,
                                   "range-clustered rewrite + pruned scan"),
     "q_src_evolve": QuerySpec(q_src_evolve, ORACLE_SRC_EVOLVE,
