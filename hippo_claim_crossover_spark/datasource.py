@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 TOKEN_LEN = 8
 
@@ -52,8 +57,41 @@ class _SynthDocsReader(DataSourceReader):
             yield (i, synth_token(i), len(synth_token(i)))
 
 
+class _SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same feed: offsets are plain row positions,
+    so the source is replayable — exactly the property a custom streaming
+    connector must guarantee. ``read`` advances at most ``step`` rows per
+    micro-batch (rate limiting lives in the source, like
+    maxFilesPerTrigger); ``readBetweenOffsets`` re-produces a committed
+    range verbatim for checkpoint recovery. An exhausted source returns
+    an empty batch at the same offset, which lets availableNow drain and
+    stop."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 100))
+        self.step = int(options.get("step", 25))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.step, self.n)
+        # Concrete list, not a generator: the engine pickles the batch
+        # into its prefetch/replay cache.
+        rows = [(i, synth_token(i), TOKEN_LEN) for i in range(lo, hi)]
+        return rows, {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # This path must hand back an ITERATOR (the engine next()s it on
+        # checkpoint-recovery replay), unlike read()'s picklable list.
+        return iter([(i, synth_token(i), TOKEN_LEN)
+                     for i in range(start["i"], end["i"])])
+
+
 class SynthDocsDataSource(DataSource):
-    """``spark.read.format("synthdocs").option("n", ...).load()``."""
+    """``spark.read.format("synthdocs").option("n", ...).load()`` — or
+    ``spark.readStream`` with the same options for the streaming face."""
 
     @classmethod
     def name(cls) -> str:
@@ -64,6 +102,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SynthDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -50,6 +50,7 @@ GATE_ORDER = [
     # rewritten this session (Arrow kernels: knn/embed; duck_round:
     # latest_snapshot; timestampdiff gap_us: stream_interval).
     "q_stream_interval_lo", "q_region_volume", "q_src_xml", "q_src_pyds",
+    "q_src_pyds_stream",
     "q_sim_knn_blocked", "q_dedup_embed", "q_latest_snapshot",
     "q_stream_interval",
     # rounding hardened to the floor formula this session (quotient /
@@ -66,10 +67,10 @@ GATE_ORDER = [
     "q_win_rank", "q_win_running",
     # -- last driver row r3: oldest 14 fill out the 50-slot window --
     "q_crossover", "q_scan", "q_sink", "q_percentile", "q_pivot",
-    "q_cube", "q_dedup_exact",
+    "q_cube",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- remaining r3-last rows (re-proven by the local gate each round) --
-    "q_dedup_minhash", "q_dedup_lshband",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot",
     "q_dedup_near", "q_filter_eq", "q_filter_first", "q_filter_notnull",

@@ -288,6 +288,44 @@ FROM range(0, {PYDS_N}) t(i)
 """
 
 
+def q_src_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same custom connector consumed as a STREAM
+    (``SimpleDataSourceStreamReader``): row-position offsets make the
+    source replayable, ``step`` rate-limits each micro-batch inside the
+    source (the maxFilesPerTrigger analogue), and checkpoint recovery
+    re-produces committed ranges via readBetweenOffsets. The drained
+    memory-sink table must equal the batch face of the same source —
+    proven here by the identical DuckDB oracle replaying the generator.
+    Drain-by-poll: the source is finite, so the query stops once every
+    offset is committed (bounded wait)."""
+    import time
+
+    from hippo_claim_crossover_spark import datasource
+
+    datasource.register(spark)
+    run_id = spark.sparkContext.applicationId.replace("-", "_")
+    name = f"pyds_stream_{run_id}"
+    s = (spark.readStream.format("synthdocs")
+         .option("n", str(PYDS_N)).option("step", "50").load())
+    q = (s.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 120
+        while (spark.table(name).count() < PYDS_N
+               and time.time() < deadline):
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_SRC_PYDS_STREAM = f"""
+SELECT i AS doc_id, substr(md5(CAST(i AS VARCHAR)), 1, 8) AS token,
+       CAST(8 AS INTEGER) AS n_chars
+FROM range(0, {PYDS_N}) t(i)
+"""
+
+
 def q_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered sink: lineitem rewritten
     ``repartitionByRange(l_shipdate).sortWithinPartitions(l_shipdate)``
@@ -383,6 +421,9 @@ SPECS: dict[str, QuerySpec] = {
                            "XML source (Spark 4 built-in), explicit schema"),
     "q_src_pyds": QuerySpec(q_src_pyds, ORACLE_SRC_PYDS,
                             "custom Python DataSource connector"),
+    "q_src_pyds_stream": QuerySpec(
+        q_src_pyds_stream, ORACLE_SRC_PYDS_STREAM,
+        "custom Python streaming DataSource (offset replay)"),
     "q_sink_clustered": QuerySpec(q_sink_clustered, ORACLE_SINK_CLUSTERED,
                                   "range-clustered rewrite + pruned scan"),
     "q_src_evolve": QuerySpec(q_src_evolve, ORACLE_SRC_EVOLVE,
