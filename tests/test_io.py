@@ -67,3 +67,30 @@ def test_clustered_sink_ranges_are_disjoint(spark, sf_dir):
     spans.sort()
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next, "file shipdate ranges overlap"
+
+
+def test_observed_write_collects_metrics_in_the_write_job(spark, sf_dir,
+                                                          tmp_path):
+    """observe() metrics must ride the write's own pass (no second scan)
+    and report exact aggregates: row count, null count, min/max bounds —
+    the per-batch data-quality record a production sink keeps."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.io import load_table, observed_write
+
+    df = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        df, out,
+        metrics={
+            "null_segments": F.count_if(F.col("c_mktsegment").isNull()),
+            "min_key": F.min("c_custkey"),
+            "max_bal": F.max("c_acctbal"),
+        })
+    want_rows = df.count()
+    assert got["n_rows"] == want_rows
+    assert got["null_segments"] == 0
+    assert got["min_key"] == df.agg(F.min("c_custkey")).first()[0]
+    assert got["max_bal"] == df.agg(F.max("c_acctbal")).first()[0]
+    # the write itself is intact
+    assert spark.read.parquet(out).count() == want_rows
