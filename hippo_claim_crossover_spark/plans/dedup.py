@@ -331,7 +331,13 @@ WHERE rk = 1
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) over tokens: per-bit ±1 vote from each token's md5
-    hash, sign → bit. Near-dups differ in few bits (hamming distance)."""
+    hash, sign → bit. Near-dups differ in few bits (hamming distance).
+
+    32 bits is also what operators.dedup.simhash_bits_for returns for
+    every fixture size (≤ ~8k docs); beyond that, production callers pass
+    ``bits=simhash_bits_for(count)`` so the downstream hamming-ball chunk
+    join keeps bounded buckets — the fixed width re-quadratizes at 10×
+    corpus (measured 53× in SCALE.md; policy restores ~linear)."""
     d = t_wide(spark, sf_dir, "documents")
     return ops_dedup.simhash(d, "doc_id", "text", bits=SIMHASH_BITS)
 

@@ -175,3 +175,30 @@ def test_simhash_pairs_signature_computed_once(spark):
     assert "ExistingRDD" in plan
     assert "Generate explode" not in plan, \
         "token explode leaked into the pair join plan"
+
+
+def test_simhash_bits_for_grows_with_corpus_and_clamps():
+    """The adaptive signature-width policy (simhash analogue of
+    planes_for): fixture sizes stay at the 32-bit default, chunk width
+    grows with log2(n/target) beyond, multiples of n_chunks always, and
+    the 60-bit md5 supply is the hard cap."""
+    from hippo_claim_crossover_spark.operators.dedup import (
+        SIMHASH_MAX_BITS,
+        simhash_bits_for,
+    )
+
+    assert simhash_bits_for(0) == 32
+    assert simhash_bits_for(500) == 32
+    assert simhash_bits_for(5_000) == 32
+    assert simhash_bits_for(50_000) == 44
+    assert simhash_bits_for(10**12) == SIMHASH_MAX_BITS
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7):
+        b = simhash_bits_for(n)
+        assert b >= prev, n          # monotone
+        assert b % 4 == 0, n         # whole chunks (max_hamming+1 = 4)
+        prev = b
+    # expected chunk-bucket population stays <= target until the cap
+    for n in (10**4, 10**5, 10**6):
+        w = simhash_bits_for(n) // 4
+        assert n / (1 << w) <= 32, n
