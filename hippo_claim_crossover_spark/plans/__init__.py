@@ -56,6 +56,7 @@ GATE_ORDER = [
     # rounding hardened to the floor formula this session (quotient /
     # accumulated-double outputs): re-prove under the driver
     "q_text_lang", "q_text_quality", "q_dedup_ngram", "q_dedup_keep_best",
+    "q_histogram_eq",
     # -- last driver row is r2 (oldest — rotate all 31 back through) --
     "q_agg_multi", "q_approx_cd", "q_bool_eq", "q_bool_or",
     "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
@@ -67,10 +68,9 @@ GATE_ORDER = [
     "q_win_rank", "q_win_running",
     # -- last driver row r3: oldest 14 fill out the 50-slot window --
     "q_crossover", "q_scan", "q_sink", "q_percentile", "q_pivot",
-    "q_cube",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- remaining r3-last rows (re-proven by the local gate each round) --
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
+    "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot",
     "q_dedup_near", "q_filter_eq", "q_filter_first", "q_filter_notnull",
@@ -83,7 +83,7 @@ GATE_ORDER = [
     "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
     "q_decontaminate", "q_histogram", "q_profile", "q_sink_clustered",
     "q_ship_priority", "q_udf_arrow", "q_date_spine", "q_udtf",
-    "q_variant", "q_pipe_sql", "q_assoc_rules", "q_histogram_eq",
+    "q_variant", "q_pipe_sql", "q_assoc_rules",
     "q_pagerank", "q_text_gopher", "q_mm_shard", "q_src_evolve",
     "q_src_orc", "q_text_vocab", "q_cluster_kmeans",
     "q_part_prune", "q_src_csv", "q_src_jsonl", "q_dedup_simhash_pairs",

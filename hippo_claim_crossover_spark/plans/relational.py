@@ -313,18 +313,25 @@ LIMIT {ASSOC_TOP}
 
 
 def q_histogram_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth histogram (deciles) of order totals: ntile(10) over the
-    fully-tiebroken global order, then per-bucket count/min/max — the
-    data-dependent complement of q_histogram's fixed-width bins. The
-    global ntile is a single-partition sort here (fixture-sized); the
-    100 TB form replaces it with approx_percentile boundaries + a
-    broadcast range join, which the docstring exists to say out loud."""
-    from pyspark.sql.window import Window
+    """Equi-depth histogram (deciles) of order totals — the
+    data-dependent complement of q_histogram's fixed-width bins, computed
+    by DISTRIBUTED exact ntile (operators/ranking.py): a naive
+    ``ntile(10) OVER (ORDER BY …)`` exchanges the whole table to ONE
+    partition, the hidden scale cliff of global-rank queries. Here the
+    rank comes from a TeraSort-shaped range shuffle + per-partition
+    window + broadcast prefix offsets, and the bucket from the
+    closed-form ntile fill rule — bit-identical to the window ntile for
+    the unique (total, orderkey) key, so the oracle stays the plain
+    window formulation. Plan-audited: no single-partition Exchange of
+    the big side (tests/test_plans.py)."""
+    from hippo_claim_crossover_spark.operators.ranking import (
+        distributed_ntile,
+    )
 
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        distributed_ntile(o, 10, ["o_totalprice", "o_orderkey"],
+                          out_col="decile")
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_claims"),
              F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -122,3 +122,29 @@ def test_asof_rejects_internal_name_collision(spark):
         raise AssertionError("expected ValueError")
     except ValueError as exc:
         assert "_rts" in str(exc)
+
+
+def test_distributed_ntile_equals_window_ntile(spark):
+    """distributed_ntile (range shuffle + prefix offsets + closed-form
+    fill rule) must equal ntile() OVER a global window bit-for-bit on a
+    unique order key — including the remainder buckets (first N mod n
+    buckets one row larger) and the N < n edge (one row per bucket)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    rng = random.Random(11)
+    for n_rows in (7, 23, 40, 101):
+        rows = [(i, rng.randint(0, 50) + rng.random()) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {r["id"]: r["bucket"]
+               for r in distributed_ntile(df, 10, ["v", "id"]).collect()}
+        w = Window.orderBy("v", "id")
+        want = {r["id"]: r["b"]
+                for r in df.withColumn("b", F.ntile(10).over(w)).collect()}
+        assert got == want, n_rows

@@ -126,6 +126,18 @@ def test_part_prune_eliminates_partitions_at_listing_time(spark):
     assert "SelectedBucketsCount" not in pf
 
 
+def test_histogram_eq_has_no_global_window_sort(spark):
+    """The equi-depth histogram must NOT rank via a global window (an
+    Exchange to a single partition of the whole table): the distributed
+    ntile shape is a range shuffle (TeraSort-style) + per-partition
+    window + broadcast offsets. Single-partition exchanges may remain on
+    the tiny counts/total aggregate sides only."""
+    plan = _plan(spark, "q_histogram_eq")
+    assert "ntile" not in plan                     # no window ntile at all
+    assert "rangepartitioning(o_totalprice" in plan  # distributed sort
+    assert "_pid" in plan                          # per-partition ranking
+
+
 def test_topk_uses_takeordered_not_global_sort(spark):
     plan = _plan(spark, "q_topk")
     assert "TakeOrderedAndProject" in plan
