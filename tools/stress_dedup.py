@@ -91,6 +91,19 @@ def run_family(spark, path: str) -> dict[str, float]:
     out[f"simhash_adaptive"] = timed(
         ops.simhash_hamming_pairs(sh, bits=bits))
     out["bits"] = bits
+    # near-dup clustering over the ngram pairs (large-star/small-star CC)
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+    edges = ops.ngram_jaccard_pairs(d).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    stats: dict = {}
+    t0 = time.time()
+    n_comp = (connected_components(edges, stats=stats)
+              .select("comp").distinct().count())
+    out["cc_cluster"] = time.time() - t0
+    out["cc_rounds"] = stats.get("rounds")
+    out["cc_n"] = n_comp
     return out
 
 
@@ -111,11 +124,14 @@ def main() -> None:
     print(f"\n{'operator':<18} {'n=%d' % n_small:>10} {'n=%d' % n_big:>10} "
           f"{'ratio':>7}  (10x data)")
     for op in ["exact", "ngram_jaccard", "minhash_lsh",
-               "simhash_32bit", "simhash_adaptive"]:
+               "simhash_32bit", "simhash_adaptive", "cc_cluster"]:
         a, b = results[n_small][op], results[n_big][op]
         print(f"{op:<18} {a:>9.2f}s {b:>9.2f}s {b / a:>6.1f}x")
     print(f"simhash_bits_for: {results[n_small]['bits']} -> "
-          f"{results[n_big]['bits']}")
+          f"{results[n_big]['bits']}; cc rounds: "
+          f"{results[n_small]['cc_rounds']} -> {results[n_big]['cc_rounds']}"
+          f"; components: {results[n_small]['cc_n']} -> "
+          f"{results[n_big]['cc_n']}")
 
 
 if __name__ == "__main__":
