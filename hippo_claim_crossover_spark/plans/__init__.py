@@ -56,7 +56,7 @@ GATE_ORDER = [
     # rounding hardened to the floor formula this session (quotient /
     # accumulated-double outputs): re-prove under the driver
     "q_text_lang", "q_text_quality", "q_dedup_ngram", "q_dedup_keep_best",
-    "q_histogram_eq",
+    "q_histogram_eq", "q_sim_lsh_buckets",
     # -- last driver row is r2 (oldest — rotate all 31 back through) --
     "q_agg_multi", "q_approx_cd", "q_bool_eq", "q_bool_or",
     "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
@@ -67,10 +67,10 @@ GATE_ORDER = [
     "q_topk", "q_topk_group", "q_udf", "q_win_dist", "q_win_frame",
     "q_win_rank", "q_win_running",
     # -- last driver row r3: oldest 14 fill out the 50-slot window --
-    "q_crossover", "q_scan", "q_sink", "q_percentile", "q_pivot",
+    "q_crossover", "q_scan", "q_sink", "q_percentile",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- remaining r3-last rows (re-proven by the local gate each round) --
-    "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
+    "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot",
     "q_dedup_near", "q_filter_eq", "q_filter_first", "q_filter_notnull",
@@ -90,7 +90,7 @@ GATE_ORDER = [
     "q_mm_binfile", "q_stream_tumble", "q_stream_slide",
     "q_stream_session", "q_time_trunc", "q_join_asof", "q_json",
     "q_json_project", "q_dedup_cluster", "q_udaf",
-    "q_sim_topk", "q_sim_ivf", "q_sim_lsh_buckets", "q_join_semi",
+    "q_sim_topk", "q_sim_ivf", "q_join_semi",
     "q_join_anti", "q_agg_sum", "q_agg_exists",
 ]
 

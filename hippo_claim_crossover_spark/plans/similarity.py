@@ -73,11 +73,16 @@ LIMIT {TOP_K}
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucket assignment + histogram: sign(dot(v, hyperplane_p))
     per plane → bucket id. The equi-join key for approximate neighbor
-    search at scale; deterministic hyperplanes ⇒ oracle-checked."""
+    search at scale; deterministic hyperplanes ⇒ oracle-checked. Bucket
+    ids come from the srp_keys_arrow numpy kernel (one code path for
+    every SRP bucket computation; same sign-of-fold bits the declarative
+    expression produced — the 8×64 plane literals would otherwise be a
+    distinct Janino compile unit per query)."""
     e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return (
-        e.select(ops_sim.srp_bucket(F.col("v"), _PLANES).alias("bucket"))
+        ops_sim.srp_keys_arrow(e, [_PLANES])
+        .select(F.col("_bs")[0].alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
