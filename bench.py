@@ -70,6 +70,7 @@ HEADLINE = [
     # round-5 additions
     "q_region_volume",
     "q_stream_interval_lo",
+    "q_histogram_eq",
     "q_pagerank",
     "q_assoc_rules",
     "q_udtf",
