@@ -201,6 +201,113 @@ FROM (
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert apply — the batch form of the warehouse
+    ``MERGE INTO target USING source`` every CDC pipeline runs (the
+    reference's output record is itself a mutable upsert accumulator,
+    `lib/hippo_claim_crossover.rb:12`): target = latest pre-cutoff
+    *purchase* snapshot per user, source = latest post-cutoff event per
+    user, then one FULL OUTER join on the key applies
+
+    * WHEN MATCHED AND source is an ``error``  → DELETE,
+    * WHEN MATCHED                             → UPDATE (source wins),
+    * WHEN NOT MATCHED BY TARGET               → INSERT,
+    * WHEN NOT MATCHED BY SOURCE               → keep the target row.
+
+    Scale shape: both snapshots and the join shuffle on the SAME key
+    (user_id), so AQE plans the outer join without a third exchange of
+    either side; no driver-side diffing, no per-row lookups. The
+    ``action`` column makes the branch taken auditable downstream."""
+    from hippo_claim_crossover_spark.operators.cdc import merge_apply
+
+    e = t(spark, sf_dir, "events")
+    cutoff = F.to_timestamp_ntz(F.lit("2024-01-16"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (df.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select("user_id", "event_id", "ts", "event_type",
+                        duck_round(F.col("value"), 2).alias("value")))
+
+    target = _latest(e.where((F.col("ts") < cutoff)
+                             & (F.col("event_type") == "purchase")))
+    source = _latest(e.where(F.col("ts") >= cutoff))
+    return merge_apply(target, source, "user_id",
+                       delete_cond=F.col("sr.event_type") == "error")
+
+
+ORACLE_MERGE_UPSERT = """
+WITH tgt AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         round(value, 2) AS value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-16' AND event_type = 'purchase')
+  WHERE rk = 1),
+src AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         round(value, 2) AS value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+  WHERE rk = 1)
+SELECT coalesce(s.user_id, t.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.event_id
+            ELSE t.event_id END AS event_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.ts ELSE t.ts END AS ts,
+       CASE WHEN s.user_id IS NOT NULL THEN s.event_type
+            ELSE t.event_type END AS event_type,
+       CASE WHEN s.user_id IS NOT NULL THEN s.value
+            ELSE t.value END AS value,
+       CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NOT NULL
+              THEN 'update'
+            WHEN s.user_id IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+WHERE NOT (s.user_id IS NOT NULL AND t.user_id IS NOT NULL
+           AND s.event_type = 'error')
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    validity intervals of the tracked attribute (event_type) — one row
+    per *change*, with ``valid_from`` / ``valid_to`` / ``version`` /
+    ``is_current``. The other classic CDC materialization next to
+    q_latest_snapshot's type-1 "current row wins".
+
+    Two windows over ONE shuffle on user_id: lag() marks change rows,
+    then lead()/row_number() over the filtered change set close each
+    interval. Spark keeps the partitioning between the two sorts (both
+    windows share the partition key), so at 100 TB this is a single
+    exchange + two in-partition sorts, never a self-join of the history
+    against itself (the naive interval-close formulation)."""
+    from hippo_claim_crossover_spark.operators.cdc import scd2_intervals
+
+    e = t(spark, sf_dir, "events")
+    return scd2_intervals(e, "user_id", "event_type", ["ts", "event_id"])
+
+
+ORACLE_SCD2_HISTORY = """
+WITH chg AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS attr, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       row_number() OVER w AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_win_rank": QuerySpec(q_win_rank, ORACLE_WIN_RANK, "ranking fns"),
     "q_win_running": QuerySpec(q_win_running, ORACLE_WIN_RUNNING,
@@ -211,4 +318,8 @@ SPECS: dict[str, QuerySpec] = {
                             "ntile/percent_rank/cume_dist/first/last"),
     "q_latest_snapshot": QuerySpec(q_latest_snapshot, ORACLE_LATEST_SNAPSHOT,
                                    "latest-record-per-key compaction"),
+    "q_merge_upsert": QuerySpec(q_merge_upsert, ORACLE_MERGE_UPSERT,
+                                "MERGE-style insert/update/delete apply"),
+    "q_scd2_history": QuerySpec(q_scd2_history, ORACLE_SCD2_HISTORY,
+                                "SCD type-2 validity-interval history"),
 }

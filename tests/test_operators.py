@@ -148,3 +148,55 @@ def test_distributed_ntile_equals_window_ntile(spark):
         want = {r["id"]: r["b"]
                 for r in df.withColumn("b", F.ntile(10).over(w)).collect()}
         assert got == want, n_rows
+
+
+def test_merge_apply_covers_all_four_branches(spark):
+    from hippo_claim_crossover_spark.operators.cdc import merge_apply
+
+    target = spark.createDataFrame(
+        [(1, "old-a", 10.0), (2, "old-b", 20.0), (3, "old-c", 30.0)],
+        "k int, v string, amt double")
+    source = spark.createDataFrame(
+        [(1, "new-a", 11.0),        # matched → update
+         (3, "poison", 33.0),       # matched + delete_cond → dropped
+         (4, "new-d", 44.0)],       # unmatched → insert
+        "k int, v string, amt double")
+    out = {r["k"]: (r["v"], r["amt"], r["action"])
+           for r in merge_apply(target, source, "k",
+                                delete_cond=F.col("sr.v") == "poison")
+           .collect()}
+    assert out == {
+        1: ("new-a", 11.0, "update"),
+        2: ("old-b", 20.0, "keep"),     # not matched by source
+        4: ("new-d", 44.0, "insert"),
+    }  # 3 deleted
+
+
+def test_merge_apply_without_delete_cond_keeps_matches(spark):
+    from hippo_claim_crossover_spark.operators.cdc import merge_apply
+
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame([(1, "b")], "k int, v string")
+    [row] = merge_apply(target, source, "k").collect()
+    assert (row["v"], row["action"]) == ("b", "update")
+
+
+def test_scd2_intervals_collapse_and_chain(spark):
+    from hippo_claim_crossover_spark.operators.cdc import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, "x"), (1, _ts(2), 2, "x"),   # repeat → collapsed
+         (1, _ts(3), 3, "y"), (1, _ts(4), 4, "x"),   # back to x → new row
+         (2, _ts(5), 5, "z")],
+        "k int, ts timestamp, id int, attr string")
+    rows = sorted(
+        scd2_intervals(df, "k", "attr", ["ts", "id"]).collect(),
+        key=lambda r: (r["k"], r["version"]))
+    got = [(r["k"], r["attr"], r["valid_from"], r["valid_to"],
+            r["version"], r["is_current"]) for r in rows]
+    assert got == [
+        (1, "x", _ts(1), _ts(3), 1, False),
+        (1, "y", _ts(3), _ts(4), 2, False),
+        (1, "x", _ts(4), None, 3, True),
+        (2, "z", _ts(5), None, 1, True),
+    ]

@@ -288,3 +288,23 @@ def test_latest_snapshot_single_shuffle_window(spark):
     plan = _plan(spark, "q_latest_snapshot")
     assert plan.count("Exchange") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_scd2_history_single_shuffle_no_join(spark):
+    """Both SCD2 windows (lag-change-mark, lead-interval-close) must ride
+    ONE hash partitioning on the key — never the naive interval-close
+    self-join of the history against itself."""
+    plan = _plan(spark, "q_scd2_history")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_merge_upsert_copartitioned_outer_join(spark):
+    """The MERGE full-outer join must reuse the snapshots' user_id
+    partitioning: exactly the two snapshot Exchanges, no third exchange
+    of either side into the join, and no broadcast of the (unbounded at
+    scale) change set."""
+    plan = _plan(spark, "q_merge_upsert")
+    assert plan.count("Exchange") == 2
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
