@@ -200,3 +200,33 @@ def test_scd2_intervals_collapse_and_chain(spark):
         (1, "x", _ts(4), None, 3, True),
         (2, "z", _ts(5), None, 1, True),
     ]
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """Bloom pruning must be invisible in the result (exact semi join)
+    while the candidate set between filter and verify actually shrinks;
+    the tiny m=64 filter saturates every word (incl. the sign bit) and
+    must still never drop an inserted key."""
+    from hippo_claim_crossover_spark.operators.bloom import (
+        bloom_build, bloom_may_contain, bloom_semi_join)
+
+    build = spark.range(0, 100).withColumnRenamed("id", "bk")
+    probe = spark.range(0, 10000).withColumnRenamed("id", "pk")
+    got = {r["pk"] for r in
+           bloom_semi_join(probe, "pk", build, "bk", 1 << 12, 5).collect()}
+    assert got == set(range(100))
+
+    filt = bloom_build(build, "bk", 1 << 12, 5)
+    n_cand = (probe.join(F.broadcast(filt))
+              .where(bloom_may_contain(F.col("words"), F.col("pk"),
+                                       1 << 12, 5)).count())
+    assert 100 <= n_cand < 1000  # pruned ≥90% of the 10k probe rows
+
+    # m=64: every word saturates to -1 (bit 63 = sign bit exercised) and
+    # membership still holds for all inserted keys.
+    f64 = bloom_build(build, "bk", 64, 5)
+    assert [r["words"] for r in f64.collect()] == [[-1]]
+    n64 = (build.join(F.broadcast(f64))
+           .where(bloom_may_contain(F.col("words"), F.col("bk"), 64, 5))
+           .count())
+    assert n64 == 100

@@ -308,3 +308,20 @@ def test_merge_upsert_copartitioned_outer_join(spark):
     assert plan.count("Exchange") == 2
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_join_bloom_prunes_below_the_semi_join(spark):
+    """The packed Bloom filter rides a 1-row broadcast (nested-loop, not
+    cartesian) BELOW the exact semi join, so pruned probe rows never
+    reach the semi-join exchange. This is exactly the shape the
+    _bloom_key guard exists to force: without it Catalyst sinks the
+    LeftSemi under the Bloom test and the filter becomes dead post-join
+    work (the regression this audit pins)."""
+    plan = _plan(spark, "q_join_bloom")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-down print order: the semi join must appear BEFORE (= above)
+    # the Bloom nested-loop join, and the membership bit test must be
+    # part of the BNLJ condition, not a post-semi filter.
+    assert plan.index("LeftSemi") < plan.index("BroadcastNestedLoopJoin")
+    assert plan.index("LeftSemi") < plan.index("element_at(words")
