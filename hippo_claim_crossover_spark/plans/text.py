@@ -237,6 +237,67 @@ LIMIT {VOCAB_TOP}
 """
 
 
+def q_text_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM typicality scoring (perplexity proxy) — the CCNet-style
+    quality signal: score each document by how *typical* its bigrams are
+    of the corpus. ``avg_bfreq`` = mean corpus frequency of the doc's
+    bigram occurrences (with multiplicity — a doc repeating a rare
+    phrase stays atypical); ``rare_rate`` = fraction of its bigram
+    occurrences that appear nowhere else (corpus count 1). Low
+    avg_bfreq / high rare_rate ranks a doc as out-of-distribution, the
+    batch analogue of a high-perplexity LM filter — but computed from
+    exact BIGINT counts and a final rational ratio, so it hash-matches
+    across engines (a true log-prob would ride libm transcendentals
+    whose last ulp differs between JVM and DuckDB; same reason TF-IDF
+    here uses a rational IDF).
+
+    Two shuffles, both linear: corpus counts partial-agg on the bigram,
+    then the doc←count equi-join re-shuffles (bigram, count) pairs —
+    never documents — and folds per doc. At 100 TB swap the string join
+    key for xxhash64(bigram) to shuffle 8-byte keys (the dedup-family
+    trick); kept as the string here so the DuckDB oracle is exact."""
+    d = t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    bg = (d.where(F.size(toks) >= 2)
+          .select("doc_id", "lang", F.explode(bigrams).alias("bigram")))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(counts, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("c").alias("sum_bfreq"),
+             F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0)))
+             .alias("n_rare"))
+        .select("doc_id", "lang", "n_bigrams",
+                duck_round(F.col("sum_bfreq") / F.col("n_bigrams"), 4)
+                .alias("avg_bfreq"),
+                duck_round(F.col("n_rare") / F.col("n_bigrams"), 4)
+                .alias("rare_rate"))
+    )
+
+
+ORACLE_TEXT_TYPICALITY = """
+WITH bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i+1])) AS bigram
+  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+SELECT doc_id, lang, count(*) AS n_bigrams,
+       floor((CAST(sum(c) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+         AS avg_bfreq,
+       floor((CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) * 1e4 + 0.5) / 1e4 AS rare_rate
+FROM bg JOIN cnt USING (bigram)
+GROUP BY doc_id, lang
+"""
+
+
 _PACK_BUDGET = 512
 
 
@@ -371,4 +432,6 @@ SPECS: dict[str, QuerySpec] = {
                                   "concat-and-chunk sequence packing"),
     "q_text_gopher": QuerySpec(q_text_gopher, ORACLE_TEXT_GOPHER,
                                "Gopher-style quality-rule filter"),
+    "q_text_typicality": QuerySpec(q_text_typicality, ORACLE_TEXT_TYPICALITY,
+                                   "corpus-LM typicality (perplexity proxy)"),
 }

@@ -113,3 +113,19 @@ def test_decontaminate_detects_verbatim_leak(spark):
             ev_sh.select("doc_id", "n_sh").distinct().collect()}
     assert hits[1] == n_sh[1]      # verbatim leak: every shingle hit
     assert 2 not in hits           # disjoint vocab: zero hits
+
+
+def test_typicality_invariants(spark, sf_dir):
+    """rare_rate ∈ [0,1]; avg_bfreq ≥ 1 (every bigram occurs at least
+    once — itself); a doc whose bigrams are all corpus-unique must have
+    rare_rate 1 and avg_bfreq 1; n_bigrams = token count - 1."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    df = ALL_SPECS["q_text_typicality"].fn(spark, sf_dir)
+    bad = df.where((F.col("rare_rate") < 0) | (F.col("rare_rate") > 1)
+                   | (F.col("avg_bfreq") < 1)).count()
+    assert bad == 0
+    all_rare = df.where(F.col("rare_rate") == 1.0)
+    assert all_rare.where(F.col("avg_bfreq") != 1.0).count() == 0
