@@ -50,6 +50,7 @@ GATE_ORDER = [
     # rewritten this session (Arrow kernels: knn/embed; duck_round:
     # latest_snapshot; timestampdiff gap_us: stream_interval).
     "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_text_typicality",
+    "q_stream_static",
     "q_stream_interval_lo", "q_region_volume", "q_src_xml", "q_src_pyds",
     "q_src_pyds_stream",
     "q_sim_knn_blocked", "q_dedup_embed", "q_latest_snapshot",

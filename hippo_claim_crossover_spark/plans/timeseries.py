@@ -382,6 +382,41 @@ GROUP BY m
 """
 
 
+def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch parity): the event stream
+    joined against the broadcast customer dimension on user_id, rolled
+    up per (market segment, event type). The streaming form is
+    byte-identical (streaming/ops.py:stream_static_enrich — same
+    expressions over readStream; proven equal across micro-batches in
+    tests/test_streaming.py). Stateless on the stream side: unlike
+    stream-stream joins there is no watermark and no join state — each
+    micro-batch probes the broadcast dim, so the unbounded side never
+    shuffles."""
+    from hippo_claim_crossover_spark.streaming.ops import (
+        stream_static_enrich,
+    )
+
+    e = t(spark, sf_dir, "events")
+    dim = (t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    return (
+        stream_static_enrich(e, dim, "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             money_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+ORACLE_STREAM_STATIC = f"""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n_events, count(DISTINCT e.user_id) AS n_users,
+       {money_sum_sql("e.value")} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_stream_tumble": QuerySpec(q_stream_tumble, ORACLE_STREAM_TUMBLE,
                                  "tumbling window"),
@@ -398,6 +433,8 @@ SPECS: dict[str, QuerySpec] = {
     "q_stream_interval_lo": QuerySpec(
         q_stream_interval_lo, ORACLE_STREAM_INTERVAL_LO,
         "left-outer interval join (batch parity incl. matchless rows)"),
+    "q_stream_static": QuerySpec(q_stream_static, ORACLE_STREAM_STATIC,
+                                 "stream-static broadcast enrichment join"),
     "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
                               "calendar rollup"),
     "q_funnel": QuerySpec(q_funnel, ORACLE_FUNNEL,

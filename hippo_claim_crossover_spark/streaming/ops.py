@@ -68,6 +68,21 @@ def sessionized(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         on: F.Column, how: str = "inner") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (batch) dimension DataFrame — stateless, no watermark needed
+    (unlike stream-stream joins, the static side is fully known each
+    trigger; Spark re-evaluates the static plan per micro-batch, so a
+    parquet-backed dim picks up new files between triggers).
+
+    The dim is broadcast-hinted: at scale the stream side is unbounded
+    and must never shuffle for an enrichment lookup — the classic
+    dimension-join discipline (`lib/hippo_claim_crossover.rb:229-235`'s
+    code-table lookups, streaming edition)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def dedup_stream(events: DataFrame, keys: list[str],
                  watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same key within

@@ -367,3 +367,63 @@ def test_tumbling_agg_with_rocksdb_state_store(spark, sf_dir, stream_src):
                                                    r["sum_value"])
             for r in spark.table("tumble_hdfs_out").collect()}
     assert got == want and got
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, stream_src):
+    """Stream-static enrichment: the streaming form of q_stream_static
+    (readStream ⋈ broadcast dim, per-segment rollup) must equal the
+    batch result after draining both micro-batches — stateless on the
+    stream side, no watermark required."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream, stream_static_enrich)
+
+    stream = read_event_stream(spark, stream_src, max_files_per_trigger=1)
+    dim = (load_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    agg = (stream_static_enrich(stream, dim, "user_id")
+           .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    run_to_memory(agg, "ss_out", "complete")
+    got = {(r["segment"], r["event_type"]): r["n_events"]
+           for r in spark.table("ss_out").collect()}
+    want = {(r["segment"], r["event_type"]): r["n_events"]
+            for r in ALL_SPECS["q_stream_static"].fn(spark, sf_dir)
+            .collect()}
+    assert got == want
+
+
+def test_chained_stateful_operators_in_one_query(spark, stream_src):
+    """Spark 4 supports multiple stateful operators in one streaming
+    query (append mode): a watermarked 10-minute tumbling count
+    re-aggregated into 30-minute buckets downstream — two stateful
+    aggs chained, no intermediate sink. Verified against the same
+    two-level batch aggregation."""
+    from hippo_claim_crossover_spark.streaming.ops import read_event_stream
+
+    stream = read_event_stream(spark, stream_src, max_files_per_trigger=1)
+
+    def two_level(df):
+        lvl1 = (df.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "10 minutes"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n10")))
+        return (lvl1
+                .groupBy(F.window(F.col("window"), "30 minutes"),
+                         "event_type")
+                .agg(F.sum("n10").alias("n30"))
+                .select(F.col("window.start").alias("w30"),
+                        "event_type", "n30"))
+
+    run_to_memory(two_level(stream), "chain_out", "append")
+    got = {(r["w30"], r["event_type"]): r["n30"]
+           for r in spark.table("chain_out").collect()}
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_src)
+    want = {(r["w30"], r["event_type"]): r["n30"]
+            for r in two_level(batch).collect()}
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match batch, and most windows must be emitted
+    # (only the final open 30-min window may be withheld).
+    assert got
+    assert all(got[k] == v for k, v in want.items() if k in got)
+    assert len(got) >= len(want) - 2
