@@ -74,6 +74,13 @@ HEADLINE = [
     "q_pagerank",
     "q_assoc_rules",
     "q_udtf",
+    # round-5 second-half additions (CDC, Bloom join, LM typicality,
+    # stream-static join)
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_join_bloom",
+    "q_text_typicality",
+    "q_stream_static",
 ]
 
 

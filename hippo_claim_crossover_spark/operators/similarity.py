@@ -426,9 +426,12 @@ def embed_near_pairs(df: DataFrame, dim: int, threshold: float = 0.25,
         n_planes = planes_for(df.count(), target_bucket_size,
                               max_planes=max_planes)
     planes = srp_family(0, n_planes, dim)
-    n = srp_keys_arrow(df, [planes], id_col, vec_col).select(
-        id_col, F.col("_vn").alias("vn"),
-        F.col("_bs")[0].alias("bucket"))
+    # One materialization for both self-join sides (lazy localCheckpoint
+    # — see knn_blocked / operators/dedup.py:100-111 for the trade).
+    n = (srp_keys_arrow(df, [planes], id_col, vec_col)
+         .select(id_col, F.col("_vn").alias("vn"),
+                 F.col("_bs")[0].alias("bucket"))
+         .localCheckpoint(eager=False))
     a, b = n.alias("a"), n.alias("b")
     raw = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -474,8 +477,15 @@ def knn_blocked(df: DataFrame, dim: int, k: int = 3,
     # (the declarative srp_bucket expression at adaptive plane counts is a
     # multi-second Janino compile plus interpreted HOF folds — see the
     # kernel docstring); the explode stays JVM-side.
-    keyed = srp_keys_arrow(df, fams, id_col, vec_col).select(
-        id_col, "_vn", "_bs", F.posexplode("_bs").alias("_fam", "_bk"))
+    # Materialized once (lazy localCheckpoint, same trade the ngram
+    # shingle table documents in operators/dedup.py:100-111): the
+    # self-join would otherwise run the scan + Arrow key kernel once per
+    # side — two Python stages where one suffices (measured ~2× on the
+    # cold run at sf0.1).
+    keyed = (srp_keys_arrow(df, fams, id_col, vec_col)
+             .select(id_col, "_vn", "_bs",
+                     F.posexplode("_bs").alias("_fam", "_bk"))
+             .localCheckpoint(eager=False))
     a, b = keyed.alias("a"), keyed.alias("b")
     # First-colliding-family rule: family f emits a pair only when no
     # earlier family already bucketed it together — the family outputs are

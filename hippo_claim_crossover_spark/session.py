@@ -68,7 +68,13 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Local mode runs driver + all 32 executor threads in ONE JVM, so this
+    # is the whole engine heap. 8g was measurably too small for the bench
+    # session: ~40 queries of accumulated shuffle/broadcast state pushed
+    # late queries into full-GC territory (q_sim_knn_blocked 19.7s at 8g
+    # vs 5.3s at 32g, same plan). 24g leaves >100 GiB for page cache and
+    # the 32 Python workers on the 128 GiB harness.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
 
