@@ -46,15 +46,19 @@ for _m in _MODULES:
 GATE_WINDOW = 50
 GATE_ORDER = [
     # -- new or code-changed this session (round 5) --
-    # left-outer interval join newly oracle-declared; the four below were
-    # rewritten this session (Arrow kernels: knn/embed; duck_round:
-    # latest_snapshot; timestampdiff gap_us: stream_interval).
+    # first row: newly declared this session (CDC merge/SCD2, Bloom semi
+    # join, LM typicality, stream-static join); second row: new from the
+    # session's first half (left-outer interval join, Q5 composite, XML /
+    # Python DataSource sources); then queries whose code changed (Arrow
+    # kernels + self-join localCheckpoint: knn/embed; localCheckpoint:
+    # decontaminate; duck_round: latest_snapshot; timestampdiff gap_us:
+    # stream_interval).
     "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_text_typicality",
-    "q_stream_static",
+    "q_stream_static", "q_link_sorted",
     "q_stream_interval_lo", "q_region_volume", "q_src_xml", "q_src_pyds",
     "q_src_pyds_stream",
-    "q_sim_knn_blocked", "q_dedup_embed", "q_latest_snapshot",
-    "q_stream_interval",
+    "q_sim_knn_blocked", "q_dedup_embed", "q_decontaminate",
+    "q_latest_snapshot", "q_stream_interval",
     # rounding hardened to the floor formula this session (quotient /
     # accumulated-double outputs): re-prove under the driver
     "q_text_lang", "q_text_quality", "q_dedup_ngram", "q_dedup_keep_best",
@@ -66,11 +70,12 @@ GATE_ORDER = [
     "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
     "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
     "q_str_dxcode", "q_str_join", "q_str_name", "q_str_zip",
-    "q_topk", "q_topk_group", "q_udf", "q_win_dist", "q_win_frame",
-    "q_win_rank", "q_win_running",
-    # -- last driver row r3: oldest 14 fill out the 50-slot window --
-    "q_crossover", "q_scan", "q_sink", "q_percentile",
+    "q_topk", "q_topk_group", "q_udf", "q_win_dist",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    # -- displaced by this session's 7 new/changed head entries (rotate
+    # through next round; all pass the local gate today) --
+    "q_win_frame", "q_win_rank", "q_win_running",
+    "q_crossover", "q_scan", "q_sink", "q_percentile",
     # -- remaining r3-last rows (re-proven by the local gate each round) --
     "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
@@ -83,7 +88,7 @@ GATE_ORDER = [
     "q_text_tokcount", "q_text_tokens",
     # -- green driver row in r4, code unchanged since --
     "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
-    "q_decontaminate", "q_histogram", "q_profile", "q_sink_clustered",
+    "q_histogram", "q_profile", "q_sink_clustered",
     "q_ship_priority", "q_udf_arrow", "q_date_spine", "q_udtf",
     "q_variant", "q_pipe_sql", "q_assoc_rules",
     "q_pagerank", "q_text_gopher", "q_mm_shard", "q_src_evolve",

@@ -505,7 +505,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t_wide(spark, sf_dir, "documents")
     ev = d.where(F.col("source") == EVAL_SOURCE)
     tr = d.where(F.col("source") != EVAL_SOURCE)
-    ev_sh = ops_dedup.shingle_table(ev, "doc_id", "text", NGRAM)
+    # The eval shingle table feeds BOTH the semi-join probe and the
+    # per-doc denominator scan; materialize it once (lazy localCheckpoint
+    # — the operators/dedup.py:100-111 trade) instead of re-running the
+    # scan + shingle pipeline per consumer.
+    ev_sh = (ops_dedup.shingle_table(ev, "doc_id", "text", NGRAM)
+             .localCheckpoint(eager=False))
     tr_sh = (ops_dedup.shingle_table(tr, "doc_id", "text", NGRAM)
              .select("sh").distinct())
     hits = (ev_sh.join(tr_sh, "sh", "left_semi")
@@ -548,7 +553,53 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+LINK_WINDOW = 5
+LINK_MAX_DIST = 5
+
+
+def q_link_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over part names: candidate
+    pairs from a ``LINK_WINDOW``-wide sliding window over the global
+    (p_name, p_partkey) order, scored by Levenshtein distance, keeping
+    near-misses (1 ≤ dist ≤ ``LINK_MAX_DIST``; dist 0 is q_dedup_exact's
+    job). The classic Hernández-Stolfo blocking: O(n·w) string
+    comparisons instead of O(n²), and near-duplicate names sort
+    adjacently so the window catches them.
+
+    Scale shape (operators/linkage.py): the global order comes from the
+    distributed global_rank (range shuffle + broadcast prefix offsets —
+    NEVER the single-partition ``Window.orderBy`` cliff), and the
+    neighbor pairing is an equi-join on ``rank + d``; the ranked table
+    is materialized once for both join sides."""
+    from hippo_claim_crossover_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = sorted_neighborhood_pairs(
+        p, "p_partkey", ["p_name", "p_partkey"], window=LINK_WINDOW)
+    dist = F.levenshtein("p_name_a", "p_name_b").cast("long")
+    return (pairs.select(F.col("p_partkey_a").alias("id_a"),
+                         F.col("p_partkey_b").alias("id_b"),
+                         dist.alias("dist"))
+            .where((F.col("dist") >= 1) & (F.col("dist") <= LINK_MAX_DIST)))
+
+
+ORACLE_LINK_SORTED = f"""
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + {LINK_WINDOW - 1}
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {LINK_MAX_DIST}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_link_sorted": QuerySpec(q_link_sorted, ORACLE_LINK_SORTED,
+                               "sorted-neighborhood record linkage"),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
                                "exact hash-groupBy dedup"),
     "q_dedup_ngram": QuerySpec(q_dedup_ngram, ORACLE_DEDUP_NGRAM,

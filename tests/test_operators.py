@@ -230,3 +230,16 @@ def test_bloom_semi_join_exact_and_pruning(spark):
            .where(bloom_may_contain(F.col("words"), F.col("bk"), 64, 5))
            .count())
     assert n64 == 100
+
+
+def test_sorted_neighborhood_pairs_exact_window(spark):
+    from hippo_claim_crossover_spark.operators.linkage import (
+        sorted_neighborhood_pairs)
+
+    df = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c"), (40, "d")], "id int, name string")
+    got = {(r["id_a"], r["id_b"])
+           for r in sorted_neighborhood_pairs(
+               df, "id", ["name", "id"], window=3).collect()}
+    # each row pairs with its next 2 successors in name order
+    assert got == {(10, 20), (10, 30), (20, 30), (20, 40), (30, 40)}
