@@ -663,6 +663,106 @@ GROUP BY category
 """
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (dbt-test style): one violations row per
+    declared constraint — null keys, value domains, duplicate primary
+    keys, referential integrity both directions, and a header↔lines
+    money reconciliation (the claim-total consistency check the
+    reference implicitly trusts when it denormalizes header amounts onto
+    service lines, `lib/hippo_claim_crossover.rb:104-164`).
+
+    Scale shape: row-local checks are FUSED into one partial/final
+    aggregate per table (one scan each, conditional sums — never one
+    job per check) and unpivoted with stack; set-level checks are key
+    anti-joins / groupBy on compact keys; the reconciliation rides
+    money_sum's exact integer micros so the pass/fail cut is
+    bit-identical across engines. The union of tiny one-row aggregates
+    costs nothing; every branch prunes to the columns it checks."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    o_row = (o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("c1"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P"))
+              .cast("long")).alias("c2"))
+        .select(F.expr(
+            "stack(2, 'orders_null_custkey', c1, "
+            "'orders_status_domain', c2) AS (check_name, n_violations)")))
+    li_row = (li.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("c1"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))
+              .cast("long")).alias("c2"))
+        .select(F.expr(
+            "stack(2, 'lineitem_qty_domain', c1, "
+            "'lineitem_discount_domain', c2) AS (check_name, n_violations)")))
+    dup = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") > 1)
+           .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long")
+                .alias("n_violations"))
+           .select(F.lit("orders_dup_key").alias("check_name"),
+                   "n_violations"))
+    orphan = (li.join(o.select("o_orderkey"),
+                      li["l_orderkey"] == o["o_orderkey"], "left_anti")
+              .agg(F.count(F.lit(1)).alias("n_violations"))
+              .select(F.lit("lineitem_orphan").alias("check_name"),
+                      "n_violations"))
+    childless = (o.join(li.select("l_orderkey"),
+                        o["o_orderkey"] == li["l_orderkey"], "left_anti")
+                 .agg(F.count(F.lit(1)).alias("n_violations"))
+                 .select(F.lit("orders_childless").alias("check_name"),
+                         "n_violations"))
+    lsum = (li.groupBy("l_orderkey")
+            .agg(money_sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))
+                           * (1 + F.col("l_tax"))).alias("s")))
+    reconcile = (o.join(lsum, o["o_orderkey"] == lsum["l_orderkey"])
+                 .agg(F.sum((F.abs(F.col("o_totalprice") - F.col("s"))
+                             > 0.01).cast("long")).alias("n_violations"))
+                 .select(F.lit("orders_total_reconcile")
+                         .alias("check_name"), "n_violations"))
+    return (o_row.unionByName(li_row).unionByName(dup)
+            .unionByName(orphan).unionByName(childless)
+            .unionByName(reconcile))
+
+
+ORACLE_DQ_AUDIT = f"""
+SELECT 'orders_null_custkey' AS check_name,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM orders
+UNION ALL
+SELECT 'orders_status_domain',
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'lineitem_qty_domain',
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_domain',
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders_dup_key', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem_orphan', CAST(count(*) AS BIGINT)
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_childless', CAST(count(*) AS BIGINT)
+  FROM orders o ANTI JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders_total_reconcile', CAST(sum(CASE WHEN
+         abs(o.o_totalprice - l.s) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o JOIN (
+    SELECT l_orderkey,
+           {money_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+             AS s
+    FROM lineitem GROUP BY l_orderkey) l
+  ON o.o_orderkey = l.l_orderkey
+"""
+
+
 def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi join: subscribers having any claim before the
     cutoff, with the claim-key Bloom filter broadcast onto the
@@ -728,4 +828,6 @@ SPECS: dict[str, QuerySpec] = {
                                "salted join under pathological key skew"),
     "q_join_bloom": QuerySpec(q_join_bloom, ORACLE_JOIN_BLOOM,
                               "Bloom-pruned exact semi join"),
+    "q_dq_audit": QuerySpec(q_dq_audit, ORACLE_DQ_AUDIT,
+                            "data-quality constraint audit"),
 }

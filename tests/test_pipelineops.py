@@ -129,3 +129,25 @@ def test_typicality_invariants(spark, sf_dir):
     assert bad == 0
     all_rare = df.where(F.col("rare_rate") == 1.0)
     assert all_rare.where(F.col("avg_bfreq") != 1.0).count() == 0
+
+
+def test_dq_audit_check_profile(spark, sf_dir):
+    """All 8 declared checks report; the synthetic fixtures are clean on
+    nulls/domains/keys/orphans by construction, while childless orders
+    exist and o_totalprice is independent of the lineitems (so the
+    reconciliation check fires) — the audit must reflect exactly that."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    rows = {r["check_name"]: r["n_violations"]
+            for r in ALL_SPECS["q_dq_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders_null_custkey", "orders_status_domain",
+        "lineitem_qty_domain", "lineitem_discount_domain",
+        "orders_dup_key", "lineitem_orphan", "orders_childless",
+        "orders_total_reconcile"}
+    clean = ("orders_null_custkey", "orders_status_domain",
+             "lineitem_qty_domain", "lineitem_discount_domain",
+             "orders_dup_key", "lineitem_orphan")
+    assert all(rows[c] == 0 for c in clean), rows
+    assert rows["orders_childless"] > 0
+    assert rows["orders_total_reconcile"] > 0
