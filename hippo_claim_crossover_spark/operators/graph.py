@@ -125,3 +125,36 @@ def connected_components(edges: DataFrame, src: str = "src",
     roots = e.select(F.col("lo").alias("node"),
                      F.col("lo").alias("comp")).distinct()
     return members.unionAll(roots).distinct()
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Exact triangle count, wedge count, and global clustering
+    coefficient of an undirected graph given as CANONICAL edges
+    (u < v, no duplicates) — one row out.
+
+    Oriented-join counting: a triangle u<v<w matches e1(u,v) ⋈ e2(v,w)
+    ⋈ e3(u,w) exactly once, so two equi-joins count every triangle with
+    no dedup and no all-pairs stage. Wedges are the exact integer fold
+    Σ deg·(deg−1)/2 (the product is always even, so the /2 is exact);
+    clustering = 3·T/W through the engine-portable floor rounding. The
+    caller should materialize ``pairs`` once (localCheckpoint) — it has
+    four consumers here. 100 TB hardening: orient by (degree, id)
+    instead of id so hub nodes never fan out on the e1.u side."""
+    s4 = F.lit(1e4)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (pairs.select(F.col("u").alias("node"))
+           .unionByName(pairs.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    wedges = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long"))
+        .alias("n_wedges"))
+    clustering = (F.floor(F.lit(3.0) * F.col("n_triangles")
+                          / F.col("n_wedges") * s4 + F.lit(0.5))
+                  .cast("double") / s4)
+    return (tri.join(F.broadcast(wedges))
+            .select("n_triangles", "n_wedges",
+                    clustering.alias("clustering")))

@@ -31,11 +31,12 @@ TOP = 25
 MIN_SUP = 2
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) co-purchase edges with support ≥ MIN_SUP."""
     li = (t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
     a, b = li.alias("a"), li.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
         .groupBy(F.col("a.l_partkey").alias("u"),
@@ -44,6 +45,10 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_sup") >= MIN_SUP)
         .select("u", "v")
     )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pairs(spark, sf_dir)
     return (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
             .unionByName(pairs.select(F.col("v").alias("src"),
                                       F.col("u").alias("dst"))))
@@ -135,7 +140,58 @@ SELECT node, pr FROM pr2 ORDER BY pr DESC, node LIMIT {TOP}
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle count + global clustering coefficient over
+    the co-purchase graph — the third canonical graph shape next to
+    reachability (connected components) and importance (PageRank).
+
+    Triangles via the ORIENTED edge join: with every edge canonicalized
+    u < v, a triangle u<v<w is found exactly once as e1(u,v) ⋈ e2(v,w)
+    ⋈ e3(u,w) — two equi-joins, no candidate dedup, never all-pairs.
+    Wedges (length-2 paths) come from the exact integer fold
+    Σ deg·(deg−1)/2; clustering = 3·T / W rides duck_round. The
+    canonical pair list is materialized once (lazy localCheckpoint) for
+    its four consumers. At 100 TB the standard hardening is
+    degree-ordering instead of id-ordering (orient each edge from the
+    lower-degree endpoint, breaking ties by id) so hub nodes never fan
+    out as e1.u — same plan shape, one extra deg join to orient."""
+    from hippo_claim_crossover_spark.operators.graph import triangle_stats
+
+    return triangle_stats(
+        _pairs(spark, sf_dir).localCheckpoint(eager=False))
+
+
+ORACLE_GRAPH_TRIANGLES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SUP}
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+),
+w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT n_triangles, n_wedges,
+       floor((CAST(3.0 AS DOUBLE) * n_triangles / n_wedges) * 1e4 + 0.5)
+         / 1e4 AS clustering
+FROM tri, w
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_pagerank": QuerySpec(q_pagerank, _oracle(),
                             "damped PageRank, 2 rounds, exact-micros sums"),
+    "q_graph_triangles": QuerySpec(q_graph_triangles,
+                                   ORACLE_GRAPH_TRIANGLES,
+                                   "oriented-join triangle count + "
+                                   "clustering coefficient"),
 }

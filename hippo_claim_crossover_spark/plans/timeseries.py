@@ -417,6 +417,52 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics rollup:
+    users cohorted by first-signup day, purchase activity bucketed by
+    whole weeks since cohort entry, counting distinct active users and
+    purchase volume per (cohort, offset) cell.
+
+    Two shuffles on user_id (cohort build + activity join — the join
+    reuses the grouped side's partitioning) and one on the small
+    (cohort, offset) key. Week offsets use integer-day arithmetic
+    (``floor(datediff/7)``), not calendar ``date_trunc('week')``, so
+    cohort boundaries are independent of ISO-week conventions and both
+    engines bucket identically — including negative offsets for
+    purchases that precede the user's first signup (kept: they're a
+    data-quality signal of their own)."""
+    e = t(spark, sf_dir, "events")
+    first = (e.where(F.col("event_type") == "signup")
+             .groupBy("user_id")
+             .agg(F.to_date(F.min("ts")).alias("cohort_day")))
+    act = e.where(F.col("event_type") == "purchase").join(first, "user_id")
+    return (
+        act.select(
+            "user_id", "cohort_day",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_day"))
+                    / F.lit(7.0)).cast("long").alias("week_offset"))
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"),
+                 "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"),
+             F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(floor(date_diff('day', cohort_day, CAST(ts AS DATE)) / 7.0)
+            AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_active,
+       count(*) AS n_purchases
+FROM events e JOIN first USING (user_id)
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_stream_tumble": QuerySpec(q_stream_tumble, ORACLE_STREAM_TUMBLE,
                                  "tumbling window"),
@@ -435,6 +481,9 @@ SPECS: dict[str, QuerySpec] = {
         "left-outer interval join (batch parity incl. matchless rows)"),
     "q_stream_static": QuerySpec(q_stream_static, ORACLE_STREAM_STATIC,
                                  "stream-static broadcast enrichment join"),
+    "q_cohort_retention": QuerySpec(q_cohort_retention,
+                                    ORACLE_COHORT_RETENTION,
+                                    "signup-cohort weekly retention matrix"),
     "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
                               "calendar rollup"),
     "q_funnel": QuerySpec(q_funnel, ORACLE_FUNNEL,

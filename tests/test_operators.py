@@ -243,3 +243,19 @@ def test_sorted_neighborhood_pairs_exact_window(spark):
                df, "id", ["name", "id"], window=3).collect()}
     # each row pairs with its next 2 successors in name order
     assert got == {(10, 20), (10, 30), (20, 30), (20, 40), (30, 40)}
+
+
+def test_triangle_stats_on_known_graphs(spark):
+    from hippo_claim_crossover_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, every vertex degree 3 → 4·C(3,2)=12 wedges,
+    # clustering = 3·4/12 = 1.0
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "u int, v int")
+    [r] = triangle_stats(k4).collect()
+    assert (r["n_triangles"], r["n_wedges"], r["clustering"]) == (4, 12, 1.0)
+
+    # path 1-2-3: no triangle, one wedge at node 2
+    path = spark.createDataFrame([(1, 2), (2, 3)], "u int, v int")
+    [r] = triangle_stats(path).collect()
+    assert (r["n_triangles"], r["n_wedges"], r["clustering"]) == (0, 1, 0.0)
