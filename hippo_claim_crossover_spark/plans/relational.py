@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
+    duck_round,
     money_avg,
     money_avg_sql,
+    money_micros,
     money_sum,
     money_sum_sql,
     t,
@@ -663,6 +665,57 @@ GROUP BY category
 """
 
 
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via re-aggregable partials — the
+    materialized-view-maintenance pattern every 100 TB rollup pipeline
+    runs: per-batch partial aggregates (here: two order batches split at
+    a date cutoff) merged into the exact full-table result WITHOUT
+    re-scanning history. count/sum/min/max merge by sum/sum/min/max;
+    the average is derived from the merged sums (never an avg-of-avgs —
+    the classic wrong merge); money rides exact integer micros so the
+    merged total is bit-identical to a direct aggregation.
+
+    The ORACLE is the direct one-pass aggregation over the whole table —
+    the hash match IS the proof that partial-merge ≡ direct, which is
+    the property incremental maintenance relies on."""
+    o = t(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money_micros(F.col("o_totalprice"))).alias("smic"),
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"))
+
+    old = partial(o.where(F.col("o_orderdate") < cutoff))
+    new = partial(o.where(F.col("o_orderdate") >= cutoff))
+    merged = (old.unionByName(new)
+              .groupBy("o_custkey")
+              .agg(F.sum("n").alias("n"), F.sum("smic").alias("smic"),
+                   F.min("mn").alias("mn"), F.max("mx").alias("mx")))
+    total = F.round(F.col("smic").cast("double") / F.lit(1e6), 6)
+    return merged.select(
+        F.col("o_custkey").alias("subscriber_id"),
+        F.col("n").alias("n_orders"),
+        total.alias("total_spend"),
+        duck_round(total / F.col("n"), 4).alias("avg_spend"),
+        F.col("mn").alias("first_order"),
+        F.col("mx").alias("last_order"))
+
+
+ORACLE_INCR_AGG = f"""
+SELECT o_custkey AS subscriber_id,
+       count(*) AS n_orders,
+       {money_sum_sql("o_totalprice")} AS total_spend,
+       floor(({money_sum_sql("o_totalprice")} / count(*)) * 1e4 + 0.5) / 1e4
+         AS avg_spend,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit (dbt-test style): one violations row per
     declared constraint — null keys, value domains, duplicate primary
@@ -830,4 +883,7 @@ SPECS: dict[str, QuerySpec] = {
                               "Bloom-pruned exact semi join"),
     "q_dq_audit": QuerySpec(q_dq_audit, ORACLE_DQ_AUDIT,
                             "data-quality constraint audit"),
+    "q_incr_agg": QuerySpec(q_incr_agg, ORACLE_INCR_AGG,
+                            "incremental partial-merge aggregation "
+                            "(oracle = direct one-pass)"),
 }

@@ -367,6 +367,65 @@ GROUP BY l_returnflag
 """
 
 
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink: lineitem rewritten by the Morton
+    interleave of (l_partkey, l_suppkey) — 2-D data skipping where
+    q_sink_clustered's range layout is 1-D. Every written file gets a
+    locality box in BOTH key dimensions (tests/test_io.py asserts the
+    per-file spans of each dim shrink well below the domain), so a
+    part ∧ supplier box predicate prunes most files on footer stats
+    alone. The readback query applies exactly such a box and
+    re-aggregates; the oracle reproduces it from the raw table, proving
+    the rewrite is lossless. z_value is a pure codegen expression
+    (operators/zorder.py); rank-normalization is the documented swap for
+    skewed domains at 100 TB."""
+    from hippo_claim_crossover_spark.operators.zorder import (
+        minmax_norm,
+        z_value,
+    )
+
+    def write(out: str) -> None:
+        li = t(spark, sf_dir, "lineitem")
+        # Both keys must land on the same bit grid before interleaving —
+        # raw partkey is ~4 bits wider than suppkey, and its high bits
+        # would otherwise own the top of the code (leaving suppkey with
+        # no locality). Domain bounds ride a broadcast 1-row aggregate.
+        mm = li.agg(F.min("l_partkey").alias("plo"),
+                    F.max("l_partkey").alias("phi"),
+                    F.min("l_suppkey").alias("slo"),
+                    F.max("l_suppkey").alias("shi"))
+        z = z_value(
+            minmax_norm(F.col("l_partkey"), F.col("plo"), F.col("phi")),
+            minmax_norm(F.col("l_suppkey"), F.col("slo"), F.col("shi")))
+        (li.join(F.broadcast(mm))
+         .withColumn("_z", z)
+         .repartitionByRange(8, F.col("_z"))
+         .sortWithinPartitions("_z")
+         .drop("_z", "plo", "phi", "slo", "shi")
+         .write.mode("overwrite").parquet(out))
+
+    out = _materialize(spark, sf_dir, "zorder", write)
+    li = spark.read.parquet(out)
+    return (
+        li.where((F.col("l_partkey") < 400)
+                 & (F.col("l_suppkey") < 40))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum("l_quantity").cast("long").alias("total_qty"),
+             money_sum(F.col("l_extendedprice")).alias("gross"))
+    )
+
+
+ORACLE_SINK_ZORDER = f"""
+SELECT l_returnflag, count(*) AS n_lines,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+       {money_sum_sql("l_extendedprice")} AS gross
+FROM lineitem
+WHERE l_partkey < 400 AND l_suppkey < 40
+GROUP BY l_returnflag
+"""
+
+
 def q_src_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet batches: an early batch written
     WITHOUT ``o_orderpriority`` (even keys) and a later batch WITH it
@@ -411,6 +470,8 @@ FROM orders GROUP BY 1
 SPECS: dict[str, QuerySpec] = {
     "q_part_prune": QuerySpec(q_part_prune, ORACLE_PART_PRUNE,
                               "partitionBy layout + pruned readback"),
+    "q_sink_zorder": QuerySpec(q_sink_zorder, ORACLE_SINK_ZORDER,
+                               "Z-order clustered sink, 2-D box readback"),
     "q_src_orc": QuerySpec(q_src_orc, ORACLE_SRC_ORC,
                            "ORC source, explicit schema"),
     "q_src_csv": QuerySpec(q_src_csv, ORACLE_SRC_CSV,

@@ -94,3 +94,39 @@ def test_observed_write_collects_metrics_in_the_write_job(spark, sf_dir,
     assert got["max_bal"] == df.agg(F.max("c_acctbal")).first()[0]
     # the write itself is intact
     assert spark.read.parquet(out).count() == want_rows
+
+
+def test_zorder_sink_has_2d_locality(spark, sf_dir):
+    """q_sink_zorder's rewrite must give every file a locality box in
+    BOTH interleaved dimensions: the mean per-file span of l_partkey AND
+    of l_suppkey must each be well under the full domain (a 1-D range
+    layout would leave the second dimension's spans at ~100%)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+    from hippo_claim_crossover_spark.plans.sources import _tag
+
+    assert ALL_SPECS["q_sink_zorder"].fn(spark, sf_dir).count() > 0
+    paths = glob.glob(
+        f"/root/repo/_scratch/src_zorder-{_tag(spark, sf_dir)}/"
+        "part-*.parquet")
+    assert len(paths) >= 4
+    spans = {"l_partkey": [], "l_suppkey": []}
+    domain = {}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in spans:
+            los = [md.row_group(rg).column(idx[col]).statistics.min
+                   for rg in range(md.num_row_groups)]
+            his = [md.row_group(rg).column(idx[col]).statistics.max
+                   for rg in range(md.num_row_groups)]
+            spans[col].append(max(his) - min(los))
+            lo, hi = domain.get(col, (min(los), max(his)))
+            domain[col] = (min(lo, min(los)), max(hi, max(his)))
+    for col, ss in spans.items():
+        full = domain[col][1] - domain[col][0]
+        mean_frac = sum(ss) / len(ss) / full
+        assert mean_frac < 0.7, (col, mean_frac)

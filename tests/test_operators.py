@@ -259,3 +259,23 @@ def test_triangle_stats_on_known_graphs(spark):
     path = spark.createDataFrame([(1, 2), (2, 3)], "u int, v int")
     [r] = triangle_stats(path).collect()
     assert (r["n_triangles"], r["n_wedges"], r["clustering"]) == (0, 1, 0.0)
+
+
+def test_z_value_interleaves_bits(spark):
+    from hippo_claim_crossover_spark.operators.zorder import z_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long")
+    got = [r["z"] for r in
+           df.select(z_value(F.col("x"), F.col("y")).alias("z"))
+           .collect()]
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(x, y) for x, y in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
