@@ -120,3 +120,41 @@ def salted_join(big: DataFrame, skewed: DataFrame, on: str,
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = big_s.join(skew_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def binned_interval_join(left: DataFrame, right: DataFrame,
+                         l_start: str, l_end: str,
+                         r_start: str, r_end: str,
+                         bin_width: int) -> DataFrame:
+    """Interval-overlap join (``l_start < r_end AND r_start < l_end``,
+    half-open intervals on a LONG axis) as a BINNED equi-join — the
+    standard sub-quadratic rewrite of a range join.
+
+    A naive theta join plans as BroadcastNestedLoopJoin (O(|L|·|R|) —
+    the cliff q_join_range documents). Here each interval is exploded
+    into the fixed-width bins it overlaps, the join runs as a plain
+    equi-join on the bin id (shuffle on a compact long key), and the
+    true overlap predicate filters residually. A pair overlapping k
+    shared bins would match k times, so the pair is kept only in ONE
+    canonical bin — the bin of ``greatest(l_start, r_start)`` (the first
+    instant both intervals are live, which both sides' bin ranges
+    always contain): duplicate-free without any distinct shuffle.
+
+    Cost ∝ Σ interval_len/bin_width + bin collision sizes: pick
+    bin_width near the typical interval length (too fine explodes rows;
+    too coarse re-densifies bins). Interval columns must be non-null
+    longs (micros/epoch units); callers convert timestamps first.
+    """
+    lb = left.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(F.col(l_start) / bin_width),
+            F.floor((F.col(l_end) - 1) / bin_width))))
+    rb = right.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(F.col(r_start) / bin_width),
+            F.floor((F.col(r_end) - 1) / bin_width))))
+    overlap = ((lb[l_start] < rb[r_end]) & (rb[r_start] < lb[l_end]))
+    canonical = (lb["_bin"] ==
+                 F.floor(F.greatest(lb[l_start], rb[r_start]) / bin_width))
+    return (lb.join(rb, (lb["_bin"] == rb["_bin"]) & overlap & canonical)
+            .drop("_bin"))

@@ -417,6 +417,82 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+_DAY_US = 86_400_000_000
+_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+
+
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale: user sessions (30-min-gap
+    session windows) against calendar-day intervals — "which days did
+    each session touch, and for how long" — via the BINNED equi-join
+    rewrite (operators/joins.py binned_interval_join). The naive
+    formulation is a theta join that plans as a nested-loop cross
+    product (the q_join_range cliff); binning makes it a plain shuffle
+    on a long bin key with a residual predicate and a canonical-bin
+    dedup rule, O(intervals·bins-per-interval). Durations are integer
+    micros end-to-end, so the rollup hash-matches the gaps-and-islands
+    oracle."""
+    from hippo_claim_crossover_spark.operators.joins import (
+        binned_interval_join,
+    )
+
+    e = t(spark, sf_dir, "events")
+    sess = (e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.expr(_EPOCH_US.format(c="session_window.start"))
+                    .alias("s_start"),
+                    F.expr(_EPOCH_US.format(c="session_window.end"))
+                    .alias("s_end")))
+    days = (e.select(F.to_date("ts").alias("day")).distinct()
+            .select("day",
+                    (F.datediff(F.col("day"), F.lit("1970-01-01")
+                                .cast("date")).cast("long") * _DAY_US)
+                    .alias("d_start"))
+            .withColumn("d_end", F.col("d_start") + _DAY_US))
+    j = binned_interval_join(sess, days, "s_start", "s_end",
+                             "d_start", "d_end", _DAY_US)
+    overlap = (F.least(F.col("s_end"), F.col("d_end"))
+               - F.greatest(F.col("s_start"), F.col("d_start")))
+    return (j.groupBy("user_id", F.col("day").cast("string").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(overlap).alias("total_overlap_us")))
+
+
+ORACLE_JOIN_INTERVAL_BINNED = """
+WITH marked AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', min(ts))
+           AS s_start,
+         date_diff('microsecond', TIMESTAMP '1970-01-01',
+                   max(ts) + INTERVAL 30 MINUTE) AS s_end
+  FROM (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS sid FROM marked)
+  GROUP BY user_id, sid
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         date_diff('microsecond', TIMESTAMP '1970-01-01',
+                   CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS d_start
+  FROM events
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       count(*) AS n_sessions,
+       CAST(sum(least(s_end, d_start + 86400000000)
+                - greatest(s_start, d_start)) AS BIGINT)
+         AS total_overlap_us
+FROM sess JOIN days
+  ON s_start < d_start + 86400000000 AND d_start < s_end
+GROUP BY user_id, day
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the standard product-analytics rollup:
     users cohorted by first-signup day, purchase activity bucketed by
@@ -484,6 +560,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_cohort_retention": QuerySpec(q_cohort_retention,
                                     ORACLE_COHORT_RETENTION,
                                     "signup-cohort weekly retention matrix"),
+    "q_join_interval_binned": QuerySpec(
+        q_join_interval_binned, ORACLE_JOIN_INTERVAL_BINNED,
+        "binned interval-overlap join (sessions × days)"),
     "q_time_trunc": QuerySpec(q_time_trunc, ORACLE_TIME_TRUNC,
                               "calendar rollup"),
     "q_funnel": QuerySpec(q_funnel, ORACLE_FUNNEL,

@@ -279,3 +279,22 @@ def test_z_value_interleaves_bits(spark):
 
     assert got == [ref(x, y) for x, y in
                    [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+
+
+def test_binned_interval_join_matches_bruteforce(spark):
+    from hippo_claim_crossover_spark.operators.joins import (
+        binned_interval_join)
+
+    left = spark.createDataFrame(
+        [(1, 0, 25), (2, 5, 8), (3, 40, 45), (4, 90, 130)],
+        "lid int, ls long, le long")
+    right = spark.createDataFrame(
+        [(10, 3, 12), (11, 20, 60), (12, 100, 101), (13, 7, 8)],
+        "rid int, rs long, re long")
+    for bw in (1, 7, 10, 1000):
+        got = {(r["lid"], r["rid"]) for r in binned_interval_join(
+            left, right, "ls", "le", "rs", "re", bw).collect()}
+        want = {(r["lid"], r["rid"]) for r in left.crossJoin(right)
+                .where((F.col("ls") < F.col("re"))
+                       & (F.col("rs") < F.col("le"))).collect()}
+        assert got == want, bw  # incl. multi-bin overlaps deduped

@@ -325,3 +325,13 @@ def test_join_bloom_prunes_below_the_semi_join(spark):
     # part of the BNLJ condition, not a post-semi filter.
     assert plan.index("LeftSemi") < plan.index("BroadcastNestedLoopJoin")
     assert plan.index("LeftSemi") < plan.index("element_at(words")
+
+
+def test_interval_binned_join_is_equi_not_nested_loop(spark):
+    """The binned rewrite must plan the overlap join as a hash/merge
+    EQUI-join on the bin key — never the nested-loop/cartesian a raw
+    interval theta join degrades to."""
+    plan = _plan(spark, "q_join_interval_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
