@@ -511,8 +511,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan + shingle pipeline per consumer.
     ev_sh = (ops_dedup.shingle_table(ev, "doc_id", "text", NGRAM)
              .localCheckpoint(eager=False))
+    # The train side ALSO checkpoints before its distinct: the semi
+    # join's pushed-down sh predicates otherwise re-evaluate the
+    # shingle generate pipeline inside the scan (the ngram pathology,
+    # operators/dedup.py:100-111) — measured 4.4s → 2.3s cold and far
+    # tighter run-to-run variance at sf0.1.
     tr_sh = (ops_dedup.shingle_table(tr, "doc_id", "text", NGRAM)
-             .select("sh").distinct())
+             .select("sh").localCheckpoint(eager=False).distinct())
     hits = (ev_sh.join(tr_sh, "sh", "left_semi")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("_hits")))
