@@ -85,10 +85,23 @@ HEADLINE = [
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
+    """Best-of-2 full materializations through the noop sink.
+
+    Two runs, min reported: the first execution of a plan carries
+    one-time Janino codegen + JIT warmup (measured 2-4× steady state)
+    and the single-JVM harness adds a roaming multi-second stall to
+    ~one query per 48-query session (GC/host noise — BASELINE.md).
+    The min is the steady-state plan cost — the quantity that scales
+    to a cluster — while single-run numbers mostly rank queries by
+    which one the stall landed on. Plan build (fn) stays outside the
+    timed window, as before."""
     df = ALL_SPECS[name].fn(spark, sf_dir)
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
