@@ -56,7 +56,7 @@ GATE_ORDER = [
     "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_text_typicality",
     "q_stream_static", "q_link_sorted", "q_dq_audit", "q_cohort_retention",
     "q_graph_triangles", "q_incr_agg", "q_sink_zorder",
-    "q_join_interval_binned",
+    "q_join_interval_binned", "q_udf_grouped", "q_udf_cogrouped",
     "q_stream_interval_lo", "q_region_volume", "q_src_xml", "q_src_pyds",
     "q_src_pyds_stream",
     "q_sim_knn_blocked", "q_dedup_embed", "q_decontaminate",
@@ -71,10 +71,10 @@ GATE_ORDER = [
     "q_case_struct", "q_cast", "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
     "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
-    "q_str_dxcode", "q_str_join",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # -- displaced by this session's 13 new/changed head entries (rotate
+    # -- displaced by this session's 15 new/changed head entries (rotate
     # through next round; all pass the local gate today) --
+    "q_str_dxcode", "q_str_join",
     "q_str_name", "q_str_zip", "q_topk", "q_topk_group", "q_udf",
     "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",
     "q_crossover", "q_scan", "q_sink", "q_percentile",

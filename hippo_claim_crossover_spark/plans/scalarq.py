@@ -349,6 +349,130 @@ FROM documents
 """
 
 
+def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` — the per-group pandas surface
+    (one Arrow batch per group, full group visible to the kernel):
+    per-subscriber z-score normalization of claim totals, the feature-
+    normalization step that genuinely needs whole-group context.
+
+    Cross-engine determinism: money enters the kernel as exact integer
+    CENTS (floor(x·100+0.5) — int64-safe for the squared sums the
+    variance needs, where micros² would overflow), the kernel folds
+    exact integer n/Σx/Σx² and only then switches to the same IEEE
+    float expression the oracle SQL spells out, finishing with the
+    floor-rounding formula on BOTH sides (z is signed, so DuckDB's own
+    round() would disagree at negative halfway points — the oracle uses
+    the identical floor expression instead). Scale: one shuffle on the
+    group key; groups are single-customer sized (bounded), the Arrow
+    transfer is the only Python cost."""
+    import numpy as np
+
+    o = (t(spark, sf_dir, "orders")
+         .select("o_custkey", "o_orderkey",
+                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                 .cast("long").alias("cents")))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = pdf["cents"].to_numpy()
+        n = len(cents)
+        s = int(cents.sum())
+        ss = int((cents * cents).sum())
+        mean = float(s) / n
+        var = float(ss) / n - mean * mean
+        std = np.sqrt(var) if var > 0 else 0.0
+        z = (cents - mean) / std if std > 0 else np.zeros(n)
+        z = np.floor(z * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({
+            "claim_id": pdf["o_orderkey"],
+            "subscriber_id": pdf["o_custkey"],
+            "z": z,
+        })
+
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, "claim_id long, subscriber_id long, z double")
+
+
+ORACLE_UDF_GROUPED = """
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+st AS (
+  SELECT o_custkey, count(*) AS n,
+         sum(cents) AS s, sum(cents * cents) AS ss
+  FROM c GROUP BY o_custkey),
+m AS (
+  SELECT o_custkey, n,
+         CAST(s AS DOUBLE) / n AS mean,
+         CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n)
+           * (CAST(s AS DOUBLE) / n) AS var
+  FROM st)
+SELECT c.o_orderkey AS claim_id, c.o_custkey AS subscriber_id,
+       CASE WHEN m.var > 0
+            THEN floor(((c.cents - m.mean) / sqrt(m.var)) * 1e4 + 0.5)
+                 / 1e4
+            ELSE 0.0 END AS z
+FROM c JOIN m ON c.o_custkey = m.o_custkey
+"""
+
+
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the two-table per-key pandas
+    surface (both groups delivered to ONE kernel call): claims and
+    events aligned per subscriber into a combined activity profile.
+    Each side is co-shuffled on the key, so the kernel sees the full
+    pair of groups with no join beforehand — the escape hatch for
+    per-key logic spanning two tables that SQL joins can't express
+    (sequence alignment, per-key reconciliation). Here the kernel's
+    fold is deliberately SQL-expressible (exact integer cents/counts)
+    so the full-outer-join oracle hash-checks the plumbing: keys
+    present on either side must appear exactly once, empty sides as
+    zeros."""
+    o = (t(spark, sf_dir, "orders")
+         .select("o_custkey",
+                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                 .cast("long").alias("cents")))
+    e = (t(spark, sf_dir, "events")
+         .select("user_id",
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("long").alias("vcents")))
+
+    def profile(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "subscriber_id": [int(key[0])],
+            "n_orders": [len(odf)],
+            "order_cents": [int(odf["cents"].sum()) if len(odf) else 0],
+            "n_events": [len(edf)],
+            "event_cents": [int(edf["vcents"].sum()) if len(edf) else 0],
+        })
+
+    return (o.groupBy("o_custkey")
+            .cogroup(e.groupBy("user_id"))
+            .applyInPandas(profile,
+                           "subscriber_id long, n_orders long, "
+                           "order_cents long, n_events long, "
+                           "event_cents long"))
+
+
+ORACLE_UDF_COGROUPED = """
+WITH o AS (
+  SELECT o_custkey AS k, count(*) AS n_orders,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS order_cents
+  FROM orders GROUP BY o_custkey),
+e AS (
+  SELECT user_id AS k, count(*) AS n_events,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS event_cents
+  FROM events GROUP BY user_id)
+SELECT coalesce(o.k, e.k) AS subscriber_id,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(order_cents, 0) AS BIGINT) AS order_cents,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(event_cents, 0) AS BIGINT) AS event_cents
+FROM o FULL OUTER JOIN e ON o.k = e.k
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_str_dxcode": QuerySpec(q_str_dxcode, ORACLE_STR_DXCODE, "X1"),
     "q_str_zip": QuerySpec(q_str_zip, ORACLE_STR_ZIP, "X2"),
@@ -362,4 +486,9 @@ SPECS: dict[str, QuerySpec] = {
                              "mapInArrow exact-integer norms"),
     "q_udtf": QuerySpec(q_udtf, ORACLE_UDTF,
                         "Python UDTF via LATERAL (sentence expansion)"),
+    "q_udf_grouped": QuerySpec(q_udf_grouped, ORACLE_UDF_GROUPED,
+                               "grouped-map applyInPandas z-score"),
+    "q_udf_cogrouped": QuerySpec(q_udf_cogrouped, ORACLE_UDF_COGROUPED,
+                                 "cogrouped applyInPandas two-table "
+                                 "profile"),
 }
