@@ -165,3 +165,64 @@ def test_pair_cosine_kernel_matches_python_fold(spark, vecs):
             acc += a * b
         want = math.floor(acc * 1e4 + 0.5) / 1e4
         assert got[(i, j)] == want, (i, j)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 200), st.integers(1, 60)),
+                min_size=1, max_size=25),
+       st.lists(st.tuples(st.integers(0, 200), st.integers(1, 60)),
+                min_size=1, max_size=25),
+       st.sampled_from([1, 7, 13, 64, 500]))
+def test_binned_interval_join_property(spark, ls, rs, bw):
+    """binned_interval_join over arbitrary intervals and bin widths must
+    equal the brute-force overlap predicate — exactly once per pair."""
+    from hippo_claim_crossover_spark.operators.joins import (
+        binned_interval_join)
+
+    left = spark.createDataFrame(
+        [(i, a, a + d) for i, (a, d) in enumerate(ls)],
+        "lid int, ls long, le long")
+    right = spark.createDataFrame(
+        [(i, a, a + d) for i, (a, d) in enumerate(rs)],
+        "rid int, rs long, re long")
+    rows = binned_interval_join(left, right, "ls", "le", "rs", "re",
+                                bw).collect()
+    got = sorted((r["lid"], r["rid"]) for r in rows)
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    want = sorted(
+        (i, j)
+        for i, (a, d) in enumerate(ls) for j, (b, e) in enumerate(rs)
+        if a < b + e and b < a + d)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.sets(st.integers(0, 10**9), min_size=1, max_size=60),
+       st.sampled_from([64, 1 << 10, 1 << 14]))
+def test_bloom_never_false_negative_property(spark, keys, m):
+    from hippo_claim_crossover_spark.operators.bloom import (
+        bloom_build, bloom_may_contain)
+
+    build = spark.createDataFrame([(k,) for k in keys], "k long")
+    filt = bloom_build(build, "k", m, 5)
+    n = (build.join(F.broadcast(filt))
+         .where(bloom_may_contain(F.col("words"), F.col("k"), m, 5))
+         .count())
+    assert n == len(keys)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 65535), st.integers(0, 65535))
+def test_z_value_model_is_injective_and_bounded(x, y):
+    """Pure-Python model of the z_value bit interleave (the Spark
+    expression is checked against this model in test_operators):
+    deinterleaving recovers (x, y) exactly — injective — and the code
+    stays within 32 bits."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (rx, ry) == (x, y)
+    assert 0 <= z < (1 << 32)
