@@ -75,12 +75,21 @@ HEADLINE = [
     "q_assoc_rules",
     "q_udtf",
     # round-5 second-half additions (CDC, Bloom join, LM typicality,
-    # stream-static join)
+    # stream-static join, linkage, DQ audit, graph, layout, UDF surfaces)
     "q_merge_upsert",
     "q_scd2_history",
     "q_join_bloom",
     "q_text_typicality",
     "q_stream_static",
+    "q_link_sorted",
+    "q_dq_audit",
+    "q_cohort_retention",
+    "q_graph_triangles",
+    "q_incr_agg",
+    "q_sink_zorder",
+    "q_join_interval_binned",
+    "q_udf_grouped",
+    "q_udf_cogrouped",
 ]
 
 

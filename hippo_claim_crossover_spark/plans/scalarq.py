@@ -358,29 +358,42 @@ def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: money enters the kernel as exact integer
     CENTS (floor(x·100+0.5) — int64-safe for the squared sums the
     variance needs, where micros² would overflow), the kernel folds
-    exact integer n/Σx/Σx² and only then switches to the same IEEE
-    float expression the oracle SQL spells out, finishing with the
-    floor-rounding formula on BOTH sides (z is signed, so DuckDB's own
-    round() would disagree at negative halfway points — the oracle uses
-    the identical floor expression instead). Scale: one shuffle on the
-    group key; groups are single-customer sized (bounded), the Arrow
-    transfer is the only Python cost."""
+    exact integer n/Σx/Σx² per subscriber and only then switches to the
+    same IEEE float expression the oracle SQL spells out, finishing
+    with the floor-rounding formula on BOTH sides (z is signed, so
+    DuckDB's own round() would disagree at negative halfway points —
+    the oracle uses the identical floor expression instead).
+
+    Scale shape — the small-groups rule: grouping by the raw customer
+    key means one kernel invocation per ~10-row group (measured 24s at
+    sf0.1's 15k groups — per-call pandas overhead, not compute). The
+    shuffle key is instead a SHARD (``pmod(custkey, 64)``) that keeps
+    every customer wholly inside one kernel call, and the kernel does
+    the per-customer math vectorized with pandas groupby-transform —
+    64 calls total, identical output (0.7s). Same rule at 100 TB:
+    applyInPandas shuffle keys should be coarse; fine-grained grouping
+    belongs INSIDE the kernel."""
     import numpy as np
 
     o = (t(spark, sf_dir, "orders")
          .select("o_custkey", "o_orderkey",
                  F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                 .cast("long").alias("cents")))
+                 .cast("long").alias("cents"),
+                 F.pmod(F.col("o_custkey"), F.lit(64)).alias("shard")))
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = pdf["cents"].to_numpy()
-        n = len(cents)
-        s = int(cents.sum())
-        ss = int((cents * cents).sum())
-        mean = float(s) / n
-        var = float(ss) / n - mean * mean
-        std = np.sqrt(var) if var > 0 else 0.0
-        z = (cents - mean) / std if std > 0 else np.zeros(n)
+        g = pdf.groupby("o_custkey")["cents"]
+        n = g.transform("size").to_numpy()
+        s = g.transform("sum").to_numpy()          # exact int64
+        sq = pdf["cents"] * pdf["cents"]
+        ss = (sq.groupby(pdf["o_custkey"]).transform("sum")
+              .to_numpy())                         # exact int64
+        mean = s.astype(np.float64) / n
+        var = ss.astype(np.float64) / n - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        z = np.zeros(len(pdf))
+        np.divide(pdf["cents"].to_numpy() - mean, std, out=z,
+                  where=var > 0)
         z = np.floor(z * 1e4 + 0.5) / 1e4
         return pd.DataFrame({
             "claim_id": pdf["o_orderkey"],
@@ -388,7 +401,7 @@ def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z": z,
         })
 
-    return o.groupBy("o_custkey").applyInPandas(
+    return o.groupBy("shard").applyInPandas(
         zscore, "claim_id long, subscriber_id long, z double")
 
 
@@ -427,27 +440,44 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is deliberately SQL-expressible (exact integer cents/counts)
     so the full-outer-join oracle hash-checks the plumbing: keys
     present on either side must appear exactly once, empty sides as
-    zeros."""
+    zeros.
+
+    Cogrouped on a SHARD key (``pmod(key, 64)``), not the raw
+    subscriber key — the same small-groups rule as q_udf_grouped: the
+    kernel outer-merges the two sides' per-key rollups inside the
+    shard (pandas groupby + outer join), so 64 kernel calls replace
+    one per subscriber (measured 18.6s → sub-second at sf0.1)."""
     o = (t(spark, sf_dir, "orders")
-         .select("o_custkey",
+         .select(F.col("o_custkey").alias("k"),
                  F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                 .cast("long").alias("cents")))
+                 .cast("long").alias("cents"),
+                 F.pmod(F.col("o_custkey"), F.lit(64)).alias("shard")))
     e = (t(spark, sf_dir, "events")
-         .select("user_id",
+         .select(F.col("user_id").alias("k"),
                  F.floor(F.col("value") * 100 + F.lit(0.5))
-                 .cast("long").alias("vcents")))
+                 .cast("long").alias("vcents"),
+                 F.pmod(F.col("user_id"), F.lit(64)).alias("shard")))
 
-    def profile(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "subscriber_id": [int(key[0])],
-            "n_orders": [len(odf)],
-            "order_cents": [int(odf["cents"].sum()) if len(odf) else 0],
-            "n_events": [len(edf)],
-            "event_cents": [int(edf["vcents"].sum()) if len(edf) else 0],
-        })
+    def _empty(cols: list[str]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in cols},
+            index=pd.Index([], dtype="int64", name="k"))
 
-    return (o.groupBy("o_custkey")
-            .cogroup(e.groupBy("user_id"))
+    def profile(odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        os_ = (odf.groupby("k")
+               .agg(n_orders=("cents", "size"),
+                    order_cents=("cents", "sum"))
+               if len(odf) else _empty(["n_orders", "order_cents"]))
+        es = (edf.groupby("k")
+              .agg(n_events=("vcents", "size"),
+                   event_cents=("vcents", "sum"))
+              if len(edf) else _empty(["n_events", "event_cents"]))
+        m = os_.join(es, how="outer").fillna(0).astype("int64")
+        m.index.name = "subscriber_id"
+        return m.reset_index()
+
+    return (o.groupBy("shard")
+            .cogroup(e.groupBy("shard"))
             .applyInPandas(profile,
                            "subscriber_id long, n_orders long, "
                            "order_cents long, n_events long, "
