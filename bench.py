@@ -90,6 +90,13 @@ HEADLINE = [
     "q_join_interval_binned",
     "q_udf_grouped",
     "q_udf_cogrouped",
+    # round-5 third-batch additions (statistics family, sessionization,
+    # snapshot diff, TPC-H Q10 composite)
+    "q_regr_group",
+    "q_outlier_zscore",
+    "q_sessionize",
+    "q_snapshot_diff",
+    "q_returned_items",
 ]
 
 

@@ -19,6 +19,7 @@ from hippo_claim_crossover_spark.plans import (
     scalarq,
     similarity,
     sources,
+    stats,
     text,
     timeseries,
     windows,
@@ -27,7 +28,7 @@ from hippo_claim_crossover_spark.plans.base import QuerySpec
 
 _MODULES = [nested, timeseries, text, dedup, similarity, multimodalq,
             asofq, extras, crossover, scalarq, relational, windows,
-            sources, clustering, graphq]
+            sources, clustering, graphq, stats]
 
 _BY_NAME: dict[str, QuerySpec] = {}
 for _m in _MODULES:
@@ -45,6 +46,10 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
+    # -- newly declared (round-5 second session): statistics family,
+    # batch sessionization, snapshot diff, TPC-H Q10 composite --
+    "q_regr_group", "q_outlier_zscore", "q_drift_chi2", "q_sessionize",
+    "q_snapshot_diff", "q_returned_items",
     # -- new or code-changed this session (round 5) --
     # first row: newly declared this session (CDC merge/SCD2, Bloom semi
     # join, LM typicality, stream-static join); second row: new from the
@@ -69,11 +74,12 @@ GATE_ORDER = [
     "q_agg_multi", "q_approx_cd", "q_bool_eq", "q_bool_or",
     "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
     "q_case_struct", "q_cast", "q_coalesce2", "q_coalesce_pair",
-    "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
-    "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
+    "q_date_fmt", "q_distinct",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # -- displaced by this session's 15 new/changed head entries (rotate
-    # through next round; all pass the local gate today) --
+    # -- displaced by this session's new head entries (rotate through
+    # next round; all pass the local gate today) --
+    "q_join_bucketed", "q_join_range",
+    "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
     "q_str_dxcode", "q_str_join",
     "q_str_name", "q_str_zip", "q_topk", "q_topk_group", "q_udf",
     "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",

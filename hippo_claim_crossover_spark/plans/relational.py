@@ -161,6 +161,72 @@ LIMIT 10
 """
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returned lineitems per customer over one quarter, top 20 customers
+    with their nation.
+
+    Plan shape at 100 TB: the date filter pushes into the orders scan
+    and the returnflag filter into lineitem; orders⋈lineitem shuffles on
+    orderkey; the aggregate collapses to one row per customer BEFORE the
+    customer join (aggregate-before-join — the same cardinality-crushing
+    move as q_crossover), so customer joins a ≤|customers| aggregate,
+    not raw lineitems; nation is a broadcast dim; top-20 is TakeOrdered,
+    never a global sort materialization. Revenue rides exact integer
+    micros so the ranking (tie-broken by custkey) is engine-identical.
+    """
+    cutoff_lo, cutoff_hi = "1995-10-01", "1996-01-01"
+    o = (t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= cutoff_lo)
+                & (F.col("o_orderdate") < cutoff_hi))
+         .select("o_orderkey", "o_custkey"))
+    li = (t(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(money_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")))
+             .alias("revenue"))
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_custkey"), F.col("c_name"),
+                F.col("n_name").alias("nation"),
+                duck_round(F.col("c_acctbal"), 2).alias("acctbal"),
+                F.col("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEMS = f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         {money_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)")}
+           AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       round(c.c_acctbal, 2) AS acctbal, rev.revenue
+FROM rev
+JOIN customer c ON rev.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY rev.revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
 def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local-supplier volume): the 6-table join chain
     region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
@@ -862,6 +928,9 @@ SPECS: dict[str, QuerySpec] = {
                                  "TPC-H Q3-shaped composite top-10"),
     "q_region_volume": QuerySpec(q_region_volume, ORACLE_REGION_VOLUME,
                                  "TPC-H Q5-shaped 6-table join composite"),
+    "q_returned_items": QuerySpec(q_returned_items, ORACLE_RETURNED_ITEMS,
+                                  "TPC-H Q10-shaped returned-item top-20 "
+                                  "(aggregate-before-join)"),
     "q_pipe_sql": QuerySpec(q_pipe_sql, ORACLE_PIPE_SQL,
                             "SQL pipe syntax (|>) pricing summary"),
     "q_assoc_rules": QuerySpec(q_assoc_rules, ORACLE_ASSOC_RULES,

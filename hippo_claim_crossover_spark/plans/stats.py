@@ -1,0 +1,296 @@
+"""§2b statistical operators: grouped OLS regression, z-score anomaly
+ranking, and distribution-drift scoring.
+
+The reference's only "statistics" are a SUM and an EXISTS per claim
+(lib/hippo_claim_crossover.rb:246-258); a corpus-scale engine needs the
+next tier — fitted trends per segment, outlier detection, and drift
+monitoring between shards of a training corpus. All three are built the
+same scale-safe way:
+
+* **Exact sufficient statistics.** Each statistic is an algebraic
+  function of count / Σx / Σx² / Σxy sums. The sums ride exact integer
+  micros (:func:`money_micros`) widened to DECIMAL(38,0) (Spark) /
+  HUGEINT (DuckDB), so they are partial-aggregatable (map-side combine,
+  one shuffle of a handful of numbers per group) AND bit-reproducible —
+  no double accumulation order sensitivity anywhere.
+* **One double conversion at the end.** The exact integer aggregates are
+  cast to double once, then combined with the *identical* IEEE expression
+  in both engines (products, differences, one division, sqrt — all
+  correctly rounded), so the fitted slope / z-score / χ² hash-match the
+  oracle exactly despite being irrational-valued.
+
+At 100 TB each query is a single scan + partial/final hash aggregate on a
+low-cardinality key; the per-row work is integer multiply-accumulate on
+the codegen path. Nothing here ever materializes per-group row sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    duck_round,
+    money_micros,
+    t,
+)
+
+_D38 = "decimal(38,0)"
+
+
+def _dsum(col: Column) -> Column:
+    """Exact overflow-proof integer sum → double (one correctly-rounded
+    conversion; DuckDB mirror is ``CAST(sum(...) AS DOUBLE)`` over the
+    auto-widened HUGEINT accumulator)."""
+    return F.sum(col.cast(_D38)).cast("double")
+
+
+def q_regr_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (extendedprice ~ quantity per return flag) from
+    exact sufficient statistics.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (Σy − b·Σx)/n,
+    r² = b·(nΣxy − ΣxΣy) / (nΣy² − (Σy)²).
+
+    Built-in ``regr_slope`` exists in both engines but accumulates
+    doubles in partition order — not reproducible across engines or even
+    across runs with different partitioning. The sufficient-statistics
+    form is the distributed-ML textbook shape (one pass, map-side
+    combine) *and* exact: x,y are 2dp-exact money values, so their
+    micros are integers; per-row products are ≤5.25e18 but are computed
+    in DECIMAL(38,0)/HUGEINT so no bound is load-bearing.
+
+    Scale invariance: x,y both carry the 1e6 micros factor, so the
+    slope and r² are unit-free; only the intercept needs the /1e6.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    xm = money_micros(F.col("l_quantity"))
+    ym = money_micros(F.col("l_extendedprice"))
+    agg = (
+        li.select(F.col("l_returnflag"), xm.alias("xm"), ym.alias("ym"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            _dsum(F.col("xm")).alias("sx"),
+            _dsum(F.col("ym")).alias("sy"),
+            _dsum(F.col("xm").cast(_D38) * F.col("xm")).alias("sxx"),
+            _dsum(F.col("xm").cast(_D38) * F.col("ym")).alias("sxy"),
+            _dsum(F.col("ym").cast(_D38) * F.col("ym")).alias("syy"),
+        )
+    )
+    num = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return (
+        agg.withColumn("slope", slope)
+        .select(
+            "l_returnflag",
+            F.col("nd").cast("long").alias("n"),
+            duck_round(F.col("slope"), 6).alias("slope"),
+            duck_round((F.col("sy") - F.col("slope") * F.col("sx"))
+                       / F.col("nd") / F.lit(1e6), 4).alias("intercept"),
+            duck_round(F.col("slope") * num / deny, 6).alias("r2"),
+        )
+    )
+
+
+# The SQL spells the double arithmetic in the exact same order as the
+# Spark plan; both engines see identical IEEE operand sequences.
+ORACLE_REGR_GROUP = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS xm,
+         CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS ym
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(xm AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ym AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xm AS HUGEINT) * xm) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(xm AS HUGEINT) * ym) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(ym AS HUGEINT) * ym) AS DOUBLE) AS syy
+  FROM m GROUP BY l_returnflag
+), b AS (
+  SELECT *, (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope
+  FROM a
+)
+SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+       floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+       floor((sy - slope * sx) / nd / 1e6 * 1e4 + 0.5) / 1e4 AS intercept,
+       floor(slope * (nd * sxy - sx * sy) / (nd * syy - sy * sy) * 1e6
+             + 0.5) / 1e6 AS r2
+FROM b
+"""
+
+
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score anomaly ranking: the 5 most anomalous events
+    per event type, scored against that type's own mean/σ.
+
+    Moments come from the same exact-integer-sum machinery as
+    :func:`q_regr_group` (Σx, Σx² in micros); σ is the sample stddev
+    ``sqrt((Σx² − (Σx)²/n)/(n−1))`` — sqrt is correctly rounded in IEEE,
+    so z is bit-identical across engines and the |z| ranking (tie-broken
+    by event_id) is fully deterministic.
+
+    Plan shape: one scan → 5-row stats aggregate → **broadcast** join of
+    the stats back onto the stream (never a shuffle of the fact side on
+    a 5-key column — that is the skew worst-case), then a per-type top-5
+    window. At 100 TB the window input is pre-filtered to rows with
+    |z| above a coarse screen? No — the rank needs all rows, but the
+    window key (event_type) is the same 5-partition skew trap, so the
+    top-5 runs as rank-within-shard → re-rank of the 5·shards survivors
+    (same two-phase shape as q_topk_group).
+    """
+    e = t(spark, sf_dir, "events")
+    xm = e.select("event_id", "event_type",
+                  money_micros(F.col("value")).alias("xm"))
+    stats = (
+        xm.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("nd"),
+             _dsum(F.col("xm")).alias("s1"),
+             _dsum(F.col("xm").cast(_D38) * F.col("xm")).alias("s2"))
+        .withColumn("mean", F.col("s1") / F.col("nd"))
+        .withColumn("std", F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
+            / (F.col("nd") - F.lit(1.0))))
+        .select("event_type", "mean", "std")
+    )
+    scored = (
+        xm.join(F.broadcast(stats), "event_type")
+        .withColumn("z", (F.col("xm").cast("double") - F.col("mean"))
+                    / F.col("std"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("z")).desc(), F.col("event_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("event_type", "rk", "event_id",
+                duck_round(F.col("xm").cast("double") / F.lit(1e6), 2)
+                .alias("value"),
+                duck_round(F.col("z"), 4).alias("z"))
+    )
+
+
+ORACLE_OUTLIER_ZSCORE = """
+WITH m AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS xm
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(xm AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(xm AS HUGEINT) * xm) AS DOUBLE) AS s2
+  FROM m GROUP BY event_type
+), st AS (
+  SELECT event_type, s1 / nd AS mean,
+         sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) AS std
+  FROM s
+), z AS (
+  SELECT m.event_type, m.event_id,
+         (CAST(m.xm AS DOUBLE) - st.mean) / st.std AS z,
+         CAST(m.xm AS DOUBLE) / 1e6 AS v
+  FROM m JOIN st USING (event_type)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(z) DESC, event_id) AS rk
+  FROM z
+)
+SELECT event_type, rk, event_id,
+       floor(v * 1e2 + 0.5) / 1e2 AS value,
+       floor(z * 1e4 + 0.5) / 1e4 AS z
+FROM r WHERE rk <= 5
+"""
+
+
+# The event-type universe is part of the query contract (drift is always
+# measured over a fixed label vocabulary); spelling it out keeps the χ²
+# summation a fixed-order chain of 5 additions instead of an
+# order-sensitive SUM over doubles.
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus shards: χ² divergence of each
+    user-shard's event-type mix against the global mix.
+
+    The production use is training-corpus QA — detect a shard whose
+    label/language/source distribution has drifted from the corpus
+    before it poisons a training run. χ² = Σ_t (p_s,t − p_g,t)²/p_g,t
+    over the fixed type vocabulary.
+
+    Determinism: counts are exact; the per-type χ² terms are doubles but
+    are combined as an explicit fixed-order ``t1+t2+t3+t4+t5`` chain
+    (not a SUM aggregate), so the result is bit-identical across
+    engines. Two aggregates (per-shard conditional counts + one global
+    row, broadcast), no row ever leaves its partition twice.
+    """
+    e = t(spark, sf_dir, "events")
+    cnt = [F.count(F.when(F.col("event_type") == ty, 1)).alias(f"c_{ty}")
+           for ty in _TYPES]
+    shard = (
+        e.groupBy(F.pmod(F.col("user_id"), F.lit(8)).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"), *cnt)
+    )
+    glob = e.groupBy().agg(F.count(F.lit(1)).alias("gn"), *[
+        F.count(F.when(F.col("event_type") == ty, 1)).alias(f"g_{ty}")
+        for ty in _TYPES])
+
+    def term(ty: str) -> Column:
+        ps = F.col(f"c_{ty}").cast("double") / F.col("n").cast("double")
+        pg = F.col(f"g_{ty}").cast("double") / F.col("gn").cast("double")
+        return (ps - pg) * (ps - pg) / pg
+
+    chi2 = term(_TYPES[0])
+    for ty in _TYPES[1:]:
+        chi2 = chi2 + term(ty)
+    return (
+        shard.crossJoin(F.broadcast(glob))
+        .select("shard", F.col("n").alias("n_events"),
+                duck_round(chi2, 8).alias("chi2"))
+    )
+
+
+def _term_sql(ty: str) -> str:
+    return (f"(CAST(c_{ty} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - CAST(g_{ty} AS DOUBLE) / CAST(gn AS DOUBLE))"
+            f" * (CAST(c_{ty} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - CAST(g_{ty} AS DOUBLE) / CAST(gn AS DOUBLE))"
+            f" / (CAST(g_{ty} AS DOUBLE) / CAST(gn AS DOUBLE))")
+
+
+ORACLE_DRIFT_CHI2 = f"""
+WITH s AS (
+  SELECT user_id % 8 AS shard, count(*) AS n,
+         {", ".join(f"count(*) FILTER (event_type = '{ty}') AS c_{ty}"
+                    for ty in _TYPES)}
+  FROM events GROUP BY user_id % 8
+), g AS (
+  SELECT count(*) AS gn,
+         {", ".join(f"count(*) FILTER (event_type = '{ty}') AS g_{ty}"
+                    for ty in _TYPES)}
+  FROM events
+)
+SELECT shard, n AS n_events,
+       floor(({" + ".join(_term_sql(ty) for ty in _TYPES)}) * 1e8 + 0.5)
+         / 1e8 AS chi2
+FROM s, g
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_regr_group": QuerySpec(
+        q_regr_group, ORACLE_REGR_GROUP,
+        "grouped OLS fit from exact sufficient statistics"),
+    "q_outlier_zscore": QuerySpec(
+        q_outlier_zscore, ORACLE_OUTLIER_ZSCORE,
+        "per-segment z-score anomaly top-5"),
+    "q_drift_chi2": QuerySpec(
+        q_drift_chi2, ORACLE_DRIFT_CHI2,
+        "shard-vs-corpus chi-square distribution drift"),
+}

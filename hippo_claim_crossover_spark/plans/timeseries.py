@@ -13,7 +13,7 @@ from __future__ import annotations
 import datetime as dt
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.plans.base import (
@@ -539,7 +539,72 @@ GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream into sessions at >4h inactivity gaps and emit one row per
+    session with its ordinal, span, and size.
+
+    This is the windows-function twin of ``q_stream_session``: that one
+    exercises the ``session_window()`` aggregate API (which also runs
+    incrementally under readStream); this one is the batch backfill
+    formulation every warehouse uses — ``lag`` marks session starts,
+    a running ``sum`` over the same window assigns ordinals, then one
+    groupBy collapses the islands. Both windows and the final groupBy
+    share the user_id partitioning, so the whole query is ONE shuffle +
+    one in-partition sort at any scale.
+
+    Gap arithmetic rides exact integer microseconds
+    (``timestampdiff(MICROSECOND, ...)`` — works identically on
+    TIMESTAMP and TIMESTAMP_NTZ, no timezone round-trip), so the
+    session-break predicate is an exact int compare in both engines.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    is_new = F.when(gap_us.isNull() | (gap_us > F.lit(4 * 3600 * 1_000_000)),
+                    F.lit(1)).otherwise(F.lit(0))
+    return (
+        e.withColumn("new_sess", is_new)
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .withColumn("duration_us", F.expr(
+            "timestampdiff(MICROSECOND, session_start, session_end)"))
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 14400000000
+                       THEN 1 ELSE 0 END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_sessionize": QuerySpec(q_sessionize, ORACLE_SESSIONIZE,
+                              "gap-based batch sessionization "
+                              "(gaps-and-islands, one shuffle)"),
     "q_stream_tumble": QuerySpec(q_stream_tumble, ORACLE_STREAM_TUMBLE,
                                  "tumbling window"),
     "q_stream_slide": QuerySpec(q_stream_slide, ORACLE_STREAM_SLIDE,

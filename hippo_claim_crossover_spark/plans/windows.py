@@ -308,6 +308,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — change-data *generation*, the inverse of
+    q_merge_upsert's change *application*: given yesterday's and today's
+    snapshot of a keyed table, emit the insert/update/delete rows that
+    transform one into the other (what Delta/Iceberg call a change data
+    feed, computed engine-side when the storage layer doesn't provide
+    one).
+
+    The two snapshots are derived deterministically from orders
+    (old = keys ∉ 0 mod 10; new = keys ∉ 3 mod 7, with a +10.00 price
+    revision on keys ≡ 0 mod 5), so inserts, deletes, updates, and
+    unchanged rows all occur. One FULL OUTER join on the key — both
+    sides shuffle-partition on o_orderkey, AQE plans a single exchange
+    pair — then a null-pattern CASE classifies each row and unchanged
+    rows are dropped. No driver-side diffing; at 100 TB this is the
+    only shape that works (two scans + one co-partitioned join).
+    """
+    o = t(spark, sf_dir, "orders")
+    old = (o.where(F.col("o_orderkey") % 10 != 0)
+           .select("o_orderkey",
+                   duck_round(F.col("o_totalprice"), 2).alias("old_value")))
+    new = (o.where(F.col("o_orderkey") % 7 != 3)
+           .select("o_orderkey",
+                   duck_round(
+                       F.when(F.col("o_orderkey") % 5 == 0,
+                              F.col("o_totalprice") + F.lit(10.0))
+                       .otherwise(F.col("o_totalprice")), 2)
+                   .alias("new_value")))
+    joined = old.join(new, "o_orderkey", "full_outer")
+    op = (F.when(F.col("old_value").isNull(), F.lit("insert"))
+          .when(F.col("new_value").isNull(), F.lit("delete"))
+          .when(F.col("old_value") != F.col("new_value"), F.lit("update")))
+    return (joined.withColumn("op", op)
+            .where(F.col("op").isNotNull())
+            .select("o_orderkey", "op", "old_value", "new_value"))
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS old_value
+  FROM orders WHERE o_orderkey % 10 <> 0
+), new AS (
+  SELECT o_orderkey,
+         round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END, 2) AS new_value
+  FROM orders WHERE o_orderkey % 7 <> 3
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+            WHEN new.o_orderkey IS NULL THEN 'delete'
+            WHEN old_value <> new_value THEN 'update' END AS op,
+       old_value, new_value
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+           WHEN new.o_orderkey IS NULL THEN 'delete'
+           WHEN old_value <> new_value THEN 'update' END IS NOT NULL
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_win_rank": QuerySpec(q_win_rank, ORACLE_WIN_RANK, "ranking fns"),
     "q_win_running": QuerySpec(q_win_running, ORACLE_WIN_RUNNING,
@@ -322,4 +381,6 @@ SPECS: dict[str, QuerySpec] = {
                                 "MERGE-style insert/update/delete apply"),
     "q_scd2_history": QuerySpec(q_scd2_history, ORACLE_SCD2_HISTORY,
                                 "SCD type-2 validity-interval history"),
+    "q_snapshot_diff": QuerySpec(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+                                 "snapshot diff (change-data generation)"),
 }

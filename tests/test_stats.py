@@ -1,0 +1,103 @@
+"""Semantic tests for the statistics family (plans/stats.py) beyond the
+hash oracle: the OLS fit agrees with an independent numpy solver, the
+drift score behaves like a χ² divergence, sessionization satisfies its
+gap invariants, and the snapshot diff classifies exactly the rows the
+key arithmetic predicts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+
+def test_regr_matches_numpy(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in
+            ALL_SPECS["q_regr_group"].fn(spark, sf_dir).collect()}
+    pdf = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .select("l_returnflag", "l_quantity", "l_extendedprice")
+           .toPandas())
+    for flag, grp in pdf.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(grp["l_quantity"],
+                                      grp["l_extendedprice"], 1)
+        got = rows[flag]
+        assert got["n"] == len(grp)
+        # numpy solves via lstsq on doubles; agree to ~1e-6 relative.
+        assert abs(got["slope"] - slope) <= 1e-4 * max(1.0, abs(slope))
+        assert abs(got["intercept"] - intercept) <= (
+            1e-4 * max(1.0, abs(intercept)))
+        r = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+        assert abs(got["r2"] - r * r) <= 1e-4
+
+
+def test_outlier_zscore_shape(spark, sf_dir):
+    rows = ALL_SPECS["q_outlier_zscore"].fn(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for ty, grp in by_type.items():
+        assert sorted(r["rk"] for r in grp) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 5
+        # |z| is non-increasing in rank
+        zs = [abs(r["z"]) for r in sorted(grp, key=lambda r: r["rk"])]
+        assert zs == sorted(zs, reverse=True)
+
+
+def test_drift_chi2_invariants(spark, sf_dir):
+    rows = ALL_SPECS["q_drift_chi2"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r["chi2"] >= 0.0 for r in rows)
+    # shards are a partition of the event table
+    total = (spark.read.parquet(f"{sf_dir}/events.parquet").count())
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_sessionize_gap_invariants(spark, sf_dir):
+    """Within a session max gap ≤ threshold is NOT required (only
+    consecutive gaps are), but consecutive sessions of one user must be
+    separated by > 4h, sessions must not overlap, and the per-user event
+    count must be conserved."""
+    sess = ALL_SPECS["q_sessionize"].fn(spark, sf_dir).collect()
+    ev_counts = {r["user_id"]: r["n"] for r in
+                 spark.read.parquet(f"{sf_dir}/events.parquet")
+                 .groupBy("user_id").agg(F.count("*").alias("n"))
+                 .collect()}
+    by_user: dict[int, list] = {}
+    for r in sess:
+        assert r["duration_us"] >= 0
+        by_user.setdefault(r["user_id"], []).append(r)
+    gap_us = 4 * 3600 * 1_000_000
+    for uid, grp in by_user.items():
+        grp.sort(key=lambda r: r["session_id"])
+        assert [r["session_id"] for r in grp] == list(
+            range(1, len(grp) + 1))
+        assert sum(r["n_events"] for r in grp) == ev_counts[uid]
+        for a, b in zip(grp, grp[1:]):
+            d = (b["session_start"] - a["session_end"])
+            assert d.total_seconds() * 1e6 > gap_us, (uid, a, b)
+
+
+def test_snapshot_diff_classification(spark, sf_dir):
+    rows = ALL_SPECS["q_snapshot_diff"].fn(spark, sf_dir).collect()
+    keys = [r["o_orderkey"] for r in
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey").collect()]
+    expect = {}
+    for k in keys:
+        in_old, in_new = k % 10 != 0, k % 7 != 3
+        if in_new and not in_old:
+            expect[k] = "insert"
+        elif in_old and not in_new:
+            expect[k] = "delete"
+        elif in_old and in_new and k % 5 == 0:
+            expect[k] = "update"
+    got = {r["o_orderkey"]: r["op"] for r in rows}
+    assert got == expect
+    for r in rows:
+        if r["op"] == "insert":
+            assert r["old_value"] is None and r["new_value"] is not None
+        elif r["op"] == "delete":
+            assert r["new_value"] is None and r["old_value"] is not None
+        else:
+            assert abs(r["new_value"] - r["old_value"] - 10.0) < 1e-9
