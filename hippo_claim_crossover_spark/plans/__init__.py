@@ -49,7 +49,7 @@ GATE_ORDER = [
     # -- newly declared (round-5 second session): statistics family,
     # batch sessionization, snapshot diff, TPC-H Q10 composite --
     "q_regr_group", "q_outlier_zscore", "q_drift_chi2", "q_sessionize",
-    "q_snapshot_diff", "q_returned_items",
+    "q_snapshot_diff", "q_returned_items", "q_transpose", "q_sql_udf",
     # -- new or code-changed this session (round 5) --
     # first row: newly declared this session (CDC merge/SCD2, Bloom semi
     # join, LM typicality, stream-static join); second row: new from the
@@ -74,10 +74,10 @@ GATE_ORDER = [
     "q_agg_multi", "q_approx_cd", "q_bool_eq", "q_bool_or",
     "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
     "q_case_struct", "q_cast", "q_coalesce2", "q_coalesce_pair",
-    "q_date_fmt", "q_distinct",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- displaced by this session's new head entries (rotate through
     # next round; all pass the local gate today) --
+    "q_date_fmt", "q_distinct",
     "q_join_bucketed", "q_join_range",
     "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
     "q_str_dxcode", "q_str_join",

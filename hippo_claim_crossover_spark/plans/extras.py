@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    duck_round,
+    money_sum,
+    money_sum_sql,
+    t,
+)
 
 
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +186,62 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.transpose()``: flip a small per-flag metrics
+    aggregate into metrics-as-rows / flags-as-columns — the
+    report-matrix shape BI layers want.
+
+    Transpose is a driver-materializing operator by contract (the result
+    header is data-dependent), so it is only ever applied AFTER the
+    aggregate has collapsed the input to O(groups) rows — here 3. The
+    heavy lifting (the full lineitem scan + partial/final agg) is
+    unchanged distributed work; metrics ride the exact-micros sums. The
+    input is sorted by flag so the output column order (A, N, R) is
+    deterministic, and every metric is cast to double (transpose
+    requires a uniform value type).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(money_sum(F.col("l_quantity")).alias("sum_qty"),
+             money_sum(F.col("l_extendedprice")).alias("sum_price"),
+             F.count(F.lit(1)).cast("double").alias("n_lines"))
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose()
+
+
+ORACLE_TRANSPOSE = f"""
+WITH a AS (
+  SELECT l_returnflag,
+         {money_sum_sql("l_quantity")} AS sum_qty,
+         {money_sum_sql("l_extendedprice")} AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_lines
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'sum_qty' AS key,
+       max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS A,
+       max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS N,
+       max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS R
+FROM a
+UNION ALL
+SELECT 'sum_price',
+       max(CASE WHEN l_returnflag = 'A' THEN sum_price END),
+       max(CASE WHEN l_returnflag = 'N' THEN sum_price END),
+       max(CASE WHEN l_returnflag = 'R' THEN sum_price END)
+FROM a
+UNION ALL
+SELECT 'n_lines',
+       max(CASE WHEN l_returnflag = 'A' THEN n_lines END),
+       max(CASE WHEN l_returnflag = 'N' THEN n_lines END),
+       max(CASE WHEN l_returnflag = 'R' THEN n_lines END)
+FROM a
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_transpose": QuerySpec(q_transpose, ORACLE_TRANSPOSE,
+                             "Spark 4 DataFrame.transpose report matrix"),
     "q_percentile": QuerySpec(q_percentile, ORACLE_PERCENTILE,
                               "exact grouped percentiles/median"),
     "q_pivot": QuerySpec(q_pivot, ORACLE_PIVOT, "pivot w/ explicit values"),

@@ -23,6 +23,7 @@ from hippo_claim_crossover_spark.functions.scalar import (
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
+    money_sum_sql,
     t,
     t_wide,
 )
@@ -503,7 +504,54 @@ FROM o FULL OUTER JOIN e ON o.k = e.k
 """
 
 
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF (``CREATE FUNCTION ... RETURN <expr>``): the
+    engine-native way to share scalar business logic across queries —
+    unlike a Python UDF it inlines into the plan at resolution time, so
+    it costs nothing at runtime (stays inside whole-stage codegen, no
+    Python worker, filters through it still push down).
+
+    The function bands an order total into pricing tiers; the query
+    groups by the banded tier. The oracle inlines the identical CASE —
+    which is exactly what Catalyst does with the UDF body.
+    """
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(total DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN total >= 300000 THEN 'platinum'
+                    WHEN total >= 150000 THEN 'gold'
+                    WHEN total >=  50000 THEN 'silver'
+                    ELSE 'bronze' END
+    """)
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_sqludf")
+    # money_sum_sql runs verbatim in Spark SQL: the sum rides exact
+    # integer micros and lands ON the 6dp grid, where Spark round and
+    # DuckDB round agree (plans/base.py money_sum notes).
+    return spark.sql(f"""
+        SELECT price_tier(o_totalprice) AS tier,
+               count(*) AS n_orders,
+               {money_sum_sql("o_totalprice")} AS sum_total
+        FROM orders_sqludf
+        GROUP BY price_tier(o_totalprice)
+    """)
+
+
+ORACLE_SQL_UDF = f"""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+            WHEN o_totalprice >= 150000 THEN 'gold'
+            WHEN o_totalprice >=  50000 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       count(*) AS n_orders,
+       {money_sum_sql("o_totalprice")} AS sum_total
+FROM orders
+GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_sql_udf": QuerySpec(q_sql_udf, ORACLE_SQL_UDF,
+                           "Spark 4 SQL UDF (inlined scalar function)"),
     "q_str_dxcode": QuerySpec(q_str_dxcode, ORACLE_STR_DXCODE, "X1"),
     "q_str_zip": QuerySpec(q_str_zip, ORACLE_STR_ZIP, "X2"),
     "q_str_name": QuerySpec(q_str_name, ORACLE_STR_NAME, "X3"),

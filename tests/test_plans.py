@@ -335,3 +335,55 @@ def test_interval_binned_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_outlier_zscore_broadcasts_stats_not_facts(spark):
+    """The 5-row moments table must be the broadcast side; shuffling the
+    fact stream on the 5-value event_type column is the skew worst-case
+    the plan exists to avoid."""
+    plan = _plan(spark, "q_outlier_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_takeordered_and_broadcast_nation(spark):
+    """Top-20 must be TakeOrdered (per-partition heap + driver merge of
+    20-row heads), never a global Sort materialization; nation is a
+    broadcast dim; the revenue aggregate sits under the customer join
+    (aggregate-before-join)."""
+    plan = _plan(spark, "q_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # aggregate-before-join: both revenue HashAggregates live in the
+    # probe-side subtree, which prints BEFORE the customer build side in
+    # the root-first rendering — so the last HashAggregate must appear
+    # above the customer scan.
+    assert plan.rfind("HashAggregate") < plan.find("customer.parquet")
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the session groupBy share the user_id
+    partitioning: one Exchange total."""
+    plan = _plan(spark, "q_sessionize")
+    assert plan.count("Exchange") == 1
+
+
+def test_regr_group_partial_aggregation(spark):
+    """The sufficient-statistics aggregate must be partial/final (map-side
+    combine): two HashAggregates around one Exchange, and the scan must
+    read only the three referenced columns."""
+    plan = _plan(spark, "q_regr_group")
+    assert plan.count("HashAggregate") == 2
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_sql_udf_inlines_no_python_stage(spark):
+    """The SQL UDF must dissolve into the plan at resolution time: no
+    Python evaluation operator anywhere, and the banding CASE lives
+    inside the partial aggregate's project (whole-stage codegen)."""
+    plan = _plan(spark, "q_sql_udf")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
