@@ -227,6 +227,43 @@ LIMIT 20
 """
 
 
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.lateralJoin``: per-nation top-2 customers by
+    account balance, written as a correlated LIMIT subquery (the way an
+    application developer thinks: "for each nation, its two best
+    customers").
+
+    Catalyst decorrelates the lateral LIMIT into a WindowGroupLimit
+    (per-group top-k computed in one pass, no per-outer-row re-execution)
+    + a hash join — i.e. the optimizer derives the exact plan
+    q_topk_group hand-writes. The audit in tests/test_plans.py pins that
+    rewrite: no CartesianProduct, no re-executed subquery. Ordering ties
+    are broken by c_custkey so the top-2 set is engine-deterministic.
+    """
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = t(spark, sf_dir, "customer")
+    top2 = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(2)
+        .select("c_custkey", "c_name",
+                duck_round(F.col("c_acctbal"), 2).alias("acctbal"))
+    )
+    return n.lateralJoin(top2)
+
+
+ORACLE_LATERAL_JOIN = """
+SELECT n.n_nationkey, n.n_name, r.c_custkey, r.c_name, r.acctbal
+FROM nation n
+JOIN (
+  SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) r ON r.c_nationkey = n.n_nationkey AND r.rn <= 2
+"""
+
+
 def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local-supplier volume): the 6-table join chain
     region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
@@ -931,6 +968,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_returned_items": QuerySpec(q_returned_items, ORACLE_RETURNED_ITEMS,
                                   "TPC-H Q10-shaped returned-item top-20 "
                                   "(aggregate-before-join)"),
+    "q_lateral_join": QuerySpec(q_lateral_join, ORACLE_LATERAL_JOIN,
+                                "Spark 4 DataFrame.lateralJoin "
+                                "(decorrelated to WindowGroupLimit)"),
     "q_pipe_sql": QuerySpec(q_pipe_sql, ORACLE_PIPE_SQL,
                             "SQL pipe syntax (|>) pricing summary"),
     "q_assoc_rules": QuerySpec(q_assoc_rules, ORACLE_ASSOC_RULES,

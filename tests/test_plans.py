@@ -387,3 +387,12 @@ def test_sql_udf_inlines_no_python_stage(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark):
+    """The correlated LIMIT-2 lateral subquery must decorrelate into a
+    one-pass per-group top-k (WindowGroupLimit) + hash join — never a
+    per-outer-row re-execution or a cartesian."""
+    plan = _plan(spark, "q_lateral_join")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
