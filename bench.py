@@ -97,6 +97,7 @@ HEADLINE = [
     "q_sessionize",
     "q_snapshot_diff",
     "q_returned_items",
+    "q_bpe_merges",
 ]
 
 

@@ -1,0 +1,91 @@
+"""§2b tokenizer-training surface: distributed BPE merge-rule induction
+over the documents corpus (operators/bpe.py).
+
+The reference has no tokenizer concept (its only string processing is
+X12 segment splitting, lib/hippo_claim_crossover.rb:22-38); training a
+subword vocabulary is the canonical pre-training corpus job next to
+dedup/quality filtering. The oracle replays the identical algorithm as
+a DuckDB CTE chain — vocabulary build, per-round weighted pair counts,
+deterministic argmax, double-space-delimited merge — so a hash match
+proves three full rounds of the iterative algorithm end-to-end (the
+same every-iteration proof strategy as q_pagerank / q_cluster_kmeans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hippo_claim_crossover_spark.operators.bpe import bpe_merge_rules
+from hippo_claim_crossover_spark.plans.base import QuerySpec, t_wide
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merge rules learned from documents.text: one row per
+    round (rnd, lhs, rhs, merged, support). See operators/bpe.py for the
+    distributed shape (vocab compression, codegen-only rounds, 1-row
+    broadcast argmax, checkpointed iteration state)."""
+    docs = t_wide(spark, sf_dir, "documents")
+    rules = bpe_merge_rules(docs, n_rounds=3)
+    return rules.select(
+        F.col("round").alias("rnd"),
+        F.col("left").alias("lhs"), F.col("right").alias("rhs"),
+        "merged", F.col("support").cast("long").alias("support"))
+
+
+def _pairs_sql(src: str) -> str:
+    arr = "string_split(trim(seq), '  ')"
+    return f"""
+  SELECT pr AS pair, sum(freq) AS pf FROM (
+    SELECT freq, unnest(
+      CASE WHEN len({arr}) >= 2 THEN
+        list_transform(range(1, len({arr})),
+                       i -> {arr}[i] || '|' || {arr}[i + 1])
+      ELSE [] END) AS pr
+    FROM {src})
+  GROUP BY pr"""
+
+
+def _best_sql(src: str) -> str:
+    return (f"SELECT split_part(pair, '|', 1) AS l, "
+            f"split_part(pair, '|', 2) AS r, pf "
+            f"FROM {src} ORDER BY pf DESC, pair LIMIT 1")
+
+
+def _merge_sql(vocab: str, best: str) -> str:
+    return (f"SELECT w, freq, replace(seq, "
+            f"' ' || {best}.l || '  ' || {best}.r || ' ', "
+            f"' ' || {best}.l || {best}.r || ' ') AS seq "
+            f"FROM {vocab}, {best}")
+
+
+ORACLE_BPE_MERGES = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq,
+         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seq
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+),
+p1 AS ({_pairs_sql("vocab")}),
+b1 AS ({_best_sql("p1")}),
+v2 AS ({_merge_sql("vocab", "b1")}),
+p2 AS ({_pairs_sql("v2")}),
+b2 AS ({_best_sql("p2")}),
+v3 AS ({_merge_sql("v2", "b2")}),
+p3 AS ({_pairs_sql("v3")}),
+b3 AS ({_best_sql("p3")})
+SELECT 1 AS rnd, l AS lhs, r AS rhs, l || r AS merged,
+       CAST(pf AS BIGINT) AS support FROM b1
+UNION ALL
+SELECT 2, l, r, l || r, CAST(pf AS BIGINT) FROM b2
+UNION ALL
+SELECT 3, l, r, l || r, CAST(pf AS BIGINT) FROM b3
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q_bpe_merges": QuerySpec(
+        q_bpe_merges, ORACLE_BPE_MERGES,
+        "distributed BPE merge-rule induction (3 hash-proven rounds)"),
+}
