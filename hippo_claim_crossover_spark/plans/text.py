@@ -9,7 +9,7 @@ whole-stage codegen and scales linearly with one shuffle per groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators import text as ops_text
@@ -411,7 +411,100 @@ FROM m
 """
 
 
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the head of the sorted posting list — the search /
+    retrieval-side twin of q_text_tfidf's scoring.
+
+    Scale shape: one explode + one partial/final aggregate keyed by
+    term. Full posting lists for stop-word-grade terms would be
+    multi-GB single rows at 100 TB, so the stored row carries exact
+    summary stats (df, tf) plus a CAPPED head of the list
+    (`slice(sort_array(...), 1, 10)`) — the pattern Lucene calls a
+    skip-list head; full lists would be written as a bucketed
+    term-partitioned table instead of rows. The df≥5 floor keeps the
+    long tail (hapax terms — most of the vocabulary) out of the result
+    the same way a search index drops sub-threshold terms into a
+    secondary tier. Posting heads are emitted as comma-joined strings so
+    the oracle compare is collation-exact.
+    """
+    d = t_wide(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).where(F.length("term") >= 3)
+    return (
+        terms.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"),
+             F.count(F.lit(1)).alias("tf_total"),
+             F.array_join(
+                 F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10)
+                 .cast("array<string>"), ",").alias("posting_head"))
+        .where(F.col("df") >= 5)
+    )
+
+
+ORACLE_POSTINGS = """
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+       array_to_string(
+         list_slice(list(DISTINCT doc_id ORDER BY doc_id), 1, 10),
+         ',') AS posting_head
+FROM (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+)
+WHERE length(term) >= 3
+GROUP BY term
+HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    write-side layout op every training run needs: an order that is (a)
+    statistically shuffled, (b) reproducible across engines/runs/
+    partitionings, (c) computable without any global sort.
+
+    Each doc's shuffle key is the md5 of its id + seed; shard =
+    key mod 16, position = rank of the key within the shard. One hash
+    shuffle of (id, 15-hex-char key) + a per-shard sort — at 100 TB the
+    unit of parallelism is the shard (pick shards ≫ executors), and no
+    stage ever sees a global ordering. md5 (not xxhash64) so DuckDB
+    computes the identical key."""
+    d = t(spark, sf_dir, "documents")
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))),
+        1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        d.select("doc_id", key.alias("skey"))
+        .withColumn("shard", (F.col("skey") % 16).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+ORACLE_SHUFFLE_SHARDS = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+              AS BIGINT) AS skey
+  FROM documents
+)
+SELECT doc_id, CAST(skey % 16 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY skey % 16
+                               ORDER BY skey, doc_id) AS INTEGER) AS pos
+FROM k
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_postings": QuerySpec(q_postings, ORACLE_POSTINGS,
+                            "inverted-index build (capped posting heads)"),
+    "q_shuffle_shards": QuerySpec(q_shuffle_shards, ORACLE_SHUFFLE_SHARDS,
+                                  "deterministic corpus shuffle + shard "
+                                  "layout"),
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
     "q_text_tfidf": QuerySpec(q_text_tfidf, ORACLE_TEXT_TFIDF,
