@@ -98,6 +98,11 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_returned_items",
     "q_bpe_merges",
+    "q_postings",
+    "q_shuffle_shards",
+    "q_transitions",
+    "q_skew_profile",
+    "q_hll_sketch",
 ]
 
 

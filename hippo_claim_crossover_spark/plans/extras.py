@@ -239,6 +239,41 @@ FROM a
 """
 
 
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL surface (Spark 3.5+): per-day partial
+    sketches of the user population, merged with ``hll_union_agg`` into
+    per-type totals, next to the one-shot sketch and the exact count.
+
+    The property that matters at 100 TB is RE-AGGREGABILITY: daily
+    sketch partials are tiny persistent state (≤ a few KB per group)
+    that roll up into weekly/monthly/all-time distincts without ever
+    re-scanning history — the sketch analogue of q_incr_agg's exact
+    partial-merge. The merged estimate must equal the one-shot estimate
+    bit-for-bit (same library, same lgK, union of exact partials), which
+    the unit test asserts; the driver check is rows-only because sketch
+    internals are engine-specific (DuckDB has no DataSketches HLL).
+    """
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"),
+                  "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .alias("approx_merged"))
+    )
+    direct = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+             .alias("approx_direct"),
+             F.countDistinct("user_id").alias("n_exact"))
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "n_exact", "approx_direct", "approx_merged")
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_transpose": QuerySpec(q_transpose, ORACLE_TRANSPOSE,
                              "Spark 4 DataFrame.transpose report matrix"),
@@ -252,4 +287,8 @@ SPECS: dict[str, QuerySpec] = {
                                      "seeded sampleBy (rows-only)"),
     "q_udaf": QuerySpec(q_udaf, ORACLE_UDAF,
                         "mapInPandas partial + built-in final UDAF"),
+    "q_hll_sketch": QuerySpec(
+        q_hll_sketch, None,
+        "DataSketches HLL partial-merge rollup (rows-only: sketch "
+        "bytes are engine-specific; merge==direct unit-tested)"),
 }

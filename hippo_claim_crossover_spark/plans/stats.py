@@ -283,6 +283,114 @@ FROM s, g
 """
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current event type), the standard behavioral
+    model behind next-action prediction and anomaly-flow detection.
+
+    One shuffle on user_id orders each stream (lead() pairs consecutive
+    events); the pair counts partial-aggregate on the 5×5 (src, dst)
+    grid, and the per-src totals — a ≤5-row aggregate — broadcast back
+    for the probability quotient. Counts are exact integers; the single
+    quotient goes through the shared floor-formula rounding, so the
+    matrix hash-matches the oracle exactly.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("src_total"))
+    return (
+        pairs.join(F.broadcast(totals), "src")
+        .select("src", "dst", "n",
+                duck_round(F.col("n").cast("double")
+                           / F.col("src_total").cast("double"), 6)
+                .alias("prob"))
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH p AS (
+  SELECT src, dst, count(*) AS n FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL GROUP BY src, dst
+), tot AS (
+  SELECT src, sum(n) AS src_total FROM p GROUP BY src
+)
+SELECT p.src, p.dst, p.n,
+       floor(CAST(p.n AS DOUBLE) / CAST(src_total AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS prob
+FROM p JOIN tot ON p.src = tot.src
+"""
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic — the profiling pass run BEFORE
+    choosing a join strategy at 100 TB (broadcast vs shuffle vs the
+    salted plan q_join_salted demonstrates): per-key cardinalities of
+    the candidate shuffle key, reduced to one row of decision inputs —
+    key count, total rows, max per-key count, the share held by the
+    top-10 keys, and the coefficient of variation of key sizes.
+
+    Shape: one partial/final count per key (the profile never
+    materializes per-key rows beyond the count table), a TakeOrdered
+    top-10 (tie-broken by key), and exact-integer moments for the CV —
+    all deterministic, all one scan.
+    """
+    e = t(spark, sf_dir, "events")
+    counts = (e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        _dsum(F.col("c")).alias("s1"),
+        _dsum(F.col("c").cast(_D38) * F.col("c")).alias("s2"))
+    top10 = (counts.orderBy(F.col("c").desc(), "user_id").limit(10)
+             .agg(F.sum("c").alias("top10_rows")))
+    mean = F.col("s1") / F.col("nd")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd")) \
+        / (F.col("nd") - F.lit(1.0))
+    return (
+        stats.crossJoin(F.broadcast(top10))
+        .select(
+            F.col("nd").cast("long").alias("n_keys"),
+            F.col("s1").cast("long").alias("total_rows"),
+            F.col("top10_rows"),
+            duck_round(F.col("top10_rows").cast("double") / F.col("s1"), 6)
+            .alias("top10_share"),
+            duck_round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+    )
+
+
+ORACLE_SKEW_PROFILE = """
+WITH c AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+  FROM c
+), t AS (
+  SELECT sum(c) AS top10_rows FROM (
+    SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+)
+SELECT CAST(nd AS BIGINT) AS n_keys, CAST(s1 AS BIGINT) AS total_rows,
+       CAST(top10_rows AS BIGINT) AS top10_rows,
+       floor(CAST(top10_rows AS DOUBLE) / s1 * 1e6 + 0.5) / 1e6
+         AS top10_share,
+       floor(sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) / (s1 / nd) * 1e6
+             + 0.5) / 1e6 AS cv
+FROM s, t
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_regr_group": QuerySpec(
         q_regr_group, ORACLE_REGR_GROUP,
@@ -293,4 +401,10 @@ SPECS: dict[str, QuerySpec] = {
     "q_drift_chi2": QuerySpec(
         q_drift_chi2, ORACLE_DRIFT_CHI2,
         "shard-vs-corpus chi-square distribution drift"),
+    "q_transitions": QuerySpec(
+        q_transitions, ORACLE_TRANSITIONS,
+        "first-order Markov event-transition matrix"),
+    "q_skew_profile": QuerySpec(
+        q_skew_profile, ORACLE_SKEW_PROFILE,
+        "shuffle-key skew diagnostic (join-strategy inputs)"),
 }
