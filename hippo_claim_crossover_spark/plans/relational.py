@@ -9,7 +9,7 @@ TakeOrdered (no global sort materialization).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.plans.base import (
@@ -224,6 +224,83 @@ JOIN customer c ON rev.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY rev.revenue DESC, c.c_custkey
 LIMIT 20
+"""
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not strictly dominated on
+    (o_totalprice, o_orderdate) — no other order is BOTH more expensive
+    AND more recent. The classic multi-criteria OLAP operator
+    (Börzsönyi et al., ICDE'01 "The Skyline Operator").
+
+    Two-phase distributed shape:
+
+    1. **Local skyline per partition** (Arrow-batched pandas kernel —
+       sort by price desc, keep rows whose date beats the running max
+       over strictly-higher prices). Dominance within a partition
+       implies global dominance, so dropping local losers is safe, and
+       for anti-correlated-at-worst real data the survivor set is
+       O(skyline) per partition — this is the 100 TB workhorse step.
+    2. **Exact global pass on the survivors**: per-price max dates,
+       one window over *distinct surviving prices* (running max shifted
+       one price group), join back — strictly-dominated survivors drop.
+       The window input is |skyline|-sized, not |table|-sized, so the
+       single-partition sort it implies is bounded by the answer size.
+
+    The skyline SET is unique (independent of partitioning), so the
+    result is deterministic even though phase 1 depends on the split.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", duck_round(F.col("o_totalprice"), 2).alias("price"),
+        "o_orderdate")
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # per-price max date, prices descending; best_higher(p) =
+            # running max over strictly higher prices (shifted cummax on
+            # the compacted per-price frame, merged back to rows).
+            groups = (pdf.groupby("price", as_index=False)
+                      .agg(dmax=("o_orderdate", "max"))
+                      .sort_values("price", ascending=False))
+            groups["best_higher"] = groups["dmax"].cummax().shift(1)
+            pdf = pdf.merge(groups[["price", "best_higher"]], on="price")
+            keep = (pdf["best_higher"].isna()
+                    | (pdf["best_higher"] <= pdf["o_orderdate"]))
+            out = pdf.loc[keep, ["o_orderkey", "price", "o_orderdate"]]
+            if not out.empty:
+                yield out
+
+    survivors = o.mapInPandas(local_skyline, o.schema)
+    pg = (survivors.groupBy("price")
+          .agg(F.max("o_orderdate").alias("dmax")))
+    w = Window.orderBy(F.col("price").desc()) \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    frontier_prices = pg.withColumn("best_higher", F.max("dmax").over(w))
+    return (
+        survivors.join(frontier_prices.select("price", "best_higher"),
+                       "price")
+        .where(F.col("best_higher").isNull()
+               | (F.col("best_higher") <= F.col("o_orderdate")))
+        .select("o_orderkey", "price", "o_orderdate")
+    )
+
+
+ORACLE_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate
+  FROM orders
+), pg AS (
+  SELECT price, max(o_orderdate) AS dmax FROM o GROUP BY price
+), fp AS (
+  SELECT price, max(dmax) OVER (ORDER BY price DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_higher
+  FROM pg
+)
+SELECT o.o_orderkey, o.price, o.o_orderdate
+FROM o JOIN fp ON o.price = fp.price
+WHERE fp.best_higher IS NULL OR fp.best_higher <= o.o_orderdate
 """
 
 
@@ -971,6 +1048,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_lateral_join": QuerySpec(q_lateral_join, ORACLE_LATERAL_JOIN,
                                 "Spark 4 DataFrame.lateralJoin "
                                 "(decorrelated to WindowGroupLimit)"),
+    "q_skyline": QuerySpec(q_skyline, ORACLE_SKYLINE,
+                           "2-D Pareto frontier (two-phase distributed "
+                           "skyline)"),
     "q_pipe_sql": QuerySpec(q_pipe_sql, ORACLE_PIPE_SQL,
                             "SQL pipe syntax (|>) pricing summary"),
     "q_assoc_rules": QuerySpec(q_assoc_rules, ORACLE_ASSOC_RULES,

@@ -21,21 +21,31 @@ from pyspark.sql import SparkSession
 # materializations, streaming fixtures) is keyed by applicationId so
 # concurrent runs never race — but nothing else ever deletes those dirs,
 # so repeated harness runs accumulate one generation per session. Prune
-# anything carrying a different session's `local-<millis>` tag at startup.
+# anything carrying a different session's `local-<millis>` tag at startup,
+# PROVIDED it has been idle past a safety margin: a tag-differs-only rule
+# deletes the scratch of a session that is still running concurrently
+# (observed: a check_oracle session pruned a live pytest session's
+# bucketed tables mid-suite).
 _SCRATCH_ROOTS = ("/root/repo/_scratch", "/root/repo/spark-warehouse/bktest.db")
 _RUN_TAG = re.compile(r"local[-_](\d+)")
 _PRUNED_FOR: set[str] = set()
+_PRUNE_IDLE_SECS = 2 * 3600  # > any single harness session's lifetime
 
 
 def _prune_stale_scratch(app_id: str) -> None:
-    """Best-effort removal of scratch dirs left by previous sessions:
-    every entry whose name embeds a run tag different from ``app_id``'s.
-    Entries without a run tag (e.g. the binfiles fixture cache) are
-    shared across sessions and kept."""
+    """Best-effort removal of scratch dirs left by finished sessions:
+    every entry whose name embeds a run tag different from ``app_id``'s
+    AND whose tag timestamp (the `local-<epoch-millis>` session start)
+    is past the idle margin — so live concurrent sessions keep their
+    state. Entries without a run tag (e.g. the binfiles fixture cache)
+    are shared across sessions and kept."""
+    import time
+
     m = _RUN_TAG.search(app_id)
     if not m:
         return
     current = m.group(1)
+    cutoff_ms = (time.time() - _PRUNE_IDLE_SECS) * 1000.0
     for root in _SCRATCH_ROOTS:
         try:
             entries = os.listdir(root)
@@ -45,6 +55,8 @@ def _prune_stale_scratch(app_id: str) -> None:
             tag = _RUN_TAG.search(name)
             if not tag or tag.group(1) == current:
                 continue
+            if float(tag.group(1)) > cutoff_ms:
+                continue  # started <2h ago: possibly still running
             path = os.path.join(root, name)
             try:
                 if os.path.isdir(path):
