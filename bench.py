@@ -103,6 +103,12 @@ HEADLINE = [
     "q_transitions",
     "q_skew_profile",
     "q_hll_sketch",
+    "q_skyline",
+    "q_bpe_encode",
+    "q_sample_group",
+    "q_lateral_join",
+    "q_sql_udf",
+    "q_transpose",
 ]
 
 

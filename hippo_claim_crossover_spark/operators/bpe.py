@@ -107,3 +107,33 @@ def bpe_merge_rules(docs: DataFrame, n_rounds: int = 3,
     for r in rules[1:]:
         out = out.unionByName(r)
     return out
+
+
+def bpe_token_counts(docs: DataFrame, n_rounds: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """ENCODE side: apply ``n_rounds`` learned merges and return corpus
+    token counts (token, n).
+
+    Same distributed trick as training: the merges are applied to the
+    word VOCABULARY (each distinct word once), and corpus-level token
+    counts fall out by weighting each word's tokens with its corpus
+    frequency — the full corpus is never re-tokenized row by row. At
+    100 TB the encode of the raw corpus would join docs → (word, token
+    array) on the merged vocab instead; the counts here are identical
+    by construction."""
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=False)
+    for _ in range(n_rounds):
+        best = _best(_pair_counts(vocab))
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "w", "freq",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), "l", F.lit("  "), "r", F.lit(" ")),
+                F.concat(F.lit(" "), "l", "r", F.lit(" "))).alias("seq"))
+        vocab = vocab.localCheckpoint(eager=False)
+    return (
+        vocab.select(F.explode(
+            F.split(F.trim(F.col("seq")), "  ")).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+    )

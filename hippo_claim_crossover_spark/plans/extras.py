@@ -11,7 +11,7 @@ live with q_approx_cd.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.plans.base import (
@@ -239,6 +239,42 @@ FROM a
 """
 
 
+def q_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample: the 3 'random' events of each
+    event type, chosen by md5 rank — the "pull K examples per class for
+    eval" op, with membership that is stable across engines, runs, and
+    partitionings (q_sample_hash's content-addressed principle, applied
+    per group instead of globally).
+
+    The ranking window partitions on a 5-value key — the same skew trap
+    q_outlier_zscore documents — so at 100 TB this runs as the two-phase
+    rank (per-shard top-k → re-rank of the k·shards survivors) that
+    q_topk_group's docstring describes; at fixture scale Spark's
+    WindowGroupLimit pushdown already keeps only k rows per partition
+    before the final sort."""
+    e = t(spark, sf_dir, "events")
+    skey = F.md5(F.concat(F.col("event_id").cast("string"),
+                          F.lit(":sample7")))
+    w = Window.partitionBy("event_type").orderBy(skey.alias("skey"),
+                                                 "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "user_id")
+    )
+
+
+ORACLE_SAMPLE_GROUP = """
+SELECT event_type, rk, event_id, user_id FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR) || ':sample7'),
+                      event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
 def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL surface (Spark 3.5+): per-day partial
     sketches of the user population, merged with ``hll_union_agg`` into
@@ -287,6 +323,9 @@ SPECS: dict[str, QuerySpec] = {
                                      "seeded sampleBy (rows-only)"),
     "q_udaf": QuerySpec(q_udaf, ORACLE_UDAF,
                         "mapInPandas partial + built-in final UDAF"),
+    "q_sample_group": QuerySpec(
+        q_sample_group, ORACLE_SAMPLE_GROUP,
+        "deterministic md5-ranked per-stratum sample"),
     "q_hll_sketch": QuerySpec(
         q_hll_sketch, None,
         "DataSketches HLL partial-merge rollup (rows-only: sketch "

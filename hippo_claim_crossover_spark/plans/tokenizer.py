@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hippo_claim_crossover_spark.operators.bpe import bpe_merge_rules
+from hippo_claim_crossover_spark.operators.bpe import (
+    bpe_merge_rules,
+    bpe_token_counts,
+)
 from hippo_claim_crossover_spark.plans.base import QuerySpec, t_wide
 
 
@@ -84,8 +87,48 @@ SELECT 3, l, r, l || r, CAST(pf AS BIGINT) FROM b3
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned tokenizer: corpus token counts after the
+    3 trained merges, top-20 tokens (vocab-weighted — the corpus itself
+    is never re-tokenized; operators/bpe.py bpe_token_counts)."""
+    docs = t_wide(spark, sf_dir, "documents")
+    counts = bpe_token_counts(docs, n_rounds=3)
+    return (counts.orderBy(F.col("n").desc(), "token").limit(20)
+            .select("token", F.col("n").cast("long").alias("n")))
+
+
+# The oracle extends the training chain one merge further (v4 = apply
+# b3) and counts freq-weighted tokens — the exact encode definition.
+ORACLE_BPE_ENCODE = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq,
+         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seq
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+),
+p1 AS ({_pairs_sql("vocab")}),
+b1 AS ({_best_sql("p1")}),
+v2 AS ({_merge_sql("vocab", "b1")}),
+p2 AS ({_pairs_sql("v2")}),
+b2 AS ({_best_sql("p2")}),
+v3 AS ({_merge_sql("v2", "b2")}),
+p3 AS ({_pairs_sql("v3")}),
+b3 AS ({_best_sql("p3")}),
+v4 AS ({_merge_sql("v3", "b3")})
+SELECT token, CAST(sum(freq) AS BIGINT) AS n
+FROM (SELECT freq, unnest(string_split(trim(seq), '  ')) AS token FROM v4)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_bpe_merges": QuerySpec(
         q_bpe_merges, ORACLE_BPE_MERGES,
         "distributed BPE merge-rule induction (3 hash-proven rounds)"),
+    "q_bpe_encode": QuerySpec(
+        q_bpe_encode, ORACLE_BPE_ENCODE,
+        "BPE encode: vocab-weighted corpus token counts, top-20"),
 }

@@ -10,7 +10,10 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-from hippo_claim_crossover_spark.operators.bpe import bpe_merge_rules
+from hippo_claim_crossover_spark.operators.bpe import (
+    bpe_merge_rules,
+    bpe_token_counts,
+)
 
 
 def _reference_bpe(texts: list[str], n_rounds: int):
@@ -56,6 +59,39 @@ def test_bpe_matches_reference_on_fixture(spark, sf_dir):
            for r in bpe_merge_rules(docs, n_rounds=3)
            .orderBy("round").collect()]
     assert got == expect
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Token counts after 3 merges must equal re-encoding every corpus
+    word with the reference trainer's final vocabulary."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    # drive the reference trainer, then count tokens from its final vocab
+    vocab: Counter = Counter()
+    for text in texts:
+        for w in re.split(r"[^a-z]+", text.lower()):
+            if w:
+                vocab[tuple(w)] += 1
+    for rnd, left, right, merged, support in _reference_bpe(texts, 3):
+        out_vocab: Counter = Counter()
+        for sym, freq in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (left, right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            out_vocab[tuple(out)] += freq
+        vocab = out_vocab
+    expect: Counter = Counter()
+    for sym, freq in vocab.items():
+        for tok in sym:
+            expect[tok] += freq
+    got = {r["token"]: r["n"]
+           for r in bpe_token_counts(docs, n_rounds=3).collect()}
+    assert got == dict(expect)
 
 
 def test_bpe_merge_semantics_adversarial(spark):

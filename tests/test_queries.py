@@ -66,7 +66,7 @@ def test_registry_contract():
     # every oracle-less query is a documented approximate/stateful op
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"q_approx_cd", "q_dedup_near", "q_mm_decode",
-                         "q_sample_stratified"}
+                         "q_sample_stratified", "q_hll_sketch"}
 
 
 def test_gate_window_marker_is_accurate():
