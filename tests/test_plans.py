@@ -396,3 +396,25 @@ def test_lateral_join_decorrelates_to_window_group_limit(spark):
     plan = _plan(spark, "q_lateral_join")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_local_prefilter_is_arrow_kernel(spark):
+    """Phase 1 must be the per-partition Arrow kernel (MapInPandas) —
+    the global window only ever sees the survivor set."""
+    plan = _plan(spark, "q_skyline")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transitions_broadcasts_source_totals(spark):
+    """The ≤5-row per-source totals must broadcast back onto the pair
+    counts — never a shuffle of the pair table on the 5-value key."""
+    plan = _plan(spark, "q_transitions")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_group_rank_is_group_limited(spark):
+    """The md5 ranking must carry WindowGroupLimit (top-k pushdown): at
+    most k rows per partition survive to the final sort."""
+    plan = _plan(spark, "q_sample_group")
+    assert "WindowGroupLimit" in plan

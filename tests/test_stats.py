@@ -101,3 +101,38 @@ def test_snapshot_diff_classification(spark, sf_dir):
             assert r["new_value"] is None and r["old_value"] is not None
         else:
             assert abs(r["new_value"] - r["old_value"] - 10.0) < 1e-9
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Distributed two-phase skyline == O(n²) brute-force dominance scan
+    on randomized small inputs (3 seeds, with deliberate price ties and
+    duplicate points)."""
+    import os
+    import random
+    import tempfile
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        # (key, price with many ties, second-of-minute date dimension)
+        rows = [(i, float(rng.randint(1, 40)), rng.randint(0, 59))
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, price double, s int")
+        with tempfile.TemporaryDirectory() as tmp:
+            (df.select(
+                "o_orderkey",
+                F.col("price").alias("o_totalprice"),
+                F.to_timestamp_ntz(F.concat(
+                    F.lit("2024-01-01 00:00:"),
+                    F.lpad(F.col("s").cast("string"), 2, "0")))
+                .alias("o_orderdate"),
+                F.lit("O").alias("o_orderstatus"),
+                F.lit("x").alias("o_orderpriority"),
+                F.lit(0).cast("long").alias("o_custkey"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(tmp, "orders.parquet")))
+            got = {r["o_orderkey"] for r in
+                   ALL_SPECS["q_skyline"].fn(spark, tmp).collect()}
+        expect = {k for k, p, s in rows
+                  if not any(p2 > p and s2 > s for _, p2, s2 in rows)}
+        assert got == expect, f"seed {seed}"
