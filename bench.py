@@ -109,6 +109,7 @@ HEADLINE = [
     "q_lateral_join",
     "q_sql_udf",
     "q_transpose",
+    "q_gapfill",
 ]
 
 

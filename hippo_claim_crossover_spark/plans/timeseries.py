@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
+    duck_round,
     money_sum,
     money_sum_sql,
     t,
@@ -601,7 +602,115 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LOCF + linear interpolation over a daily spine — the
+    TimescaleDB `time_bucket_gapfill/locf/interpolate` feature set,
+    built from a generated spine left-joined to the sparse actuals and
+    two IGNORE NULLS windows (carry-forward below, next-observation
+    above) per series.
+
+    Scale shape: the spine is `sequence()`-generated (never a stored
+    table), the join key is (series, day) so actuals shuffle once, and
+    both windows plus the join share the series partitioning — one
+    exchange end-to-end. The interpolation fraction rides exact integer
+    day indexes, so the filled values hash-match the oracle despite
+    being ratios."""
+    lo, hi = "1995-01-01 00:00:00", "1995-02-28 00:00:00"
+    o = t(spark, sf_dir, "orders")
+    actual = (
+        o.where((F.col("o_orderdate") >= lo.split(" ")[0])
+                & (F.col("o_orderdate") < "1995-03-01"))
+        .groupBy(F.col("o_orderpriority").alias("priority"),
+                 F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             money_sum(F.col("o_totalprice")).alias("value"))
+    )
+    spine = (
+        o.select("o_orderpriority").distinct()
+        .select(F.col("o_orderpriority").alias("priority"))
+        .crossJoin(spark.sql(
+            f"SELECT explode(sequence(timestamp_ntz'{lo}', "
+            f"timestamp_ntz'{hi}', interval 1 day)) AS day"))
+    )
+    di = F.expr(f"timestampdiff(DAY, timestamp_ntz'{lo}', day)")
+    joined = (spine.join(actual, ["priority", "day"], "left")
+              .withColumn("di", di))
+    wb = Window.partitionBy("priority").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wf = Window.partitionBy("priority").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("value", ignorenulls=True).over(wb)
+    prev_d = F.last(F.when(F.col("value").isNotNull(), F.col("di")),
+                    ignorenulls=True).over(wb)
+    next_v = F.first("value", ignorenulls=True).over(wf)
+    next_d = F.first(F.when(F.col("value").isNotNull(), F.col("di")),
+                     ignorenulls=True).over(wf)
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+        .otherwise(prev_v + (next_v - prev_v)
+                   * (F.col("di") - prev_d).cast("double")
+                   / (next_d - prev_d).cast("double"))
+    )
+    return joined.select(
+        "priority", "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        duck_round(prev_v, 6).alias("locf_value"),
+        duck_round(interp, 6).alias("interp_value"))
+
+
+ORACLE_GAPFILL = f"""
+WITH actual AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+         count(*) AS n_orders,
+         {money_sum_sql("o_totalprice")} AS value
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-03-01'
+  GROUP BY 1, 2
+), spine AS (
+  SELECT p.priority, d.day
+  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p,
+       (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+               TIMESTAMP '1995-02-28', INTERVAL 1 DAY)) AS day) d
+), j AS (
+  SELECT s.priority, s.day, a.n_orders, a.value,
+         date_diff('day', TIMESTAMP '1995-01-01', s.day) AS di
+  FROM spine s LEFT JOIN actual a
+    ON s.priority = a.priority AND s.day = a.day
+), w AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER
+      (PARTITION BY priority ORDER BY day ROWS UNBOUNDED PRECEDING)
+      AS prev_v,
+    last_value(CASE WHEN value IS NOT NULL THEN di END IGNORE NULLS) OVER
+      (PARTITION BY priority ORDER BY day ROWS UNBOUNDED PRECEDING)
+      AS prev_d,
+    first_value(value IGNORE NULLS) OVER
+      (PARTITION BY priority ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN value IS NOT NULL THEN di END IGNORE NULLS) OVER
+      (PARTITION BY priority ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM j
+)
+SELECT priority, day, coalesce(n_orders, 0) AS n_orders,
+       floor(prev_v * 1e6 + 0.5) / 1e6 AS locf_value,
+       floor(CASE WHEN value IS NOT NULL THEN value
+                  WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                  ELSE prev_v + (next_v - prev_v)
+                       * CAST(di - prev_d AS DOUBLE)
+                       / CAST(next_d - prev_d AS DOUBLE)
+             END * 1e6 + 0.5) / 1e6 AS interp_value
+FROM w
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_gapfill": QuerySpec(q_gapfill, ORACLE_GAPFILL,
+                           "daily spine gap-fill + LOCF + linear "
+                           "interpolation"),
     "q_sessionize": QuerySpec(q_sessionize, ORACLE_SESSIONIZE,
                               "gap-based batch sessionization "
                               "(gaps-and-islands, one shuffle)"),
