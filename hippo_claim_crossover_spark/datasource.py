@@ -26,8 +26,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 TOKEN_LEN = 8
@@ -89,9 +91,70 @@ class _SynthDocsStreamReader(SimpleDataSourceStreamReader):
                      for i in range(start["i"], end["i"])])
 
 
+class _JsonPartMessage(WriterCommitMessage):
+    """Per-task commit message: the finalized file and its row count.
+    The driver sees the full list in commit() — the two-phase protocol
+    every exactly-once sink uses (task writes to a temp name, driver
+    seals the job)."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _ScratchJsonWriter(DataSourceWriter):
+    """WRITE face of the connector: each task streams its partition to
+    ``part-<pid>.json.tmp`` and renames on success (rename is the atomic
+    unit), returning a commit message; the driver's commit() drops a
+    ``_SUCCESS`` marker naming every sealed file. A failed task's .tmp
+    file is simply never renamed/listed, so retries are idempotent —
+    the same contract as the built-in file sinks, expressed through the
+    Python DataSource writer API."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonPartMessage:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{ctx.partitionId():05d}.json")
+        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.replace(tmp, final)
+        return _JsonPartMessage(final, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {os.path.basename(m.path): m.n_rows for m in messages}
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps(manifest, sort_keys=True))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
 class SynthDocsDataSource(DataSource):
     """``spark.read.format("synthdocs").option("n", ...).load()`` — or
-    ``spark.readStream`` with the same options for the streaming face."""
+    ``spark.readStream`` with the same options for the streaming face,
+    or ``df.write.format("synthdocs").option("path", ...)`` for the
+    JSON-lines write face."""
 
     @classmethod
     def name(cls) -> str:
@@ -105,6 +168,19 @@ class SynthDocsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _SynthDocsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            import glob
+            import os
+
+            for p in glob.glob(
+                    os.path.join(self.options["path"], "part-*.json")):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        return _ScratchJsonWriter(self.options)
 
 
 def register(spark) -> None:

@@ -53,7 +53,7 @@ GATE_ORDER = [
     "q_snapshot_diff", "q_returned_items", "q_transpose", "q_sql_udf",
     "q_lateral_join", "q_bpe_merges", "q_postings", "q_shuffle_shards",
     "q_transitions", "q_skew_profile", "q_hll_sketch", "q_skyline",
-    "q_bpe_encode", "q_sample_group", "q_gapfill",
+    "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
     # -- new or code-changed this session (round 5) --
     # first row: newly declared this session (CDC merge/SCD2, Bloom semi
     # join, LM typicality, stream-static join); second row: new from the
@@ -75,9 +75,8 @@ GATE_ORDER = [
     "q_text_lang", "q_text_quality", "q_dedup_ngram", "q_dedup_keep_best",
     "q_histogram_eq", "q_sim_lsh_buckets",
     # -- last driver row is r2 (oldest — rotate all 31 back through) --
-    "q_agg_multi",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_approx_cd",
+    "q_agg_multi", "q_approx_cd",
     "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way",
     # -- displaced by this session's new head entries (rotate through
     # next round; all pass the local gate today) --

@@ -288,6 +288,49 @@ FROM range(0, {PYDS_N}) t(i)
 """
 
 
+def q_sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE face of the custom connector: orders-derived rows go out
+    through the Python DataSource writer (per-task tmp-file + atomic
+    rename, driver-side _SUCCESS manifest in commit() — the two-phase
+    protocol of the built-in file sinks, datasource.py
+    _ScratchJsonWriter), come back through the built-in JSON reader
+    with an explicit schema, and aggregate per priority. The oracle
+    computes the same aggregate straight from the parquet table, so the
+    gate proves the full custom-sink round trip: plan → distributed
+    write → commit → list → parse → compute. JSON doubles survive
+    exactly (shortest-repr round trip, q_src_csv notes)."""
+    from hippo_claim_crossover_spark import datasource
+
+    datasource.register(spark)
+
+    def write(out: str) -> None:
+        (t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority", "o_totalprice")
+         .repartition(4)
+         .write.format("synthdocs").mode("overwrite")
+         .option("path", out).save())
+
+    out = _materialize(spark, sf_dir, "pydsw", write)
+    back = spark.read.schema(T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])).json(os.path.join(out, "part-*.json"))
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             money_sum(F.col("o_totalprice")).alias("sum_total"))
+    )
+
+
+ORACLE_SINK_PYDS = f"""
+SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       {money_sum_sql("o_totalprice")} AS sum_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_src_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same custom connector consumed as a STREAM
     (``SimpleDataSourceStreamReader``): row-position offsets make the
@@ -480,6 +523,9 @@ SPECS: dict[str, QuerySpec] = {
                              "JSON-lines source, explicit schema"),
     "q_src_xml": QuerySpec(q_src_xml, ORACLE_SRC_XML,
                            "XML source (Spark 4 built-in), explicit schema"),
+    "q_sink_pyds": QuerySpec(q_sink_pyds, ORACLE_SINK_PYDS,
+                             "custom-sink round trip (Python DataSource "
+                             "writer, two-phase commit)"),
     "q_src_pyds": QuerySpec(q_src_pyds, ORACLE_SRC_PYDS,
                             "custom Python DataSource connector"),
     "q_src_pyds_stream": QuerySpec(
