@@ -26,6 +26,7 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -150,11 +151,61 @@ class _ScratchJsonWriter(DataSourceWriter):
                 pass
 
 
+class _ScratchJsonStreamWriter(DataSourceStreamWriter):
+    """STREAMING write face: same tmp+rename discipline per task, but
+    files and manifests are keyed by micro-batch — ``commit(messages,
+    batchId)`` seals each batch with its own ``_SUCCESS-<batch>``
+    manifest, which is what makes replays idempotent: a batch re-run
+    after a crash re-seals the same manifest instead of duplicating
+    rows (the engine guarantees a batch's task set is re-executed
+    whole)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonPartMessage:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(
+            self.path,
+            f"batch-{ctx.stageId():05d}-part-{ctx.partitionId():05d}.json")
+        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.replace(tmp, final)
+        return _JsonPartMessage(final, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {os.path.basename(m.path): m.n_rows for m in messages}
+        with open(os.path.join(self.path, f"_SUCCESS-{batchId}"), "w") as f:
+            f.write(json.dumps(manifest, sort_keys=True))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
 class SynthDocsDataSource(DataSource):
     """``spark.read.format("synthdocs").option("n", ...).load()`` — or
     ``spark.readStream`` with the same options for the streaming face,
     or ``df.write.format("synthdocs").option("path", ...)`` for the
-    JSON-lines write face."""
+    JSON-lines write face (``writeStream`` for its streaming twin)."""
 
     @classmethod
     def name(cls) -> str:
@@ -168,6 +219,9 @@ class SynthDocsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _SynthDocsStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _ScratchJsonStreamWriter(self.options)
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         if overwrite:

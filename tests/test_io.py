@@ -130,3 +130,66 @@ def test_zorder_sink_has_2d_locality(spark, sf_dir):
         full = domain[col][1] - domain[col][0]
         mean_frac = sum(ss) / len(ss) / full
         assert mean_frac < 0.7, (col, mean_frac)
+
+
+def test_pyds_stream_writer_round_trip(spark, tmp_path):
+    """All four faces of the custom connector compose: the synthdocs
+    STREAM reader drains through the synthdocs STREAM writer
+    (per-batch tmp+rename + _SUCCESS-<batch> manifests), and the files
+    read back equal the batch face of the same source."""
+    import glob
+    import json
+    import os
+
+    from hippo_claim_crossover_spark import datasource
+
+    import time
+
+    datasource.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rowcount() -> int:
+        total = 0
+        for p in glob.glob(os.path.join(out, "batch-*.json")):
+            with open(p) as f:
+                total += sum(1 for _ in f)
+        return total
+
+    def manifests_cover_files() -> bool:
+        # tasks rename data files BEFORE the driver seals the batch, so
+        # wait for the manifest too — otherwise stopping right at 100
+        # rows races the last commit().
+        covered: set = set()
+        for m in glob.glob(os.path.join(out, "_SUCCESS-*")):
+            covered |= set(json.load(open(m)))
+        produced = {os.path.basename(p)
+                    for p in glob.glob(os.path.join(out, "batch-*.json"))}
+        return bool(produced) and produced <= covered
+
+    q = (spark.readStream.format("synthdocs")
+         .option("n", "100").option("step", "30").load()
+         .writeStream.format("synthdocs")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .start())
+    try:
+        deadline = time.time() + 120
+        while ((rowcount() < 100 or not manifests_cover_files())
+               and time.time() < deadline):
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    back = (spark.read
+            .schema("doc_id bigint, token string, n_chars int")
+            .json(os.path.join(out, "batch-*.json")))
+    rows = {r["doc_id"]: r["token"] for r in back.collect()}
+    assert rows == {i: datasource.synth_token(i) for i in range(100)}
+    # every sealed batch has a manifest, and manifests cover every file
+    manifests = glob.glob(os.path.join(out, "_SUCCESS-*"))
+    assert manifests
+    covered = set()
+    for m in manifests:
+        covered |= set(json.load(open(m)))
+    produced = {os.path.basename(p)
+                for p in glob.glob(os.path.join(out, "batch-*.json"))}
+    assert produced <= covered
