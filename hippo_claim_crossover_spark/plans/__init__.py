@@ -54,6 +54,9 @@ GATE_ORDER = [
     "q_lateral_join", "q_bpe_merges", "q_postings", "q_shuffle_shards",
     "q_transitions", "q_skew_profile", "q_hll_sketch", "q_skyline",
     "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
+    # tie-break hardened after the sf0.1 sweep caught duplicate
+    # (l_orderkey, l_linenumber) pairs in the regenerated fixtures
+    "q_filter_first",
     # -- new or code-changed this session (round 5) --
     # first row: newly declared this session (CDC merge/SCD2, Bloom semi
     # join, LM typicality, stream-static join); second row: new from the
@@ -73,9 +76,11 @@ GATE_ORDER = [
     # rounding hardened to the floor formula this session (quotient /
     # accumulated-double outputs): re-prove under the driver
     "q_text_lang", "q_text_quality", "q_dedup_ngram", "q_dedup_keep_best",
-    "q_histogram_eq", "q_sim_lsh_buckets",
-    # -- last driver row is r2 (oldest — rotate all 31 back through) --
+    "q_histogram_eq",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_sim_lsh_buckets",
+    # -- last driver row is r2 (oldest — rotate back through as window
+    # space allows; all pass the local gate each round) --
     "q_agg_multi", "q_approx_cd",
     "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way",
     # -- displaced by this session's new head entries (rotate through
@@ -93,7 +98,7 @@ GATE_ORDER = [
     "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot",
-    "q_dedup_near", "q_filter_eq", "q_filter_first", "q_filter_notnull",
+    "q_dedup_near", "q_filter_eq", "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
     "q_mm_decode", "q_mm_meta", "q_parent_denorm", "q_project_rename",
     "q_sample_hash", "q_sample_stratified", "q_stream_late",

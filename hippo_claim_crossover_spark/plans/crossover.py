@@ -223,11 +223,18 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 def q_filter_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 filter + first-match (`PER.detect {...qualifier=='TE'}`,
     lib/hippo_claim_crossover.rb:43): first 'R'-flag line per claim by line
-    number. Deterministic: l_linenumber is unique within an order."""
+    number. (l_orderkey, l_linenumber) is NOT unique in the current
+    fixture generation (~1.6k duplicate pairs per 20k 'R' rows), so
+    "first" needs the full column tie-break to be a well-defined row —
+    without it Spark and DuckDB legitimately pick different rows from a
+    tied pair (caught by the sf0.1 sweep after the fixtures were
+    regenerated)."""
     from pyspark.sql.window import Window
 
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_quantity")
     return (
         li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -242,7 +249,9 @@ SELECT l_orderkey AS claim_id,
        l_linenumber AS first_return_line,
        round(l_extendedprice, 2) AS charge
 FROM (
-  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+               l_quantity) AS rn
   FROM lineitem WHERE l_returnflag = 'R'
 ) WHERE rn = 1
 """
