@@ -110,6 +110,7 @@ HEADLINE = [
     "q_sql_udf",
     "q_transpose",
     "q_gapfill",
+    "q_curation_pipeline",
 ]
 
 

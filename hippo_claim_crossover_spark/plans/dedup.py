@@ -149,8 +149,14 @@ def _band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) colliding in ≥1 MinHash band —
     shared by q_dedup_lshband (which returns them) and q_dedup_cluster
     (which closes them into components)."""
-    d = t_wide(spark, sf_dir, "documents")
-    sigs = ops_dedup.minhash_signatures(d, "doc_id", "text",
+    return band_pairs_for(t_wide(spark, sf_dir, "documents"))
+
+
+def band_pairs_for(docs: DataFrame) -> DataFrame:
+    """Same candidate-pair stage over an arbitrary (doc_id, text) set —
+    the pipeline composite runs it on its quality/exact-dedup survivors
+    rather than the raw table."""
+    sigs = ops_dedup.minhash_signatures(docs, "doc_id", "text",
                                         k=N_MINHASH, n=NGRAM)
     band_keys = F.array(*[
         F.md5(F.concat_ws(":", F.lit(b),
@@ -602,7 +608,201 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {LINK_MAX_DIST}
 """
 
 
+QUALITY_FLOOR = 0.35
+CONTAM_MAX = 0.2
+PIPE_BIN = 512
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the five declared stages composed
+    into the single pipeline a pretraining-data team actually runs,
+    proving the operators COMPOSE (not just pass in isolation):
+
+      1. quality gate  (quality_score ≥ 0.35, q_text_quality family)
+      2. exact dedup   (min doc_id per md5(text), q_dedup_exact)
+      3. near-dup keep-best (MinHash→LSH→components→best-of-cluster,
+         run on the stage-2 SURVIVORS — q_dedup_cluster/keep_best)
+      4. decontamination (drop docs with >20% shingle overlap vs the
+         src0 eval corpus, q_decontaminate inverted to the train side)
+      5. sequence packing (per-source 512-token bins, q_pack_sequences)
+
+    Output: one row per source with every stage's surviving count, the
+    final token total, and the packed bin count — the curation report a
+    100 TB run would emit. Each stage's survivor set is lazily
+    localCheckpoint-ed: stages 3-5 and the per-stage counters each
+    consume their predecessor, and without the checkpoints the shingle/
+    signature pipelines would re-derive once per consumer (the measured
+    family-wide pathology, operators/dedup.py:100-111).
+
+    The DuckDB oracle replays all five stages as one WITH RECURSIVE
+    chain, so a hash match proves the full composition end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+    from hippo_claim_crossover_spark.operators.text import quality_metrics
+
+    d = t_wide(spark, sf_dir, "documents")
+    train = (d.where(F.col("source") != EVAL_SOURCE)
+             .select("doc_id", "source", "text"))
+    scored = quality_metrics(
+        train, stopwords=("the", "a", "and", "of"), target_tokens=80,
+    ).select("doc_id", "source", "text",
+             F.col("n_tokens").cast("long").alias("n_tokens"),
+             "quality_score")
+    q1 = scored.where(F.col("quality_score") >= QUALITY_FLOOR)
+    wdup = Window.partitionBy(F.md5("text"))
+    q2 = (q1.withColumn("_keep", F.min("doc_id").over(wdup))
+          .where(F.col("_keep") == F.col("doc_id")).drop("_keep")
+          .localCheckpoint(eager=False))
+    comp = connected_components(band_pairs_for(q2),
+                                src="doc_a", dst="doc_b")
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    q3 = (q2.join(comp.withColumnRenamed("node", "doc_id"),
+                  "doc_id", "left")
+          .withColumn("cluster_id",
+                      F.coalesce(F.col("comp"), F.col("doc_id")))
+          .withColumn("rk", F.row_number().over(wc))
+          .where(F.col("rk") == 1).drop("comp", "rk", "cluster_id")
+          .localCheckpoint(eager=False))
+    ev_sh = (ops_dedup.shingle_table(d.where(F.col("source")
+                                             == EVAL_SOURCE))
+             .select("sh").distinct())
+    tr_sh = ops_dedup.shingle_table(q3).localCheckpoint(eager=False)
+    contaminated = (
+        tr_sh.join(ev_sh, "sh", "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("hits"))
+        .join(tr_sh.select("doc_id", "n_sh").distinct(), "doc_id")
+        .where(F.col("hits").cast("double") / F.col("n_sh") > CONTAM_MAX)
+        .select("doc_id")
+    )
+    q4 = (q3.join(contaminated, "doc_id", "left_anti")
+          .localCheckpoint(eager=False))
+    wp = Window.partitionBy("source").orderBy("doc_id")
+    packed = q4.withColumn(
+        "start_tok", F.sum("n_tokens").over(wp) - F.col("n_tokens"))
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    fin = packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max(F.expr(f"(start_tok + n_tokens - 1) div {PIPE_BIN}"))
+         + 1).alias("n_bins"))
+    out = (cnt(train, "n_input")
+           .join(cnt(q1, "n_quality"), "source", "left")
+           .join(cnt(q2, "n_exact"), "source", "left")
+           .join(cnt(q3, "n_neardup"), "source", "left")
+           .join(fin, "source", "left"))
+    z = F.lit(0).cast("long")
+    return out.select(
+        "source", "n_input",
+        F.coalesce("n_quality", z).alias("n_quality"),
+        F.coalesce("n_exact", z).alias("n_exact"),
+        F.coalesce("n_neardup", z).alias("n_neardup"),
+        F.coalesce("n_clean", z).alias("n_clean"),
+        F.coalesce("n_tokens", z).alias("n_tokens"),
+        F.coalesce("n_bins", z).alias("n_bins"))
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH RECURSIVE train AS (
+  SELECT doc_id, source, text FROM documents WHERE source <> 'src0'
+), scored AS (
+  SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_SQL_QUALITY} AS quality_score
+  FROM train
+), q1 AS (
+  SELECT * FROM scored WHERE quality_score >= {QUALITY_FLOOR}
+), q2 AS (
+  SELECT * FROM q1
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), sh2 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest({_SQL_SHINGLES})), 1, 7)) AS BIGINT) AS h
+  FROM q2 WHERE len(string_split(text, ' ')) >= {NGRAM}
+), sigs AS (
+  SELECT doc_id,
+       {_MH_COLS}
+  FROM sh2 GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node
+), comp AS (
+  SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node
+), q3 AS (
+  SELECT q2.* FROM q2 LEFT JOIN comp USING (doc_id)
+  QUALIFY row_number() OVER (
+      PARTITION BY coalesce(comp, doc_id)
+      ORDER BY quality_score DESC, doc_id) = 1
+), evsh AS (
+  SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh
+  FROM documents
+  WHERE source = 'src0' AND len(string_split(text, ' ')) >= {NGRAM}
+), tsh AS (
+  SELECT doc_id, len({_SQL_SHINGLES}) AS n_sh,
+         unnest({_SQL_SHINGLES}) AS sh
+  FROM q3 WHERE len(string_split(text, ' ')) >= {NGRAM}
+), contaminated AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, any_value(n_sh) AS n_sh,
+           count(*) FILTER (sh IN (SELECT sh FROM evsh)) AS hits
+    FROM tsh GROUP BY doc_id)
+  WHERE CAST(hits AS DOUBLE) / n_sh > {CONTAM_MAX}
+), q4 AS (
+  SELECT * FROM q3
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), packed AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS BIGINT) AS start_tok
+  FROM q4
+), fin AS (
+  SELECT source, count(*) AS n_clean,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(max((start_tok + n_tokens - 1) // {PIPE_BIN}) + 1 AS BIGINT)
+           AS n_bins
+  FROM packed GROUP BY source
+)
+SELECT t.source,
+       count(*) AS n_input,
+       coalesce(any_value(c1.n), 0) AS n_quality,
+       coalesce(any_value(c2.n), 0) AS n_exact,
+       coalesce(any_value(c3.n), 0) AS n_neardup,
+       coalesce(any_value(fin.n_clean), 0) AS n_clean,
+       coalesce(any_value(fin.n_tokens), 0) AS n_tokens,
+       coalesce(any_value(fin.n_bins), 0) AS n_bins
+FROM train t
+LEFT JOIN (SELECT source, count(*) AS n FROM q1 GROUP BY source) c1
+  ON t.source = c1.source
+LEFT JOIN (SELECT source, count(*) AS n FROM q2 GROUP BY source) c2
+  ON t.source = c2.source
+LEFT JOIN (SELECT source, count(*) AS n FROM q3 GROUP BY source) c3
+  ON t.source = c3.source
+LEFT JOIN fin ON t.source = fin.source
+GROUP BY t.source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_curation_pipeline": QuerySpec(
+        q_curation_pipeline, ORACLE_CURATION_PIPELINE,
+        "end-to-end curation: quality → exact dedup → near-dup "
+        "keep-best → decontaminate → pack (one hash-proven chain)"),
     "q_link_sorted": QuerySpec(q_link_sorted, ORACLE_LINK_SORTED,
                                "sorted-neighborhood record linkage"),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,

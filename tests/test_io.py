@@ -193,3 +193,20 @@ def test_pyds_stream_writer_round_trip(spark, tmp_path):
     produced = {os.path.basename(p)
                 for p in glob.glob(os.path.join(out, "batch-*.json"))}
     assert produced <= covered
+
+
+def test_pyds_writer_abort_removes_files(tmp_path):
+    """The batch writer's abort() must delete the files its commit
+    messages name — the cleanup half of the two-phase protocol."""
+    import json
+
+    from hippo_claim_crossover_spark.datasource import (
+        _JsonPartMessage,
+        _ScratchJsonWriter,
+    )
+
+    p = tmp_path / "part-00000.json"
+    p.write_text(json.dumps({"x": 1}) + "\n")
+    w = _ScratchJsonWriter({"path": str(tmp_path)})
+    w.abort([_JsonPartMessage(str(p), 1)])
+    assert not p.exists()
