@@ -288,6 +288,48 @@ FROM range(0, {PYDS_N}) t(i)
 """
 
 
+def q_src_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns (Spark 3.5+): per-partition-value
+    row accounting read from the scan's own metadata — file path (the
+    hive partition value is parsed back out of it) and per-file
+    ``row_index`` — proving provenance tracking without any data-column
+    cost. The aggregate (rows and distinct (file, row_index) pairs per
+    event type) must equal a plain groupBy count of the source table,
+    which is exactly what the oracle computes; ``n_rows = n_row_ids``
+    additionally proves row_index is a unique in-file ordinal. At 100 TB
+    this is the lineage/debugging surface: which file did a bad row come
+    from, without a synthetic id column baked into the data."""
+    def write(out: str) -> None:
+        (t(spark, sf_dir, "events").repartition(4)
+         .write.mode("overwrite").partitionBy("event_type").parquet(out))
+
+    out = _materialize(spark, sf_dir, "metaev", write)
+    ev = spark.read.schema(T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+    ])).parquet(out)
+    return (
+        ev.select(
+            F.regexp_extract(F.col("_metadata.file_path"),
+                             r"event_type=([^/]+)/", 1).alias("event_type"),
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("fp", "ri").alias("n_row_ids"))
+    )
+
+
+ORACLE_SRC_METADATA = """
+SELECT event_type, count(*) AS n_rows, count(*) AS n_row_ids
+FROM events GROUP BY event_type
+"""
+
+
 def q_sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITE face of the custom connector: orders-derived rows go out
     through the Python DataSource writer (per-task tmp-file + atomic
@@ -523,6 +565,9 @@ SPECS: dict[str, QuerySpec] = {
                              "JSON-lines source, explicit schema"),
     "q_src_xml": QuerySpec(q_src_xml, ORACLE_SRC_XML,
                            "XML source (Spark 4 built-in), explicit schema"),
+    "q_src_metadata": QuerySpec(q_src_metadata, ORACLE_SRC_METADATA,
+                                "_metadata hidden columns (file_path + "
+                                "row_index provenance)"),
     "q_sink_pyds": QuerySpec(q_sink_pyds, ORACLE_SINK_PYDS,
                              "custom-sink round trip (Python DataSource "
                              "writer, two-phase commit)"),
