@@ -111,6 +111,7 @@ HEADLINE = [
     "q_transpose",
     "q_gapfill",
     "q_curation_pipeline",
+    "q_matmul",
 ]
 
 

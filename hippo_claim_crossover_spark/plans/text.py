@@ -499,7 +499,74 @@ FROM k
 """
 
 
+N_TOPICS = 4
+
+
+def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse×dense matrix multiply as join-aggregate — the distributed
+    SpMM primitive under embedding projection, topic scoring, and GNN
+    feature propagation: doc-term counts (sparse, from the corpus) ×
+    a term-topic weight matrix (dense, |vocab|×4) → doc-topic scores.
+
+    Canonical shape: shuffle the SPARSE side on the contraction
+    dimension (term), **broadcast the dense factor** (vocab×topics is
+    KBs–MBs even at 100 TB vocab sizes; if it ever outgrows broadcast,
+    the fallback is a shuffle join on term — same plan minus the
+    broadcast hint), multiply, partial/final-aggregate on (doc, topic).
+    The weight matrix is md5-derived small integers so the whole product
+    is exact BIGINT arithmetic — hash-identical across engines.
+    """
+    d = t_wide(spark, sf_dir, "documents")
+    terms = (
+        d.select("doc_id",
+                 F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                 .alias("term"))
+        .where(F.length("term") >= 3)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    topics = spark.range(N_TOPICS).select(
+        F.col("id").cast("int").alias("topic"))
+    weights = (
+        terms.select("term").distinct()
+        .crossJoin(topics)
+        .select("term", "topic",
+                (F.conv(F.substring(
+                    F.md5(F.concat_ws(":", "term", "topic")), 1, 15),
+                    16, 10).cast("long") % 7).alias("w"))
+    )
+    return (
+        terms.join(F.broadcast(weights), "term")
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+
+
+ORACLE_MATMUL = f"""
+WITH terms AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+    FROM documents)
+  WHERE length(term) >= 3 GROUP BY doc_id, term
+), weights AS (
+  SELECT term, topic,
+         CAST(('0x' || substr(md5(term || ':' || topic), 1, 15))
+              AS BIGINT) % 7 AS w
+  FROM (SELECT DISTINCT term FROM terms),
+       (SELECT unnest(range({N_TOPICS})) AS topic)
+)
+SELECT t.doc_id, CAST(w.topic AS INTEGER) AS topic,
+       CAST(sum(t.tf * w.w) AS BIGINT) AS score
+FROM terms t JOIN weights w USING (term)
+GROUP BY t.doc_id, w.topic
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_matmul": QuerySpec(q_matmul, ORACLE_MATMUL,
+                          "sparse-by-dense matrix multiply "
+                          "(join-aggregate SpMM, broadcast dense factor)"),
     "q_postings": QuerySpec(q_postings, ORACLE_POSTINGS,
                             "inverted-index build (capped posting heads)"),
     "q_shuffle_shards": QuerySpec(q_shuffle_shards, ORACLE_SHUFFLE_SHARDS,
