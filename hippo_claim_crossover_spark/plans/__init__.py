@@ -55,6 +55,7 @@ GATE_ORDER = [
     "q_transitions", "q_skew_profile", "q_hll_sketch", "q_skyline",
     "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
     "q_curation_pipeline", "q_src_metadata", "q_matmul",
+    "q_explode_outer", "q_calendar",
     # tie-break hardened after the sf0.1 sweep caught duplicate
     # (l_orderkey, l_linenumber) pairs in the regenerated fixtures
     "q_filter_first",
@@ -76,9 +77,8 @@ GATE_ORDER = [
     "q_latest_snapshot", "q_stream_interval",
     # rounding hardened to the floor formula this session (quotient /
     # accumulated-double outputs): re-prove under the driver
-    "q_text_lang", "q_text_quality",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_dedup_ngram",
+    "q_text_lang", "q_text_quality", "q_dedup_ngram",
     "q_dedup_keep_best", "q_histogram_eq", "q_sim_lsh_buckets",
     # -- last driver row is r2 (oldest — rotate back through as window
     # space allows; all pass the local gate each round) --

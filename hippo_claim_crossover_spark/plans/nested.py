@@ -164,8 +164,53 @@ FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, 
 """
 
 
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: exploding an EMPTY/NULL child collection keeps
+    the parent row (one row with a null child) — the semantics the
+    reference's child loops need when a claim has no occurrences of a
+    segment (`claim[:services] ||= []` guard,
+    lib/hippo_claim_crossover.rb:189). Plain explode silently DROPS such
+    parents — the classic lost-row bug this query pins.
+
+    Shape: per-customer arrays of their urgent orders (customers with
+    none get no array → null after the left join), outer-exploded, then
+    a per-segment audit counting total rows and matchless parents. The
+    oracle is the equivalent flat LEFT JOIN — outer-explode of a
+    collected array IS a left join, which is exactly the identity the
+    hash match proves."""
+    c = t(spark, sf_dir, "customer")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.collect_list("o_orderkey").alias("order_keys"))
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+        .select("c_mktsegment",
+                F.explode_outer("order_keys").alias("order_key"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count_if(F.col("order_key").isNull()).alias("n_matchless"))
+    )
+
+
+ORACLE_EXPLODE_OUTER = """
+SELECT c_mktsegment, count(*) AS n_rows,
+       count(*) FILTER (o_orderkey IS NULL) AS n_matchless
+FROM customer c
+LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT') o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_explode": QuerySpec(q_explode, ORACLE_EXPLODE, "E1 explode"),
+    "q_explode_outer": QuerySpec(q_explode_outer, ORACLE_EXPLODE_OUTER,
+                                 "explode_outer keeps empty-collection "
+                                 "parents (left-join identity)"),
     "q_explode_nested": QuerySpec(q_explode_nested, ORACLE_EXPLODE_NESTED,
                                   "E2 nested array round-trip"),
     "q_unpivot": QuerySpec(q_unpivot, ORACLE_UNPIVOT, "E3 stack unpivot"),

@@ -549,9 +549,48 @@ GROUP BY 1
 """
 
 
+def q_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar surface beyond X6's strftime: month-end snapping
+    (``last_day``), clamped month arithmetic (``add_months`` — Jan 31 +
+    3 months = Apr 30, the billing-cycle rule naive day-addition gets
+    wrong), ISO week numbers, quarters, and day-of-week. All pure
+    Column expressions on the codegen path; the oracle maps each onto
+    DuckDB's calendar functions (dayofweek is offset by one: Spark
+    counts Sunday=1, DuckDB Sunday=0)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    d = F.col("o_orderdate")
+    # DATE results ride as midnight TIMESTAMP_NTZ: the oracle compare
+    # normalizes through pandas, which renders DuckDB DATEs as
+    # datetimes — emitting timestamps on both sides keeps the hash
+    # type-exact.
+    return o.select(
+        F.col("o_orderkey").alias("claim_id"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+ORACLE_CALENDAR = """
+SELECT o_orderkey AS claim_id,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+         AS plus_3m,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_sql_udf": QuerySpec(q_sql_udf, ORACLE_SQL_UDF,
                            "Spark 4 SQL UDF (inlined scalar function)"),
+    "q_calendar": QuerySpec(q_calendar, ORACLE_CALENDAR,
+                            "calendar scalars: last_day / clamped "
+                            "add_months / ISO week / quarter / dow"),
     "q_str_dxcode": QuerySpec(q_str_dxcode, ORACLE_STR_DXCODE, "X1"),
     "q_str_zip": QuerySpec(q_str_zip, ORACLE_STR_ZIP, "X2"),
     "q_str_name": QuerySpec(q_str_name, ORACLE_STR_NAME, "X3"),
