@@ -112,6 +112,10 @@ HEADLINE = [
     "q_gapfill",
     "q_curation_pipeline",
     "q_matmul",
+    "q_src_metadata",
+    "q_sink_pyds",
+    "q_explode_outer",
+    "q_calendar",
 ]
 
 
