@@ -418,3 +418,11 @@ def test_sample_group_rank_is_group_limited(spark):
     most k rows per partition survive to the final sort."""
     plan = _plan(spark, "q_sample_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_matmul_broadcasts_dense_factor(spark):
+    """SpMM must broadcast the dense (vocab×topics) factor and shuffle
+    only the sparse side; the product aggregate is partial/final."""
+    plan = _plan(spark, "q_matmul")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
