@@ -116,6 +116,7 @@ HEADLINE = [
     "q_sink_pyds",
     "q_explode_outer",
     "q_calendar",
+    "q_graph_bfs",
 ]
 
 

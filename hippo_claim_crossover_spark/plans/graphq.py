@@ -187,9 +187,76 @@ FROM tri, w
 """
 
 
+BFS_HOPS = 3
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop BFS over the co-purchase graph: hop distance
+    (≤3) from the seed set (part ids ≡ 0 mod 17) to every reachable
+    node — the fourth canonical graph shape (single/multi-source
+    reachability with distances) next to components, PageRank, and
+    triangles. The production uses: blast-radius queries ("what is
+    within 3 hops of these recalled parts"), label propagation seeds,
+    and graph-sampled negative mining.
+
+    Frontier-relaxation shape: each round is ONE shuffle — edges join
+    the current distance table on src, a min-aggregate per dst proposes
+    distances, and a full-outer merge keeps the per-node minimum. State
+    is O(nodes) fixed-width rows, checkpointed per round exactly like
+    PageRank's rank table, so round k never re-derives rounds 1..k-1.
+    The oracle closes the same relation with a depth-capped recursive
+    CTE (UNION-dedup per (node, depth), so it terminates on cycles) —
+    two independent traversal algorithms agreeing.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    dist = (edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("hops", F.when(F.col("node") % 17 == 0, 0)
+                        .cast("int")))
+    for _ in range(BFS_HOPS):
+        cand = (edges.join(dist.where(F.col("hops").isNotNull()),
+                           edges.src == F.col("node"))
+                .groupBy(F.col("dst").alias("node2"))
+                .agg((F.min("hops") + 1).cast("int").alias("nd")))
+        dist = (dist.join(cand, dist.node == cand.node2, "left")
+                .select("node",
+                        F.least("hops", "nd").alias("_m"),
+                        "hops", "nd")
+                .select("node",
+                        F.coalesce("_m", "hops", "nd").alias("hops"))
+                .localCheckpoint(eager=False))
+    return (dist.where(F.col("hops").isNotNull())
+            .select(F.col("node").alias("part_id"), "hops"))
+
+
+ORACLE_GRAPH_BFS = f"""
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SUP}
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs
+),
+walk(node, d) AS (
+  SELECT DISTINCT src, 0 FROM edges WHERE src % 17 = 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM edges e JOIN walk w ON e.src = w.node
+  WHERE w.d < {BFS_HOPS}
+)
+SELECT node AS part_id, CAST(min(d) AS INTEGER) AS hops
+FROM walk GROUP BY node
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_pagerank": QuerySpec(q_pagerank, _oracle(),
                             "damped PageRank, 2 rounds, exact-micros sums"),
+    "q_graph_bfs": QuerySpec(q_graph_bfs, ORACLE_GRAPH_BFS,
+                             "multi-source 3-hop BFS distances "
+                             "(frontier relaxation)"),
     "q_graph_triangles": QuerySpec(q_graph_triangles,
                                    ORACLE_GRAPH_TRIANGLES,
                                    "oriented-join triangle count + "
