@@ -117,6 +117,8 @@ HEADLINE = [
     "q_explode_outer",
     "q_calendar",
     "q_graph_bfs",
+    "q_recommend",
+    "q_langid_eval",
 ]
 
 

@@ -251,9 +251,109 @@ FROM walk GROUP BY node
 """
 
 
+REC_K = 3
+
+
+def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering over the co-purchase graph:
+    for each sampled customer, the top-3 parts they do NOT own, scored
+    by summed co-purchase support with the parts they DO own — the
+    classic neighborhood recommender (the shape behind 'customers who
+    bought X also bought Y').
+
+    Plan: owned (customer, part) pairs join the weighted co-purchase
+    edges on the owned part (shuffle on part id — the contraction
+    dimension, exactly SpMM's shape: user-item matrix × item-item
+    similarity), scores partial/final-aggregate per (customer,
+    candidate), owned candidates drop via LEFT ANTI, and the top-3 is a
+    per-customer WindowGroupLimit rank (score desc, part asc — exact
+    integer scores, fully deterministic). Customers are sampled by key
+    arithmetic (≡0 mod 50) purely to bound the demo output; the plan is
+    identical unsampled."""
+    from pyspark.sql.window import Window
+
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    owned = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("o_custkey") % 50 == 0)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        li.alias("a").join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= MIN_SUP)
+    )
+    sim = (pairs.select("u", "v", "sup")
+           .unionByName(pairs.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v"), "sup")))
+    scores = (
+        owned.join(sim, owned.part == sim.u)
+        .groupBy("cust", F.col("v").alias("cand"))
+        .agg(F.sum("sup").alias("score"))
+    )
+    fresh = scores.join(
+        owned.withColumnsRenamed({"part": "cand"}),
+        ["cust", "cand"], "left_anti")
+    w = Window.partitionBy("cust").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= REC_K)
+        .select(F.col("cust").alias("c_custkey"), "rk",
+                F.col("cand").alias("part_id"), "score")
+    )
+
+
+ORACLE_RECOMMEND = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+owned AS (
+  SELECT DISTINCT o.o_custkey AS cust, li.l_partkey AS part
+  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey % 50 = 0
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS sup
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SUP}
+),
+sim AS (
+  SELECT u, v, sup FROM pairs UNION ALL SELECT v, u, sup FROM pairs
+),
+scores AS (
+  SELECT o.cust, s.v AS cand, sum(s.sup) AS score
+  FROM owned o JOIN sim s ON o.part = s.u
+  GROUP BY o.cust, s.v
+),
+fresh AS (
+  SELECT sc.* FROM scores sc
+  LEFT JOIN owned ow ON sc.cust = ow.cust AND sc.cand = ow.part
+  WHERE ow.part IS NULL
+)
+SELECT cust AS c_custkey, rk, cand AS part_id, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cust
+            ORDER BY score DESC, cand) AS rk
+  FROM fresh
+) WHERE rk <= {REC_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_pagerank": QuerySpec(q_pagerank, _oracle(),
                             "damped PageRank, 2 rounds, exact-micros sums"),
+    "q_recommend": QuerySpec(q_recommend, ORACLE_RECOMMEND,
+                             "item-based collaborative-filtering top-3 "
+                             "(co-purchase neighborhood scores)"),
     "q_graph_bfs": QuerySpec(q_graph_bfs, ORACLE_GRAPH_BFS,
                              "multi-source 3-hop BFS distances "
                              "(frontier relaxation)"),

@@ -135,6 +135,52 @@ FROM documents
 """
 
 
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: confusion matrix of the langid
+    heuristic against the labeled ``lang`` column, with per-cell counts
+    and the cell's share of its actual-language row — the model-QA
+    report every labeling/filtering heuristic gets before it gates a
+    corpus. One scan + one partial/final aggregate on the (actual,
+    predicted) grid; the share quotient rides duck_round."""
+    d = t(spark, sf_dir, "documents")
+    cells = (
+        ops_text.langid_scores(d)
+        .groupBy(F.col("lang").alias("actual"),
+                 F.col("predicted_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy("actual").agg(F.sum("n").alias("row_total"))
+    return (
+        cells.join(F.broadcast(totals), "actual")
+        .select("actual", "predicted", "n",
+                duck_round(F.col("n").cast("double")
+                           / F.col("row_total").cast("double"), 4)
+                .alias("row_share"),
+                (F.col("actual") == F.col("predicted")).alias("correct"))
+    )
+
+
+ORACLE_LANGID_EVAL = f"""
+WITH pred AS (
+  SELECT lang AS actual,
+         CASE WHEN {_EN} >= {_ES} AND {_EN} >= {_DE} THEN 'en'
+              WHEN {_ES} >= {_DE} THEN 'es'
+              ELSE 'de' END AS predicted
+  FROM documents
+), cells AS (
+  SELECT actual, predicted, count(*) AS n
+  FROM pred GROUP BY actual, predicted
+), tot AS (
+  SELECT actual, sum(n) AS row_total FROM cells GROUP BY actual
+)
+SELECT c.actual, c.predicted, c.n,
+       floor(CAST(c.n AS DOUBLE) / CAST(row_total AS DOUBLE) * 1e4 + 0.5)
+         / 1e4 AS row_share,
+       c.actual = c.predicted AS correct
+FROM cells c JOIN tot USING (actual)
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: order-insensitive bag-of-words fingerprint
     (sorted tokens → md5) + raw-content md5 — the join keys for exact and
@@ -564,6 +610,9 @@ GROUP BY t.doc_id, w.topic
 
 
 SPECS: dict[str, QuerySpec] = {
+    "q_langid_eval": QuerySpec(q_langid_eval, ORACLE_LANGID_EVAL,
+                               "classifier-eval confusion matrix for the "
+                               "langid heuristic"),
     "q_matmul": QuerySpec(q_matmul, ORACLE_MATMUL,
                           "sparse-by-dense matrix multiply "
                           "(join-aggregate SpMM, broadcast dense factor)"),
