@@ -119,6 +119,7 @@ HEADLINE = [
     "q_graph_bfs",
     "q_recommend",
     "q_langid_eval",
+    "q_reconcile",
 ]
 
 

@@ -56,7 +56,7 @@ GATE_ORDER = [
     "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
     "q_curation_pipeline", "q_src_metadata", "q_matmul",
     "q_explode_outer", "q_calendar", "q_graph_bfs", "q_recommend",
-    "q_langid_eval",
+    "q_langid_eval", "q_reconcile",
     # tie-break hardened after the sf0.1 sweep caught duplicate
     # (l_orderkey, l_linenumber) pairs in the regenerated fixtures
     "q_filter_first",
@@ -74,9 +74,10 @@ GATE_ORDER = [
     "q_join_interval_binned", "q_udf_grouped", "q_udf_cogrouped",
     "q_stream_interval_lo", "q_region_volume", "q_src_xml", "q_src_pyds",
     "q_src_pyds_stream",
-    "q_sim_knn_blocked", "q_dedup_embed",
+    "q_sim_knn_blocked",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_decontaminate", "q_latest_snapshot", "q_stream_interval",
+    "q_dedup_embed", "q_decontaminate", "q_latest_snapshot",
+    "q_stream_interval",
     # rounding hardened to the floor formula this session (quotient /
     # accumulated-double outputs); all pass the local gate each round
     "q_text_lang", "q_text_quality", "q_dedup_ngram",

@@ -391,6 +391,94 @@ FROM s, t
 """
 
 
+N_RECON_BUCKETS = 64
+
+
+def _canon_row_hash() -> Column:
+    """Order-insensitive row fingerprint: md5 of the canonical
+    delimiter-joined row rendering (integers and fixed-format strings
+    ONLY — doubles ride as exact cents so no float-formatting divergence
+    between engines), folded to a BIGINT. Summing these per bucket gives
+    a content checksum any engine can recompute."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    s = F.concat_ws(
+        "|",
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+        cents, F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-bucket reconciliation — "did the migration lose or corrupt
+    anything?", answered without shipping either table: both sides
+    reduce to 64 bucket checksums (order-insensitive sums of canonical
+    per-row md5 fingerprints, exact DECIMAL(38,0) accumulation), and
+    only differing buckets would be drilled into. This is THE scale
+    shape for cross-system validation (e.g. reference engine → this
+    one): comparing 100 TB row-by-row needs a full co-shuffle of both
+    tables; comparing 64 (or 64k) bucket digests moves kilobytes, and a
+    mismatch isolates 1/64th of the keyspace for the row-level diff
+    (q_snapshot_diff) to chase.
+
+    Side B is a derived copy with a deliberate fault injected (price
+    +10.00 on keys ≡ 0 mod 97), so the report provably detects
+    corruption: buckets containing a faulted key show is_consistent =
+    false, all others true.
+    """
+    o = t(spark, sf_dir, "orders")
+    bucket = F.pmod(F.col("o_orderkey"), F.lit(N_RECON_BUCKETS))
+
+    def digest(df: DataFrame, side: str) -> DataFrame:
+        return (df.select(bucket.alias("bucket"),
+                          _canon_row_hash().alias("h"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias(f"n_{side}"),
+                     F.sum(F.col("h").cast(_D38)).alias(f"sum_{side}")))
+    a = digest(o, "a")
+    b = digest(
+        o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 97 == 0,
+                   F.col("o_totalprice") + F.lit(10.0))
+            .otherwise(F.col("o_totalprice"))), "b")
+    return (
+        a.join(b, "bucket", "full_outer")
+        .select("bucket",
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b"),
+                ((F.col("n_a") == F.col("n_b"))
+                 & (F.col("sum_a") == F.col("sum_b")))
+                .alias("is_consistent"))
+    )
+
+
+_CANON_SQL = ("CAST(('0x' || substr(md5("
+              "o_orderkey || '|' || o_custkey || '|' || o_orderstatus"
+              " || '|' || CAST(floor({price} * 100 + 0.5) AS BIGINT)"
+              " || '|' || strftime(o_orderdate, '%Y-%m-%d')"
+              " || '|' || o_orderpriority), 1, 15)) AS BIGINT)")
+
+ORACLE_RECONCILE = f"""
+WITH a AS (
+  SELECT o_orderkey % {N_RECON_BUCKETS} AS bucket, count(*) AS n_a,
+         sum(CAST({_CANON_SQL.format(price="o_totalprice")} AS HUGEINT))
+           AS sum_a
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT o_orderkey % {N_RECON_BUCKETS} AS bucket, count(*) AS n_b,
+         sum(CAST({_CANON_SQL.format(
+              price="CASE WHEN o_orderkey % 97 = 0 "
+                    "THEN o_totalprice + 10.0 ELSE o_totalprice END")}
+             AS HUGEINT)) AS sum_b
+  FROM orders GROUP BY 1
+)
+SELECT a.bucket, n_a, n_b,
+       (n_a = n_b AND sum_a = sum_b) AS is_consistent
+FROM a FULL OUTER JOIN b USING (bucket)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_regr_group": QuerySpec(
         q_regr_group, ORACLE_REGR_GROUP,
@@ -407,4 +495,8 @@ SPECS: dict[str, QuerySpec] = {
     "q_skew_profile": QuerySpec(
         q_skew_profile, ORACLE_SKEW_PROFILE,
         "shuffle-key skew diagnostic (join-strategy inputs)"),
+    "q_reconcile": QuerySpec(
+        q_reconcile, ORACLE_RECONCILE,
+        "Merkle-bucket table reconciliation (order-insensitive "
+        "md5 checksums per bucket)"),
 }

@@ -136,3 +136,21 @@ def test_skyline_matches_bruteforce(spark):
         expect = {k for k, p, s in rows
                   if not any(p2 > p and s2 > s for _, p2, s2 in rows)}
         assert got == expect, f"seed {seed}"
+
+
+def test_reconcile_detects_injected_faults_exactly(spark, sf_dir):
+    """Buckets flagged inconsistent must be EXACTLY those containing a
+    faulted key (≡0 mod 97) — no false positives, no misses."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    rows = {r["bucket"]: r for r in
+            ALL_SPECS["q_reconcile"].fn(spark, sf_dir).collect()}
+    faulted = {r["b"] for r in
+               spark.read.parquet(f"{sf_dir}/orders.parquet")
+               .where(F.col("o_orderkey") % 97 == 0)
+               .select(F.pmod("o_orderkey", F.lit(64)).alias("b"))
+               .distinct().collect()}
+    assert len(rows) == 64
+    for b, r in rows.items():
+        assert r["n_a"] == r["n_b"]
+        assert r["is_consistent"] == (b not in faulted), b
