@@ -98,9 +98,10 @@ class _JsonPartMessage(WriterCommitMessage):
     every exactly-once sink uses (task writes to a temp name, driver
     seals the job)."""
 
-    def __init__(self, path: str, n_rows: int):
+    def __init__(self, path: str, n_rows: int, pid: int = -1):
         self.path = path
         self.n_rows = n_rows
+        self.pid = pid
 
 
 class _ScratchJsonWriter(DataSourceWriter):
@@ -133,10 +134,24 @@ class _ScratchJsonWriter(DataSourceWriter):
         os.replace(tmp, final)
         return _JsonPartMessage(final, n)
 
+    def _sweep_tmp(self) -> None:
+        import glob
+        import os
+
+        # Failed/speculative task attempts leave part-*.json.tmp-<attempt>
+        # behind (only the winning attempt renames); the job is over by
+        # commit/abort time, so they are litter.
+        for p in glob.glob(os.path.join(self.path, "part-*.json.tmp-*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     def commit(self, messages) -> None:
         import json
         import os
 
+        self._sweep_tmp()
         manifest = {os.path.basename(m.path): m.n_rows for m in messages}
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(json.dumps(manifest, sort_keys=True))
@@ -149,16 +164,23 @@ class _ScratchJsonWriter(DataSourceWriter):
                 os.remove(m.path)
             except OSError:
                 pass
+        self._sweep_tmp()
 
 
 class _ScratchJsonStreamWriter(DataSourceStreamWriter):
-    """STREAMING write face: same tmp+rename discipline per task, but
-    files and manifests are keyed by micro-batch — ``commit(messages,
-    batchId)`` seals each batch with its own ``_SUCCESS-<batch>``
-    manifest, which is what makes replays idempotent: a batch re-run
-    after a crash re-seals the same manifest instead of duplicating
-    rows (the engine guarantees a batch's task set is re-executed
-    whole)."""
+    """STREAMING write face. Tasks do NOT know the micro-batch id (the
+    API hands it only to the driver's ``commit``/``abort``), so each task
+    writes a PENDING file and ``commit(messages, batchId)`` finalizes the
+    batch: every pending file is renamed to
+    ``batch-<batchId>-part-<pid>.json`` (``os.replace`` — a batch
+    REPLAYED after crash recovery overwrites the same final names instead
+    of accumulating duplicates under fresh stage-keyed names), any
+    ``batch-<batchId>-*`` file NOT named by this commit is deleted, the
+    ``_SUCCESS-<batchId>`` manifest is rewritten to name exactly the
+    surviving files, and leftover pending/tmp litter from failed or
+    speculative attempts is swept. Data files only appear under their
+    final names at commit time, so both manifest-driven readers and
+    ``batch-*.json`` globs see each batch exactly once."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -171,23 +193,53 @@ class _ScratchJsonStreamWriter(DataSourceStreamWriter):
 
         ctx = TaskContext.get()
         os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(
+        pending = os.path.join(
             self.path,
-            f"batch-{ctx.stageId():05d}-part-{ctx.partitionId():05d}.json")
-        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+            f"pending-part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+            ".json")
+        tmp = f"{pending}.tmp"
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        os.replace(tmp, final)
-        return _JsonPartMessage(final, n)
+        os.replace(tmp, pending)
+        return _JsonPartMessage(pending, n, ctx.partitionId())
+
+    def _sweep_pending(self) -> None:
+        import glob
+        import os
+
+        # Micro-batches are sequential, so any pending/tmp file still on
+        # disk when the driver seals or aborts a batch belongs to a
+        # failed or speculative attempt — litter, not data.
+        for p in glob.glob(os.path.join(self.path, "pending-part-*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import json
         import os
 
-        manifest = {os.path.basename(m.path): m.n_rows for m in messages}
+        manifest: dict[str, int] = {}
+        for m in messages:
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-part-{m.pid:05d}.json")
+            os.replace(m.path, final)
+            manifest[os.path.basename(final)] = m.n_rows
+        # A prior crashed attempt of this batch may have committed with a
+        # different task layout: drop its files so the manifest is total.
+        for p in glob.glob(os.path.join(
+                self.path, f"batch-{batchId:05d}-part-*.json")):
+            if os.path.basename(p) not in manifest:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        self._sweep_pending()
         with open(os.path.join(self.path, f"_SUCCESS-{batchId}"), "w") as f:
             f.write(json.dumps(manifest, sort_keys=True))
 
@@ -199,6 +251,7 @@ class _ScratchJsonStreamWriter(DataSourceStreamWriter):
                 os.remove(m.path)
             except OSError:
                 pass
+        self._sweep_pending()
 
 
 class SynthDocsDataSource(DataSource):
@@ -228,6 +281,13 @@ class SynthDocsDataSource(DataSource):
             import glob
             import os
 
+            # Drop the old manifest FIRST: a failure between cleanup and
+            # the new commit() must not leave a _SUCCESS naming deleted
+            # files (manifest-driven readers would chase ghosts).
+            try:
+                os.remove(os.path.join(self.options["path"], "_SUCCESS"))
+            except OSError:
+                pass
             for p in glob.glob(
                     os.path.join(self.options["path"], "part-*.json")):
                 try:

@@ -442,13 +442,26 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderkey") % 97 == 0,
                    F.col("o_totalprice") + F.lit(10.0))
             .otherwise(F.col("o_totalprice"))), "b")
+    return reconcile_digests(a, b)
+
+
+def reconcile_digests(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Full-outer compare of two per-bucket digest frames
+    (``bucket, n_x, sum_x``). Compares COALESCED values: a bucket
+    present on only one side (a wholly lost bucket — the headline
+    data-loss case the reconciliation op exists to catch) must report
+    ``is_consistent = false``, not NULL, or a consumer filtering
+    ``WHERE NOT is_consistent`` misses the loss."""
+    zero38 = F.lit(0).cast(_D38)
     return (
         a.join(b, "bucket", "full_outer")
         .select("bucket",
                 F.coalesce("n_a", F.lit(0)).alias("n_a"),
                 F.coalesce("n_b", F.lit(0)).alias("n_b"),
-                ((F.col("n_a") == F.col("n_b"))
-                 & (F.col("sum_a") == F.col("sum_b")))
+                ((F.coalesce("n_a", F.lit(0))
+                  == F.coalesce("n_b", F.lit(0)))
+                 & (F.coalesce("sum_a", zero38)
+                    == F.coalesce("sum_b", zero38)))
                 .alias("is_consistent"))
     )
 
@@ -473,8 +486,9 @@ WITH a AS (
              AS HUGEINT)) AS sum_b
   FROM orders GROUP BY 1
 )
-SELECT a.bucket, n_a, n_b,
-       (n_a = n_b AND sum_a = sum_b) AS is_consistent
+SELECT a.bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       (coalesce(n_a, 0) = coalesce(n_b, 0)
+        AND coalesce(sum_a, 0) = coalesce(sum_b, 0)) AS is_consistent
 FROM a FULL OUTER JOIN b USING (bucket)
 """
 

@@ -154,3 +154,26 @@ def test_reconcile_detects_injected_faults_exactly(spark, sf_dir):
     for b, r in rows.items():
         assert r["n_a"] == r["n_b"]
         assert r["is_consistent"] == (b not in faulted), b
+
+
+def test_reconcile_lost_bucket_reports_false_not_null(spark):
+    """A bucket present on only ONE side (wholly lost data — the
+    headline case reconciliation exists to catch) must report
+    is_consistent = False, never NULL: a consumer filtering
+    WHERE NOT is_consistent has to see the loss (ADVICE r5)."""
+    from hippo_claim_crossover_spark.plans.stats import reconcile_digests
+
+    a = spark.createDataFrame(
+        [(0, 2, 100), (1, 3, 200)], "bucket int, n_a long, sum_a long")
+    b = spark.createDataFrame(
+        [(0, 2, 100)], "bucket int, n_b long, sum_b long")
+    rows = {r["bucket"]: r for r in reconcile_digests(a, b).collect()}
+    assert rows[0]["is_consistent"] is True
+    assert rows[1]["is_consistent"] is False          # lost bucket
+    assert rows[1]["n_b"] == 0
+    # and the symmetric case: a bucket that only EXISTS on side b
+    c = spark.createDataFrame(
+        [(7, 1, 5)], "bucket int, n_b long, sum_b long")
+    rows2 = {r["bucket"]: r for r in reconcile_digests(a, c).collect()}
+    assert rows2[7]["is_consistent"] is False
+    assert rows2[7]["n_a"] == 0
