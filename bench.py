@@ -1,8 +1,18 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is fully materialized via
-the noop sink (executes the whole plan, no driver collect, no output cost).
+Output contract (BENCH_r05 post-mortem: the single JSON line outgrew the
+driver's tail-capture window and arrived truncated mid-JSON, so round 5
+has no machine-parsed total): the per-query DETAIL object is printed
+first on its own line and mirrored to ``bench_detail.json``, and the
+LAST stdout line is a compact (<1 KB) summary
+``{"metric", "value", "unit", "sf", "n_queries", "value_run1",
+"queries_slowest", "detail"}`` — whatever the capture window cuts, the
+final short line parses. ``value`` is the best-of-2 total (steady-state
+plan cost, comparable with BENCH_r05); ``value_run1`` is the run-1 total
+(comparable with BENCH_r04 and earlier, which were single-run) so
+cross-round comparisons no longer need a warmup correction factor.
+Each query is fully materialized via the noop sink (executes the whole
+plan, no driver collect, no output cost).
 """
 
 from __future__ import annotations
@@ -120,27 +130,32 @@ HEADLINE = [
     "q_recommend",
     "q_langid_eval",
     "q_reconcile",
+    # round-6 additions: the one r5-gated query the headline missed
+    # (ADVICE r5), plus the scale-path percentile/histogram siblings.
+    "q_drift_chi2",
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    """Best-of-2 full materializations through the noop sink.
+def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    """Two full materializations through the noop sink; returns
+    (run1, best-of-2).
 
-    Two runs, min reported: the first execution of a plan carries
-    one-time Janino codegen + JIT warmup (measured 2-4× steady state)
-    and the single-JVM harness adds a roaming multi-second stall to
-    ~one query per 48-query session (GC/host noise — BASELINE.md).
-    The min is the steady-state plan cost — the quantity that scales
-    to a cluster — while single-run numbers mostly rank queries by
-    which one the stall landed on. Plan build (fn) stays outside the
-    timed window, as before."""
+    The first execution of a plan carries one-time Janino codegen + JIT
+    warmup (measured 2-4× steady state) and the single-JVM harness adds
+    a roaming multi-second stall to ~one query per 48-query session
+    (GC/host noise — BASELINE.md). The min is the steady-state plan
+    cost — the quantity that scales to a cluster — while single-run
+    numbers mostly rank queries by which one the stall landed on. Both
+    are reported (BOTH totals land in the summary line) so cross-round
+    comparisons against single-run rounds need no correction factor.
+    Plan build (fn) stays outside the timed window, as before."""
     df = ALL_SPECS[name].fn(spark, sf_dir)
-    best = float("inf")
+    times = []
     for _ in range(2):
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    return best
+        times.append(time.time() - t0)
+    return times[0], min(times)
 
 
 def main() -> None:
@@ -164,15 +179,39 @@ def main() -> None:
         ALL_SPECS[wname].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    timings_run1: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        r1, best = run_query(spark, name, sf_dir)
+        timings[name] = round(best, 3)
+        timings_run1[name] = round(r1, 3)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    total_run1 = round(sum(timings_run1.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries_run1": timings_run1,
+        "value_run1": total_run1,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    # LAST line is the parseable artifact: compact (<1 KB) so the
+    # driver's tail capture cannot truncate it mid-JSON.
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "value_run1": total_run1,
+        "queries_slowest": slowest,
+        "detail": "bench_detail.json",
     }))
 
 
