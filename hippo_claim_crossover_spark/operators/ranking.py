@@ -52,7 +52,110 @@ def global_rank(df: DataFrame, order_cols: list[str],
             .drop("_pid", "_lrn", "_off"))
 
 
-def ntile_bucket(rank: Column, total: Column, n: int) -> Column:
+def grouped_global_rank(df: DataFrame, group_cols: list[str],
+                        order_cols: list[str],
+                        n_partitions: int | None = None,
+                        out_col: str = "_rank") -> DataFrame:
+    """Append the exact 1-based rank of each row under ``order_cols``
+    WITHIN its group, with every stage distributed — the per-group
+    generalization of :func:`global_rank`, and the machinery that keeps
+    exact grouped percentiles off the low-cardinality-key cliff (a
+    ``Window.partitionBy(group).orderBy(v)`` puts each group's ENTIRE
+    row set through one task; on a 3-value key at 100 TB that is 3 tasks
+    each sorting a third of the table).
+
+    1. range-shuffle on (group ++ order) — a group larger than one
+       partition spans several CONSECUTIVE partition ids, each holding a
+       contiguous value range (range partitioning is order-preserving
+       across partition ids, and equal keys land in one partition);
+    2. local row_number per (partition, group);
+    3. per-group prefix offsets over the (partition × group) COUNTS
+       table — tiny by construction (≤ partitions rows per group), and
+       the offset window partitions by group, so no single-partition
+       stage exists anywhere in the plan.
+
+    Ranks among EQUAL order keys are arbitrary (they stay within one
+    partition); use a unique key when that matters — rank-indexed value
+    lookup (percentiles) is insensitive to tie order by definition.
+    """
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in group_cols + order_cols]
+    ranged = (df.repartitionByRange(parts, *keys)
+              .withColumn("_pid", F.spark_partition_id()))
+    local_w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    counts = (local.groupBy("_pid", *group_cols)
+              .agg(F.count(F.lit(1)).alias("_cnt")))
+    off_w = (Window.partitionBy(*group_cols).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "_pid", *group_cols,
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"))
+    return (local.join(F.broadcast(offsets), ["_pid", *group_cols])
+            .withColumn(out_col, F.col("_lrn") + F.col("_off"))
+            .drop("_pid", "_lrn", "_off"))
+
+
+def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
+                              value_col: str, ps: list[float],
+                              n_partitions: int | None = None) -> DataFrame:
+    """EXACT linear-interpolation percentiles per group without
+    buffering any group in one task: rank every row with
+    :func:`grouped_global_rank`, then fetch only the two rows straddling
+    each target rank and interpolate.
+
+    Returns one row per (group, percentile): ``group_cols ++ [_p_idx,
+    value]`` where ``_p_idx`` indexes into ``ps``. NULL values are
+    excluded first (SQL percentile semantics).
+
+    Interpolation follows the quantile_cont discipline exactly:
+    ``rn = (n-1)*p`` in IEEE double, and the SYMMETRIC weighted form
+    ``(1-frac)*v[floor(rn)] + frac*v[ceil(rn)]`` on 0-based sorted
+    positions — NOT the algebraically-equal ``lo + frac*(hi-lo)``,
+    which differs in the last ulp for some inputs (observed at sf0.1)
+    and fails a bit-exact oracle compare. When ``rn`` is integral the
+    fraction is exactly 0.0 and the value returns bit-identically.
+
+    Scale shape: one range shuffle of (group, value) + two broadcast
+    joins against rank metadata (offsets: partitions×groups rows;
+    targets: groups×|ps| rows). Reduce-side state is O(1) per row —
+    no per-group materialization anywhere, so the plan survives a
+    3-value grouping key at 100 TB where the exact-percentile
+    aggregate's O(rows/group) buffer is a guaranteed OOM.
+    """
+    vals = (df.select(*group_cols, value_col)
+            .where(F.col(value_col).isNotNull()))
+    ranked = grouped_global_rank(vals, group_cols, [value_col],
+                                 n_partitions)
+    targets_per_p = F.array(*[
+        F.struct(F.lit(i).alias("_p_idx"),
+                 F.lit(float(p)).alias("_p")) for i, p in enumerate(ps)])
+    rn = (F.col("_n") - F.lit(1)).cast("double") * F.col("_t._p")
+    # Group totals come from VALS (scan + partial/final agg), not from
+    # `ranked` — the expensive range-shuffle branch is consumed exactly
+    # once, by the straddle probe below.
+    targets = (vals.groupBy(*group_cols)
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .select(*group_cols, "_n",
+                       F.explode(targets_per_p).alias("_t"))
+               .select(*group_cols,
+                       F.col("_t._p_idx").alias("_p_idx"),
+                       (F.floor(rn).cast("long") + 1).alias("_lo"),
+                       (F.ceil(rn).cast("long") + 1).alias("_hi"),
+                       (rn - F.floor(rn)).alias("_frac")))
+    straddle = (ranked.join(F.broadcast(targets), group_cols)
+                .where((F.col("_rank") == F.col("_lo"))
+                       | (F.col("_rank") == F.col("_hi"))))
+    return (straddle.groupBy(*group_cols, "_p_idx")
+            .agg(F.max(F.when(F.col("_rank") == F.col("_lo"),
+                              F.col(value_col))).alias("_v_lo"),
+                 F.max(F.when(F.col("_rank") == F.col("_hi"),
+                              F.col(value_col))).alias("_v_hi"),
+                 F.min("_frac").alias("_frac"))
+            .select(*group_cols, "_p_idx",
+                    ((F.lit(1.0) - F.col("_frac")) * F.col("_v_lo")
+                     + F.col("_frac") * F.col("_v_hi"))
+                    .alias("value")))
     """Exact ntile bucket from a 1-based global rank: the first
     ``total mod n`` buckets hold ``total div n + 1`` rows, the rest
     ``total div n`` — Spark's (and the SQL standard's) ntile fill rule,

@@ -47,6 +47,9 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
+    # -- round 6: code changed (de-cliffed exact percentile, coalesced
+    # reconcile) or newly declared (sketch siblings) --
+    "q_percentile", "q_percentile_approx", "q_reconcile",
     # -- newly declared (round-5 second session): statistics family,
     # batch sessionization, snapshot diff, TPC-H Q10 composite --
     "q_regr_group", "q_outlier_zscore", "q_drift_chi2", "q_sessionize",
@@ -56,7 +59,7 @@ GATE_ORDER = [
     "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
     "q_curation_pipeline", "q_src_metadata", "q_matmul",
     "q_explode_outer", "q_calendar", "q_graph_bfs", "q_recommend",
-    "q_langid_eval", "q_reconcile",
+    "q_langid_eval",
     # tie-break hardened after the sf0.1 sweep caught duplicate
     # (l_orderkey, l_linenumber) pairs in the regenerated fixtures
     "q_filter_first",
@@ -96,7 +99,7 @@ GATE_ORDER = [
     "q_str_dxcode", "q_str_join",
     "q_str_name", "q_str_zip", "q_topk", "q_topk_group", "q_udf",
     "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",
-    "q_crossover", "q_scan", "q_sink", "q_percentile",
+    "q_crossover", "q_scan", "q_sink",
     # -- remaining r3-last rows (re-proven by the local gate each round) --
     "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",

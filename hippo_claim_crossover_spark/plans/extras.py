@@ -14,6 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hippo_claim_crossover_spark.operators.ranking import (
+    grouped_exact_percentiles,
+)
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
@@ -24,15 +27,39 @@ from hippo_claim_crossover_spark.plans.base import (
 
 
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped percentiles (p50/p95) + median — one partial/final
-    aggregate; at 100 TB the approx_percentile sketch replaces this when a
-    bounded-memory single pass matters more than exactness."""
+    """Exact grouped percentiles (p50/p95) + median via DISTRIBUTED
+    rank-and-interpolate (operators/ranking.py), not the exact
+    ``percentile`` aggregate.
+
+    The aggregate form buffers O(rows-per-group) in each reduce task; on
+    a 3-value grouping key that is 3 tasks each materializing a third of
+    the fact column — fine at sf0.1, a guaranteed OOM at 100× (the r5
+    verdict's one flagged scale cliff). Here both value columns are
+    stacked into one (flag, metric, value) stream, every row gets its
+    exact per-(flag, metric) rank through a range shuffle + prefix
+    offsets (no single-task or per-group sort anywhere), and only the
+    two rows straddling each target rank are fetched and interpolated —
+    reduce-side state is O(1) per row at any scale. Results are
+    bit-identical to the quantile_cont discipline, so the DuckDB oracle
+    is unchanged. ``q_percentile_approx`` is the sketch sibling for when
+    a bounded-memory single pass beats two shuffles."""
     li = t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.expr("stack(2, 'price', l_extendedprice, 'units', l_quantity)"
+               " AS (_metric, _v)"))
+    res = grouped_exact_percentiles(
+        melted, ["l_returnflag", "_metric"], "_v", [0.5, 0.95])
+    is_price = F.col("_metric") == "price"
+    p_idx = F.col("_p_idx")
     return (
-        li.groupBy("l_returnflag")
-        .agg(F.percentile("l_extendedprice", 0.5).alias("p50_price"),
-             F.percentile("l_extendedprice", 0.95).alias("p95_price"),
-             F.median("l_quantity").alias("median_units"))
+        res.groupBy("l_returnflag")
+        .agg(F.max(F.when(is_price & (p_idx == 0), F.col("value")))
+             .alias("p50_price"),
+             F.max(F.when(is_price & (p_idx == 1), F.col("value")))
+             .alias("p95_price"),
+             F.max(F.when(~is_price & (p_idx == 0), F.col("value")))
+             .alias("median_units"))
     )
 
 
@@ -43,6 +70,25 @@ SELECT l_returnflag,
        median(l_quantity) AS median_units
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch sibling of q_percentile: ``approx_percentile`` (KLL-style
+    bounded-memory quantile sketch, accuracy knob 10000) in ONE
+    partial/final aggregate pass — the 100 TB path when a single shuffle
+    matters more than exactness. Engine-specific sketch ⇒ rows-only
+    driver check; the quantitative invariant (each approx value within
+    the exact neighborhood) is unit-tested against q_percentile."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
+             .alias("p50_price"),
+             F.percentile_approx("l_extendedprice", 0.95, 10000)
+             .alias("p95_price"),
+             F.percentile_approx("l_quantity", 0.5, 10000)
+             .alias("median_units"))
+    )
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,8 +359,14 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPECS: dict[str, QuerySpec] = {
     "q_transpose": QuerySpec(q_transpose, ORACLE_TRANSPOSE,
                              "Spark 4 DataFrame.transpose report matrix"),
-    "q_percentile": QuerySpec(q_percentile, ORACLE_PERCENTILE,
-                              "exact grouped percentiles/median"),
+    "q_percentile": QuerySpec(
+        q_percentile, ORACLE_PERCENTILE,
+        "exact grouped percentiles/median via distributed rank "
+        "(no per-group buffering)"),
+    "q_percentile_approx": QuerySpec(
+        q_percentile_approx, None,
+        "approx_percentile sketch sibling (rows-only: engine-specific "
+        "sketch; error band unit-tested against the exact form)"),
     "q_pivot": QuerySpec(q_pivot, ORACLE_PIVOT, "pivot w/ explicit values"),
     "q_cube": QuerySpec(q_cube, ORACLE_CUBE, "CUBE grouping sets"),
     "q_sample_hash": QuerySpec(q_sample_hash, ORACLE_SAMPLE_HASH,

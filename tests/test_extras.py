@@ -35,3 +35,22 @@ def test_cube_emits_all_grouping_combinations(spark, sf_dir):
     assert grand[0]["n_lines"] == sum(
         r["n_lines"] for r in rows
         if r["l_returnflag"] is not None and r["l_linestatus"] is not None)
+
+
+def test_percentile_approx_within_error_band(spark, sf_dir):
+    """The sketch sibling must land within the accuracy-knob rank band
+    of the exact distributed-rank result: accuracy=10000 bounds rank
+    error by n/10000, which on these value distributions is well within
+    0.5% relative error of the exact percentile."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    exact = {r["l_returnflag"]: r for r in
+             ALL_SPECS["q_percentile"].fn(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in
+              ALL_SPECS["q_percentile_approx"].fn(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p50_price", "p95_price", "median_units"):
+            assert abs(a[col] - e[col]) <= 0.005 * abs(e[col]) + 1e-9, (
+                flag, col, a[col], e[col])

@@ -298,3 +298,34 @@ def test_binned_interval_join_matches_bruteforce(spark):
                 .where((F.col("ls") < F.col("re"))
                        & (F.col("rs") < F.col("le"))).collect()}
         assert got == want, bw  # incl. multi-bin overlaps deduped
+
+
+def test_grouped_exact_percentiles_match_numpy(spark):
+    """Distributed rank-and-interpolate equals numpy's linear quantile
+    on adversarial group shapes: one-row groups, groups smaller than
+    the partition count, heavy ties, and a group spanning many range
+    partitions."""
+    import random
+
+    import numpy as np
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_exact_percentiles)
+
+    rng = random.Random(7)
+    rows = [("solo", 42.0)]                      # n=1 group
+    rows += [("tiny", float(v)) for v in (3, 1, 2)]
+    rows += [("ties", float(v)) for v in [5] * 50 + [7] * 50]
+    rows += [("big", round(rng.uniform(0, 1000), 2)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(16)
+    ps = [0.0, 0.25, 0.5, 0.95, 1.0]
+    got = {(r["g"], r["_p_idx"]): r["value"]
+           for r in grouped_exact_percentiles(df, ["g"], "v", ps,
+                                              n_partitions=8).collect()}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        for i, p in enumerate(ps):
+            want = float(np.quantile(np.array(vs), p, method="linear"))
+            assert abs(got[(g, i)] - want) < 1e-9, (g, p, got[(g, i)], want)

@@ -426,3 +426,17 @@ def test_matmul_broadcasts_dense_factor(spark):
     plan = _plan(spark, "q_matmul")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_percentile_no_per_group_buffering(spark):
+    """q_percentile must compute exact grouped percentiles through the
+    distributed rank machinery: no exact `percentile`/`median`
+    AGGREGATE (whose reduce-side state is O(rows-per-group) — an OOM on
+    a 3-value key at 100×), no single-partition exchange, and a range
+    shuffle present (the TeraSort-style distribution of the sort)."""
+    plan = _plan(spark, "q_percentile")
+    low = plan.lower()
+    assert "percentile(" not in low
+    assert "median(" not in low
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in low
