@@ -133,6 +133,8 @@ HEADLINE = [
     # round-6 additions: the one r5-gated query the headline missed
     # (ADVICE r5), plus the scale-path percentile/histogram siblings.
     "q_drift_chi2",
+    "q_percentile_approx",
+    "q_histogram_eq_approx",
 ]
 
 

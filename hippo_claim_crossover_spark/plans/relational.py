@@ -531,6 +531,34 @@ GROUP BY decile
 """
 
 
+def q_histogram_eq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch sibling of q_histogram_eq — the 100 TB swap the exact
+    form's docstring promises: decile BOUNDARIES from one
+    ``approx_percentile`` pass (KLL-style bounded-memory sketch,
+    accuracy 10000 ⇒ rank error ≤ n/10⁴), broadcast as a 9-element
+    array, bucket id = 1 + #boundaries below the value (a 9-step
+    JVM-side fold, no shuffle), then one partial/final count/min/max
+    aggregate. Two scans + one agg shuffle total, versus the exact
+    form's range shuffle + rank join — and no stage whose state grows
+    with n. Engine-specific sketch ⇒ rows-only driver check; the
+    near-equi-depth invariant is unit-tested instead."""
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(F.percentile_approx(
+        "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000)
+        .alias("_bs"))
+    decile = F.aggregate(
+        F.col("_bs"), F.lit(1),
+        lambda acc, b: acc + (F.col("o_totalprice") > b).cast("int"))
+    return (
+        o.join(F.broadcast(bounds))
+        .select(decile.alias("decile"), "o_totalprice")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_claims"),
+             F.round(F.min("o_totalprice"), 2).alias("lo"),
+             F.round(F.max("o_totalprice"), 2).alias("hi"))
+    )
+
+
 _HIST_WIDTH = 25_000
 
 
@@ -1057,6 +1085,10 @@ SPECS: dict[str, QuerySpec] = {
                                "market-basket support/confidence/lift"),
     "q_histogram_eq": QuerySpec(q_histogram_eq, ORACLE_HISTOGRAM_EQ,
                                 "equi-depth decile histogram"),
+    "q_histogram_eq_approx": QuerySpec(
+        q_histogram_eq_approx, None,
+        "approx_percentile-boundary equi-depth histogram (rows-only: "
+        "engine-specific sketch; equi-depth invariant unit-tested)"),
     "q_profile": QuerySpec(q_profile, ORACLE_PROFILE,
                            "per-shard corpus QA profile"),
     "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),

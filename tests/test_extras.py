@@ -54,3 +54,20 @@ def test_percentile_approx_within_error_band(spark, sf_dir):
         for col in ("p50_price", "p95_price", "median_units"):
             assert abs(a[col] - e[col]) <= 0.005 * abs(e[col]) + 1e-9, (
                 flag, col, a[col], e[col])
+
+
+def test_histogram_eq_approx_is_near_equi_depth(spark, sf_dir):
+    """Sketch-boundary deciles must be NEAR-equi-depth (accuracy=10000
+    bounds each boundary's rank error by n/10000 — far under 2% of a
+    decile) with ordered, non-overlapping value ranges."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    rows = sorted(
+        ALL_SPECS["q_histogram_eq_approx"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n = sum(r["n_claims"] for r in rows)
+    for r in rows:
+        assert abs(r["n_claims"] - n / 10) <= 0.02 * n / 10 + 5, dict(r.asDict())
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"], (a["decile"], a["hi"], b["lo"])
