@@ -135,6 +135,10 @@ HEADLINE = [
     "q_drift_chi2",
     "q_percentile_approx",
     "q_histogram_eq_approx",
+    # round-6 new queries: robust MAD outliers (distributed exact
+    # medians ×2) and BM25 lexical retrieval.
+    "q_outlier_mad",
+    "q_bm25",
 ]
 
 

@@ -51,7 +51,7 @@ GATE_ORDER = [
     # distributed rank, coalesced reconcile compare) or newly declared
     # (sketch siblings of the exact percentile / equi-depth histogram) --
     "q_percentile", "q_percentile_approx", "q_histogram_eq_approx",
-    "q_reconcile",
+    "q_reconcile", "q_outlier_mad", "q_bm25",
     # -- stalest driver proofs: last green driver row is r2 (three
     # rounds old; judge re-verified in r5, rotated into the window per
     # the r5 verdict's item #3) --
@@ -71,11 +71,10 @@ GATE_ORDER = [
     "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot",
-    "q_dedup_near", "q_filter_eq",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- remaining r3-last rows (re-proven by the local gate each round;
     # next rotation cohort) --
-    "q_filter_notnull",
+    "q_dedup_near", "q_filter_eq", "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
     "q_mm_decode", "q_mm_meta", "q_parent_denorm", "q_project_rename",
     "q_sample_hash", "q_sample_stratified", "q_stream_late",

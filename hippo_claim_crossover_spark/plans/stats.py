@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hippo_claim_crossover_spark.operators.ranking import (
+    grouped_exact_percentiles,
+)
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
@@ -204,6 +207,70 @@ WITH m AS (
 SELECT event_type, rk, event_id,
        floor(v * 1e2 + 0.5) / 1e2 AS value,
        floor(z * 1e4 + 0.5) / 1e4 AS z
+FROM r WHERE rk <= 5
+"""
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-segment outliers: median/MAD scoring (round-6 sibling
+    of q_outlier_zscore). Mean/σ scoring is itself corrupted by the
+    outliers it hunts — one extreme value inflates σ and masks the
+    rest — so robust pipelines score against the MEDIAN and the median
+    absolute deviation, both 50%-breakdown statistics.
+
+    Both medians run through the distributed rank-and-interpolate
+    operator (operators/ranking.py) — the same no-per-group-buffering
+    machinery as q_percentile, exercised here twice in sequence (median
+    of value, then median of |value − median|) on the 5-value
+    event_type key that would OOM an exact-median aggregate at scale.
+    Medians interpolate with the symmetric quantile_cont form, so they
+    are bit-identical to DuckDB's ``median`` and the robust z
+    ``(x − med)/mad`` hash-matches after duck_round. Top-5 per type via
+    the two-phase-safe row_number window, tie-broken by event_id."""
+    e = t(spark, sf_dir, "events")
+    vals = e.select("event_id", "event_type", "value")
+    med = grouped_exact_percentiles(
+        vals, ["event_type"], "value", [0.5]).select(
+        "event_type", F.col("value").alias("med"))
+    dev = (vals.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = grouped_exact_percentiles(
+        dev, ["event_type"], "adev", [0.5]).select(
+        "event_type", F.col("value").alias("mad"))
+    scored = (dev.join(F.broadcast(mad), "event_type")
+              .withColumn("rz", (F.col("value") - F.col("med"))
+                          / F.col("mad")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("rz")).desc(), F.col("event_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("event_type", "rk", "event_id", "value",
+                duck_round(F.col("rz"), 4).alias("rz"))
+    )
+
+
+ORACLE_OUTLIER_MAD = """
+WITH v AS (
+  SELECT event_id, event_type, value FROM events
+), med AS (
+  SELECT event_type, median(value) AS med FROM v GROUP BY event_type
+), d AS (
+  SELECT v.*, med.med, abs(v.value - med.med) AS adev
+  FROM v JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM d GROUP BY event_type
+), z AS (
+  SELECT d.event_type, d.event_id, d.value,
+         (d.value - d.med) / mad.mad AS rz
+  FROM d JOIN mad USING (event_type)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(rz) DESC, event_id) AS rk
+  FROM z
+)
+SELECT event_type, rk, event_id, value,
+       floor(rz * 1e4 + 0.5) / 1e4 AS rz
 FROM r WHERE rk <= 5
 """
 
@@ -500,6 +567,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_outlier_zscore": QuerySpec(
         q_outlier_zscore, ORACLE_OUTLIER_ZSCORE,
         "per-segment z-score anomaly top-5"),
+    "q_outlier_mad": QuerySpec(
+        q_outlier_mad, ORACLE_OUTLIER_MAD,
+        "robust median/MAD outlier top-5 (distributed exact medians)"),
     "q_drift_chi2": QuerySpec(
         q_drift_chi2, ORACLE_DRIFT_CHI2,
         "shard-vs-corpus chi-square distribution drift"),

@@ -243,6 +243,105 @@ FROM tf JOIN df USING (token)
 """
 
 
+# Fixed retrieval query for the BM25 demo — term set is part of the
+# query contract (a fixed-order 3-term sum keeps double addition
+# deterministic across engines).
+_BM25_TERMS = ("hash", "join", "spark")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval over the corpus for a fixed query — the
+    text-retrieval workhorse (and the standard lexical half of hybrid
+    search next to q_sim_topk's dense half). tf per (doc, term) and df
+    per term come from the same explode + partial/final agg shape as
+    TF-IDF; document length and corpus stats ride broadcasts; scoring
+    is Okapi BM25 with k1=1.2, b=0.75.
+
+    Portability: the IDF keeps the Robertson–Spärck-Jones RATIONAL odds
+    ``(N − df + 0.5)/(df + 0.5) + 1`` — the ln() around it is deferred
+    to the consumer, the same engine-portability decision (and
+    docstring argument) as q_text_tfidf: IEEE +,−,×,÷ are bit-identical
+    across engines while libm ln is not, and the per-term saturation ×
+    odds product preserves each term's ranking monotonicity. Per-term
+    scores assemble via conditional aggregation and add in FIXED order,
+    so the 3-double sum is deterministic. Only docs containing ≥1 query
+    term are scored (the inverted-index access path: the explode
+    filters to the term set BEFORE any aggregation, so the shuffle
+    carries query-matching postings only — at 100 TB this is the
+    difference between scoring the corpus and scoring the posting
+    lists)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    qtoks = toks.where(F.col("tok").isin(*_BM25_TERMS))
+    tf = (qtoks.groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (qtoks.groupBy("tok")
+             .agg(F.count_distinct("doc_id").alias("df_docs")))
+    dl = d.select("doc_id",
+                  F.size(F.split("text", " ")).cast("double").alias("dl"))
+    corpus = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("tot_dl"))
+    idf = (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) \
+        / (F.col("df_docs") + F.lit(0.5)) + F.lit(1.0)
+    sat = (F.col("tf") * (F.lit(1.2) + F.lit(1.0))) \
+        / (F.col("tf") + F.lit(1.2)
+           * ((F.lit(1.0) - F.lit(0.75))
+              + F.lit(0.75) * (F.col("dl")
+                               / (F.col("tot_dl") / F.col("n_docs")))))
+    s = (tf.join(F.broadcast(dfreq), "tok")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(corpus))
+         .select("doc_id", "tok", (idf * sat).alias("s")))
+    per_term = [F.max(F.when(F.col("tok") == term, F.col("s")))
+                .alias(f"s_{term}") for term in _BM25_TERMS]
+    score = F.coalesce(F.col(f"s_{_BM25_TERMS[0]}"), F.lit(0.0))
+    for term in _BM25_TERMS[1:]:
+        score = score + F.coalesce(F.col(f"s_{term}"), F.lit(0.0))
+    return (s.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_terms"), *per_term)
+            .select("doc_id", "n_terms",
+                    duck_round(score, 6).alias("score")))
+
+
+ORACLE_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), q AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('hash', 'join', 'spark') GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df_docs FROM q GROUP BY tok
+), dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+), c AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS tot_dl
+  FROM documents
+), s AS (
+  SELECT q.doc_id, q.tok,
+         ((c.n_docs - df_docs + 0.5) / (df_docs + 0.5) + 1.0)
+         * ((q.tf * (1.2 + 1.0))
+            / (q.tf + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * (dl.dl / (c.tot_dl / c.n_docs)))))
+         AS s
+  FROM q JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN c
+), p AS (
+  SELECT doc_id, count(*) AS n_terms,
+         max(CASE WHEN tok = 'hash' THEN s END) AS s_hash,
+         max(CASE WHEN tok = 'join' THEN s END) AS s_join,
+         max(CASE WHEN tok = 'spark' THEN s END) AS s_spark
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+       floor((coalesce(s_hash, 0.0) + coalesce(s_join, 0.0)
+              + coalesce(s_spark, 0.0)) * 1e6 + 0.5) / 1e6 AS score
+FROM p
+"""
+
+
 VOCAB_TOP = 100
 
 
@@ -623,6 +722,9 @@ SPECS: dict[str, QuerySpec] = {
                                   "layout"),
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
+    "q_bm25": QuerySpec(
+        q_bm25, ORACLE_BM25,
+        "Okapi BM25 retrieval (rational-odds IDF, posting-only scoring)"),
     "q_text_tfidf": QuerySpec(q_text_tfidf, ORACLE_TEXT_TFIDF,
                               "per-(doc,token) TF-IDF"),
     "q_text_lang": QuerySpec(q_text_lang, ORACLE_TEXT_LANG, "per-lang stats"),

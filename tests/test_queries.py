@@ -66,7 +66,8 @@ def test_registry_contract():
     # every oracle-less query is a documented approximate/stateful op
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"q_approx_cd", "q_dedup_near", "q_mm_decode",
-                         "q_sample_stratified", "q_hll_sketch"}
+                         "q_sample_stratified", "q_hll_sketch",
+                         "q_percentile_approx", "q_histogram_eq_approx"}
 
 
 def test_gate_window_marker_is_accurate():
@@ -81,3 +82,42 @@ def test_gate_window_marker_is_accurate():
     pre = src.split("# ---- end of gate window")[0]
     names = re.findall(r'"(q_\w+)"', pre.split("GATE_ORDER = [")[1])
     assert names == plans.GATE_ORDER[:plans.GATE_WINDOW]
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    """q_bm25 equals an independent pure-Python BM25 (same rational-odds
+    IDF) computed straight off the parquet — validates the join/agg
+    assembly end-to-end, not just engine-vs-engine SQL parity."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from hippo_claim_crossover_spark.plans.text import _BM25_TERMS
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    docs = dict(zip(tbl["doc_id"], [t.split(" ") for t in tbl["text"]]))
+    n_docs = float(len(docs))
+    tot_dl = float(sum(len(ws) for ws in docs.values()))
+    avgdl = tot_dl / n_docs
+    df = {term: sum(1 for ws in docs.values() if term in ws)
+          for term in _BM25_TERMS}
+    want = {}
+    for doc_id, ws in docs.items():
+        score, n_terms = 0.0, 0
+        for term in _BM25_TERMS:
+            tf = ws.count(term)
+            if not tf:
+                continue
+            n_terms += 1
+            idf = (n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0
+            sat = (tf * (1.2 + 1.0)) / (
+                tf + 1.2 * ((1.0 - 0.75) + 0.75 * (len(ws) / avgdl)))
+            score += idf * sat
+        if n_terms:
+            want[doc_id] = (n_terms, math.floor(score * 1e6 + 0.5) / 1e6)
+    got = {r["doc_id"]: (r["n_terms"], r["score"]) for r in
+           ALL_SPECS["q_bm25"].fn(spark, sf_dir).collect()}
+    assert got.keys() == want.keys()
+    for doc_id, (n_terms, score) in want.items():
+        gn, gs = got[doc_id]
+        assert gn == n_terms and abs(gs - score) < 1e-6, doc_id

@@ -177,3 +177,37 @@ def test_reconcile_lost_bucket_reports_false_not_null(spark):
     rows2 = {r["bucket"]: r for r in reconcile_digests(a, c).collect()}
     assert rows2[7]["is_consistent"] is False
     assert rows2[7]["n_a"] == 0
+
+
+def test_outlier_mad_matches_numpy_and_resists_outliers(spark, sf_dir):
+    """The med/MAD per segment must equal numpy's, and the robust score
+    must actually be robust: recomputing z the classic way (mean/std)
+    on a contaminated copy shifts, while med/MAD stays put."""
+    import numpy as np
+
+    vals = {r["event_type"]: r["vs"] for r in
+            ALL_SPECS["q_outlier_mad"].fn.__globals__["t"](
+                spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.collect_list("value").alias("vs"))
+            .collect()}
+    got = {(r["event_type"], r["rk"]): r for r in
+           ALL_SPECS["q_outlier_mad"].fn(spark, sf_dir).collect()}
+    assert len(got) == 25  # 5 types x top-5
+    for etype, vs in vals.items():
+        a = np.array(vs)
+        med = float(np.median(a))
+        mad = float(np.median(np.abs(a - med)))
+        # the reported top-1 |rz| matches an independent recomputation
+        top = got[(etype, 1)]
+        want_rz = sorted(((v - med) / mad for v in vs), key=abs)[-1]
+        assert abs(abs(top["rz"]) - abs(want_rz)) < 1e-3, etype
+        # robustness: med/MAD of a 1%-contaminated copy moves < 2%,
+        # while the mean moves far more (the reason MAD exists)
+        contaminated = np.concatenate([a, np.full(max(1, len(a) // 100),
+                                                  a.max() * 100)])
+        med_c = float(np.median(contaminated))
+        mad_c = float(np.median(np.abs(contaminated - med_c)))
+        assert abs(med_c - med) <= 0.02 * abs(med) + 1e-9
+        assert abs(mad_c - mad) <= 0.05 * abs(mad) + 1e-9
+        assert abs(float(contaminated.mean()) - float(a.mean())) \
+            > 0.5 * abs(float(a.mean()))
