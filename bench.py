@@ -139,6 +139,8 @@ HEADLINE = [
     # medians ×2) and BM25 lexical retrieval.
     "q_outlier_mad",
     "q_bm25",
+    "q_collocations",
+    "q_sample_weighted",
 ]
 
 

@@ -167,6 +167,54 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSAMPLE_K = 100
+_POW60 = float(1 << 60)   # 16^15: the md5-prefix value space
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): keep the top-K documents by
+    ``u^(1/w)`` where ``w`` is the importance weight (doc length here —
+    the 'sample long documents proportionally more' curation knob) and
+    ``u`` is a CONTENT-ADDRESSED uniform — ``(md5_prefix + 1) / 16^15``
+    — so membership depends only on the key, never on partitioning,
+    run, or engine (the q_sample_hash discipline, upgraded from
+    Bernoulli to weighted-without-replacement).
+
+    Scale shape: one scan + TakeOrdered(K) (per-partition heaps, driver
+    merges K rows) — no shuffle of the table, no RNG state. The one
+    transcendental, ``pow``, feeds only the RANKING (A-ES needs the
+    comparison, not the value), and the emitted columns are exact —
+    selection flips only if two keys collide within an ulp AT the
+    K-boundary; hash-verified against DuckDB at all three fixture
+    scales."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(_POW60)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("_k"))
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1.0) / {1 << 60}.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+  FROM documents
+)
+ORDER BY k DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
 def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2b UDF surface, aggregate leg: a custom two-phase aggregation
     (quantity-weighted average price per return flag) — Arrow-batched
@@ -373,6 +421,10 @@ SPECS: dict[str, QuerySpec] = {
                                "deterministic hash-bucket sample"),
     "q_sample_stratified": QuerySpec(q_sample_stratified, None,
                                      "seeded sampleBy (rows-only)"),
+    "q_sample_weighted": QuerySpec(
+        q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
+        "deterministic Efraimidis-Spirakis weighted sample (A-ES top-K "
+        "by u^(1/w), content-addressed uniforms)"),
     "q_udaf": QuerySpec(q_udaf, ORACLE_UDAF,
                         "mapInPandas partial + built-in final UDAF"),
     "q_sample_group": QuerySpec(

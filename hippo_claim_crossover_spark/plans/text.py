@@ -342,6 +342,86 @@ FROM p
 """
 
 
+_COLL_MIN = 5       # min bigram occurrences for a collocation candidate
+_COLL_TOP = 50
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by LIFT — exp(PMI), the rational core of
+    pointwise mutual information: ``p(xy) / (p(x)·p(y))`` — over
+    corpus bigrams, the phrase-mining pass (word2vec phrases, vocab
+    induction) that finds word pairs co-occurring far above chance.
+
+    Portability: counts are exact BIGINTs; the score is ONE division of
+    two exact-integer-valued doubles, ``(c_xy·n_uni·n_uni) /
+    (n_big·c_x·c_y)`` — no logs, no order-sensitive summation (the
+    ln() for true PMI is monotone and deferred to the consumer, the
+    TF-IDF/BM25 discipline). The integer products stay well under 2^53
+    at fixture scale; a 100 TB corpus swaps the numerator/denominator
+    to DECIMAL(38,0) before the division (same plan shape).
+
+    Scale shape: bigram and unigram counts are partial/final
+    aggregates; the score join is count-table ⋈ count-table on word
+    keys (pre-aggregated — one row per word, so hot words are one row,
+    not a skew hazard); corpus totals ride two broadcast 1-row
+    aggregates; top-50 compiles to TakeOrdered."""
+    d = t(spark, sf_dir, "documents")
+    ws = d.select(F.split("text", " ").alias("ws"))
+    uni = (ws.select(F.explode("ws").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    pairs = (ws.where(F.size("ws") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(0, size(ws)-2), i -> "
+                 "struct(element_at(ws, i+1) AS w1, "
+                 "element_at(ws, i+2) AS w2))")).alias("p"))
+             .select("p.w1", "p.w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
+    n_big = big.agg(F.sum("c_xy").alias("n_big"))
+    lift = (F.col("c_xy") * F.col("n_uni") * F.col("n_uni")) \
+        .cast("double") / (F.col("n_big") * F.col("c_x") * F.col("c_y")) \
+        .cast("double")
+    return (
+        big.where(F.col("c_xy") >= _COLL_MIN)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")),
+              "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")),
+              "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select("w1", "w2", "c_xy", duck_round(lift, 6).alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(_COLL_TOP)
+    )
+
+
+ORACLE_COLLOCATIONS = f"""
+WITH ws AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), uc AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w
+), pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM ws, unnest(range(1, len(ws))) AS t(i)
+), bc AS (
+  SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY w1, w2
+), t1 AS (SELECT sum(c_w) AS n_uni FROM uc),
+   t2 AS (SELECT sum(c_xy) AS n_big FROM bc)
+SELECT w1, w2, c_xy,
+       floor(CAST(c_xy * n_uni * n_uni AS DOUBLE)
+             / CAST(n_big * c_x * c_y AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS lift
+FROM bc
+JOIN (SELECT w AS w1, c_w AS c_x FROM uc) USING (w1)
+JOIN (SELECT w AS w2, c_w AS c_y FROM uc) USING (w2)
+CROSS JOIN t1 CROSS JOIN t2
+WHERE c_xy >= {_COLL_MIN}
+ORDER BY lift DESC, w1, w2
+LIMIT {_COLL_TOP}
+"""
+
+
 VOCAB_TOP = 100
 
 
@@ -722,6 +802,9 @@ SPECS: dict[str, QuerySpec] = {
                                   "layout"),
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
+    "q_collocations": QuerySpec(
+        q_collocations, ORACLE_COLLOCATIONS,
+        "collocation mining by lift (exp-PMI, exact-integer core)"),
     "q_bm25": QuerySpec(
         q_bm25, ORACLE_BM25,
         "Okapi BM25 retrieval (rational-odds IDF, posting-only scoring)"),

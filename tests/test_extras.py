@@ -71,3 +71,38 @@ def test_histogram_eq_approx_is_near_equi_depth(spark, sf_dir):
         assert abs(r["n_claims"] - n / 10) <= 0.02 * n / 10 + 5, dict(r.asDict())
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"], (a["decile"], a["hi"], b["lo"])
+
+
+def test_sample_weighted_matches_pure_python_aes(spark, sf_dir):
+    """The A-ES sample equals an independent pure-Python replication of
+    the same content-addressed keys (md5-prefix uniforms, u^(1/w)), and
+    shows the weighting it exists for: the sample's mean doc length
+    sits well above the corpus mean."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+    from hippo_claim_crossover_spark.plans.extras import _WSAMPLE_K
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"]).to_pydict()
+
+    def key(doc_id: int, n_chars: int) -> float:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float(1 << 60)
+        return u ** (1.0 / float(n_chars))
+
+    ranked = sorted(zip(tbl["doc_id"], tbl["n_chars"]),
+                    key=lambda t: (-key(*t), t[0]))
+    want = {d for d, _ in ranked[:_WSAMPLE_K]}
+    rows = ALL_SPECS["q_sample_weighted"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == want
+    corpus_mean = sum(tbl["n_chars"]) / len(tbl["n_chars"])
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    if len(rows) <= len(tbl["doc_id"]) // 2:
+        # length bias only observable when the sample is a real subset;
+        # the corpus length spread is narrow (~300±60 chars), so the
+        # achievable bias is modest — assert direction + significance
+        # (measured 1.12x at sf0.001/0.01; deterministic data, no flake)
+        assert sample_mean > 1.05 * corpus_mean

@@ -210,3 +210,46 @@ def test_pyds_writer_abort_removes_files(tmp_path):
     w = _ScratchJsonWriter({"path": str(tmp_path)})
     w.abort([_JsonPartMessage(str(p), 1)])
     assert not p.exists()
+
+
+def test_pyds_stream_writer_batch_replay_is_idempotent(tmp_path):
+    """The ADVICE r5 scenario: a micro-batch REPLAYED after crash
+    recovery (new task attempts, new pending files) must end with
+    exactly the replay's files under the batch-keyed names and a
+    manifest covering them — never the originals plus duplicates."""
+    import glob
+    import json
+    import os
+
+    from hippo_claim_crossover_spark.datasource import (
+        _JsonPartMessage,
+        _ScratchJsonStreamWriter,
+    )
+
+    out = str(tmp_path)
+    w = _ScratchJsonStreamWriter({"path": out})
+
+    def fake_task(pid: int, attempt: int, rows: list) -> _JsonPartMessage:
+        pending = os.path.join(
+            out, f"pending-part-{pid:05d}-{attempt}.json")
+        with open(pending, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return _JsonPartMessage(pending, len(rows), pid)
+
+    # original run of batch 7: 2 partitions + one failed attempt's litter
+    m1 = [fake_task(0, 100, [{"x": 1}]), fake_task(1, 101, [{"x": 2}])]
+    fake_task(1, 99, [{"x": 2}])   # failed attempt, never in messages
+    w.commit(m1, 7)
+    # replay of batch 7 after "crash": fresh attempts, same data
+    m2 = [fake_task(0, 200, [{"x": 1}]), fake_task(1, 201, [{"x": 2}])]
+    w.commit(m2, 7)
+
+    data_files = sorted(glob.glob(os.path.join(out, "batch-*.json")))
+    assert [os.path.basename(p) for p in data_files] == [
+        "batch-00007-part-00000.json", "batch-00007-part-00001.json"]
+    assert not glob.glob(os.path.join(out, "pending-*"))   # litter swept
+    manifest = json.load(open(os.path.join(out, "_SUCCESS-7")))
+    assert set(manifest) == {os.path.basename(p) for p in data_files}
+    total = sum(sum(1 for _ in open(p)) for p in data_files)
+    assert total == 2                                      # not doubled

@@ -440,3 +440,11 @@ def test_percentile_no_per_group_buffering(spark):
     assert "median(" not in low
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in low
+
+
+def test_sample_weighted_is_takeordered(spark):
+    """A-ES top-K must compile to TakeOrdered (per-partition heaps +
+    driver merge of K rows), never a global sort exchange."""
+    plan = _plan(spark, "q_sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
