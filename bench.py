@@ -141,6 +141,7 @@ HEADLINE = [
     "q_bm25",
     "q_collocations",
     "q_sample_weighted",
+    "q_diversity",
 ]
 
 

@@ -342,6 +342,55 @@ FROM p
 """
 
 
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio and
+    Simpson diversity ``1 − Σp²`` — the corpus-health metrics a
+    pretraining shard report tracks (a source whose diversity collapses
+    is boilerplate/spam; Simpson is the rational stand-in for Shannon
+    entropy, same engine-portability decision as TF-IDF/BM25/lift: the
+    sufficient statistics Σc, Σc², #types are exact BIGINTs and each
+    score is one IEEE division).
+
+    Scale shape: explode → (source, token) partial/final count →
+    per-source 3-way exact-integer aggregate — two agg shuffles, both
+    map-side combined; no distinct-count sketch needed because the
+    (source, token) grain is already the first aggregate's key."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    cw = (tok.groupBy("source", "w")
+          .agg(F.count(F.lit(1)).alias("c")))
+    per = (cw.groupBy("source")
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_types"),
+                F.sum(F.col("c") * F.col("c")).alias("s2")))
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+    simpson = F.lit(1.0) - F.col("s2").cast("double") \
+        / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+    return per.select("source", "n_tokens", "n_types",
+                      duck_round(ttr, 6).alias("ttr"),
+                      duck_round(simpson, 6).alias("simpson"))
+
+
+ORACLE_DIVERSITY = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), cw AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+), per AS (
+  SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(c * c) AS s2
+  FROM cw GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS ttr,
+       floor((1.0 - CAST(s2 AS DOUBLE)
+              / CAST(n_tokens * n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS simpson
+FROM per
+"""
+
+
 _COLL_MIN = 5       # min bigram occurrences for a collocation candidate
 _COLL_TOP = 50
 
@@ -802,6 +851,10 @@ SPECS: dict[str, QuerySpec] = {
                                   "layout"),
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
+    "q_diversity": QuerySpec(
+        q_diversity, ORACLE_DIVERSITY,
+        "per-source lexical diversity (TTR + Simpson, exact-integer "
+        "sufficient statistics)"),
     "q_collocations": QuerySpec(
         q_collocations, ORACLE_COLLOCATIONS,
         "collocation mining by lift (exp-PMI, exact-integer core)"),
