@@ -142,6 +142,7 @@ HEADLINE = [
     "q_collocations",
     "q_sample_weighted",
     "q_diversity",
+    "q_heavy_hitters",
 ]
 
 

@@ -391,6 +391,51 @@ FROM per
 """
 
 
+_HH_SUPPORT = 0.005   # heavy-hitter support threshold (0.5% of tokens)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: every token whose frequency exceeds
+    ``support × N`` — the vocabulary-pruning / stopword-discovery pass.
+    Exact form: one partial/final count aggregate + a broadcast 1-row
+    total + a threshold filter; the output is at most 1/support rows by
+    pigeonhole, so the result side is always tiny no matter the corpus.
+
+    At 100 TB the single-pass sketch sibling is
+    ``df.stat.freqItems`` (Karp–Shenker–Papadimitriou one-pass counters,
+    engine-specific contents — superset-of-true-heavy-hitters guarantee
+    unit-tested in tests/test_extras.py rather than oracle-compared);
+    the exact form here remains the gold standard and is itself
+    scale-safe — the count aggregate's state is one long per distinct
+    token per partition, and the threshold filter happens before any
+    driver materialization."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .where(F.col("c").cast("double")
+                   > F.col("n_total").cast("double") * F.lit(_HH_SUPPORT))
+            .select("w", "c",
+                    duck_round(F.col("c").cast("double")
+                               / F.col("n_total").cast("double"), 6)
+                    .alias("support")))
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), total AS (SELECT count(*) AS n_total FROM tok)
+SELECT w, c,
+       floor(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS support
+FROM counts CROSS JOIN total
+WHERE CAST(c AS DOUBLE) > CAST(n_total AS DOUBLE) * {_HH_SUPPORT}
+"""
+
+
 _COLL_MIN = 5       # min bigram occurrences for a collocation candidate
 _COLL_TOP = 50
 
@@ -851,6 +896,10 @@ SPECS: dict[str, QuerySpec] = {
                                   "layout"),
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
+    "q_heavy_hitters": QuerySpec(
+        q_heavy_hitters, ORACLE_HEAVY_HITTERS,
+        "exact corpus heavy hitters (support threshold; freqItems "
+        "sketch sibling unit-tested)"),
     "q_diversity": QuerySpec(
         q_diversity, ORACLE_DIVERSITY,
         "per-source lexical diversity (TTR + Simpson, exact-integer "

@@ -106,3 +106,23 @@ def test_sample_weighted_matches_pure_python_aes(spark, sf_dir):
         # achievable bias is modest — assert direction + significance
         # (measured 1.12x at sf0.001/0.01; deterministic data, no flake)
         assert sample_mean > 1.05 * corpus_mean
+
+
+def test_freqitems_sketch_covers_exact_heavy_hitters(spark, sf_dir):
+    """The one-pass freqItems sketch (the 100 TB sibling of
+    q_heavy_hitters) must return a SUPERSET of the true heavy hitters —
+    the Karp-Shenker-Papadimitriou guarantee the scale path rests on."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+    from hippo_claim_crossover_spark.plans.base import t
+    from hippo_claim_crossover_spark.plans.text import _HH_SUPPORT
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    exact = {r["w"] for r in
+             ALL_SPECS["q_heavy_hitters"].fn(spark, sf_dir).collect()}
+    assert exact, "fixture corpus must have heavy hitters for this test"
+    tok = (t(spark, sf_dir, "documents")
+           .select(F.explode(F.split("text", " ")).alias("w")))
+    sketch = set(tok.stat.freqItems(["w"], _HH_SUPPORT)
+                 .collect()[0]["w_freqItems"])
+    assert exact <= sketch
