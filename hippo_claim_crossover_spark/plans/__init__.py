@@ -69,12 +69,11 @@ GATE_ORDER = [
     "q_crossover", "q_scan", "q_sink",
     # -- next-stalest (r3 cohort) fills the remaining window slots --
     "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash",
-    "q_dedup_lshband",
-    "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
-    "q_unpivot",
+    "q_dedup_lshband", "q_dedup_simhash",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- remaining r3-last rows (re-proven by the local gate each round;
     # next rotation cohort) --
+    "q_text_tfidf", "q_explode", "q_explode_nested", "q_unpivot",
     "q_dedup_near", "q_filter_eq", "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
     "q_mm_decode", "q_mm_meta", "q_parent_denorm", "q_project_rename",

@@ -226,3 +226,37 @@ def test_z_value_model_is_injective_and_bounded(x, y):
     ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
     assert (rx, ry) == (x, y)
     assert 0 <= z < (1 << 32)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False,
+                        width=64)),
+    min_size=1, max_size=60),
+    st.lists(st.floats(min_value=0.0, max_value=1.0,
+                       allow_nan=False, width=64),
+             min_size=1, max_size=4, unique=True))
+def test_grouped_exact_percentiles_property(spark, rows, ps):
+    """grouped_exact_percentiles equals numpy's linear quantile on
+    arbitrary grouped float data and arbitrary percentile lists —
+    including p=0/p=1 endpoints, negative values, duplicate values,
+    and groups with a single element."""
+    import numpy as np
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_exact_percentiles)
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g"], r["_p_idx"]): r["value"]
+           for r in grouped_exact_percentiles(df, ["g"], "v", ps,
+                                              n_partitions=4).collect()}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        for i, p in enumerate(ps):
+            want = float(np.quantile(np.array(vs), p, method="linear"))
+            assert abs(got[(g, i)] - want) <= 1e-9 * max(1.0, abs(want)), (
+                g, p, got[(g, i)], want)
