@@ -143,6 +143,7 @@ HEADLINE = [
     "q_sample_weighted",
     "q_diversity",
     "q_heavy_hitters",
+    "q_chunk",
 ]
 
 

@@ -52,7 +52,7 @@ GATE_ORDER = [
     # (sketch siblings of the exact percentile / equi-depth histogram) --
     "q_percentile", "q_percentile_approx", "q_histogram_eq_approx",
     "q_reconcile", "q_outlier_mad", "q_bm25", "q_collocations",
-    "q_sample_weighted", "q_diversity", "q_heavy_hitters",
+    "q_sample_weighted", "q_diversity", "q_heavy_hitters", "q_chunk",
     # -- stalest driver proofs: last green driver row is r2 (three
     # rounds old; judge re-verified in r5, rotated into the window per
     # the r5 verdict's item #3) --

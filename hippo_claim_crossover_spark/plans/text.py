@@ -391,6 +391,58 @@ FROM per
 """
 
 
+_CHUNK, _STRIDE = 64, 48    # tokens per chunk / stride (16-token overlap)
+
+
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-prep pass:
+    split each document into ``_CHUNK``-token windows advancing by
+    ``_STRIDE`` (16-token overlap so no sentence is orphaned at a
+    boundary). Pure array expressions (sequence → transform → slice →
+    array_join) — per-row compute inside whole-stage codegen, one
+    explode, no UDF, no shuffle at all until a consumer aggregates.
+    The chunk body travels as its md5 (the downstream embed/dedup key);
+    chunk count per doc is ``1 + ceil(max(0, n−CHUNK)/STRIDE)``, so a
+    doc shorter than one window still yields exactly one chunk.
+
+    At 100 TB chunking is a map-only pass whose output is ~n/STRIDE ×
+    input rows — the explode multiplies rows, never shuffles them, and
+    downstream partitioning is inherited from the scan."""
+    d = t(spark, sf_dir, "documents")
+    n_chunks = (F.lit(1) + F.ceil(
+        F.greatest(F.lit(0), F.size(F.col("ws")) - F.lit(_CHUNK))
+        / F.lit(float(_STRIDE))).cast("int"))
+    chunks = F.expr(
+        f"transform(sequence(0, n_chunks - 1), i -> struct("
+        f"i AS chunk_id, "
+        f"size(slice(ws, i * {_STRIDE} + 1, {_CHUNK})) AS n_toks, "
+        f"md5(array_join(slice(ws, i * {_STRIDE} + 1, {_CHUNK}), ' ')) "
+        f"AS chunk_md5))")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .withColumn("n_chunks", n_chunks)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_toks", "c.chunk_md5")
+    )
+
+
+ORACLE_CHUNK = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         1 + CAST(ceil(greatest(0, len(string_split(text, ' '))
+                                - {_CHUNK}) / {_STRIDE}.0) AS INT)
+           AS n_chunks
+  FROM documents
+)
+SELECT doc_id, i AS chunk_id,
+       len(ws[(i * {_STRIDE} + 1):(i * {_STRIDE} + {_CHUNK})]) AS n_toks,
+       md5(array_to_string(
+           ws[(i * {_STRIDE} + 1):(i * {_STRIDE} + {_CHUNK})], ' '))
+         AS chunk_md5
+FROM w, unnest(range(0, n_chunks)) AS tt(i)
+"""
+
+
 _HH_SUPPORT = 0.005   # heavy-hitter support threshold (0.5% of tokens)
 
 
@@ -896,6 +948,9 @@ SPECS: dict[str, QuerySpec] = {
                                   "layout"),
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
+    "q_chunk": QuerySpec(
+        q_chunk, ORACLE_CHUNK,
+        "sliding-window RAG chunking (codegen array exprs, map-only)"),
     "q_heavy_hitters": QuerySpec(
         q_heavy_hitters, ORACLE_HEAVY_HITTERS,
         "exact corpus heavy hitters (support threshold; freqItems "

@@ -121,3 +121,36 @@ def test_bm25_matches_pure_python(spark, sf_dir):
     for doc_id, (n_terms, score) in want.items():
         gn, gs = got[doc_id]
         assert gn == n_terms and abs(gs - score) < 1e-6, doc_id
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    """Chunking invariants on every fixture doc: chunk ids are dense
+    from 0; every chunk but the last is exactly CHUNK tokens; windows
+    advance by STRIDE so consecutive full chunks overlap by
+    CHUNK-STRIDE; and the final window reaches the end of the doc
+    (no token is orphaned)."""
+    from hippo_claim_crossover_spark.plans.text import _CHUNK, _STRIDE
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    rows = ALL_SPECS["q_chunk"].fn(spark, sf_dir).collect()
+    n_toks_by_doc = {
+        r["doc_id"]: r["n"] for r in
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()}
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["n_toks"]
+    assert by_doc.keys() == n_toks_by_doc.keys()
+    for doc_id, chunks in by_doc.items():
+        n = n_toks_by_doc[doc_id]
+        k = len(chunks)
+        assert sorted(chunks) == list(range(k))          # dense ids
+        import math
+        assert k == 1 + math.ceil(max(0, n - _CHUNK) / _STRIDE)
+        for i in range(k - 1):
+            assert chunks[i] == _CHUNK                   # full windows
+        last_start = (k - 1) * _STRIDE
+        assert chunks[k - 1] == min(_CHUNK, n - last_start)
+        assert last_start + chunks[k - 1] >= n           # full coverage
