@@ -144,6 +144,7 @@ HEADLINE = [
     "q_diversity",
     "q_heavy_hitters",
     "q_chunk",
+    "q_sample_weighted_group",
 ]
 
 

@@ -52,7 +52,8 @@ GATE_ORDER = [
     # (sketch siblings of the exact percentile / equi-depth histogram) --
     "q_percentile", "q_percentile_approx", "q_histogram_eq_approx",
     "q_reconcile", "q_outlier_mad", "q_bm25", "q_collocations",
-    "q_sample_weighted", "q_diversity", "q_heavy_hitters", "q_chunk",
+    "q_sample_weighted", "q_sample_weighted_group", "q_diversity",
+    "q_heavy_hitters", "q_chunk",
     # -- stalest driver proofs: last green driver row is r2 (three
     # rounds old; judge re-verified in r5, rotated into the window per
     # the r5 verdict's item #3) --
@@ -69,10 +70,10 @@ GATE_ORDER = [
     "q_crossover", "q_scan", "q_sink",
     # -- next-stalest (r3 cohort) fills the remaining window slots --
     "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash",
-    "q_dedup_lshband", "q_dedup_simhash",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- remaining r3-last rows (re-proven by the local gate each round;
     # next rotation cohort) --
+    "q_dedup_lshband", "q_dedup_simhash",
     "q_text_tfidf", "q_explode", "q_explode_nested", "q_unpivot",
     "q_dedup_near", "q_filter_eq", "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",

@@ -215,6 +215,49 @@ LIMIT {_WSAMPLE_K}
 """
 
 
+_WSAMPLE_GROUP_K = 20
+
+
+def q_sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling: q_sample_weighted's A-ES keys
+    ranked WITHIN each source (row_number over the source partition,
+    ordered by u^(1/w) desc) — 'take the 20 most important docs from
+    every source', the balanced-corpus construction step.
+
+    Scale shape: Spark's WindowGroupLimit pushes the k=20 limit below
+    the window shuffle, so each map partition ships at most 20 rows per
+    source — the same bounded-skew argument as q_sample_group, with the
+    deterministic content-addressed weighting on top. The 5-value
+    partition key never sees more than 20·partitions rows."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(_POW60)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    w = Window.partitionBy("source").orderBy(F.desc("_k"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("_k"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _WSAMPLE_GROUP_K)
+        .select("source", "rk", "doc_id", "n_chars")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED_GROUP = f"""
+SELECT source, rk, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT) + 1.0) / {1 << 60}.0,
+                        1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {_WSAMPLE_GROUP_K}
+"""
+
+
 def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2b UDF surface, aggregate leg: a custom two-phase aggregation
     (quantity-weighted average price per return flag) — Arrow-batched
@@ -425,6 +468,9 @@ SPECS: dict[str, QuerySpec] = {
         q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
         "deterministic Efraimidis-Spirakis weighted sample (A-ES top-K "
         "by u^(1/w), content-addressed uniforms)"),
+    "q_sample_weighted_group": QuerySpec(
+        q_sample_weighted_group, ORACLE_SAMPLE_WEIGHTED_GROUP,
+        "per-stratum A-ES weighted top-20 (WindowGroupLimit-bounded)"),
     "q_udaf": QuerySpec(q_udaf, ORACLE_UDAF,
                         "mapInPandas partial + built-in final UDAF"),
     "q_sample_group": QuerySpec(

@@ -448,3 +448,11 @@ def test_sample_weighted_is_takeordered(spark):
     plan = _plan(spark, "q_sample_weighted")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_sample_weighted_group_uses_window_group_limit(spark):
+    """Per-stratum A-ES top-20 must plan with WindowGroupLimit (the
+    k-limit pushed below the window shuffle, bounding per-source rows
+    shipped to the 5-key partition column)."""
+    plan = _plan(spark, "q_sample_weighted_group")
+    assert "WindowGroupLimit" in plan
