@@ -126,3 +126,29 @@ def test_freqitems_sketch_covers_exact_heavy_hitters(spark, sf_dir):
     sketch = set(tok.stat.freqItems(["w"], _HH_SUPPORT)
                  .collect()[0]["w_freqItems"])
     assert exact <= sketch
+
+
+def test_approx_cd_within_rsd_envelope(spark, sf_dir):
+    """q_approx_cd's HLL++ estimates (rsd=0.01) must sit within a 5-sigma
+    envelope of the exact distinct counts — the quantitative invariant
+    backing the rows-only driver check (same pattern as the
+    DataSketches-HLL and percentile-sketch tests)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+    from hippo_claim_crossover_spark.plans.base import t
+
+    approx = {r["l_returnflag"]: r for r in
+              ALL_SPECS["q_approx_cd"].fn(spark, sf_dir).collect()}
+    exact = {r["l_returnflag"]: r for r in
+             t(spark, sf_dir, "lineitem").groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("parts"),
+                  F.countDistinct("l_orderkey").alias("claims"))
+             .collect()}
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) <= max(
+            5, 0.05 * e["parts"]), (flag, a["approx_parts"], e["parts"])
+        assert abs(a["approx_claims"] - e["claims"]) <= max(
+            5, 0.05 * e["claims"]), (flag, a["approx_claims"], e["claims"])
