@@ -202,3 +202,19 @@ def test_simhash_bits_for_grows_with_corpus_and_clamps():
     for n in (10**4, 10**5, 10**6):
         w = simhash_bits_for(n) // 4
         assert n / (1 << w) <= 32, n
+
+
+def test_ml_lsh_near_dup_covers_exact_pairs(spark, sf_dir):
+    """q_dedup_near (seeded ml MinHashLSH, rows-only driver check) must
+    RECALL every exact near-dup pair the deterministic n-gram Jaccard
+    detector finds: the exact pairs' similarity is far above the LSH
+    query threshold, so with the fixed seed the candidate set covers
+    them — the quantitative invariant behind the rows-only check."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ALL_SPECS["q_dedup_ngram"].fn(spark, sf_dir).collect()}
+    assert exact, "fixture must contain exact near-dup pairs"
+    approx = {(r["doc_a"], r["doc_b"]) for r in
+              ALL_SPECS["q_dedup_near"].fn(spark, sf_dir).collect()}
+    assert exact <= approx, exact - approx
