@@ -145,6 +145,7 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_chunk",
     "q_sample_weighted_group",
+    "q_rag_pipeline",
 ]
 
 

@@ -53,7 +53,7 @@ GATE_ORDER = [
     "q_percentile", "q_percentile_approx", "q_histogram_eq_approx",
     "q_reconcile", "q_outlier_mad", "q_bm25", "q_collocations",
     "q_sample_weighted", "q_sample_weighted_group", "q_diversity",
-    "q_heavy_hitters", "q_chunk",
+    "q_heavy_hitters", "q_chunk", "q_rag_pipeline",
     # -- stalest driver proofs: last green driver row is r2 (three
     # rounds old; judge re-verified in r5, rotated into the window per
     # the r5 verdict's item #3) --
@@ -69,8 +69,9 @@ GATE_ORDER = [
     "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",
     "q_crossover", "q_scan", "q_sink",
     # -- next-stalest (r3 cohort) fills the remaining window slots --
-    "q_pivot", "q_cube", "q_dedup_exact", "q_dedup_minhash",
+    "q_pivot", "q_cube", "q_dedup_exact",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_dedup_minhash",
     # -- remaining r3-last rows (re-proven by the local gate each round;
     # next rotation cohort) --
     "q_dedup_lshband", "q_dedup_simhash",

@@ -443,6 +443,82 @@ FROM w, unnest(range(0, n_chunks)) AS tt(i)
 """
 
 
+def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite RAG-prep report — the round-6 ops COMPOSED, the way
+    q_curation_pipeline composes the curation stages: sliding-window
+    chunking (q_chunk's expressions) → cross-corpus exact dedup of
+    chunk bodies (min-(doc,chunk) owner per md5, the q_dedup_exact
+    discipline at chunk grain) → per-source index report (chunks
+    produced, unique chunks owned, tokens surviving to the embedding
+    stage, duplication rate).
+
+    Scale shape: chunking is map-only; the dedup is ONE shuffle on the
+    16-byte chunk digest (never chunk text); the ownership tie-break is
+    a window over the digest key (WindowGroupLimit-bounded — one
+    survivor per digest); the report is a partial/final agg over
+    survivor rows joined with the per-source chunk totals."""
+    d = t(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(sequence(0, n_chunks - 1), i -> struct("
+        f"i AS chunk_id, "
+        f"size(slice(ws, i * {_STRIDE} + 1, {_CHUNK})) AS n_toks, "
+        f"md5(array_join(slice(ws, i * {_STRIDE} + 1, {_CHUNK}), ' ')) "
+        f"AS chunk_md5))")
+    n_chunks = (F.lit(1) + F.ceil(
+        F.greatest(F.lit(0), F.size(F.col("ws")) - F.lit(_CHUNK))
+        / F.lit(float(_STRIDE))).cast("int"))
+    ch = (d.select("doc_id", "source", F.split("text", " ").alias("ws"))
+          .withColumn("n_chunks", n_chunks)
+          .select("doc_id", "source", F.explode(chunks).alias("c"))
+          .select("doc_id", "source", "c.chunk_id", "c.n_toks",
+                  "c.chunk_md5"))
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+    survivors = (ch.withColumn("rk", F.row_number().over(w))
+                 .where(F.col("rk") == 1))
+    totals = (ch.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_chunks")))
+    owned = (survivors.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_unique"),
+                  F.sum("n_toks").alias("surviving_tokens")))
+    dup_rate = F.lit(1.0) - (F.col("n_unique").cast("double")
+                             / F.col("n_chunks").cast("double"))
+    return (totals.join(owned, "source")
+            .select("source", "n_chunks", "n_unique", "surviving_tokens",
+                    duck_round(dup_rate, 6).alias("dup_rate")))
+
+
+ORACLE_RAG_PIPELINE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         1 + CAST(ceil(greatest(0, len(string_split(text, ' '))
+                                - {_CHUNK}) / {_STRIDE}.0) AS INT)
+           AS n_chunks
+  FROM documents
+), ch AS (
+  SELECT doc_id, source, i AS chunk_id,
+         len(ws[(i * {_STRIDE} + 1):(i * {_STRIDE} + {_CHUNK})]) AS n_toks,
+         md5(array_to_string(
+             ws[(i * {_STRIDE} + 1):(i * {_STRIDE} + {_CHUNK})], ' '))
+           AS chunk_md5
+  FROM w, unnest(range(0, n_chunks)) AS tt(i)
+), surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk_md5
+              ORDER BY doc_id, chunk_id) AS rk
+    FROM ch) WHERE rk = 1
+), totals AS (
+  SELECT source, count(*) AS n_chunks FROM ch GROUP BY source
+), owned AS (
+  SELECT source, count(*) AS n_unique, sum(n_toks) AS surviving_tokens
+  FROM surv GROUP BY source
+)
+SELECT source, n_chunks, n_unique, surviving_tokens,
+       floor((1.0 - CAST(n_unique AS DOUBLE)
+              / CAST(n_chunks AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_rate
+FROM totals JOIN owned USING (source)
+"""
+
+
 _HH_SUPPORT = 0.005   # heavy-hitter support threshold (0.5% of tokens)
 
 
@@ -948,6 +1024,9 @@ SPECS: dict[str, QuerySpec] = {
                                   "layout"),
     "q_text_tokens": QuerySpec(q_text_tokens, ORACLE_TEXT_TOKENS,
                                "token frequencies"),
+    "q_rag_pipeline": QuerySpec(
+        q_rag_pipeline, ORACLE_RAG_PIPELINE,
+        "composite RAG-prep: chunk -> digest dedup -> per-source report"),
     "q_chunk": QuerySpec(
         q_chunk, ORACLE_CHUNK,
         "sliding-window RAG chunking (codegen array exprs, map-only)"),
