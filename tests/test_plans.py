@@ -456,3 +456,12 @@ def test_sample_weighted_group_uses_window_group_limit(spark):
     shipped to the 5-key partition column)."""
     plan = _plan(spark, "q_sample_weighted_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_rag_pipeline_shuffles_digest_not_chunk_text(spark):
+    """The chunk-dedup exchange must partition on the md5 digest; chunk
+    BODIES must never enter a shuffle (the q_dedup_exact discipline at
+    chunk grain)."""
+    plan = _plan(spark, "q_rag_pipeline")
+    assert "hashpartitioning(chunk_md5" in plan
+    assert "WindowGroupLimit" in plan
