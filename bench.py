@@ -36,6 +36,12 @@ from hippo_claim_crossover_spark.session import get_spark  # noqa: E402
 # similarity/dedup numbers representative of their plans. Total is
 # unaffected; the cost is paid exactly once either way.
 HEADLINE = [
+    "q_small_qty",
+    "q_large_orders",
+    "q_disjunctive",
+    "q_promo_share",
+    "q_top_supplier",
+    "q_idle_customers",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

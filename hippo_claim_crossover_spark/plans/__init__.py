@@ -20,6 +20,7 @@ from hippo_claim_crossover_spark.plans import (
     similarity,
     sources,
     stats,
+    subq,
     text,
     timeseries,
     tokenizer,
@@ -29,7 +30,7 @@ from hippo_claim_crossover_spark.plans.base import QuerySpec
 
 _MODULES = [nested, timeseries, text, dedup, similarity, multimodalq,
             asofq, extras, crossover, scalarq, relational, windows,
-            sources, clustering, graphq, stats, tokenizer]
+            sources, clustering, graphq, stats, tokenizer, subq]
 
 _BY_NAME: dict[str, QuerySpec] = {}
 for _m in _MODULES:
@@ -47,6 +48,9 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
+    # -- round 6 (late): newly declared correlated-subquery family --
+    "q_small_qty", "q_large_orders", "q_disjunctive", "q_promo_share",
+    "q_top_supplier", "q_idle_customers",
     # -- round 6: code changed (de-cliffed exact percentile via
     # distributed rank, coalesced reconcile compare) or newly declared
     # (sketch siblings of the exact percentile / equi-depth histogram) --
@@ -67,10 +71,11 @@ GATE_ORDER = [
     "q_str_dxcode", "q_str_join",
     "q_str_name", "q_str_zip", "q_topk", "q_topk_group", "q_udf",
     "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",
-    "q_crossover", "q_scan", "q_sink",
-    # -- next-stalest (r3 cohort) fills the remaining window slots --
-    "q_pivot", "q_cube", "q_dedup_exact",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_crossover", "q_scan", "q_sink",
+    # -- next-stalest (r3 cohort; first out of the rotated window, still
+    # re-proven by the local gate each round) --
+    "q_pivot", "q_cube", "q_dedup_exact",
     "q_dedup_minhash",
     # -- remaining r3-last rows (re-proven by the local gate each round;
     # next rotation cohort) --

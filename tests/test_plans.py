@@ -465,3 +465,40 @@ def test_rag_pipeline_shuffles_digest_not_chunk_text(spark):
     plan = _plan(spark, "q_rag_pipeline")
     assert "hashpartitioning(chunk_md5" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_subq_family_decorrelated_plans(spark):
+    """The correlated-subquery family must run as decorrelated joins:
+    no per-row subquery artifacts (CartesianProduct except the declared
+    1-row broadcast scalars), partial/final aggregation, and broadcast
+    scalar sides where declared."""
+    # Q17 shape: per-part avg is an equi-join, not a nested subquery.
+    plan = _plan(spark, "q_small_qty")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × (avg, brand)
+    # Q15 shape: the scalar MAX rides a broadcast, never a driver collect.
+    plan = _plan(spark, "q_top_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # Q22 shape: scalar AVG broadcast + LEFT ANTI against pruned orders.
+    plan = _plan(spark, "q_idle_customers")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar
+    assert "LeftAnti" in plan
+    pushed_all = "".join(seg.split("]")[0]
+                         for seg in plan.split("PushedFilters:")[1:])
+    assert "o_orderdate" in pushed_all  # date prune reaches the orders scan
+    # Q19 shape: ONE lineitem scan (single-pass CASE, not 3 unioned scans).
+    plan = _plan(spark, "q_disjunctive")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_large_orders_aggregates_before_customer_join(spark):
+    """Q18 shape: the HAVING aggregate collapses lineitem to ≤|orders|
+    rows before any join touches customer, and top-100 is TakeOrdered."""
+    plan = _plan(spark, "q_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert agg_pos != -1
