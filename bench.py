@@ -42,6 +42,11 @@ HEADLINE = [
     "q_promo_share",
     "q_top_supplier",
     "q_idle_customers",
+    "q_pii_redact",
+    "q_repetition",
+    "q_fuzzy_link",
+    "q_embed_gram",
+    "q_hof_array",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -798,7 +798,59 @@ GROUP BY t.source
 """
 
 
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: near-identical part names found by
+    edit distance, with candidate pairs generated inside blocks — the
+    classic dirty-catalog / entity-resolution primitive.
+
+    All-pairs levenshtein is O(n²·len²) and never runs at 100 TB.  The
+    declared plan blocks on the name's first token (the adjective in the
+    fixture's "<adj> <noun>" names — a stand-in for any cheap blocking
+    key: sorted-neighborhood rank, phonetic code, brand).  Distinct names
+    are deduped FIRST (62 distinct over 2k parts at sf0.01 — at corpus
+    scale this is the cardinality crusher), then a within-block self-join
+    (strict `<` ordering, no self/dup pairs) scores only same-block
+    pairs with the JVM levenshtein.  Output: near pairs (distance ≤ 3,
+    not equal) with their part counts — the merge-candidate worklist.
+    """
+    names = (t(spark, sf_dir, "part")
+             .groupBy("p_name")
+             .agg(F.count(F.lit(1)).alias("n_parts"))
+             .withColumn("blk", F.split(F.col("p_name"), " ")[0])
+             .localCheckpoint(eager=False))
+    a = names.select(F.col("p_name").alias("name_a"),
+                     F.col("n_parts").alias("n_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"),
+                     F.col("n_parts").alias("n_b"), "blk")
+    return (a.join(b, "blk")
+            .where(F.col("name_a") < F.col("name_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .where(F.col("dist") <= 3)
+            .select("blk", "name_a", "name_b", "dist", "n_a", "n_b")
+            .orderBy("blk", "name_a", "name_b"))
+
+
+ORACLE_FUZZY_LINK = """
+WITH names AS (
+  SELECT p_name, count(*) AS n_parts,
+         string_split(p_name, ' ')[1] AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n_parts AS n_a, b.n_parts AS n_b
+FROM names a
+JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY a.blk, a.p_name, b.p_name
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_fuzzy_link": QuerySpec(
+        q_fuzzy_link, ORACLE_FUZZY_LINK,
+        "blocked fuzzy linkage (levenshtein within blocking key, "
+        "names deduped before pairing)"),
     "q_curation_pipeline": QuerySpec(
         q_curation_pipeline, ORACLE_CURATION_PIPELINE,
         "end-to-end curation: quality → exact dedup → near-dup "

@@ -585,7 +585,66 @@ FROM orders WHERE o_orderkey % 20 = 0
 """
 
 
+def q_hof_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface over the embedding column:
+    ``transform`` (fixed-point conversion), ``filter`` (positive-element
+    count), ``aggregate`` (exact int64 sum-of-squares → L2 norm), and
+    ``zip_with`` (dot with the reversed vector) — the whole HOF family in
+    one row-local pass, the declarative alternative to a Python UDF for
+    per-row vector math.
+
+    Exactness: every fold runs on int64 micros (``floor(CAST(float AS
+    DOUBLE)*1e6+0.5)``), so the sums are order-insensitive and both
+    engines divide/sqrt the same exact integer.  No shuffle at all —
+    the entire query is the scan stage plus a TakeOrdered 50.
+    """
+    d = t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (d
+            .withColumn("m", F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+                "* 1e6 + 0.5) AS BIGINT))"))
+            .select(
+                "vec_id",
+                F.size("embedding").alias("n_dims"),
+                F.expr("size(filter(embedding, x -> x > CAST(0.0 AS "
+                       "FLOAT)))").alias("n_pos"),
+                F.expr("floor(sqrt(CAST(aggregate(m, 0L, (acc, x) -> "
+                       "acc + x * x) AS DOUBLE) / 1e12) * 1e6 + 0.5) "
+                       "/ 1e6").alias("l2_norm"),
+                F.expr("floor(CAST(aggregate(zip_with(m, reverse(m), "
+                       "(x, y) -> x * y), 0L, (acc, p) -> acc + p) "
+                       "AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6")
+                .alias("dot_reversed"))
+            .orderBy("vec_id")
+            .limit(50))
+
+
+ORACLE_HOF_ARRAY = """
+WITH m_t AS (
+  SELECT vec_id,
+         len(embedding) AS n_dims,
+         len(list_filter(embedding, x -> x > 0)) AS n_pos,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS m
+  FROM embeddings
+)
+SELECT vec_id, n_dims, n_pos,
+       floor(sqrt(CAST(list_aggregate(
+               list_transform(m, x -> x * x), 'sum') AS DOUBLE) / 1e12)
+             * 1e6 + 0.5) / 1e6 AS l2_norm,
+       floor(CAST(list_aggregate(
+               list_transform(range(1, n_dims + 1),
+                              i -> m[i] * m[n_dims + 1 - i]), 'sum')
+             AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS dot_reversed
+FROM m_t ORDER BY vec_id LIMIT 50
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_hof_array": QuerySpec(
+        q_hof_array, ORACLE_HOF_ARRAY,
+        "higher-order array functions: transform/filter/aggregate/"
+        "zip_with in one codegen pass"),
     "q_sql_udf": QuerySpec(q_sql_udf, ORACLE_SQL_UDF,
                            "Spark 4 SQL UDF (inlined scalar function)"),
     "q_calendar": QuerySpec(q_calendar, ORACLE_CALENDAR,

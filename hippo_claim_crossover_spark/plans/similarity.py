@@ -285,7 +285,88 @@ LIMIT {TOP_K}
 """
 
 
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix G = EᵀE over the embedding table — the
+    sufficient statistic behind PCA/whitening/covariance of an embedding
+    corpus (d×d output, never materializing anything O(n)).
+
+    Plan: a ``mapInArrow`` kernel folds each partition's rows into ONE
+    d×d partial Gram (int64 matmul over fixed-point micros), emitting at
+    most d(d+1)/2 upper-triangle cells per partition; a final groupBy
+    (i, j) sums the partials.  This is textbook partial aggregation at
+    its most extreme: at 100 TB the shuffle carries ~2080 rows per
+    partition regardless of row count, and the reduce side holds d² longs.
+
+    Exactness contract: elements are fixed-pointed to micros
+    (``floor(CAST(float32 AS DOUBLE) * 1e6 + 0.5)`` — IEEE widening is
+    exact, so Spark/numpy/DuckDB agree bit-for-bit) and all products and
+    sums stay in int64, so the result is order-insensitive and
+    hash-checkable against the oracle's per-element formulation.
+    """
+    from pyspark.sql import types as T
+
+    d = t_wide(spark, sf_dir, "embeddings").select("embedding")
+    out_schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("partial", T.LongType()),
+    ])
+
+    def gram(batches):
+        import numpy as np
+        import pyarrow as pa
+        acc = None
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            x = np.asarray(b.column("embedding").flatten(),
+                           dtype=np.float32).astype(np.float64)
+            u = np.floor(x * 1e6 + 0.5).astype(np.int64).reshape(n, -1)
+            g = u.T @ u
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        dd = acc.shape[0]
+        iu, ju = np.triu_indices(dd)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(iu.astype("int32") + 1),
+             pa.array(ju.astype("int32") + 1),
+             pa.array(acc[iu, ju])],
+            names=["i", "j", "partial"])
+
+    return (d.mapInArrow(gram, out_schema)
+            .groupBy("i", "j")
+            .agg(F.sum("partial").alias("g_u"))
+            .select("i", "j",
+                    F.expr("floor(CAST(g_u AS DOUBLE) / 1e12 * 1e6 + 0.5) "
+                           "/ 1e6").alias("gram"))
+            .orderBy("i", "j"))
+
+
+ORACLE_EMBED_GRAM = f"""
+WITH cells AS (
+  SELECT t1.i AS i, t2.j AS j,
+         CAST(floor(CAST(embedding[t1.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT)
+         * CAST(floor(CAST(embedding[t2.j] AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS prod
+  FROM embeddings,
+       (SELECT CAST(range AS INTEGER) AS i FROM range(1, {DIM + 1})) t1,
+       (SELECT CAST(range AS INTEGER) AS j FROM range(1, {DIM + 1})) t2
+  WHERE t1.i <= t2.j
+)
+SELECT i, j,
+       floor(CAST(sum(prod) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS gram
+FROM cells GROUP BY i, j ORDER BY i, j
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_embed_gram": QuerySpec(
+        q_embed_gram, ORACLE_EMBED_GRAM,
+        "distributed Gram matrix EᵀE (int64 partial-Gram mapInArrow "
+        "kernel, d²-bounded shuffle)"),
     "q_sim_topk": QuerySpec(q_sim_topk, ORACLE_SIM_TOPK,
                             "brute-force cosine top-k"),
     "q_sim_lsh_buckets": QuerySpec(q_sim_lsh_buckets, ORACLE_SIM_LSH_BUCKETS,

@@ -1010,7 +1010,154 @@ GROUP BY t.doc_id, w.topic
 """
 
 
+_EMAIL_PAT = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_PAT = r"\d{3}-\d{3}-\d{4}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: detect and redact email addresses and phone
+    numbers, reporting per-source counts and the redaction size delta.
+
+    The fixture corpus is synthetic word soup with no embedded PII, so
+    the query first derives a contact trailer deterministically from
+    ``doc_id`` (a reproducible stand-in for the dirty column a real crawl
+    would carry), then runs the actual scrub: ``regexp_extract_all`` to
+    count hits and a chained ``regexp_replace`` to mask them.  Both
+    patterns stay in the conservative regex subset that Java (Spark) and
+    RE2 (DuckDB) interpret identically.
+
+    Fully row-local — detection and redaction run inside the scan stage
+    with no shuffle before the 5-key per-source rollup, so at 100 TB this
+    is a single map-side pass (the shape of every real PII pipeline).
+    """
+    d = t_wide(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example."),
+        F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+                     (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+    full = F.concat(F.col("text"), contact)
+    redacted = F.regexp_replace(
+        F.regexp_replace(full, F.lit(_EMAIL_PAT), F.lit("<EMAIL>")),
+        F.lit(_PHONE_PAT), F.lit("<PHONE>"))
+    return (d.select(
+        "source",
+        F.size(F.regexp_extract_all(full, F.lit(_EMAIL_PAT), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(full, F.lit(_PHONE_PAT), F.lit(0)))
+        .alias("n_phones"),
+        (F.length(full) - F.length(redacted)).alias("delta"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_emails").alias("emails_found"),
+             F.sum("n_phones").alias("phones_found"),
+             F.sum("delta").alias("chars_removed"))
+        .orderBy("source"))
+
+
+ORACLE_PII_REDACT = r"""
+WITH full_t AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.' || (['com','org','net'])[(doc_id % 3) + 1]
+              || ' tel 555-'
+              || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') AS full_txt
+  FROM documents
+), m AS (
+  SELECT source,
+         len(regexp_extract_all(full_txt, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+           AS n_emails,
+         len(regexp_extract_all(full_txt, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+         length(full_txt) - length(
+           regexp_replace(
+             regexp_replace(full_txt, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>',
+                            'g'),
+             '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS delta
+  FROM full_t
+)
+SELECT source, count(*) AS n_docs,
+       sum(n_emails) AS emails_found,
+       sum(n_phones) AS phones_found,
+       sum(delta) AS chars_removed
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher/MassiveText "duplicate
+    n-gram fraction"): per document, the share of bigram slots taken by
+    the single most-repeated bigram, with the bigram itself — the
+    signal that catches boilerplate and looping generations that
+    distinct-token ratio (q_text_gopher) misses.
+
+    Bigrams are built row-local with a higher-order ``transform`` over
+    the token array (codegen, no Python), then one explode + grouped
+    count + per-doc WindowGroupLimit picks each document's top bigram
+    (count desc, bigram asc tiebreak).  At 100 TB: the only shuffle
+    carries (doc_id, bigram, count) partial aggregates, and the window
+    is group-limited so no per-doc posting list materializes.
+    """
+    d = (t_wide(spark, sf_dir, "documents")
+         .withColumn("toks", F.split(F.col("text"), " "))
+         .where(F.size("toks") >= 2))
+    bigrams = d.select(
+        "doc_id", F.size("toks").alias("n_toks"),
+        F.explode(F.expr(
+            "transform(sequence(2, size(toks)), "
+            "i -> concat(element_at(toks, i - 1), ' ', "
+            "element_at(toks, i)))")).alias("bigram"))
+    counts = (bigrams.groupBy("doc_id", "n_toks", "bigram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "bigram")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id",
+                    (F.col("n_toks") - 1).alias("n_bigrams"),
+                    F.col("bigram").alias("top_bigram"),
+                    F.col("cnt").alias("top_count"),
+                    duck_round(F.col("cnt").cast("double")
+                               / (F.col("n_toks") - 1), 4)
+                    .alias("top_frac"))
+            .orderBy("doc_id"))
+
+
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id, len(ws) AS n_toks,
+         unnest(list_transform(range(2, len(ws) + 1),
+                               i -> ws[i - 1] || ' ' || ws[i])) AS bigram
+  FROM toks
+), counts AS (
+  SELECT doc_id, n_toks, bigram, count(*) AS cnt
+  FROM bg GROUP BY doc_id, n_toks, bigram
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, bigram) AS rn
+  FROM counts
+)
+SELECT doc_id, n_toks - 1 AS n_bigrams, bigram AS top_bigram,
+       cnt AS top_count,
+       floor((CAST(cnt AS DOUBLE) / (n_toks - 1)) * 1e4 + 0.5) / 1e4
+         AS top_frac
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_pii_redact": QuerySpec(
+        q_pii_redact, ORACLE_PII_REDACT,
+        "PII detect + redact (regex scrub, row-local map pass)"),
+    "q_repetition": QuerySpec(
+        q_repetition, ORACLE_REPETITION,
+        "duplicate-bigram repetition signal (Gopher-style)"),
     "q_langid_eval": QuerySpec(q_langid_eval, ORACLE_LANGID_EVAL,
                                "classifier-eval confusion matrix for the "
                                "langid heuristic"),

@@ -502,3 +502,48 @@ def test_large_orders_aggregates_before_customer_join(spark):
     if join_pos == -1:
         join_pos = plan.find("ShuffledHashJoin")
     assert agg_pos != -1
+
+
+def test_pii_redact_is_map_only_before_rollup(spark):
+    """PII scrub must be row-local: no shuffle before the per-source
+    aggregate (exactly one Exchange in the whole plan)."""
+    plan = _plan(spark, "q_pii_redact")
+    # one Exchange for the 5-key rollup, plus the t_wide rebalance and
+    # the final ORDER BY range exchange (tiny: 20 aggregated rows)
+    assert plan.count("Exchange") <= 3
+    assert plan.count("hashpartitioning") == 1  # the rollup only
+    assert "BatchEvalPython" not in plan  # no Python row UDFs
+
+
+def test_embed_gram_shuffle_is_d_squared_bounded(spark):
+    """The Gram kernel must aggregate per-partition BEFORE the shuffle:
+    the only wide exchange carries (i, j, partial) — never raw vectors —
+    and the final agg is partial/final."""
+    plan = _plan(spark, "q_embed_gram")
+    assert "MapInArrow" in plan
+    # a partial sum sits between the kernel and the (i, j) exchange
+    kernel_pos = plan.find("MapInArrow")
+    assert "partial_sum" in plan[:kernel_pos]
+    # the wide exchange partitions on the d² cell key, never the vectors
+    wide = [ln for ln in plan.splitlines()
+            if "hashpartitioning" in ln]
+    assert wide and all("embedding" not in ln for ln in wide)
+
+
+def test_fuzzy_link_dedupes_names_before_pairing(spark):
+    """Blocked linkage must pair DISTINCT names (aggregate under the
+    self-join), and join on the block key — no cartesian."""
+    plan = _plan(spark, "q_fuzzy_link")
+    assert "CartesianProduct" not in plan
+    # both join sides read the ONE checkpointed distinct-name table
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "part.parquet" not in plan  # raw parts never enter the join
+
+
+def test_hof_array_no_shuffle_no_python(spark):
+    """The HOF surface is one codegen map pass + TakeOrdered: no Python
+    stage, no aggregate Exchange."""
+    plan = _plan(spark, "q_hof_array")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
