@@ -47,6 +47,7 @@ HEADLINE = [
     "q_fuzzy_link",
     "q_embed_gram",
     "q_hof_array",
+    "q_winsorize",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -52,7 +52,7 @@ GATE_ORDER = [
     # PII scrub, repetition signal --
     "q_small_qty", "q_large_orders", "q_disjunctive", "q_promo_share",
     "q_top_supplier", "q_idle_customers", "q_pii_redact", "q_repetition",
-    "q_fuzzy_link", "q_embed_gram", "q_hof_array",
+    "q_fuzzy_link", "q_embed_gram", "q_hof_array", "q_winsorize",
     # -- round 6: code changed (de-cliffed exact percentile via
     # distributed rank, coalesced reconcile compare) or newly declared
     # (sketch siblings of the exact percentile / equi-depth histogram) --
@@ -71,9 +71,9 @@ GATE_ORDER = [
     "q_join_bucketed", "q_join_range",
     "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
     "q_str_dxcode", "q_str_join",
-    "q_str_name", "q_str_zip", "q_topk", "q_topk_group",
+    "q_str_name", "q_str_zip", "q_topk",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_udf", "q_win_dist", "q_win_frame",
+    "q_topk_group", "q_udf", "q_win_dist", "q_win_frame",
     "q_win_rank", "q_win_running",
     "q_crossover", "q_scan", "q_sink",
     # -- next-stalest (r3 cohort; first out of the rotated window, still

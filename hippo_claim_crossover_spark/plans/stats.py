@@ -560,7 +560,87 @@ FROM a FULL OUTER JOIN b USING (bucket)
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping): per return-flag segment, clip
+    ``l_extendedprice`` to its exact [p05, p95] band and report the
+    distribution before/after — the robust-normalization step a feature
+    pipeline runs before aggregating heavy-tailed values.
+
+    The boundary percentiles run through the SAME distributed
+    rank-and-interpolate operator as q_percentile/q_outlier_mad
+    (operators/ranking.py — no per-group buffering on the 3-value key,
+    so no exact-percentile OOM cliff at 100×).  Boundaries broadcast
+    back (3×2 rows) and clipping is row-local; means accumulate in exact
+    integer micros so raw and winsorized means are engine-identical.
+    One range shuffle + one broadcast join + one partial/final agg.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                             "l_extendedprice")
+    pcts = (grouped_exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95])
+        .groupBy("l_returnflag")
+        .agg(F.max(F.when(F.col("_p_idx") == 0, F.col("value")))
+             .alias("p05"),
+             F.max(F.when(F.col("_p_idx") == 1, F.col("value")))
+             .alias("p95")))
+    clipped = (li.join(F.broadcast(pcts), "l_returnflag")
+               .withColumn("w", F.least(F.greatest("l_extendedprice",
+                                                   F.col("p05")),
+                                        F.col("p95"))))
+    u = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (clipped.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("p05").alias("p05"),
+                 F.min("p95").alias("p95"),
+                 F.sum(F.when(F.col("l_extendedprice") < F.col("p05"), 1)
+                       .otherwise(0)).alias("n_clip_lo"),
+                 F.sum(F.when(F.col("l_extendedprice") > F.col("p95"), 1)
+                       .otherwise(0)).alias("n_clip_hi"),
+                 F.sum(u("l_extendedprice")).alias("_raw_u"),
+                 F.sum(u("w")).alias("_w_u"))
+            .select("l_returnflag", "n_rows",
+                    duck_round(F.col("p05"), 4).alias("p05"),
+                    duck_round(F.col("p95"), 4).alias("p95"),
+                    "n_clip_lo", "n_clip_hi",
+                    duck_round(F.col("_raw_u").cast("double") / F.lit(1e6)
+                               / F.col("n_rows"), 4).alias("mean_raw"),
+                    duck_round(F.col("_w_u").cast("double") / F.lit(1e6)
+                               / F.col("n_rows"), 4).alias("mean_wins"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_WINSORIZE = """
+WITH pcts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l.l_returnflag, l.l_extendedprice, p.p05, p.p95,
+         least(greatest(l.l_extendedprice, p.p05), p.p95) AS w
+  FROM lineitem l JOIN pcts p USING (l_returnflag)
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       floor(min(p05) * 1e4 + 0.5) / 1e4 AS p05,
+       floor(min(p95) * 1e4 + 0.5) / 1e4 AS p95,
+       sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+         AS n_clip_lo,
+       sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+         AS n_clip_hi,
+       floor(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e6 / count(*) * 1e4 + 0.5) / 1e4
+         AS mean_raw,
+       floor(CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e6 / count(*) * 1e4 + 0.5) / 1e4 AS mean_wins
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_winsorize": QuerySpec(
+        q_winsorize, ORACLE_WINSORIZE,
+        "percentile winsorization via distributed rank-and-interpolate "
+        "boundaries (no per-group buffering)"),
     "q_regr_group": QuerySpec(
         q_regr_group, ORACLE_REGR_GROUP,
         "grouped OLS fit from exact sufficient statistics"),

@@ -547,3 +547,13 @@ def test_hof_array_no_shuffle_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_uses_distributed_rank_not_percentile_buffer(spark):
+    """Winsorize boundaries must ride the rank-and-interpolate operator:
+    a range shuffle on (group, value), never the exact `percentile`
+    aggregate whose reduce state is O(rows/group)."""
+    plan = _plan(spark, "q_winsorize")
+    assert "percentile" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan  # 3×2 boundary rows broadcast back
