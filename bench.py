@@ -48,6 +48,10 @@ HEADLINE = [
     "q_embed_gram",
     "q_hof_array",
     "q_winsorize",
+    "q_drift_ks",
+    "q_join_full",
+    "q_win_nav",
+    "q_collect_sorted",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -188,3 +188,44 @@ def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
             .withColumn(out_col,
                         ntile_bucket(F.col("_rank"), F.col("_total"), n))
             .drop("_rank", "_total"))
+
+
+def global_cumsum(df: DataFrame, order_cols: list[str],
+                  sum_cols: list[str],
+                  n_partitions: int | None = None,
+                  prefix: str = "_cum_") -> DataFrame:
+    """Append exact running totals of ``sum_cols`` under the global
+    ``order_cols`` ordering (inclusive prefix sums) with no
+    single-partition data stage — the distributed-CDF building block
+    (KS statistics, Lorenz curves, exact quantile tables).
+
+    Same TeraSort discipline as :func:`global_rank`: range-shuffle on
+    the order key, per-partition window cumsums, then per-partition
+    TOTAL offsets (a ≤-partitions-row side table, windowed and
+    broadcast) lift local cumsums to global ones.  ``order_cols`` must
+    be a unique key (aggregate to one row per key first — that is also
+    what makes the prefix sums well-defined).  Sums must be integral
+    (long) for the offsets to stay exact.
+    """
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+              .withColumn("_pid", F.spark_partition_id()))
+    local_w = (Window.partitionBy("_pid").orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged
+    for c in sum_cols:
+        local = local.withColumn(f"_l{c}", F.sum(c).over(local_w))
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_t{c}") for c in sum_cols])
+    off_w = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid",
+        *[F.coalesce(F.sum(f"_t{c}").over(off_w), F.lit(0))
+          .alias(f"_o{c}") for c in sum_cols])
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(prefix + c, F.col(f"_l{c}") + F.col(f"_o{c}"))
+    return out.drop("_pid",
+                    *[f"_l{c}" for c in sum_cols],
+                    *[f"_o{c}" for c in sum_cols])

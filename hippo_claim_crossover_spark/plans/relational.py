@@ -1057,7 +1057,95 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders
 """
 
 
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join as year-over-year churn analysis: customers
+    active in 1996 vs 1997, classified retained / churned / acquired,
+    with each cohort's order counts and revenue.
+
+    The outer-join surface the reconcile op uses internally, declared as
+    its own operator: both inputs are aggregate-before-join (one row per
+    customer-year, so the full-outer shuffle carries ≤|customers| rows
+    per side, never raw orders), keys are coalesced across sides — the
+    NULL-handling discipline ADVICE flagged on q_reconcile, applied from
+    the start — and the classification CASE runs on presence, not
+    un-coalesced values.  Date filters push into the orders scan.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+
+    # Revenue stays in exact integer micros until the FINAL aggregate —
+    # summing per-customer rounded doubles would be accumulation-order
+    # sensitive across engines.
+    def year_agg(y: int) -> DataFrame:
+        return (o.where((F.col("o_orderdate") >= f"{y}-01-01")
+                        & (F.col("o_orderdate") < f"{y + 1}-01-01"))
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias(f"n_{y}"),
+                     F.sum(money_micros(F.col("o_totalprice")))
+                     .alias(f"rev_{y}")))
+
+    a, b = year_agg(1996), year_agg(1997)
+    j = a.withColumnRenamed("o_custkey", "k_a").join(
+        b.withColumnRenamed("o_custkey", "k_b"),
+        F.col("k_a") == F.col("k_b"), "full_outer")
+    status = (F.when(F.col("k_a").isNotNull() & F.col("k_b").isNotNull(),
+                     "retained")
+              .when(F.col("k_a").isNotNull(), "churned")
+              .otherwise("acquired"))
+    return (j.select(status.alias("status"),
+                     F.coalesce("n_1996", F.lit(0)).alias("n96"),
+                     F.coalesce("rev_1996", F.lit(0)).alias("r96_u"),
+                     F.coalesce("n_1997", F.lit(0)).alias("n97"),
+                     F.coalesce("rev_1997", F.lit(0)).alias("r97_u"))
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("n96").alias("orders_1996"),
+                 (F.sum("r96_u").cast("double") / F.lit(1e6))
+                 .alias("rev_1996"),
+                 F.sum("n97").alias("orders_1997"),
+                 (F.sum("r97_u").cast("double") / F.lit(1e6))
+                 .alias("rev_1997"))
+            .orderBy("status"))
+
+
+ORACLE_JOIN_FULL = """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n_1996,
+         sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS rev_1996
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey, count(*) AS n_1997,
+         sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS rev_1997
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+), j AS (
+  SELECT CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+              THEN 'retained'
+              WHEN a.o_custkey IS NOT NULL THEN 'churned'
+              ELSE 'acquired' END AS status,
+         coalesce(n_1996, 0) AS n96, coalesce(rev_1996, 0) AS r96_u,
+         coalesce(n_1997, 0) AS n97, coalesce(rev_1997, 0) AS r97_u
+  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+)
+SELECT status, count(*) AS n_customers,
+       sum(n96) AS orders_1996,
+       CAST(sum(r96_u) AS DOUBLE) / 1e6 AS rev_1996,
+       sum(n97) AS orders_1997,
+       CAST(sum(r97_u) AS DOUBLE) / 1e6 AS rev_1997
+FROM j GROUP BY status ORDER BY status
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_join_full": QuerySpec(
+        q_join_full, ORACLE_JOIN_FULL,
+        "FULL OUTER year-over-year churn matrix (aggregate-before-join, "
+        "coalesced keys)"),
     "q_agg_multi": QuerySpec(q_agg_multi, ORACLE_AGG_MULTI, "TPC-H Q1 shape"),
     "q_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT, "count-distinct"),
     "q_approx_cd": QuerySpec(q_approx_cd, None, "HLL++ approx distinct"),

@@ -636,7 +636,81 @@ FROM c GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift: the exact KS statistic
+    between the `click` and `view` event-value distributions — the
+    nonparametric sibling of q_drift_chi2 for continuous features
+    (embedding norms, doc lengths, scores) where binning hides drift.
+
+    Exact and fully distributed: one per-value aggregate (d1/d2 counts),
+    then BOTH empirical CDFs come from ONE pass of the distributed
+    prefix-sum operator (operators/ranking.py global_cumsum — range
+    shuffle + per-partition window + broadcast partition offsets; the
+    naive ``sum() OVER (ORDER BY value)`` is a single-partition global
+    window, the same cliff global rank has).  Counts are exact longs, so
+    the CDF quotients and the D statistic are engine-identical; top-5
+    gap points ride TakeOrdered.
+    """
+    from hippo_claim_crossover_spark.operators.ranking import global_cumsum
+
+    e = (t(spark, sf_dir, "events")
+         .where(F.col("event_type").isin("click", "view"))
+         .select("event_type", "value"))
+    per_val = (e.groupBy("value")
+               .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                          .otherwise(0)).alias("d1"),
+                    F.sum(F.when(F.col("event_type") == "view", 1)
+                          .otherwise(0)).alias("d2")))
+    cum = global_cumsum(per_val, ["value"], ["d1", "d2"])
+    n = (e.groupBy()
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("n1"),
+              F.sum(F.when(F.col("event_type") == "view", 1)
+                    .otherwise(0)).alias("n2")))
+    return (cum.crossJoin(F.broadcast(n))
+            .select("value", "n1", "n2",
+                    F.col("_cum_d1").alias("c1"),
+                    F.col("_cum_d2").alias("c2"),
+                    duck_round(F.abs(
+                        F.col("_cum_d1").cast("double") / F.col("n1")
+                        - F.col("_cum_d2").cast("double") / F.col("n2")),
+                        6).alias("ks_gap"))
+            .orderBy(F.col("ks_gap").desc(), "value")
+            .limit(5))
+
+
+ORACLE_DRIFT_KS = """
+WITH e AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('click', 'view')
+), per_val AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d2
+  FROM e GROUP BY value
+), cum AS (
+  SELECT value, d1, d2,
+         sum(d1) OVER (ORDER BY value) AS c1,
+         sum(d2) OVER (ORDER BY value) AS c2
+  FROM per_val
+), n AS (
+  SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+  FROM e
+)
+SELECT value, n1, n2, c1, c2,
+       floor(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+             * 1e6 + 0.5) / 1e6 AS ks_gap
+FROM cum, n
+ORDER BY ks_gap DESC, value
+LIMIT 5
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_drift_ks": QuerySpec(
+        q_drift_ks, ORACLE_DRIFT_KS,
+        "two-sample KS drift via distributed prefix-sum CDFs"),
     "q_winsorize": QuerySpec(
         q_winsorize, ORACLE_WINSORIZE,
         "percentile winsorization via distributed rank-and-interpolate "

@@ -367,7 +367,114 @@ WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
 """
 
 
+def q_win_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions: ``first_value`` / ``last_value`` /
+    ``nth_value`` over the customer order history — the per-entity
+    timeline summary (first order, latest order, second order) every
+    lifecycle analysis starts with.
+
+    One window spec, full-frame (unbounded both sides), unique ordering
+    (o_orderdate, o_orderkey) so every navigation value is
+    engine-deterministic; then one row per customer via row_number.  The
+    partition key is c-cardinality so the window shuffle is naturally
+    balanced; no second shuffle — the dedup rides the same window.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                   "o_orderkey")
+    return (o
+            .withColumn("first_date", F.date_format(
+                F.first("o_orderdate").over(w), "yyyy-MM-dd"))
+            .withColumn("last_date", F.date_format(
+                F.last("o_orderdate").over(w), "yyyy-MM-dd"))
+            .withColumn("second_price", duck_round(
+                F.nth_value("o_totalprice", 2).over(w), 2))
+            .withColumn("n_orders", F.count(F.lit(1)).over(w))
+            .withColumn("_rn", F.row_number().over(wseq))
+            .where(F.col("_rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"), "n_orders",
+                    "first_date", "last_date", "second_price")
+            .orderBy("custkey"))
+
+
+ORACLE_WIN_NAV = """
+WITH w AS (
+  SELECT o_custkey,
+         strftime(first_value(o_orderdate) OVER win, '%Y-%m-%d')
+           AS first_date,
+         strftime(last_value(o_orderdate) OVER win, '%Y-%m-%d')
+           AS last_date,
+         round(nth_value(o_totalprice, 2) OVER win, 2) AS second_price,
+         count(*) OVER win AS n_orders,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey AS custkey, n_orders, first_date, last_date,
+       second_price
+FROM w WHERE rn = 1 ORDER BY custkey
+"""
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped collection: each customer's order keys as
+    ONE comma-joined string in strict (date, key) order — the portable
+    form of ``collect_list``, whose raw order is partition-dependent and
+    therefore unusable for content-addressed downstream keys.
+
+    ``collect_list(struct(date, key))`` → ``sort_array`` → ``transform``
+    → ``array_join`` makes the aggregation order-insensitive (the sort
+    happens AFTER collection, row-local), so the result is identical
+    under any shuffle schedule — and hash-checkable against DuckDB's
+    ``string_agg(... ORDER BY ...)``.  Per-customer arrays are bounded
+    (≤ orders-per-customer), so reduce state is the real row payload,
+    not a skew cliff; the md5 of the joined history doubles as a
+    change-detection digest for CDC of the whole timeline.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+    return (o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("o_orderdate", "o_orderkey"))),
+                         lambda s: s["o_orderkey"].cast("string")),
+                     ",").alias("order_history"))
+            .select(F.col("o_custkey").alias("custkey"), "n_orders",
+                    "order_history",
+                    F.md5(F.col("order_history")).alias("history_digest"))
+            .orderBy("custkey"))
+
+
+ORACLE_COLLECT_SORTED = """
+SELECT o_custkey AS custkey,
+       count(*) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_orderdate, o_orderkey) AS order_history,
+       md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderdate, o_orderkey)) AS history_digest
+FROM orders
+GROUP BY o_custkey
+ORDER BY custkey
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_win_nav": QuerySpec(
+        q_win_nav, ORACLE_WIN_NAV,
+        "window navigation: first/last/nth_value, full frame"),
+    "q_collect_sorted": QuerySpec(
+        q_collect_sorted, ORACLE_COLLECT_SORTED,
+        "deterministic sorted collect_list + history digest"),
     "q_win_rank": QuerySpec(q_win_rank, ORACLE_WIN_RANK, "ranking fns"),
     "q_win_running": QuerySpec(q_win_running, ORACLE_WIN_RUNNING,
                                "lag/lead/running sum"),

@@ -557,3 +557,29 @@ def test_winsorize_uses_distributed_rank_not_percentile_buffer(spark):
     assert "percentile" not in plan
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan  # 3×2 boundary rows broadcast back
+
+
+def test_drift_ks_cdf_is_distributed_prefix_sum(spark):
+    """Both empirical CDFs must come from the range-shuffled prefix-sum
+    operator — a `sum() OVER (ORDER BY value)` with no partition key
+    would be an Exchange SinglePartition over the data."""
+    plan = _plan(spark, "q_drift_ks")
+    assert "rangepartitioning(value" in plan
+    assert "_pid" in plan  # per-partition cumsum + broadcast offsets
+    # single-partition exchanges may exist only on tiny side tables
+    # (per-partition totals, the n1/n2 scalar) — the data path exchange
+    # count is bounded
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_full_aggregates_before_outer_join(spark):
+    """YoY churn must full-outer-join per-customer AGGREGATES: the
+    FullOuter join sits above both HashAggregates, and date filters push
+    into the orders scans."""
+    plan = _plan(spark, "q_join_full")
+    assert "FullOuter" in plan
+    join_pos = plan.find("FullOuter")
+    assert "HashAggregate" in plan[join_pos:]  # aggregates BELOW the join
+    pushed_all = "".join(seg.split("]")[0]
+                         for seg in plan.split("PushedFilters:")[1:])
+    assert "o_orderdate" in pushed_all
