@@ -52,6 +52,8 @@ HEADLINE = [
     "q_join_full",
     "q_win_nav",
     "q_collect_sorted",
+    "q_gini",
+    "q_rolling_7d",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -707,7 +707,95 @@ LIMIT 5
 """
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: exact Gini coefficient
+    and top-decile share of per-customer revenue — the inequality
+    profile that tells a curation pipeline whether a source is dominated
+    by a few heavy entities.
+
+    Gini needs every customer's rank within its segment; the ranking
+    runs through grouped_global_rank (range shuffle + broadcast offsets
+    — no per-segment single-task sort; ties in revenue are
+    rank-order-insensitive for the Σ rank·x term, so the tiebreak is
+    free).  The closed form G = (2·Σrx − (n+1)·Σx) / (n·Σx) is computed
+    from DECIMAL(38,0) exact sums (rank×micros products overflow int64
+    at ~1e18 — decimal is the 100 TB-safe accumulator, same discipline
+    as q_regr_group).  Top-decile share joins the broadcast per-segment
+    totals back and conditionally sums the top n/10 ranks.
+    """
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_global_rank,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(money_micros(F.col("o_totalprice")))
+                .alias("rev_u"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .select("c_mktsegment", "o_custkey", "rev_u"))
+    ranked = grouped_global_rank(rev, ["c_mktsegment"],
+                                 ["rev_u", "o_custkey"])
+    totals = (ranked.groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   _dsum(F.col("rev_u")).alias("sum_x"),
+                   _dsum(F.col("_rank").cast(_D38)
+                         * F.col("rev_u")).alias("sum_rx")))
+    top = (ranked.join(F.broadcast(
+        totals.select("c_mktsegment", F.col("n").alias("_n"))),
+        "c_mktsegment")
+        .where(F.col("_rank") > F.col("_n") - F.floor(F.col("_n") / 10))
+        .groupBy("c_mktsegment")
+        .agg(_dsum(F.col("rev_u")).alias("top_x")))
+    return (totals.join(F.broadcast(top), "c_mktsegment")
+            .select("c_mktsegment", "n",
+                    duck_round(F.col("sum_x") / F.lit(1e6), 6)
+                    .alias("total_rev"),
+                    duck_round(
+                        (F.lit(2.0) * F.col("sum_rx")
+                         - (F.col("n") + 1) * F.col("sum_x"))
+                        / (F.col("n") * F.col("sum_x")), 6).alias("gini"),
+                    duck_round(F.col("top_x") / F.col("sum_x"), 6)
+                    .alias("top_decile_share"))
+            .orderBy("c_mktsegment"))
+
+
+ORACLE_GINI = """
+WITH rev AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         sum(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT)) AS rev_u
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY rev_u, o_custkey) AS rk
+  FROM rev
+), totals AS (
+  SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(rev_u) AS DOUBLE) AS sum_x,
+         CAST(sum(CAST(rk AS HUGEINT) * rev_u) AS DOUBLE) AS sum_rx
+  FROM ranked GROUP BY c_mktsegment
+), top AS (
+  SELECT r.c_mktsegment, CAST(sum(r.rev_u) AS DOUBLE) AS top_x
+  FROM ranked r JOIN totals t USING (c_mktsegment)
+  WHERE r.rk > t.n - floor(t.n / 10)
+  GROUP BY r.c_mktsegment
+)
+SELECT t.c_mktsegment, t.n,
+       floor(sum_x / 1e6 * 1e6 + 0.5) / 1e6 AS total_rev,
+       floor((2.0 * sum_rx - (t.n + 1) * sum_x) / (t.n * sum_x)
+             * 1e6 + 0.5) / 1e6 AS gini,
+       floor(top_x / sum_x * 1e6 + 0.5) / 1e6 AS top_decile_share
+FROM totals t JOIN top USING (c_mktsegment)
+ORDER BY t.c_mktsegment
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_gini": QuerySpec(
+        q_gini, ORACLE_GINI,
+        "exact Gini + top-decile concentration via distributed grouped "
+        "rank (decimal accumulators)"),
     "q_drift_ks": QuerySpec(
         q_drift_ks, ORACLE_DRIFT_KS,
         "two-sample KS drift via distributed prefix-sum CDFs"),

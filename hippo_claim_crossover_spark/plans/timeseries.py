@@ -707,7 +707,81 @@ FROM w
 """
 
 
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling revenue: per order day, that day's revenue
+    plus the exact 7-day trailing window (RANGE frame on the day number,
+    so calendar gaps are respected — a ROWS frame would silently span
+    them).
+
+    Scale shape: the raw fact table collapses to ONE row per calendar
+    day FIRST (partial/final agg — the shuffle carries day keys, not
+    orders).  The window then runs over the bounded daily series
+    (≤ days-in-history rows — ~36.5k rows for a century), so the
+    no-partition-key window is an Exchange over an already-tiny
+    aggregate, not the fact cliff; the docstring-of-record for when a
+    global window IS acceptable.  Revenue rides integer micros through
+    both the daily and the rolling sums — exact at any accumulation
+    order.  Reported for 1996 to keep output bounded; the window sees
+    the prior year's tail so January totals are correct.
+    """
+    o = (t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1995-12-20")
+                & (F.col("o_orderdate") < "1997-01-01")))
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.floor(F.col("o_totalprice") * F.lit(1e6)
+                                + F.lit(0.5)).cast("long")).alias("rev_u"))
+             .withColumn("dayno", F.datediff(F.col("d"),
+                                             F.lit("1995-01-01"))))
+    w = (Window.orderBy("dayno").rangeBetween(-6, 0))
+    return (daily
+            .withColumn("roll_rev_u", F.sum("rev_u").over(w))
+            .withColumn("roll_orders", F.sum("n_orders").over(w))
+            .where(F.col("d") >= "1996-01-01")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "n_orders",
+                    (F.col("rev_u").cast("double") / F.lit(1e6))
+                    .alias("day_rev"),
+                    "roll_orders",
+                    (F.col("roll_rev_u").cast("double") / F.lit(1e6))
+                    .alias("rolling_7d_rev"))
+            .orderBy("day"))
+
+
+ORACLE_ROLLING_7D = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         count(*) AS n_orders,
+         sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS rev_u,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS dayno
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-12-20'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 4
+), r AS (
+  SELECT d, n_orders, rev_u,
+         sum(rev_u) OVER (ORDER BY dayno
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS roll_rev_u,
+         sum(n_orders) OVER (ORDER BY dayno
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS roll_orders
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_orders,
+       CAST(rev_u AS DOUBLE) / 1e6 AS day_rev,
+       roll_orders,
+       CAST(roll_rev_u AS DOUBLE) / 1e6 AS rolling_7d_rev
+FROM r WHERE d >= DATE '1996-01-01' ORDER BY day
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_rolling_7d": QuerySpec(
+        q_rolling_7d, ORACLE_ROLLING_7D,
+        "trailing 7-day RANGE-frame rolling revenue over the daily "
+        "aggregate"),
     "q_gapfill": QuerySpec(q_gapfill, ORACLE_GAPFILL,
                            "daily spine gap-fill + LOCF + linear "
                            "interpolation"),

@@ -583,3 +583,22 @@ def test_join_full_aggregates_before_outer_join(spark):
     pushed_all = "".join(seg.split("]")[0]
                          for seg in plan.split("PushedFilters:")[1:])
     assert "o_orderdate" in pushed_all
+
+
+def test_gini_ranks_distributed_and_decimal_accumulates(spark):
+    """Gini's Σ rank·x must rank via the range-shuffled grouped rank
+    (no per-segment single-task window over raw rows) and accumulate in
+    DECIMAL(38,0), not a long that overflows at ~1e18."""
+    plan = _plan(spark, "q_gini")
+    assert "rangepartitioning(c_mktsegment" in plan
+    assert "decimal(38,0)" in plan
+
+
+def test_rolling_7d_windows_over_daily_aggregate_only(spark):
+    """The global RANGE-frame window must sit ABOVE the daily aggregate:
+    the single-partition exchange sees ≤|days| rows, never raw orders."""
+    plan = _plan(spark, "q_rolling_7d")
+    sp = plan.find("Exchange SinglePartition")
+    assert sp != -1  # the bounded daily window
+    # an aggregate exists below the single-partition exchange
+    assert "HashAggregate" in plan[sp:]
