@@ -54,6 +54,8 @@ HEADLINE = [
     "q_collect_sorted",
     "q_gini",
     "q_rolling_7d",
+    "q_negative_sample",
+    "q_target_encode",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -447,7 +447,69 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_exact", "approx_direct", "approx_merged")
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: replace the categorical
+    ``o_orderpriority`` with the mean ``o_totalprice`` of all OTHER rows
+    sharing the category — the standard high-cardinality-categorical
+    feature encoding, leakage-proofed by excluding each row's own
+    target.
+
+    Per-category sufficient statistics (count + integer-micros sum) are
+    one partial/final aggregate; they broadcast back (|categories| rows)
+    and the LOO mean ``(S − x)/(n − 1)`` is row-local — so the encoding
+    pass costs one tiny shuffle plus a map stage at any scale, and the
+    exact integer sums keep ``(S − x)`` engine-identical before the one
+    double division.  Output sampled content-addressed (md5 bucket) to
+    stay bounded.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    x_u = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))\
+        .cast("long")
+    stats = (o.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_cat"),
+                  F.sum(x_u).alias("s_u")))
+    return (o.join(F.broadcast(stats), "o_orderpriority")
+            .where(F.conv(F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                16, 10).cast("long") % 20 == 0)
+            .select(F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_orderpriority").alias("priority"),
+                    duck_round(F.col("o_totalprice"), 2)
+                    .alias("totalprice"),
+                    F.col("n_cat"),
+                    duck_round(((F.col("s_u") - x_u).cast("double")
+                                / F.lit(1e6))
+                               / (F.col("n_cat") - 1), 4)
+                    .alias("loo_encoding"))
+            .orderBy("orderkey"))
+
+
+ORACLE_TARGET_ENCODE = """
+WITH stats AS (
+  SELECT o_orderpriority, count(*) AS n_cat,
+         sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS s_u
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey AS orderkey,
+       o.o_orderpriority AS priority,
+       round(o.o_totalprice, 2) AS totalprice,
+       s.n_cat,
+       floor((CAST(s.s_u - CAST(floor(o.o_totalprice * 1e6 + 0.5)
+                                AS BIGINT) AS DOUBLE) / 1e6)
+             / (s.n_cat - 1) * 1e4 + 0.5) / 1e4 AS loo_encoding
+FROM orders o JOIN stats s USING (o_orderpriority)
+WHERE CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15))
+           AS BIGINT) % 20 = 0
+ORDER BY orderkey
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_target_encode": QuerySpec(
+        q_target_encode, ORACLE_TARGET_ENCODE,
+        "leave-one-out target encoding (broadcast category stats, "
+        "row-local LOO mean)"),
     "q_transpose": QuerySpec(q_transpose, ORACLE_TRANSPOSE,
                              "Spark 4 DataFrame.transpose report matrix"),
     "q_percentile": QuerySpec(

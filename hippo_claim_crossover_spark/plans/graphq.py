@@ -348,7 +348,93 @@ FROM (
 """
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: for each customer, 3 parts they have NOT purchased, drawn
+    content-addressed (md5) so the sample is identical across engines,
+    runs, and cluster layouts.
+
+    The all-pairs candidate space (users × items) is never materialized:
+    users and items each hash into B=8 md5 buckets and candidates come
+    from the user's OWN bucket only — an equi-join producing
+    |users|·|items|/B pairs in expectation (tune B to the negatives-
+    per-user budget at scale).  Owned pairs are removed with LEFT ANTI
+    (aggregate-distinct first, so the anti build side is the owned-pair
+    set, not raw lineitems), and each user keeps its 3 md5-smallest
+    candidates via WindowGroupLimit.  The md5 rank makes the negatives a
+    uniform-without-replacement draw conditioned on the bucket — the
+    standard trick for reproducible negatives at 100 TB.
+    """
+    B = 8
+    users = (t(spark, sf_dir, "orders").select("o_custkey").distinct()
+             .withColumn("bkt", F.conv(F.substring(
+                 F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                 16, 10).cast("long") % B))
+    items = (t(spark, sf_dir, "part").select("p_partkey")
+             .withColumn("bkt", F.conv(F.substring(
+                 F.md5(F.col("p_partkey").cast("string")), 1, 15),
+                 16, 10).cast("long") % B))
+    owned = (t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+             .join(t(spark, sf_dir, "lineitem")
+                   .select("l_orderkey", "l_partkey"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .select("o_custkey", "l_partkey").distinct())
+    cand = (users.join(items, "bkt")
+            .join(owned, (users.o_custkey == owned.o_custkey)
+                  & (items.p_partkey == owned.l_partkey), "left_anti")
+            .withColumn("u", F.conv(F.substring(
+                F.md5(F.concat_ws(":", users.o_custkey.cast("string"),
+                                  items.p_partkey.cast("string"))),
+                1, 15), 16, 10).cast("long")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(users.o_custkey).orderBy("u")
+    return (cand.withColumn("neg_rank", F.row_number().over(w))
+            .where(F.col("neg_rank") <= 3)
+            .select(F.col("o_custkey").alias("custkey"), "neg_rank",
+                    F.col("p_partkey").alias("neg_partkey"))
+            .orderBy("custkey", "neg_rank"))
+
+
+ORACLE_NEGATIVE_SAMPLE = """
+WITH users AS (
+  SELECT DISTINCT o_custkey,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS bkt
+  FROM orders
+), items AS (
+  SELECT p_partkey,
+         CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS bkt
+  FROM part
+), owned AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), cand AS (
+  SELECT u.o_custkey, i.p_partkey,
+         CAST(('0x' || substr(md5(CAST(u.o_custkey AS VARCHAR) || ':'
+                                  || CAST(i.p_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS uh
+  FROM users u
+  JOIN items i ON u.bkt = i.bkt
+  WHERE NOT EXISTS (SELECT 1 FROM owned w
+                    WHERE w.o_custkey = u.o_custkey
+                      AND w.l_partkey = i.p_partkey)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY uh)
+           AS neg_rank
+  FROM cand
+)
+SELECT o_custkey AS custkey, neg_rank, p_partkey AS neg_partkey
+FROM ranked WHERE neg_rank <= 3
+ORDER BY custkey, neg_rank
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_negative_sample": QuerySpec(
+        q_negative_sample, ORACLE_NEGATIVE_SAMPLE,
+        "deterministic bucketed negative sampling (md5 draw, anti-join "
+        "owned, never all-pairs)"),
     "q_pagerank": QuerySpec(q_pagerank, _oracle(),
                             "damped PageRank, 2 rounds, exact-micros sums"),
     "q_recommend": QuerySpec(q_recommend, ORACLE_RECOMMEND,

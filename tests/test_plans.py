@@ -602,3 +602,21 @@ def test_rolling_7d_windows_over_daily_aggregate_only(spark):
     assert sp != -1  # the bounded daily window
     # an aggregate exists below the single-partition exchange
     assert "HashAggregate" in plan[sp:]
+
+
+def test_negative_sample_never_materializes_all_pairs(spark):
+    """Candidates must come from the md5-bucket equi-join (users ⋈ items
+    on bkt), with the owned set removed via LEFT ANTI — no cartesian,
+    and the per-user limit is pushed below the rank shuffle."""
+    plan = _plan(spark, "q_negative_sample")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_target_encode_broadcasts_category_stats(spark):
+    """The LOO encoding must broadcast the |categories|-row stats table
+    back — never shuffle the fact side for the join."""
+    plan = _plan(spark, "q_target_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(o_orderkey" not in plan
