@@ -56,6 +56,8 @@ HEADLINE = [
     "q_rolling_7d",
     "q_negative_sample",
     "q_target_encode",
+    "q_feature_hash",
+    "q_interval_coverage",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

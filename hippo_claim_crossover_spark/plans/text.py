@@ -1151,7 +1151,54 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer profile: tokens hash into a fixed
+    64-dimension feature space (md5 mod D — the portable stand-in for
+    murmur feature hashing), reported per dimension with collision
+    stats (distinct tokens sharing the dim, doc reach, mass).
+
+    This is the fixed-width featurization step that lets 100 TB of text
+    become bounded-width vectors with no vocabulary build: the dim
+    assignment is row-local (no dictionary join, no OOV problem), the
+    only shuffle carries (dim, token) partial counts, and the output is
+    D rows regardless of corpus size.  The md5 hash makes the exact
+    same vectors come out of any engine — the reproducibility property
+    feature pipelines need when train and serve stacks differ.
+    """
+    D = 64
+    toks = (t_wide(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .withColumn("dim", F.conv(F.substring(F.md5("tok"), 1, 15),
+                                      16, 10).cast("long") % D))
+    return (toks.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("total_count"),
+                 F.countDistinct("tok").alias("distinct_tokens"),
+                 F.countDistinct("doc_id").alias("distinct_docs"))
+            .orderBy("dim"))
+
+
+ORACLE_FEATURE_HASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, tok,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS dim
+  FROM toks
+)
+SELECT dim, count(*) AS total_count,
+       count(DISTINCT tok) AS distinct_tokens,
+       count(DISTINCT doc_id) AS distinct_docs
+FROM h GROUP BY dim ORDER BY dim
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_feature_hash": QuerySpec(
+        q_feature_hash, ORACLE_FEATURE_HASH,
+        "hashing-trick featurizer profile (md5 mod D, no vocabulary "
+        "build)"),
     "q_pii_redact": QuerySpec(
         q_pii_redact, ORACLE_PII_REDACT,
         "PII detect + redact (regex scrub, row-local map pass)"),

@@ -777,7 +777,82 @@ FROM r WHERE d >= DATE '1996-01-01' ORDER BY day
 """
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: give each event a 5-minute activity
+    interval, merge overlaps per user (gaps-and-islands over the
+    running max of interval ends), and report each user's merged island
+    count and total covered time — the dwell/uptime/SLA primitive that
+    naive ``sum(duration)`` double-counts.
+
+    Everything rides exact integer microseconds (``unix_micros`` /
+    ``epoch_us`` agree engine-for-engine), the island detector is the
+    standard ``start > cummax(previous ends)`` flag + running flag sum,
+    and both windows partition by user — per-user event history is the
+    natural bound, and no global window exists.  One shuffle on user_id
+    total: the windows and the final aggregate share it.
+    """
+    iv = (t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("s"))
+          .withColumn("e", F.col("s") + F.lit(300_000_000)))
+    wprev = (Window.partitionBy("user_id").orderBy("s", "e")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(wprev),
+                                       F.lit(-1).cast("long")), 1)
+        .otherwise(0))
+    wrun = (Window.partitionBy("user_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    islands = (flagged
+               .withColumn("island", F.sum("new_island").over(wrun))
+               .groupBy("user_id", "island")
+               .agg(F.min("s").alias("i_start"),
+                    F.max("e").alias("i_end"),
+                    F.count(F.lit(1)).alias("n_events")))
+    return (islands.groupBy("user_id")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_islands"),
+                 (F.sum(F.col("i_end") - F.col("i_start"))
+                  .cast("double") / F.lit(1e6)).alias("covered_seconds"))
+            .orderBy("user_id"))
+
+
+ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+  FROM flagged
+), merged AS (
+  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+         count(*) AS n_events
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, sum(n_events) AS n_events, count(*) AS n_islands,
+       CAST(sum(i_end - i_start) AS DOUBLE) / 1e6 AS covered_seconds
+FROM merged GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_interval_coverage": QuerySpec(
+        q_interval_coverage, ORACLE_INTERVAL_COVERAGE,
+        "interval-union coverage (merged islands, exact integer "
+        "microseconds)"),
     "q_rolling_7d": QuerySpec(
         q_rolling_7d, ORACLE_ROLLING_7D,
         "trailing 7-day RANGE-frame rolling revenue over the daily "
