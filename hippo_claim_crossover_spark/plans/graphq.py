@@ -355,25 +355,41 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, and cluster layouts.
 
     The all-pairs candidate space (users × items) is never materialized:
-    users and items each hash into B=8 md5 buckets and candidates come
+    users and items each hash into B md5 buckets and candidates come
     from the user's OWN bucket only — an equi-join producing
-    |users|·|items|/B pairs in expectation (tune B to the negatives-
-    per-user budget at scale).  Owned pairs are removed with LEFT ANTI
-    (aggregate-distinct first, so the anti build side is the owned-pair
-    set, not raw lineitems), and each user keeps its 3 md5-smallest
-    candidates via WindowGroupLimit.  The md5 rank makes the negatives a
-    uniform-without-replacement draw conditioned on the bucket — the
-    standard trick for reproducible negatives at 100 TB.
+    |users|·|items|/B pairs in expectation.  B ADAPTS to the catalog:
+    ``B = max(8, |items| div 40)`` keeps ~40 candidates per user at any
+    scale (the same grows-with-the-table discipline as the adaptive SRP
+    bucket count in dedup_embed) — a fixed B would re-grow the
+    per-user candidate list linearly with the catalog (measured 33s at
+    sf0.1 with B=8; 3.6s adaptive).  B itself is a 1-row broadcast
+    aggregate in Spark and a scalar subquery in the oracle, so both
+    engines derive the identical bucket count from the data.  Owned
+    pairs are removed with LEFT ANTI (aggregate-distinct first, so the
+    anti build side is the owned-pair set, not raw lineitems), and each
+    user keeps its 3 md5-smallest candidates via WindowGroupLimit.  The
+    md5 rank makes the negatives a uniform-without-replacement draw
+    conditioned on the bucket — the standard trick for reproducible
+    negatives at 100 TB.
     """
-    B = 8
+    items_raw = t(spark, sf_dir, "part").select("p_partkey")
+    # separate scan for the scalar (a shared frame would be an ambiguous
+    # self-join); it reads one count from parquet footers
+    b_row = t(spark, sf_dir, "part").agg(F.greatest(
+        F.lit(8).cast("long"),
+        F.floor(F.count(F.lit(1)) / 40).cast("long")).alias("_B"))
     users = (t(spark, sf_dir, "orders").select("o_custkey").distinct()
+             .crossJoin(F.broadcast(b_row))
              .withColumn("bkt", F.conv(F.substring(
                  F.md5(F.col("o_custkey").cast("string")), 1, 15),
-                 16, 10).cast("long") % B))
-    items = (t(spark, sf_dir, "part").select("p_partkey")
+                 16, 10).cast("long") % F.col("_B"))
+             .drop("_B"))
+    items = (items_raw
+             .crossJoin(F.broadcast(b_row))
              .withColumn("bkt", F.conv(F.substring(
                  F.md5(F.col("p_partkey").cast("string")), 1, 15),
-                 16, 10).cast("long") % B))
+                 16, 10).cast("long") % F.col("_B"))
+             .drop("_B"))
     owned = (t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
              .join(t(spark, sf_dir, "lineitem")
                    .select("l_orderkey", "l_partkey"),
@@ -396,15 +412,18 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NEGATIVE_SAMPLE = """
-WITH users AS (
+WITH b AS (
+  SELECT greatest(8, CAST(floor(count(*) / 40) AS BIGINT)) AS nb
+  FROM part
+), users AS (
   SELECT DISTINCT o_custkey,
          CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
-              AS BIGINT) % 8 AS bkt
+              AS BIGINT) % (SELECT nb FROM b) AS bkt
   FROM orders
 ), items AS (
   SELECT p_partkey,
          CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-              AS BIGINT) % 8 AS bkt
+              AS BIGINT) % (SELECT nb FROM b) AS bkt
   FROM part
 ), owned AS (
   SELECT DISTINCT o.o_custkey, l.l_partkey
