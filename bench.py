@@ -58,6 +58,7 @@ HEADLINE = [
     "q_target_encode",
     "q_feature_hash",
     "q_interval_coverage",
+    "q_subquery_sql",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -425,6 +425,49 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+_SUBQUERY_SQL = """
+SELECT c.c_custkey, c.c_name,
+       round(c.c_acctbal, 2) AS acctbal,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(floor(c_acctbal * 1e6 + 0.5)
+                                          AS BIGINT)) AS DOUBLE)
+                            / 1e6 / count(*)
+                     FROM customer WHERE c_acctbal > 0)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F')
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_regionkey = 1)
+ORDER BY c.c_custkey
+"""
+
+
+def q_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text subquery surface: one statement carrying all four
+    subquery forms — correlated scalar (per-customer order count),
+    uncorrelated scalar threshold (average positive balance), correlated
+    EXISTS, and uncorrelated IN — handed to ``spark.sql`` verbatim, the
+    way a reference user would write it.
+
+    The demonstration is Catalyst's decorrelation: the correlated scalar
+    and EXISTS become aggregate/semi joins on the correlation key, the
+    IN becomes a semi join on the broadcast nation dim, and the scalar
+    threshold becomes a 1-row subquery broadcast — the exact plans the
+    programmatic family (q_small_qty … q_idle_customers) declares by
+    hand.  The scalar AVG threshold is spelled in integer micros inside
+    the SQL itself (portable to both engines verbatim), keeping the
+    one float comparison engine-exact under any partitioning.
+    """
+    for tbl in ("customer", "orders", "nation"):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+ORACLE_SUBQUERY_SQL = _SUBQUERY_SQL
+
+
 ASSOC_TOP = 20
 
 
@@ -1169,6 +1212,10 @@ SPECS: dict[str, QuerySpec] = {
                            "skyline)"),
     "q_pipe_sql": QuerySpec(q_pipe_sql, ORACLE_PIPE_SQL,
                             "SQL pipe syntax (|>) pricing summary"),
+    "q_subquery_sql": QuerySpec(
+        q_subquery_sql, ORACLE_SUBQUERY_SQL,
+        "SQL-text subquery surface: correlated scalar + EXISTS + IN + "
+        "scalar threshold, one verbatim statement"),
     "q_assoc_rules": QuerySpec(q_assoc_rules, ORACLE_ASSOC_RULES,
                                "market-basket support/confidence/lift"),
     "q_histogram_eq": QuerySpec(q_histogram_eq, ORACLE_HISTOGRAM_EQ,

@@ -620,3 +620,14 @@ def test_target_encode_broadcasts_category_stats(spark):
     plan = _plan(spark, "q_target_encode")
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(o_orderkey" not in plan
+
+
+def test_subquery_sql_decorrelates_all_four_forms(spark):
+    """The verbatim SQL subqueries must all decorrelate: the correlated
+    scalar count becomes an aggregate join, EXISTS and IN become semi
+    joins, and no per-row subquery (CartesianProduct over facts)
+    survives."""
+    plan = _plan(spark, "q_subquery_sql")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan           # EXISTS and/or IN
+    assert "HashAggregate" in plan      # decorrelated scalar count
