@@ -59,6 +59,7 @@ HEADLINE = [
     "q_feature_hash",
     "q_interval_coverage",
     "q_subquery_sql",
+    "q_sample_balance",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

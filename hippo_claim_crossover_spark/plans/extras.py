@@ -505,7 +505,76 @@ ORDER BY orderkey
 """
 
 
+def q_sample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-balancing resample: draw 200 documents whose
+    LANGUAGE distribution is uniform regardless of the corpus skew —
+    the up/down-sampling step that rebalances a source- or
+    language-skewed crawl before training.
+
+    Importance weights come from the data: ``w(lang) = N / (K · n_lang)``
+    (target share over observed share), computed as a broadcast
+    per-lang aggregate — then the draw is the same deterministic A-ES
+    ``u^(1/w)`` top-K as q_sample_weighted, with the content-addressed
+    md5 uniform.  Expected composition: ``K·w·n_lang/N`` = K/|langs|
+    docs per language.  One scan + one broadcast join + TakeOrdered(K);
+    no shuffle of the corpus, no RNG state.  The weight quotient is a
+    ratio of exact longs, so keys are engine-identical doubles.
+    """
+    K = 200
+    d = t(spark, sf_dir, "documents")
+    lang_n = (t(spark, sf_dir, "documents")
+              .groupBy(F.col("lang").alias("_lang"))
+              .agg(F.count(F.lit(1)).alias("n_lang")))
+    tot = (t(spark, sf_dir, "documents")
+           .agg(F.count(F.lit(1)).alias("n_tot"),
+                F.countDistinct("lang").alias("k_lang")))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(_POW60)
+    w = (F.col("n_tot").cast("double")
+         / (F.col("k_lang") * F.col("n_lang")).cast("double"))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (d.join(F.broadcast(lang_n), d.lang == F.col("_lang"))
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id", "lang", key.alias("_k"))
+            .orderBy(F.desc("_k"), F.asc("doc_id"))
+            .limit(K)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("lang"))
+
+
+ORACLE_SAMPLE_BALANCE = f"""
+WITH lang_n AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+), tot AS (
+  SELECT count(*) AS n_tot, count(DISTINCT lang) AS k_lang
+  FROM documents
+), keyed AS (
+  SELECT d.doc_id, d.lang,
+         pow((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1.0) / {1 << 60}.0,
+             1.0 / (CAST(t.n_tot AS DOUBLE)
+                    / CAST(t.k_lang * l.n_lang AS DOUBLE))) AS k
+  FROM documents d
+  JOIN lang_n l ON d.lang = l.lang
+  CROSS JOIN tot t
+), top AS (
+  SELECT doc_id, lang FROM keyed ORDER BY k DESC, doc_id LIMIT 200
+)
+SELECT lang, count(*) AS n_sampled,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM top GROUP BY lang ORDER BY lang
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_sample_balance": QuerySpec(
+        q_sample_balance, ORACLE_SAMPLE_BALANCE,
+        "distribution-balancing A-ES resample (importance weights from "
+        "broadcast group counts)"),
     "q_target_encode": QuerySpec(
         q_target_encode, ORACLE_TARGET_ENCODE,
         "leave-one-out target encoding (broadcast category stats, "

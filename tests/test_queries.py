@@ -154,3 +154,22 @@ def test_chunk_windows_cover_and_overlap(spark, sf_dir):
         last_start = (k - 1) * _STRIDE
         assert chunks[k - 1] == min(_CHUNK, n - last_start)
         assert last_start + chunks[k - 1] >= n           # full coverage
+
+
+def test_sample_balance_is_actually_balanced(spark, sf_dir):
+    """The importance-weighted draw must flatten the language skew: each
+    language's sampled share lands within a generous tolerance of the
+    uniform target (the A-ES expectation), which the corpus itself does
+    not satisfy."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    out = {r["lang"]: r["n_sampled"]
+           for r in ALL_SPECS["q_sample_balance"].fn(spark, sf_dir)
+           .collect()}
+    k = len(out)
+    total = sum(out.values())
+    target = total / k
+    # corpus shares are heavily skewed (en dominates); balanced draw
+    # should put every language within ±60% of uniform at K=200
+    for lang, n in out.items():
+        assert 0.4 * target <= n <= 1.6 * target, (lang, n, target)
