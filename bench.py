@@ -60,6 +60,7 @@ HEADLINE = [
     "q_interval_coverage",
     "q_subquery_sql",
     "q_sample_balance",
+    "q_not_in",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -468,6 +468,47 @@ def q_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SUBQUERY_SQL = _SUBQUERY_SQL
 
 
+_NOT_IN_SQL = """
+WITH neg AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT 'not_exists' AS variant, count(*) AS n_lines
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM neg WHERE neg.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'not_in_clean', count(*)
+FROM lineitem
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM neg)
+UNION ALL
+SELECT 'not_in_null_poisoned', count(*)
+FROM lineitem
+WHERE l_suppkey NOT IN (SELECT nullif(s_suppkey, s_suppkey) FROM neg)
+ORDER BY variant
+"""
+
+
+def q_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic surface: the same exclusion written as
+    NOT EXISTS, as NOT IN over a null-free subquery (equal results),
+    and as NOT IN over a null-poisoned subquery — which SQL's 3VL
+    collapses to zero rows, the classic silent-data-loss trap.
+
+    Spark plans the null-safe variants as a null-aware anti join
+    (``BroadcastHashJoin … LeftAnti … true`` — the NAAJ flag), so the
+    correct-and-fast path exists for both spellings; the oracle runs
+    the identical statement, proving the engines agree on the standard
+    semantics including the poisoned case.  Both anti joins build on
+    the tiny negative-balance side; lineitem is scanned with only the
+    suppkey column.
+    """
+    for tbl in ("lineitem", "supplier"):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(_NOT_IN_SQL)
+
+
+ORACLE_NOT_IN = _NOT_IN_SQL
+
+
 ASSOC_TOP = 20
 
 
@@ -1216,6 +1257,10 @@ SPECS: dict[str, QuerySpec] = {
         q_subquery_sql, ORACLE_SUBQUERY_SQL,
         "SQL-text subquery surface: correlated scalar + EXISTS + IN + "
         "scalar threshold, one verbatim statement"),
+    "q_not_in": QuerySpec(
+        q_not_in, ORACLE_NOT_IN,
+        "NOT IN 3VL semantics incl. null-poisoned subquery "
+        "(null-aware anti join)"),
     "q_assoc_rules": QuerySpec(q_assoc_rules, ORACLE_ASSOC_RULES,
                                "market-basket support/confidence/lift"),
     "q_histogram_eq": QuerySpec(q_histogram_eq, ORACLE_HISTOGRAM_EQ,

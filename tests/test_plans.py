@@ -631,3 +631,13 @@ def test_subquery_sql_decorrelates_all_four_forms(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan           # EXISTS and/or IN
     assert "HashAggregate" in plan      # decorrelated scalar count
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """The NOT IN variants must plan as null-aware anti joins (the NAAJ
+    flag on the broadcast LeftAnti), never a per-row subquery."""
+    plan = _plan(spark, "q_not_in")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # at least one anti join carries the NAAJ flag (trailing ", true")
+    assert ", LeftAnti, BuildRight, true" in plan
