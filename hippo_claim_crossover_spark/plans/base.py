@@ -114,6 +114,19 @@ def money_sum_sql(term_sql: str, out_scale: int = 6) -> str:
             f"AS DOUBLE) / 1e6, {out_scale})")
 
 
+def hex2long(hexstr: Column) -> Column:
+    """First 15 hex chars (typically of an md5) → non-negative BIGINT
+    (< 2^60) — the repo's content-addressed-hash primitive, shared by
+    sampling, bucketing, and feature hashing.  DuckDB mirror:
+    :func:`sql_hex2long`."""
+    return F.conv(F.substring(hexstr, 1, 15), 16, 10).cast("long")
+
+
+def sql_hex2long(expr: str) -> str:
+    """DuckDB SQL mirroring :func:`hex2long` exactly."""
+    return f"CAST(('0x' || substr({expr}, 1, 15)) AS BIGINT)"
+
+
 def duck_round(col: Column, scale: int) -> Column:
     """Spark expression reproducing DuckDB's ``round(double, s)`` bit-for-bit
     on non-negative inputs: scale the raw double, round half away from zero,

@@ -40,8 +40,10 @@ JACCARD_THRESHOLD = 0.2
 
 def _hex2long(hexstr: Column) -> Column:
     """First 15 hex chars of an md5 → non-negative BIGINT (< 2^60).
-    DuckDB mirror: CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)."""
-    return F.conv(F.substring(hexstr, 1, 15), 16, 10).cast("long")
+    DuckDB mirror: CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT).
+    Delegates to the shared primitive in plans/base."""
+    from hippo_claim_crossover_spark.plans.base import hex2long
+    return hex2long(hexstr)
 
 
 def _sql_hex2long(expr: str) -> str:

@@ -20,6 +20,8 @@ from hippo_claim_crossover_spark.operators.ranking import (
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
+    hex2long,
+    money_micros,
     money_sum,
     money_sum_sql,
     t,
@@ -464,15 +466,13 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
-    x_u = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))\
-        .cast("long")
+    x_u = money_micros(F.col("o_totalprice"))
     stats = (o.groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_cat"),
                   F.sum(x_u).alias("s_u")))
     return (o.join(F.broadcast(stats), "o_orderpriority")
-            .where(F.conv(F.substring(
-                F.md5(F.col("o_orderkey").cast("string")), 1, 15),
-                16, 10).cast("long") % 20 == 0)
+            .where(hex2long(F.md5(F.col("o_orderkey").cast("string")))
+                   % 20 == 0)
             .select(F.col("o_orderkey").alias("orderkey"),
                     F.col("o_orderpriority").alias("priority"),
                     duck_round(F.col("o_totalprice"), 2)
@@ -522,14 +522,15 @@ def q_sample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     K = 200
     d = t(spark, sf_dir, "documents")
+    # One aggregate scan serves both weight inputs: the corpus totals
+    # derive from the tiny per-lang frame, not a third corpus read.
     lang_n = (t(spark, sf_dir, "documents")
               .groupBy(F.col("lang").alias("_lang"))
-              .agg(F.count(F.lit(1)).alias("n_lang")))
-    tot = (t(spark, sf_dir, "documents")
-           .agg(F.count(F.lit(1)).alias("n_tot"),
-                F.countDistinct("lang").alias("k_lang")))
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("double")
+              .agg(F.count(F.lit(1)).alias("n_lang"))
+              .localCheckpoint(eager=False))
+    tot = lang_n.agg(F.sum("n_lang").alias("n_tot"),
+                     F.count(F.lit(1)).alias("k_lang"))
+    h = hex2long(F.md5(F.col("doc_id").cast("string"))).cast("double")
     u = (h + F.lit(1.0)) / F.lit(_POW60)
     w = (F.col("n_tot").cast("double")
          / (F.col("k_lang") * F.col("n_lang")).cast("double"))

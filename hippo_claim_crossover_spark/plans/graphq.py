@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hippo_claim_crossover_spark.plans.base import QuerySpec, duck_round, t
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec, duck_round, hex2long, t)
 
 DAMPING = 0.85
 ITERS = 2
@@ -380,15 +381,13 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.count(F.lit(1)) / 40).cast("long")).alias("_B"))
     users = (t(spark, sf_dir, "orders").select("o_custkey").distinct()
              .crossJoin(F.broadcast(b_row))
-             .withColumn("bkt", F.conv(F.substring(
-                 F.md5(F.col("o_custkey").cast("string")), 1, 15),
-                 16, 10).cast("long") % F.col("_B"))
+             .withColumn("bkt", hex2long(
+                 F.md5(F.col("o_custkey").cast("string"))) % F.col("_B"))
              .drop("_B"))
     items = (items_raw
              .crossJoin(F.broadcast(b_row))
-             .withColumn("bkt", F.conv(F.substring(
-                 F.md5(F.col("p_partkey").cast("string")), 1, 15),
-                 16, 10).cast("long") % F.col("_B"))
+             .withColumn("bkt", hex2long(
+                 F.md5(F.col("p_partkey").cast("string"))) % F.col("_B"))
              .drop("_B"))
     owned = (t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
              .join(t(spark, sf_dir, "lineitem")
@@ -398,10 +397,9 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (users.join(items, "bkt")
             .join(owned, (users.o_custkey == owned.o_custkey)
                   & (items.p_partkey == owned.l_partkey), "left_anti")
-            .withColumn("u", F.conv(F.substring(
+            .withColumn("u", hex2long(
                 F.md5(F.concat_ws(":", users.o_custkey.cast("string"),
-                                  items.p_partkey.cast("string"))),
-                1, 15), 16, 10).cast("long")))
+                                  items.p_partkey.cast("string"))))))
     from pyspark.sql import Window
     w = Window.partitionBy(users.o_custkey).orderBy("u")
     return (cand.withColumn("neg_rank", F.row_number().over(w))

@@ -299,9 +299,14 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness contract: elements are fixed-pointed to micros
     (``floor(CAST(float32 AS DOUBLE) * 1e6 + 0.5)`` — IEEE widening is
-    exact, so Spark/numpy/DuckDB agree bit-for-bit) and all products and
-    sums stay in int64, so the result is order-insensitive and
-    hash-checkable against the oracle's per-element formulation.
+    exact, so Spark/numpy/DuckDB agree bit-for-bit).  Overflow
+    discipline: the int64 kernel emits one partial Gram per ARROW BATCH
+    (≲10k rows — int64 is safe below ~5·10⁷ unit-scale rows per batch,
+    three orders of magnitude of headroom), and the cross-batch /
+    cross-partition reduction runs in DECIMAL(38,0) — the same
+    accumulator q_regr_group uses — so no sum anywhere can wrap at any
+    corpus size.  DuckDB's sum widens to HUGEINT; both engines convert
+    the identical exact integer to double once at the end.
     """
     from pyspark.sql import types as T
 
@@ -315,7 +320,7 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gram(batches):
         import numpy as np
         import pyarrow as pa
-        acc = None
+        iu = ju = None
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -324,20 +329,18 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dtype=np.float32).astype(np.float64)
             u = np.floor(x * 1e6 + 0.5).astype(np.int64).reshape(n, -1)
             g = u.T @ u
-            acc = g if acc is None else acc + g
-        if acc is None:
-            return
-        dd = acc.shape[0]
-        iu, ju = np.triu_indices(dd)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(iu.astype("int32") + 1),
-             pa.array(ju.astype("int32") + 1),
-             pa.array(acc[iu, ju])],
-            names=["i", "j", "partial"])
+            if iu is None:
+                iu, ju = np.triu_indices(g.shape[0])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(iu.astype("int32") + 1),
+                 pa.array(ju.astype("int32") + 1),
+                 pa.array(g[iu, ju])],
+                names=["i", "j", "partial"])
 
     return (d.mapInArrow(gram, out_schema)
             .groupBy("i", "j")
-            .agg(F.sum("partial").alias("g_u"))
+            .agg(F.sum(F.col("partial").cast("decimal(38,0)"))
+                 .alias("g_u"))
             .select("i", "j",
                     F.expr("floor(CAST(g_u AS DOUBLE) / 1e12 * 1e6 + 0.5) "
                            "/ 1e6").alias("gram"))

@@ -653,8 +653,12 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hippo_claim_crossover_spark.operators.ranking import global_cumsum
 
+    # NULL guard: Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST —
+    # an unguarded NULL value group would fold into every Spark CDF row
+    # but no DuckDB one. (SQL percentile/CDF semantics exclude NULLs.)
     e = (t(spark, sf_dir, "events")
-         .where(F.col("event_type").isin("click", "view"))
+         .where(F.col("event_type").isin("click", "view")
+                & F.col("value").isNotNull())
          .select("event_type", "value"))
     per_val = (e.groupBy("value")
                .agg(F.sum(F.when(F.col("event_type") == "click", 1)
@@ -682,7 +686,7 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DRIFT_KS = """
 WITH e AS (
   SELECT event_type, value FROM events
-  WHERE event_type IN ('click', 'view')
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
 ), per_val AS (
   SELECT value,
          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d1,

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
+    money_micros,
     money_sum,
     money_sum_sql,
     t,
@@ -271,9 +272,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("o_orderkey"))
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    rev_micros = F.sum(
-        F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    rev_micros = F.sum(money_micros(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))
     # Two consumers (the max scalar and the final filter) — materialize
     # the small per-supplier aggregate once so lineitem is scanned once.
     per_supp = (li.join(o, li.l_orderkey == o.o_orderkey)
@@ -325,7 +325,7 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal")
-    bal_u = F.floor(F.col("c_acctbal") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    bal_u = money_micros(F.col("c_acctbal"))
     avg_pos = (c.where(F.col("c_acctbal") > 0)
                .agg((F.sum(bal_u).cast("double") / F.lit(1e6)
                      / F.count(F.lit(1))).alias("avg_bal")))

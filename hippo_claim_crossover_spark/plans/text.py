@@ -16,6 +16,7 @@ from hippo_claim_crossover_spark.operators import text as ops_text
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
+    hex2long,
     t,
     t_wide,
 )
@@ -1169,8 +1170,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (t_wide(spark, sf_dir, "documents")
             .select("doc_id",
                     F.explode(F.split(F.col("text"), " ")).alias("tok"))
-            .withColumn("dim", F.conv(F.substring(F.md5("tok"), 1, 15),
-                                      16, 10).cast("long") % D))
+            .withColumn("dim", hex2long(F.md5("tok")) % D))
     return (toks.groupBy("dim")
             .agg(F.count(F.lit(1)).alias("total_count"),
                  F.countDistinct("tok").alias("distinct_tokens"),

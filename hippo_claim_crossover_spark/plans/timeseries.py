@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
+    money_micros,
     money_sum,
     money_sum_sql,
     t,
@@ -729,8 +730,8 @@ def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("o_orderdate") < "1997-01-01")))
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
              .agg(F.count(F.lit(1)).alias("n_orders"),
-                  F.sum(F.floor(F.col("o_totalprice") * F.lit(1e6)
-                                + F.lit(0.5)).cast("long")).alias("rev_u"))
+                  F.sum(money_micros(F.col("o_totalprice")))
+                  .alias("rev_u"))
              .withColumn("dayno", F.datediff(F.col("d"),
                                              F.lit("1995-01-01"))))
     w = (Window.orderBy("dayno").rangeBetween(-6, 0))

@@ -497,11 +497,12 @@ def test_large_orders_aggregates_before_customer_join(spark):
     rows before any join touches customer, and top-100 is TakeOrdered."""
     plan = _plan(spark, "q_large_orders")
     assert "TakeOrderedAndProject" in plan
-    agg_pos = plan.find("HashAggregate")
-    join_pos = plan.find("SortMergeJoin")
-    if join_pos == -1:
-        join_pos = plan.find("ShuffledHashJoin")
-    assert agg_pos != -1
+    # root-first rendering: the customer join prints ABOVE (before) the
+    # HAVING aggregate that feeds it — aggregate-below-join
+    join_pos = plan.find("Join")
+    agg_pos = plan.rfind("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    assert agg_pos > join_pos, "HAVING aggregate must sit below the joins"
 
 
 def test_pii_redact_is_map_only_before_rollup(spark):
