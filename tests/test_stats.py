@@ -211,3 +211,65 @@ def test_outlier_mad_matches_numpy_and_resists_outliers(spark, sf_dir):
         assert abs(mad_c - mad) <= 0.05 * abs(mad) + 1e-9
         assert abs(float(contaminated.mean()) - float(a.mean())) \
             > 0.5 * abs(float(a.mean()))
+
+
+def test_drift_ks_statistic_bounds_and_self_zero(spark, sf_dir):
+    """KS invariants: every reported gap is in [0, 1]; and the gap of a
+    sample against itself is exactly 0 (computed by rebuilding the CDF
+    machinery with the same sample on both sides)."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.operators.ranking import global_cumsum
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+    from hippo_claim_crossover_spark.plans.base import t
+
+    rows = ALL_SPECS["q_drift_ks"].fn(spark, sf_dir).collect()
+    assert rows, "KS query returned no rows"
+    for r in rows:
+        assert 0.0 <= r["ks_gap"] <= 1.0
+        assert r["c1"] <= r["n1"] and r["c2"] <= r["n2"]
+
+    # self-comparison: identical samples on both sides → D == 0
+    e = (t(spark, sf_dir, "events")
+         .where(F.col("event_type") == "click")
+         .select("value"))
+    per_val = e.groupBy("value").agg(F.count(F.lit(1)).alias("d1"))
+    per_val = per_val.withColumn("d2", F.col("d1"))
+    cum = global_cumsum(per_val, ["value"], ["d1", "d2"])
+    mx = (cum.agg(F.max(F.abs(F.col("_cum_d1") - F.col("_cum_d2"))))
+          .collect()[0][0])
+    assert mx == 0
+
+
+def test_gini_bounds_and_degenerate_zero(spark, sf_dir):
+    """Gini invariants: every segment's coefficient is in [0, 1) and the
+    top-decile share is within (0, 1]; a constant-revenue population has
+    Gini exactly 0 under the same closed form."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    rows = ALL_SPECS["q_gini"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0, r
+        assert 0.0 < r["top_decile_share"] <= 1.0, r
+        # top decile of a positive distribution holds at least its
+        # uniform share
+        assert r["top_decile_share"] >= 0.08
+    # degenerate: equal values -> (2*sum(i*x) - (n+1)*sum(x)) = 0
+    n, x = 100, 7
+    sum_x = n * x
+    sum_rx = x * n * (n + 1) // 2
+    assert 2 * sum_rx - (n + 1) * sum_x == 0
+
+
+def test_interval_coverage_bounds(spark, sf_dir):
+    """Coverage invariants: per user, merged coverage is at least one
+    interval length, at most n_events * interval length, and islands
+    never exceed events."""
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    rows = ALL_SPECS["q_interval_coverage"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_islands"] <= r["n_events"]
+        assert 300.0 <= r["covered_seconds"] <= r["n_events"] * 300.0
