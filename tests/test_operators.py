@@ -375,3 +375,108 @@ def test_salted_join_bounds_reducer_skew_zipfian(spark):
     got = sorted((r["k"], r["id"], r["payload"]) for r in
                  salted_join(big, dim, "k", salt=salt).collect())
     assert got == want
+
+
+def test_global_cumsum_matches_python_prefix_sums(spark):
+    """global_cumsum on randomized (key, a, b) rows equals the plain
+    Python inclusive prefix sums under the same ordering, across an
+    adversarial initial partitioning."""
+    import random
+
+    from hippo_claim_crossover_spark.operators.ranking import global_cumsum
+
+    rng = random.Random(20260814)
+    rows = [(float(rng.randint(0, 400)) + rng.choice([0.0, 0.5]),
+             rng.randint(0, 9), rng.randint(-5, 5))
+            for _ in range(3000)]
+    # unique order key required: aggregate duplicates first, like the
+    # KS plan does
+    agg = {}
+    for v, a, b in rows:
+        pa, pb = agg.get(v, (0, 0))
+        agg[v] = (pa + a, pb + b)
+    expect = {}
+    ca = cb = 0
+    for v in sorted(agg):
+        ca += agg[v][0]
+        cb += agg[v][1]
+        expect[v] = (ca, cb)
+
+    df = (spark.createDataFrame(rows, "v double, a long, b long")
+          .repartition(17)  # scramble the layout
+          .groupBy("v").agg(F.sum("a").alias("a"), F.sum("b").alias("b")))
+    out = global_cumsum(df, ["v"], ["a", "b"], n_partitions=7).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        assert (r["_cum_a"], r["_cum_b"]) == expect[r["v"]], r
+
+
+def test_interval_coverage_matches_bruteforce_merge(spark):
+    """The islands/coverage plan equals a brute-force Python interval
+    merge on random point events."""
+    import random
+
+    from hippo_claim_crossover_spark.plans.timeseries import (
+        q_interval_coverage,
+    )
+
+    # brute force over the real fixture: recompute per-user coverage
+    rows = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("user_id", "ts").collect())
+    GAP = 300_000_000
+    by_user = {}
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        by_user.setdefault(r["user_id"], []).append((us, us + GAP))
+    expect = {}
+    for u, ivs in by_user.items():
+        ivs.sort()
+        islands = 0
+        covered = 0
+        cur_s = cur_e = None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                islands += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        expect[u] = (len(ivs), islands, covered / 1e6)
+
+    out = q_interval_coverage(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == len(expect)
+    for r in out:
+        n, isl, cov = expect[r["user_id"]]
+        assert r["n_events"] == n
+        assert r["n_islands"] == isl
+        assert abs(r["covered_seconds"] - cov) < 1e-6, r
+
+
+def test_gini_matches_numpy_formula(spark):
+    """q_gini's closed form equals the straightforward numpy Gini on the
+    same per-customer revenue micros."""
+    import numpy as np
+
+    from hippo_claim_crossover_spark.plans.stats import q_gini
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").collect()
+    c = {r["c_custkey"]: r["c_mktsegment"]
+         for r in spark.read.parquet(f"{sf}/customer.parquet").collect()}
+    rev = {}
+    for r in o:
+        u = int(r["o_totalprice"] * 1e6 + 0.5)
+        rev[r["o_custkey"]] = rev.get(r["o_custkey"], 0) + u
+    by_seg = {}
+    for cust, u in rev.items():
+        by_seg.setdefault(c[cust], []).append(u)
+    out = {r["c_mktsegment"]: r["gini"]
+           for r in q_gini(spark, sf).collect()}
+    for seg, xs in by_seg.items():
+        x = np.sort(np.array(xs, dtype=np.float64))
+        n = len(x)
+        expected = float((2 * np.sum((np.arange(1, n + 1)) * x)
+                          - (n + 1) * np.sum(x)) / (n * np.sum(x)))
+        assert abs(out[seg] - expected) < 1e-4, (seg, out[seg], expected)
