@@ -61,6 +61,7 @@ HEADLINE = [
     "q_subquery_sql",
     "q_sample_balance",
     "q_not_in",
+    "q_export_pipeline",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

@@ -1194,7 +1194,125 @@ FROM h GROUP BY dim ORDER BY dim
 """
 
 
+def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-export pipeline chaining the round-6 ops:
+    Gopher quality filter → PII scrub → language-balanced A-ES sample
+    → packing report.  The third declared composite (after curation and
+    RAG-prep), covering the export path: what actually ships to the
+    trainer and how many sequences it packs into.
+
+    Stage shapes (each audited standalone by its parent query):
+    1. quality filter — row-local rule expressions inside the scan;
+    2. scrub — regex counts + redaction, row-local (the deterministic
+       doc_id-derived contact trailer stands in for real dirty text);
+    3. balance — importance weights from the SURVIVOR language counts
+       (broadcast), content-addressed A-ES top-100 via TakeOrdered;
+    4. pack — per-language doc/token totals and ceil(tokens/512)
+       packed-sequence counts, exact integer arithmetic.
+    One corpus scan feeds stages 1–3; the only wide shuffle is the
+    5-key final aggregate.  Every ratio rides duck_round and every
+    count is exact, so the 4-stage composite stays hash-checkable.
+    """
+    K = 100
+    d = t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = duck_round((F.length("text") - (n - F.lit(1)))
+                          .cast("double") / n, 4)
+    distinct_ratio = duck_round(
+        F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    survivors = (d
+                 .withColumn("n_tokens", n)
+                 .where((F.col("n_tokens") >= 50)
+                        & (F.col("n_tokens") <= 100000)
+                        & (mean_len >= 3.0) & (mean_len <= 10.0)
+                        & (distinct_ratio >= 0.2))
+                 .localCheckpoint(eager=False))
+    contact = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example."),
+        F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+                     (F.col("doc_id") % 3 + 1).cast("int")))
+    full = F.concat(F.col("text"), contact)
+    scrubbed = survivors.withColumn(
+        "n_pii", F.size(F.regexp_extract_all(full, F.lit(_EMAIL_PAT),
+                                             F.lit(0))))
+    lang_n = (survivors.groupBy(F.col("lang").alias("_lang"))
+              .agg(F.count(F.lit(1)).alias("n_lang")))
+    tot = lang_n.agg(F.sum("n_lang").alias("n_tot"),
+                     F.count(F.lit(1)).alias("k_lang"))
+    h = hex2long(F.md5(F.col("doc_id").cast("string"))).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
+    w = (F.col("n_tot").cast("double")
+         / (F.col("k_lang") * F.col("n_lang")).cast("double"))
+    key = F.pow(u, F.lit(1.0) / w)
+    sampled = (scrubbed
+               .join(F.broadcast(lang_n), scrubbed.lang == F.col("_lang"))
+               .crossJoin(F.broadcast(tot))
+               .select("doc_id", "lang", "n_tokens", "n_pii",
+                       key.alias("_k"))
+               .orderBy(F.desc("_k"), F.asc("doc_id"))
+               .limit(K))
+    return (sampled.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.floor((F.sum("n_tokens") + 511) / 512).cast("long")
+                 .alias("n_sequences"),
+                 F.sum("n_pii").alias("pii_hits"))
+            .orderBy("lang"))
+
+
+ORACLE_EXPORT_PIPELINE = r"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         floor((CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                AS DOUBLE) / len(string_split(text, ' '))) * 1e4 + 0.5)
+           / 1e4 AS mwl,
+         floor((CAST(len(list_distinct(string_split(text, ' ')))
+                AS DOUBLE) / len(string_split(text, ' '))) * 1e4 + 0.5)
+           / 1e4 AS dr
+  FROM documents
+), survivors AS (
+  SELECT * FROM m
+  WHERE n_tokens >= 50 AND n_tokens <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0 AND dr >= 0.2
+), scrubbed AS (
+  SELECT doc_id, lang, n_tokens,
+         len(regexp_extract_all(
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.' || (['com','org','net'])[(doc_id % 3) + 1],
+           '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_pii
+  FROM survivors
+), lang_n AS (
+  SELECT lang, count(*) AS n_lang FROM survivors GROUP BY lang
+), tot AS (
+  SELECT sum(n_lang) AS n_tot, count(*) AS k_lang FROM lang_n
+), keyed AS (
+  SELECT s.doc_id, s.lang, s.n_tokens, s.n_pii,
+         pow((CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1.0) / 1152921504606846976.0,
+             1.0 / (CAST(t.n_tot AS DOUBLE)
+                    / CAST(t.k_lang * l.n_lang AS DOUBLE))) AS k
+  FROM scrubbed s
+  JOIN lang_n l ON s.lang = l.lang
+  CROSS JOIN tot t
+), top AS (
+  SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(floor((sum(n_tokens) + 511) / 512) AS BIGINT) AS n_sequences,
+       CAST(sum(n_pii) AS BIGINT) AS pii_hits
+FROM top GROUP BY lang ORDER BY lang
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_export_pipeline": QuerySpec(
+        q_export_pipeline, ORACLE_EXPORT_PIPELINE,
+        "composite export pipeline: quality filter -> PII scrub -> "
+        "balanced sample -> packing report"),
     "q_feature_hash": QuerySpec(
         q_feature_hash, ORACLE_FEATURE_HASH,
         "hashing-trick featurizer profile (md5 mod D, no vocabulary "

@@ -642,3 +642,14 @@ def test_not_in_plans_null_aware_anti_join(spark):
     assert "CartesianProduct" not in plan
     # at least one anti join carries the NAAJ flag (trailing ", true")
     assert ", LeftAnti, BuildRight, true" in plan
+
+
+def test_export_pipeline_single_corpus_scan_feeds_filter_chain(spark):
+    """The export composite must scan documents ONCE for the
+    filter+scrub+sample chain (the survivor set is checkpointed for its
+    two consumers), and the A-ES draw must be TakeOrdered."""
+    plan = _plan(spark, "q_export_pipeline")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # survivors materialized once: downstream reads ExistingRDD scans
+    assert plan.count("Scan ExistingRDD") >= 2
