@@ -127,6 +127,18 @@ def sql_hex2long(expr: str) -> str:
     return f"CAST(('0x' || substr({expr}, 1, 15)) AS BIGINT)"
 
 
+def aes_key(id_col: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis A-ES sampling key ``u^(1/w)`` with a
+    CONTENT-ADDRESSED uniform ``u = (md5_prefix + 1) / 16^15`` — the
+    deterministic weighted-draw primitive shared by the weighted /
+    balanced samplers and the export composite.  Rank descending and
+    take K for a without-replacement weighted sample whose membership
+    depends only on the key, never on partitioning, run, or engine."""
+    h = hex2long(F.md5(id_col.cast("string"))).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
+    return F.pow(u, F.lit(1.0) / weight)
+
+
 def duck_round(col: Column, scale: int) -> Column:
     """Spark expression reproducing DuckDB's ``round(double, s)`` bit-for-bit
     on non-negative inputs: scale the raw double, round half away from zero,

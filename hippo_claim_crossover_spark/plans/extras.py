@@ -530,11 +530,10 @@ def q_sample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
               .localCheckpoint(eager=False))
     tot = lang_n.agg(F.sum("n_lang").alias("n_tot"),
                      F.count(F.lit(1)).alias("k_lang"))
-    h = hex2long(F.md5(F.col("doc_id").cast("string"))).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(_POW60)
+    from hippo_claim_crossover_spark.plans.base import aes_key
     w = (F.col("n_tot").cast("double")
          / (F.col("k_lang") * F.col("n_lang")).cast("double"))
-    key = F.pow(u, F.lit(1.0) / w)
+    key = aes_key(F.col("doc_id"), w)
     return (d.join(F.broadcast(lang_n), d.lang == F.col("_lang"))
             .crossJoin(F.broadcast(tot))
             .select("doc_id", "lang", key.alias("_k"))

@@ -804,6 +804,20 @@ FROM c
 """
 
 
+def _gopher_metrics():
+    """The Gopher quality-rule metric columns over ``text`` —
+    (n_tokens, mean_word_len, distinct_ratio), duck_rounded — shared by
+    q_text_gopher and the export composite so the thresholds and the
+    exact ratio expressions cannot drift apart."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = duck_round((F.length("text") - (n - F.lit(1)))
+                          .cast("double") / n, 4)
+    distinct_ratio = duck_round(
+        F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    return n, mean_len, distinct_ratio
+
+
 def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality-rule filter: the published pretraining-data
     heuristics as one row-local expression — token-count bounds, mean
@@ -819,12 +833,7 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hippo_claim_crossover_spark.plans.base import duck_round
 
     d = t_wide(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    mean_len = duck_round((F.length("text") - (n - F.lit(1)))
-                          .cast("double") / n, 4)
-    distinct_ratio = duck_round(
-        F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    n, mean_len, distinct_ratio = _gopher_metrics()
     out = (
         d.select("doc_id", n.alias("n_tokens"),
                  mean_len.alias("mean_word_len"),
@@ -1011,6 +1020,24 @@ GROUP BY t.doc_id, w.topic
 """
 
 
+def _contact_trailer(with_phone: bool = True):
+    """Deterministic doc_id-derived contact trailer (the reproducible
+    stand-in for the dirty column a real crawl carries) — shared by
+    q_pii_redact and the export composite."""
+    email = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example."),
+        F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+                     (F.col("doc_id") % 3 + 1).cast("int")))
+    if not with_phone:
+        return email
+    return F.concat(
+        email, F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+
+
 _EMAIL_PAT = r"[a-z0-9]+@[a-z]+\.[a-z]+"
 _PHONE_PAT = r"\d{3}-\d{3}-\d{4}"
 
@@ -1032,16 +1059,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single map-side pass (the shape of every real PII pipeline).
     """
     d = t_wide(spark, sf_dir, "documents")
-    contact = F.concat(
-        F.lit(" contact user"), F.col("doc_id").cast("string"),
-        F.lit("@example."),
-        F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
-                     (F.col("doc_id") % 3 + 1).cast("int")),
-        F.lit(" tel 555-"),
-        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
-        F.lit("-"),
-        F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
-    full = F.concat(F.col("text"), contact)
+    full = F.concat(F.col("text"), _contact_trailer(with_phone=True))
     redacted = F.regexp_replace(
         F.regexp_replace(full, F.lit(_EMAIL_PAT), F.lit("<EMAIL>")),
         F.lit(_PHONE_PAT), F.lit("<PHONE>"))
@@ -1201,26 +1219,27 @@ def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAG-prep), covering the export path: what actually ships to the
     trainer and how many sequences it packs into.
 
-    Stage shapes (each audited standalone by its parent query):
+    Stage shapes (the filter/trailer/A-ES expressions are the SHARED
+    helpers the parent queries use — _gopher_metrics, _contact_trailer,
+    base.aes_key — so composite and parents cannot drift apart):
     1. quality filter — row-local rule expressions inside the scan;
-    2. scrub — regex counts + redaction, row-local (the deterministic
-       doc_id-derived contact trailer stands in for real dirty text);
-    3. balance — importance weights from the SURVIVOR language counts
+    2. balance — importance weights from the SURVIVOR language counts
        (broadcast), content-addressed A-ES top-100 via TakeOrdered;
+    3. scrub report — regex PII counts on the 100 SAMPLED rows only
+       (n_pii is row-local and key-independent, so scoring after the
+       TakeOrdered touches 100 rows, not the survivor corpus;
+       full-corpus scrubbing is q_pii_redact's job);
     4. pack — per-language doc/token totals and ceil(tokens/512)
        packed-sequence counts, exact integer arithmetic.
-    One corpus scan feeds stages 1–3; the only wide shuffle is the
-    5-key final aggregate.  Every ratio rides duck_round and every
+    One corpus scan feeds the whole chain; the only wide shuffle is
+    the 5-key final aggregate.  Every ratio rides duck_round and every
     count is exact, so the 4-stage composite stays hash-checkable.
     """
+    from hippo_claim_crossover_spark.plans.base import aes_key
+
     K = 100
     d = t_wide(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    mean_len = duck_round((F.length("text") - (n - F.lit(1)))
-                          .cast("double") / n, 4)
-    distinct_ratio = duck_round(
-        F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    n, mean_len, distinct_ratio = _gopher_metrics()
     survivors = (d
                  .withColumn("n_tokens", n)
                  .where((F.col("n_tokens") >= 50)
@@ -1228,32 +1247,28 @@ def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (mean_len >= 3.0) & (mean_len <= 10.0)
                         & (distinct_ratio >= 0.2))
                  .localCheckpoint(eager=False))
-    contact = F.concat(
-        F.lit(" contact user"), F.col("doc_id").cast("string"),
-        F.lit("@example."),
-        F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
-                     (F.col("doc_id") % 3 + 1).cast("int")))
-    full = F.concat(F.col("text"), contact)
-    scrubbed = survivors.withColumn(
-        "n_pii", F.size(F.regexp_extract_all(full, F.lit(_EMAIL_PAT),
-                                             F.lit(0))))
     lang_n = (survivors.groupBy(F.col("lang").alias("_lang"))
               .agg(F.count(F.lit(1)).alias("n_lang")))
     tot = lang_n.agg(F.sum("n_lang").alias("n_tot"),
                      F.count(F.lit(1)).alias("k_lang"))
-    h = hex2long(F.md5(F.col("doc_id").cast("string"))).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
     w = (F.col("n_tot").cast("double")
          / (F.col("k_lang") * F.col("n_lang")).cast("double"))
-    key = F.pow(u, F.lit(1.0) / w)
-    sampled = (scrubbed
-               .join(F.broadcast(lang_n), scrubbed.lang == F.col("_lang"))
+    sampled = (survivors
+               .join(F.broadcast(lang_n), survivors.lang == F.col("_lang"))
                .crossJoin(F.broadcast(tot))
-               .select("doc_id", "lang", "n_tokens", "n_pii",
-                       key.alias("_k"))
+               .select("doc_id", "lang", "text", "n_tokens",
+                       aes_key(F.col("doc_id"), w).alias("_k"))
                .orderBy(F.desc("_k"), F.asc("doc_id"))
                .limit(K))
-    return (sampled.groupBy("lang")
+    # the scrub report runs on the SAMPLED rows only — n_pii is
+    # row-local and independent of the draw key, so scoring it after
+    # the TakeOrdered touches 100 rows instead of the whole survivor
+    # corpus (a full-corpus scrub is q_pii_redact's job)
+    full = F.concat(F.col("text"), _contact_trailer(with_phone=False))
+    scrubbed = sampled.withColumn(
+        "n_pii", F.size(F.regexp_extract_all(full, F.lit(_EMAIL_PAT),
+                                             F.lit(0))))
+    return (scrubbed.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.floor((F.sum("n_tokens") + 511) / 512).cast("long")

@@ -411,7 +411,7 @@ def test_global_cumsum_matches_python_prefix_sums(spark):
         assert (r["_cum_a"], r["_cum_b"]) == expect[r["v"]], r
 
 
-def test_interval_coverage_matches_bruteforce_merge(spark):
+def test_interval_coverage_matches_bruteforce_merge(spark, sf_dir):
     """The islands/coverage plan equals a brute-force Python interval
     merge on random point events."""
     import random
@@ -421,7 +421,7 @@ def test_interval_coverage_matches_bruteforce_merge(spark):
     )
 
     # brute force over the real fixture: recompute per-user coverage
-    rows = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
             .select("user_id", "ts").collect())
     GAP = 300_000_000
     by_user = {}
@@ -445,7 +445,7 @@ def test_interval_coverage_matches_bruteforce_merge(spark):
         covered += cur_e - cur_s
         expect[u] = (len(ivs), islands, covered / 1e6)
 
-    out = q_interval_coverage(spark, "/root/testdata/sf0.001").collect()
+    out = q_interval_coverage(spark, sf_dir).collect()
     assert len(out) == len(expect)
     for r in out:
         n, isl, cov = expect[r["user_id"]]
@@ -454,14 +454,14 @@ def test_interval_coverage_matches_bruteforce_merge(spark):
         assert abs(r["covered_seconds"] - cov) < 1e-6, r
 
 
-def test_gini_matches_numpy_formula(spark):
+def test_gini_matches_numpy_formula(spark, sf_dir):
     """q_gini's closed form equals the straightforward numpy Gini on the
     same per-customer revenue micros."""
     import numpy as np
 
     from hippo_claim_crossover_spark.plans.stats import q_gini
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     o = spark.read.parquet(f"{sf}/orders.parquet").collect()
     c = {r["c_custkey"]: r["c_mktsegment"]
          for r in spark.read.parquet(f"{sf}/customer.parquet").collect()}

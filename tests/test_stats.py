@@ -252,9 +252,9 @@ def test_gini_bounds_and_degenerate_zero(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["gini"] < 1.0, r
         assert 0.0 < r["top_decile_share"] <= 1.0, r
-        # top decile of a positive distribution holds at least its
-        # uniform share
-        assert r["top_decile_share"] >= 0.08
+        # exact guaranteed lower bound for a positive distribution:
+        # the floor(n/10) top customers hold >= their uniform share
+        assert r["top_decile_share"] >= (r["n"] // 10) / r["n"] - 1e-9, r
     # degenerate: equal values -> (2*sum(i*x) - (n+1)*sum(x)) = 0
     n, x = 100, 7
     sum_x = n * x

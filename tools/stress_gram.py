@@ -3,15 +3,16 @@
 Usage: python tools/stress_gram.py [n_rows] [dim]   (default 500k, 64)
 
 Builds a synthetic embedding table (deterministic per-row values — no
-RNG state) and times the q_embed_gram kernel shape at 10-1000× the
-fixture row count, verifying:
+RNG state) and, at n and n/4 rows:
 
-- wall time scales ~linearly with rows (the kernel is one pass);
-- the shuffle after the kernel carries ≤ d(d+1)/2 cells per Arrow batch
-  regardless of n (read off the plan / row counts);
-- the DECIMAL(38,0) reduction equals an int64-at-this-scale reference
-  computed with numpy on the same data, so the overflow-safe path is
-  value-checked, not just type-checked.
+- times the q_embed_gram kernel shape at each scale (compare the two
+  cold timings to judge linearity — shuffle reuse makes a same-size
+  second run trivially fast, so same-size repeats are NOT comparable);
+- asserts the post-kernel output is exactly d(d+1)/2 cells at BOTH
+  scales (the shuffle is row-count-independent);
+- value-checks the DECIMAL(38,0) reduction against an int64 numpy
+  reference on the same fixed-point data (min(20k, n) rows), so the
+  overflow-safe path is checked by value, not just by type.
 """
 
 from __future__ import annotations
@@ -70,19 +71,24 @@ def main() -> None:
                  pa.array(g[iu, ju])],
                 names=["i", "j", "partial"])
 
-    plan = (emb.select("embedding").mapInArrow(gram, out_schema)
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("partial").cast("decimal(38,0)"))
-                 .alias("g_u")))
-    for trial in range(2):
+    for n_run in (n // 4, n):
+        run = base.limit(n_run).select(
+            F.col("id"),
+            F.expr(f"transform(sequence(1, {d}), "
+                   "i -> CAST(sin(CAST(id AS DOUBLE) * i) * 0.3 AS "
+                   "FLOAT))").alias("embedding"))
+        plan = (run.select("embedding").mapInArrow(gram, out_schema)
+                .groupBy("i", "j")
+                .agg(F.sum(F.col("partial").cast("decimal(38,0)"))
+                     .alias("g_u")))
         t0 = time.time()
         rows = plan.collect()
         dt = time.time() - t0
-        print(f"gram n={n} d={d} trial{trial}: {dt:.2f}s "
-              f"cells={len(rows)}")
+        assert len(rows) == d * (d + 1) // 2, len(rows)
+        print(f"gram n={n_run} d={d}: {dt:.2f}s cells={len(rows)}")
 
     # value check on a small slice vs numpy (same fixed-point math)
-    small = 20_000
+    small = min(20_000, n)
     ids = np.arange(small, dtype=np.float64).reshape(-1, 1)
     x = np.sin(ids * np.arange(1, d + 1)) * 0.3
     u = np.floor(x.astype(np.float32).astype(np.float64) * 1e6
