@@ -62,6 +62,7 @@ HEADLINE = [
     "q_sample_balance",
     "q_not_in",
     "q_export_pipeline",
+    "q_join_setsim",
     "q_crossover",
     "q_udaf",
     "q_udf_arrow",

