@@ -1217,9 +1217,9 @@ WITH a AS (
   FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 )
 SELECT status, count(*) AS n_customers,
-       sum(n96) AS orders_1996,
+       CAST(sum(n96) AS BIGINT) AS orders_1996,
        CAST(sum(r96_u) AS DOUBLE) / 1e6 AS rev_1996,
-       sum(n97) AS orders_1997,
+       CAST(sum(n97) AS BIGINT) AS orders_1997,
        CAST(sum(r97_u) AS DOUBLE) / 1e6 AS rev_1997
 FROM j GROUP BY status ORDER BY status
 """

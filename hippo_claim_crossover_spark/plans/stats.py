@@ -623,10 +623,10 @@ WITH pcts AS (
 SELECT l_returnflag, count(*) AS n_rows,
        floor(min(p05) * 1e4 + 0.5) / 1e4 AS p05,
        floor(min(p95) * 1e4 + 0.5) / 1e4 AS p95,
-       sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
-         AS n_clip_lo,
-       sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
-         AS n_clip_hi,
+       CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_hi,
        floor(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
                   AS DOUBLE) / 1e6 / count(*) * 1e4 + 0.5) / 1e4
          AS mean_raw,
@@ -702,7 +702,9 @@ WITH e AS (
          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
   FROM e
 )
-SELECT value, n1, n2, c1, c2,
+SELECT value,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
        floor(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
              * 1e6 + 0.5) / 1e6 AS ks_gap
 FROM cum, n

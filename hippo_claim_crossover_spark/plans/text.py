@@ -382,7 +382,7 @@ WITH tok AS (
          sum(c * c) AS s2
   FROM cw GROUP BY source
 )
-SELECT source, n_tokens, n_types,
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
        floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
              * 1e6 + 0.5) / 1e6 AS ttr,
        floor((1.0 - CAST(s2 AS DOUBLE)
@@ -513,7 +513,8 @@ WITH w AS (
   SELECT source, count(*) AS n_unique, sum(n_toks) AS surviving_tokens
   FROM surv GROUP BY source
 )
-SELECT source, n_chunks, n_unique, surviving_tokens,
+SELECT source, n_chunks, n_unique,
+       CAST(surviving_tokens AS BIGINT) AS surviving_tokens,
        floor((1.0 - CAST(n_unique AS DOUBLE)
               / CAST(n_chunks AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_rate
 FROM totals JOIN owned USING (source)
@@ -1100,9 +1101,9 @@ WITH full_t AS (
   FROM full_t
 )
 SELECT source, count(*) AS n_docs,
-       sum(n_emails) AS emails_found,
-       sum(n_phones) AS phones_found,
-       sum(delta) AS chars_removed
+       CAST(sum(n_emails) AS BIGINT) AS emails_found,
+       CAST(sum(n_phones) AS BIGINT) AS phones_found,
+       CAST(sum(delta) AS BIGINT) AS chars_removed
 FROM m GROUP BY source ORDER BY source
 """
 

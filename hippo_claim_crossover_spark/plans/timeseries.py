@@ -772,7 +772,7 @@ WITH daily AS (
 )
 SELECT strftime(d, '%Y-%m-%d') AS day, n_orders,
        CAST(rev_u AS DOUBLE) / 1e6 AS day_rev,
-       roll_orders,
+       CAST(roll_orders AS BIGINT) AS roll_orders,
        CAST(roll_rev_u AS DOUBLE) / 1e6 AS rolling_7d_rev
 FROM r WHERE d >= DATE '1996-01-01' ORDER BY day
 """
@@ -843,7 +843,8 @@ WITH iv AS (
          count(*) AS n_events
   FROM isl GROUP BY user_id, island
 )
-SELECT user_id, sum(n_events) AS n_events, count(*) AS n_islands,
+SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+       count(*) AS n_islands,
        CAST(sum(i_end - i_start) AS DOUBLE) / 1e6 AS covered_seconds
 FROM merged GROUP BY user_id ORDER BY user_id
 """

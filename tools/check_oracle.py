@@ -46,11 +46,51 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def canon_dtype(dtype) -> str:
+    """Canonical dtype label for the cross-engine strict-type check.
+
+    The driver's hash compares TYPED values, so ``1`` (int64) and ``1.0``
+    (float64) mismatch even when numerically equal — an uncast DuckDB
+    ``SUM(BIGINT)`` (HUGEINT → float64 in pandas) against a Spark long is
+    exactly the drift class that shipped 8 driver-red queries in r6/r7.
+    Canonicalization is deliberately minimal:
+
+    - integer widths collapse (int8..int64, unsigned included) — the
+      driver hashes the Python value (``.item()``), so ``int32(5)`` and
+      ``int64(5)`` hash identically; 18 driver-GREEN queries carry an
+      int32/int64 width split (Spark rank() is int32, DuckDB's is int64).
+    - float widths collapse (float32/float64) for the same reason.
+    - datetime64 units (ns/us/ms) collapse — Spark emits [ns] / [us]
+      depending on Arrow config, DuckDB [us]; same instant either way.
+    - pandas extension strings (``string[pyarrow]``) collapse to object.
+
+    int-kind vs float-kind does NOT collapse: ``1`` and ``1.0`` hash
+    differently, and that is the drift class this gate exists to catch.
+    """
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    if s in ("string", "large_string[pyarrow]") or s.startswith("string["):
+        return "object"
+    kind = getattr(dtype, "kind", None)
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    return s
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(f"columns differ: spark={sorted(spark_df.columns)} "
                         f"duck={sorted(duck_df.columns)}")
+        return problems
+    for c in sorted(spark_df.columns):
+        sa, da = canon_dtype(spark_df[c].dtype), canon_dtype(duck_df[c].dtype)
+        if sa != da:
+            problems.append(f"col {c}: dtype differs: spark={sa} duck={da}")
+    if problems:
         return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"row count differs: spark={len(spark_df)} "
