@@ -48,6 +48,9 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
+    # -- round 8: formerly rows-only approximate ops converted to
+    # deterministic-verdict oracles (exact side + band booleans) --
+    "q_dedup_near", "q_sample_stratified", "q_hll_sketch", "q_mm_decode",
     # -- round 6 (late): newly declared correlated-subquery family,
     # PII scrub, repetition signal --
     "q_small_qty", "q_large_orders", "q_disjunctive", "q_promo_share",
@@ -70,9 +73,8 @@ GATE_ORDER = [
     # the r5 verdict's item #3) --
     "q_agg_multi", "q_approx_cd",
     "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way",
-    "q_case_dict", "q_case_multi",
-    "q_case_struct", "q_cast",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
     "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed",
     "q_join_range", "q_join_salted", "q_range_ends",
@@ -90,10 +92,10 @@ GATE_ORDER = [
     # next rotation cohort) --
     "q_dedup_lshband", "q_dedup_simhash",
     "q_text_tfidf", "q_explode", "q_explode_nested", "q_unpivot",
-    "q_dedup_near", "q_filter_eq", "q_filter_notnull",
+    "q_filter_eq", "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
-    "q_mm_decode", "q_mm_meta", "q_parent_denorm", "q_project_rename",
-    "q_sample_hash", "q_sample_stratified", "q_stream_late",
+    "q_mm_meta", "q_parent_denorm", "q_project_rename",
+    "q_sample_hash", "q_stream_late",
     "q_text_fingerprint", "q_text_langid",
     "q_text_tokcount", "q_text_tokens",
     # -- green driver row in r4, code unchanged since --
@@ -114,7 +116,7 @@ GATE_ORDER = [
     "q_regr_group", "q_outlier_zscore", "q_drift_chi2", "q_sessionize",
     "q_snapshot_diff", "q_returned_items", "q_transpose", "q_sql_udf",
     "q_lateral_join", "q_bpe_merges", "q_postings", "q_shuffle_shards",
-    "q_transitions", "q_skew_profile", "q_hll_sketch", "q_skyline",
+    "q_transitions", "q_skew_profile", "q_skyline",
     "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
     "q_curation_pipeline", "q_src_metadata", "q_matmul",
     "q_explode_outer", "q_calendar", "q_graph_bfs", "q_recommend",

@@ -474,7 +474,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-set MinHash buckets collided into ~12M candidate pairs (80s at
     sf0.1) while shingle sets are discriminative (256 pairs, 6s). Same
     lesson at 100 TB: LSH recall/cost is set by the feature granularity,
-    not just the table count."""
+    not just the table count.
+
+    Deterministic-verdict output (the seeded hash family's candidate set
+    is engine-specific, so the pairs themselves never appear): ONE row
+    with the exact near-dup pair count (the deterministic n-gram Jaccard
+    detector, the floor the LSH must recall), how many of those exact
+    pairs the LSH candidate set MISSED, and the full-recall boolean.
+    The oracle computes the exact pair count in SQL and asserts
+    0-missed/TRUE — a recall regression (seed drift, feature-granularity
+    change, banding bug) fails the driver's hash."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = t_wide(spark, sf_dir, "documents")
@@ -488,12 +497,45 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                      numHashTables=4, seed=42)
     model = lsh.fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
-    return (
+    found = (
         joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(F.col("datasetA.doc_id").alias("doc_a"),
-                F.col("datasetB.doc_id").alias("doc_b"),
-                F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"))
+                F.col("datasetB.doc_id").alias("doc_b"))
     )
+    exact = (
+        ops_dedup.ngram_jaccard_pairs(d, "doc_id", "text", NGRAM,
+                                      JACCARD_THRESHOLD)
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+        .select("doc_a", "doc_b")
+    )
+    missed = exact.join(found, ["doc_a", "doc_b"], "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
+        .select("n_exact_pairs", "n_missed",
+                (F.col("n_missed") == 0).alias("full_recall"))
+    )
+
+
+ORACLE_DEDUP_NEAR = f"""
+WITH sh AS (
+  SELECT doc_id, len({_SQL_SHINGLES}) AS n_sh,
+         unnest({_SQL_SHINGLES}) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {NGRAM}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT count(*) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS n_missed,
+       TRUE AS full_recall
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4)
+      >= {JACCARD_THRESHOLD}
+"""
 
 
 EVAL_SOURCE = "src0"
@@ -974,8 +1016,10 @@ SPECS: dict[str, QuerySpec] = {
         "SimHash hamming-banded near-dup pairs"),
     "q_dedup_embed": QuerySpec(q_dedup_embed, ORACLE_DEDUP_EMBED,
                                "blocked cosine near-dup"),
-    "q_dedup_near": QuerySpec(q_dedup_near, None,
-                              "ml MinHashLSH approxSimilarityJoin"),
+    "q_dedup_near": QuerySpec(
+        q_dedup_near, ORACLE_DEDUP_NEAR,
+        "ml MinHashLSH approxSimilarityJoin (deterministic verdict: "
+        "exact pair count + recall-floor booleans)"),
     "q_decontaminate": QuerySpec(q_decontaminate, ORACLE_DECONTAMINATE,
                                  "eval-vs-train n-gram decontamination"),
 }

@@ -78,19 +78,64 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch sibling of q_percentile: ``approx_percentile`` (KLL-style
     bounded-memory quantile sketch, accuracy knob 10000) in ONE
     partial/final aggregate pass — the 100 TB path when a single shuffle
-    matters more than exactness. Engine-specific sketch ⇒ rows-only
-    driver check; the quantitative invariant (each approx value within
-    the exact neighborhood) is unit-tested against q_percentile."""
+    matters more than exactness.
+
+    Deterministic-verdict output: the sketch values are engine-specific,
+    so the result carries the EXACT percentiles (same distributed
+    rank-and-interpolate as q_percentile — the hash-proven machinery)
+    plus one boolean asserting every sketch value landed within ±5%
+    relative of its exact counterpart (accuracy 10000 ⇒ rank error
+    ≤ n·1e-4, far inside the band on any non-degenerate distribution).
+    The oracle computes the exact side and a constant TRUE, so an
+    out-of-band sketch fails the driver's hash."""
     li = t(spark, sf_dir, "lineitem")
-    return (
+    approx = (
         li.groupBy("l_returnflag")
         .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
-             .alias("p50_price"),
+             .alias("_a50"),
              F.percentile_approx("l_extendedprice", 0.95, 10000)
-             .alias("p95_price"),
+             .alias("_a95"),
              F.percentile_approx("l_quantity", 0.5, 10000)
+             .alias("_amed"))
+    )
+    melted = li.select(
+        "l_returnflag",
+        F.expr("stack(2, 'price', l_extendedprice, 'units', l_quantity)"
+               " AS (_metric, _v)"))
+    res = grouped_exact_percentiles(
+        melted, ["l_returnflag", "_metric"], "_v", [0.5, 0.95])
+    is_price = F.col("_metric") == "price"
+    p_idx = F.col("_p_idx")
+    exact = (
+        res.groupBy("l_returnflag")
+        .agg(F.max(F.when(is_price & (p_idx == 0), F.col("value")))
+             .alias("p50_price"),
+             F.max(F.when(is_price & (p_idx == 1), F.col("value")))
+             .alias("p95_price"),
+             F.max(F.when(~is_price & (p_idx == 0), F.col("value")))
              .alias("median_units"))
     )
+
+    def _band(a, e):
+        return F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e))
+
+    return (
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select("l_returnflag", "p50_price", "p95_price", "median_units",
+                (_band("_a50", "p50_price") & _band("_a95", "p95_price")
+                 & _band("_amed", "median_units"))
+                .alias("sketch_within_5pct"))
+    )
+
+
+ORACLE_PERCENTILE_APPROX = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       median(l_quantity) AS median_units,
+       TRUE AS sketch_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,17 +201,51 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) 
 """
 
 
+_STRATA_FRACTIONS = {"A": 0.05, "N": 0.10, "R": 0.05}
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum Bernoulli sampling (``sampleBy``) — balances class
-    proportions when building training subsets. Engine-specific RNG ⇒
-    rows-only driver check; determinism-per-seed is unit-tested instead."""
+    proportions when building training subsets.
+
+    Deterministic-verdict output: the sampled row count is
+    engine-specific RNG, so each stratum emits its EXACT population,
+    the requested fraction, and a boolean asserting the realized count
+    sits within the 6σ binomial band |k − f·n| ≤ 6·√(f·(1−f)·n) + 1
+    (per-seed deterministic, so the boolean is stable run to run; a
+    broken sampler — wrong stratum routing, fraction drift — flips it
+    and fails the driver's hash). The oracle computes populations and
+    fractions exactly, verdicts as TRUE."""
     li = t(spark, sf_dir, "lineitem")
-    fractions = {"A": 0.05, "N": 0.10, "R": 0.05}
-    return (
-        li.sampleBy("l_returnflag", fractions, seed=42)
+    pop = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n_population")))
+    sampled = (
+        li.sampleBy("l_returnflag", _STRATA_FRACTIONS, seed=42)
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .agg(F.count(F.lit(1)).alias("_n_sampled"))
     )
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _STRATA_FRACTIONS.items()
+                       for x in kv]),
+        F.col("l_returnflag"))
+    return (
+        pop.join(F.broadcast(sampled), "l_returnflag")
+        .select("l_returnflag", "n_population",
+                frac.alias("fraction"),
+                (F.abs(F.col("_n_sampled") - frac * F.col("n_population"))
+                 <= 6 * F.sqrt(frac * (1 - frac) * F.col("n_population"))
+                 + 1).alias("within_binomial_band"))
+    )
+
+
+_STRATA_FRAC_SQL = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRATA_FRACTIONS.items())
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT l_returnflag, count(*) AS n_population,
+       CASE l_returnflag {_STRATA_FRAC_SQL} END AS fraction,
+       TRUE AS within_binomial_band
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 _WSAMPLE_K = 100
@@ -423,11 +502,19 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch partials are tiny persistent state (≤ a few KB per group)
     that roll up into weekly/monthly/all-time distincts without ever
     re-scanning history — the sketch analogue of q_incr_agg's exact
-    partial-merge. The merged estimate must equal the one-shot estimate
-    bit-for-bit (same library, same lgK, union of exact partials), which
-    the unit test asserts; the driver check is rows-only because sketch
-    internals are engine-specific (DuckDB has no DataSketches HLL).
-    """
+    partial-merge.
+
+    Deterministic-verdict output (sketch internals are engine-specific;
+    DuckDB has no DataSketches HLL): per event type, the EXACT distinct
+    count plus two booleans asserting BOTH the re-aggregated estimate
+    and the one-shot estimate land within ±5% of it (lgK=12 ⇒ rsd
+    ~1.6%, so 5% is a ≥3σ band). Merged and direct agree bit-for-bit
+    only while every partial stays in one sketch mode — past the
+    sparse→dense promotion threshold the union path estimates
+    differently (observed at sf0.1), so the scale-stable invariant is
+    the shared error envelope, not equality. The oracle computes the
+    exact side and constant TRUEs, so a broken merge OR a wild
+    estimate fails the driver's hash."""
     e = t(spark, sf_dir, "events")
     daily = (
         e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"),
@@ -437,16 +524,31 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         daily.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-             .alias("approx_merged"))
+             .alias("_merged"))
     )
     direct = (
         e.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
-             .alias("approx_direct"),
+             .alias("_direct"),
              F.countDistinct("user_id").alias("n_exact"))
     )
+    def _within(col):
+        return (F.abs(F.col(col).cast("double")
+                      - F.col("n_exact").cast("double"))
+                <= 0.05 * F.col("n_exact").cast("double"))
+
     return merged.join(direct, "event_type").select(
-        "event_type", "n_exact", "approx_direct", "approx_merged")
+        "event_type", "n_exact",
+        _within("_merged").alias("merged_within_5pct"),
+        _within("_direct").alias("direct_within_5pct"))
+
+
+ORACLE_HLL_SKETCH = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       TRUE AS merged_within_5pct,
+       TRUE AS direct_within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,15 +688,17 @@ SPECS: dict[str, QuerySpec] = {
         "exact grouped percentiles/median via distributed rank "
         "(no per-group buffering)"),
     "q_percentile_approx": QuerySpec(
-        q_percentile_approx, None,
-        "approx_percentile sketch sibling (rows-only: engine-specific "
-        "sketch; error band unit-tested against the exact form)"),
+        q_percentile_approx, ORACLE_PERCENTILE_APPROX,
+        "approx_percentile sketch sibling (deterministic verdict: exact "
+        "percentiles + within-5%-band boolean)"),
     "q_pivot": QuerySpec(q_pivot, ORACLE_PIVOT, "pivot w/ explicit values"),
     "q_cube": QuerySpec(q_cube, ORACLE_CUBE, "CUBE grouping sets"),
     "q_sample_hash": QuerySpec(q_sample_hash, ORACLE_SAMPLE_HASH,
                                "deterministic hash-bucket sample"),
-    "q_sample_stratified": QuerySpec(q_sample_stratified, None,
-                                     "seeded sampleBy (rows-only)"),
+    "q_sample_stratified": QuerySpec(
+        q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
+        "seeded sampleBy (deterministic verdict: exact strata "
+        "populations + binomial-band booleans)"),
     "q_sample_weighted": QuerySpec(
         q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
         "deterministic Efraimidis-Spirakis weighted sample (A-ES top-K "
@@ -608,7 +712,7 @@ SPECS: dict[str, QuerySpec] = {
         q_sample_group, ORACLE_SAMPLE_GROUP,
         "deterministic md5-ranked per-stratum sample"),
     "q_hll_sketch": QuerySpec(
-        q_hll_sketch, None,
-        "DataSketches HLL partial-merge rollup (rows-only: sketch "
-        "bytes are engine-specific; merge==direct unit-tested)"),
+        q_hll_sketch, ORACLE_HLL_SKETCH,
+        "DataSketches HLL partial-merge rollup (deterministic verdict: "
+        "exact distincts + merge==direct + within-5%-band booleans)"),
 }

@@ -82,8 +82,14 @@ FROM documents WHERE doc_id < {N_BINFILES}
 
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub decode pipeline: binary payload → mapInPandas fake codec →
-    typed features, aggregated per media type. Rows-only check (the fake
-    decoder is deterministic but not SQL-expressible)."""
+    typed features, aggregated per media type.
+
+    Fully oracle-checked: the fake codec's features are sha256-byte
+    arithmetic over the payload (multimodal._decode_one — width/height
+    from digest bytes 0/1, frame count from byte 2), which DuckDB
+    reproduces exactly from hex-substring parsing of ``sha256(text)``.
+    The driver's hash therefore exercises the whole Arrow decode path —
+    schema, batch iteration, payload bytes — end to end, not rows-only."""
     media = attach_binary_payload(t(spark, sf_dir, "documents"))
     feats = decode_media(media, fake=True)
     return (
@@ -93,6 +99,29 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("width").alias("max_width"),
              F.max("n_frames").alias("max_frames"))
     )
+
+
+ORACLE_MM_DECODE = """
+WITH f AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS dg,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), feat AS (
+  SELECT media_type, n_bytes,
+         16 + CAST(('0x' || substr(dg, 1, 2)) AS INTEGER) AS width,
+         CASE WHEN media_type = 'image' THEN 1
+              ELSE 1 + CAST(('0x' || substr(dg, 5, 2)) AS INTEGER) % 32
+         END AS n_frames
+  FROM f
+)
+SELECT media_type, count(*) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       max(width) AS max_width, max(n_frames) AS max_frames
+FROM feat GROUP BY media_type
+"""
 
 
 SHARD_BYTES = 4096
@@ -162,8 +191,10 @@ SPECS: dict[str, QuerySpec] = {
                            "binary payload metadata"),
     "q_mm_binfile": QuerySpec(q_mm_binfile, ORACLE_MM_BINFILE,
                               "binaryFile source ingestion"),
-    "q_mm_decode": QuerySpec(q_mm_decode, None,
-                             "mapInPandas stub decode pipeline"),
+    "q_mm_decode": QuerySpec(
+        q_mm_decode, ORACLE_MM_DECODE,
+        "mapInPandas stub decode pipeline (exact oracle: sha256-byte "
+        "feature arithmetic reproduced in SQL)"),
     "q_mm_shard": QuerySpec(q_mm_shard, ORACLE_MM_SHARD,
                             "webdataset-style byte-budget shard packing"),
 }

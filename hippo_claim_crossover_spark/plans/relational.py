@@ -83,13 +83,36 @@ FROM lineitem GROUP BY l_returnflag
 def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     cardinality: one pass, fixed memory, no exact-distinct shuffle.
-    Approximate ⇒ rows-only driver check (BASELINE.md)."""
+
+    Deterministic-verdict output (the sketch estimate itself is
+    engine-specific, so it never appears in the result): each group
+    emits the EXACT distinct counts plus a boolean asserting the HLL++
+    estimate landed within ±5% of them (rsd 0.01 ⇒ 5% is a ≥5σ band).
+    The DuckDB oracle computes the same exact counts and a constant
+    TRUE — an out-of-band sketch flips the boolean and fails the
+    driver's hash, turning the old rows-only row into a real check."""
     li = t(spark, sf_dir, "lineitem")
+    within = [
+        (F.abs(F.approx_count_distinct(c, 0.01).cast("double")
+               - F.countDistinct(c).cast("double"))
+         <= 0.05 * F.countDistinct(c).cast("double")).alias(f"{a}_within_5pct")
+        for c, a in (("l_partkey", "parts"), ("l_orderkey", "claims"))]
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_claims"))
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"),
+             F.countDistinct("l_orderkey").alias("exact_claims"),
+             *within)
     )
+
+
+ORACLE_APPROX_CD = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_claims,
+       TRUE AS parts_within_5pct,
+       TRUE AS claims_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,23 +647,42 @@ def q_histogram_eq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side fold, no shuffle), then one partial/final count/min/max
     aggregate. Two scans + one agg shuffle total, versus the exact
     form's range shuffle + rank join — and no stage whose state grows
-    with n. Engine-specific sketch ⇒ rows-only driver check; the
-    near-equi-depth invariant is unit-tested instead."""
+    with n.
+
+    Deterministic-verdict output: sketch-derived bucket boundaries and
+    counts are engine-specific, so each decile emits the EXACT total row
+    count plus a boolean asserting near-equi-depth — |n_decile − n/10| ≤
+    2·n·ε + 2 with ε = 1/accuracy = 1e-4 (each of a bucket's two
+    boundaries carries ≤ n·ε rank error; +2 absorbs ties/interpolation).
+    The oracle emits the same totals and constant TRUE over deciles
+    1..10, so a degenerate sketch (skewed bucket, or a missing/extra
+    decile via the row count) fails the driver's hash."""
     o = t(spark, sf_dir, "orders")
-    bounds = o.agg(F.percentile_approx(
-        "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000)
-        .alias("_bs"))
+    bounds = o.agg(
+        F.percentile_approx("o_totalprice",
+                            [i / 10.0 for i in range(1, 10)], 10000)
+        .alias("_bs"),
+        F.count(F.lit(1)).alias("n_total"))
     decile = F.aggregate(
         F.col("_bs"), F.lit(1),
         lambda acc, b: acc + (F.col("o_totalprice") > b).cast("int"))
     return (
         o.join(F.broadcast(bounds))
-        .select(decile.alias("decile"), "o_totalprice")
+        .select(decile.alias("decile"), "o_totalprice", "n_total")
         .groupBy("decile")
-        .agg(F.count(F.lit(1)).alias("n_claims"),
-             F.round(F.min("o_totalprice"), 2).alias("lo"),
-             F.round(F.max("o_totalprice"), 2).alias("hi"))
+        .agg(F.count(F.lit(1)).alias("_n_claims"),
+             F.max("n_total").alias("n_total"))
+        .select("decile", "n_total",
+                (F.abs(F.col("_n_claims") - F.col("n_total") / 10.0)
+                 <= F.col("n_total") * 2e-4 + 2).alias("near_equidepth"))
     )
+
+
+ORACLE_HISTOGRAM_EQ_APPROX = """
+SELECT CAST(d AS INTEGER) AS decile, n_total, TRUE AS near_equidepth
+FROM range(1, 11) t(d)
+CROSS JOIN (SELECT count(*) AS n_total FROM orders)
+"""
 
 
 _HIST_WIDTH = 25_000
@@ -1232,7 +1274,10 @@ SPECS: dict[str, QuerySpec] = {
         "coalesced keys)"),
     "q_agg_multi": QuerySpec(q_agg_multi, ORACLE_AGG_MULTI, "TPC-H Q1 shape"),
     "q_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT, "count-distinct"),
-    "q_approx_cd": QuerySpec(q_approx_cd, None, "HLL++ approx distinct"),
+    "q_approx_cd": QuerySpec(
+        q_approx_cd, ORACLE_APPROX_CD,
+        "HLL++ approx distinct (deterministic verdict: exact counts + "
+        "within-5%-band booleans)"),
     "q_rollup": QuerySpec(q_rollup, ORACLE_ROLLUP, "rollup grouping sets"),
     "q_grouping_sets": QuerySpec(q_grouping_sets, ORACLE_GROUPING_SETS,
                                  "arbitrary GROUPING SETS (non-lattice)"),
@@ -1266,9 +1311,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_histogram_eq": QuerySpec(q_histogram_eq, ORACLE_HISTOGRAM_EQ,
                                 "equi-depth decile histogram"),
     "q_histogram_eq_approx": QuerySpec(
-        q_histogram_eq_approx, None,
-        "approx_percentile-boundary equi-depth histogram (rows-only: "
-        "engine-specific sketch; equi-depth invariant unit-tested)"),
+        q_histogram_eq_approx, ORACLE_HISTOGRAM_EQ_APPROX,
+        "approx_percentile-boundary equi-depth histogram (deterministic "
+        "verdict: exact totals + near-equi-depth booleans)"),
     "q_profile": QuerySpec(q_profile, ORACLE_PROFILE,
                            "per-shard corpus QA profile"),
     "q_topk": QuerySpec(q_topk, ORACLE_TOPK, "global top-k"),

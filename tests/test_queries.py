@@ -63,11 +63,10 @@ def test_registry_contract():
     qs = e.queries()
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every oracle-less query is a documented approximate/stateful op
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q_approx_cd", "q_dedup_near", "q_mm_decode",
-                         "q_sample_stratified", "q_hll_sketch",
-                         "q_percentile_approx", "q_histogram_eq_approx"}
+    # every query is oracle-checked: the formerly rows-only approximate
+    # ops now emit deterministic verdict columns (exact side + band
+    # booleans) the DuckDB oracle reproduces
+    assert set(qs) == set(oracles)
 
 
 def test_gate_window_marker_is_accurate():
