@@ -958,6 +958,22 @@ FROM k
 
 
 N_TOPICS = 4
+# Statically broadcast the dense (vocab × topics) factor only while the
+# corpus is small enough that Heaps-law vocab growth bounds it to ~100 MB
+# serialized (~1 GB text ⇒ ~0.4 M terms × topics × ~40 B ≈ 65 MB); above
+# the gate the shuffle join on term is the default (AQE re-promotes to
+# broadcast off runtime stats when warranted).
+_MATMUL_BCAST_BYTES = 1 << 30
+
+
+def _corpus_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Total on-storage size of the documents table — a driver-side
+    Hadoop FS listing (no Spark job; object stores and catalogs answer
+    this from metadata)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/documents.parquet")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(path).getLength()
 
 
 def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,12 +983,27 @@ def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     a term-topic weight matrix (dense, |vocab|×4) → doc-topic scores.
 
     Canonical shape: shuffle the SPARSE side on the contraction
-    dimension (term), **broadcast the dense factor** (vocab×topics is
-    KBs–MBs even at 100 TB vocab sizes; if it ever outgrows broadcast,
-    the fallback is a shuffle join on term — same plan minus the
-    broadcast hint), multiply, partial/final-aggregate on (doc, topic).
-    The weight matrix is md5-derived small integers so the whole product
-    is exact BIGINT arithmetic — hash-identical across engines.
+    dimension (term), and gate the dense factor's join strategy on
+    corpus size — a vocab×topics table is NOT unconditionally
+    broadcast-safe (an unpruned 100 M-term web vocab × topics is GBs,
+    an executor/driver OOM as a broadcast):
+
+    - corpus ≤ ``_MATMUL_BCAST_BYTES`` on storage (a driver-side file
+      LISTING via the Hadoop FS — zero Spark jobs; a catalog/manifest
+      serves the same number for free in production): static
+      ``F.broadcast`` hint — Heaps-law vocab growth keeps
+      |vocab|·topics well inside a sane (~100 MB) broadcast, and the
+      hint skips both shuffles of the dense side.
+    - above the gate, the DEFAULT is the shuffle join on term (same
+      plan minus the hint, both sides hash-partitioned on the
+      contraction key); AQE's runtime-statistics conversion still
+      promotes it back to broadcast when the REALIZED vocab is small
+      (verified in tests/test_plans.py), so the fallback costs only
+      the dense side's shuffle write, never correctness or memory.
+
+    Multiply, then partial/final-aggregate on (doc, topic). The weight
+    matrix is md5-derived small integers so the whole product is exact
+    BIGINT arithmetic — hash-identical across engines.
     """
     d = t_wide(spark, sf_dir, "documents")
     terms = (
@@ -993,8 +1024,11 @@ def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.md5(F.concat_ws(":", "term", "topic")), 1, 15),
                     16, 10).cast("long") % 7).alias("w"))
     )
+    dense = (F.broadcast(weights)
+             if _corpus_bytes(spark, sf_dir) <= _MATMUL_BCAST_BYTES
+             else weights)
     return (
-        terms.join(F.broadcast(weights), "term")
+        terms.join(dense, "term")
         .groupBy("doc_id", "topic")
         .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
     )

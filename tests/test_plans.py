@@ -680,3 +680,29 @@ def test_join_setsim_prefix_filter_prunes_and_no_cartesian(spark):
     assert 0 < n_out <= all_pairs
     # every emitted pair respects the threshold
     assert out.where(F.col("jaccard") < SETSIM_T).count() == 0
+
+
+def test_matmul_dense_factor_gated_broadcast(spark, monkeypatch):
+    """q_matmul's dense (vocab x topics) factor: static broadcast below
+    the corpus-size gate, shuffle join above it (with AQE free to
+    re-promote off runtime stats) — a vocab-sized broadcast is an OOM
+    at unpruned web-vocab scale, so the hint must not be unconditional."""
+    from hippo_claim_crossover_spark.plans import text as text_mod
+
+    plan = _plan(spark, "q_matmul")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # below the gate the dense factor carries the explicit hint...
+    df = ALL_SPECS["q_matmul"].fn(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in logical
+
+    # ...above it the hint must disappear, leaving the join strategy to
+    # Catalyst/AQE statistics (which may still choose broadcast when the
+    # realized sizes are tiny — as they are at sf0.001 — but will pick
+    # the shuffle join off a 100 TB size estimate, never an OOM hint)
+    monkeypatch.setattr(text_mod, "_MATMUL_BCAST_BYTES", 0)
+    df2 = ALL_SPECS["q_matmul"].fn(spark, SF_DIR)
+    logical2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical2
