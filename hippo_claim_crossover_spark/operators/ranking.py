@@ -55,7 +55,8 @@ def global_rank(df: DataFrame, order_cols: list[str],
 def grouped_global_rank(df: DataFrame, group_cols: list[str],
                         order_cols: list[str],
                         n_partitions: int | None = None,
-                        out_col: str = "_rank") -> DataFrame:
+                        out_col: str = "_rank",
+                        broadcast_offsets: bool = True) -> DataFrame:
     """Append the exact 1-based rank of each row under ``order_cols``
     WITHIN its group, with every stage distributed — the per-group
     generalization of :func:`global_rank`, and the machinery that keeps
@@ -77,6 +78,14 @@ def grouped_global_rank(df: DataFrame, group_cols: list[str],
     Ranks among EQUAL order keys are arbitrary (they stay within one
     partition); use a unique key when that matters — rank-indexed value
     lookup (percentiles) is insensitive to tie order by definition.
+
+    ``broadcast_offsets`` encodes the LOW-CARDINALITY GROUPING CONTRACT
+    every in-repo caller satisfies (percentiles/Gini/NTILE over
+    enum-like keys): the offsets table is ≤ partitions × |groups| rows,
+    KBs for tens of groups but GBs for a 10 M-key grouping — pass
+    ``False`` there and the offsets attach via a shuffle join on
+    (_pid ++ group) instead (same plan, one more exchange over the
+    already-aggregated counts table; never an OOM).
     """
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in group_cols + order_cols]
@@ -91,7 +100,9 @@ def grouped_global_rank(df: DataFrame, group_cols: list[str],
     offsets = counts.select(
         "_pid", *group_cols,
         F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"))
-    return (local.join(F.broadcast(offsets), ["_pid", *group_cols])
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    return (local.join(offsets, ["_pid", *group_cols])
             .withColumn(out_col, F.col("_lrn") + F.col("_off"))
             .drop("_pid", "_lrn", "_off"))
 

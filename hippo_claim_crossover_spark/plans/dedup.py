@@ -20,6 +20,8 @@ signatures are oracle-checkable, unlike seed-dependent ml.feature hashes.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -896,6 +898,48 @@ ORDER BY a.blk, a.p_name, b.p_name
 
 
 SETSIM_T = 0.8
+# exact rational form of SETSIM_T (4/5): the PPJoin filters run in pure
+# BIGINT arithmetic so float roundoff can never prune a true pair
+_SETSIM_NUM, _SETSIM_DEN = (
+    Fraction(SETSIM_T).limit_denominator(10 ** 6).numerator,
+    Fraction(SETSIM_T).limit_denominator(10 ** 6).denominator,
+)
+
+
+def setsim_candidates(d: DataFrame, use_filters: bool = True) -> DataFrame:
+    """PPJoin candidate stage over a (doc_id, toks) set table: rare-first
+    prefix equi-join, optionally tightened by the exact-integer length
+    and position filters (``use_filters=False`` is the AllPairs baseline
+    the plan audit measures the reduction against)."""
+    tok_freq = (d.select(F.explode("toks").alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
+    ordered = (d.select("doc_id", F.explode("toks").alias("tok"))
+               .join(tok_freq, "tok")
+               .groupBy("doc_id")
+               .agg(F.transform(
+                   F.sort_array(F.collect_list(F.struct("freq", "tok"))),
+                   lambda s: s["tok"]).alias("sorted_toks")))
+    n = F.size("sorted_toks")
+    p = (n - F.ceil(F.lit(SETSIM_T) * n) + 1).cast("int")
+    pref = ordered.select(
+        "doc_id", n.alias("n"),
+        F.posexplode(F.slice("sorted_toks", 1, p)).alias("i", "ptok"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+                    F.col("i").alias("ia"), "ptok")
+    b = pref.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+                    F.col("i").alias("ib"), "ptok")
+    cond = F.col("doc_a") < F.col("doc_b")
+    if use_filters:
+        num, den = _SETSIM_NUM, _SETSIM_DEN
+        length_ok = (F.lit(num) * F.greatest("na", "nb")
+                     <= F.lit(den) * F.least("na", "nb"))
+        overlap_floor = F.expr(
+            f"({num} * (na + nb) + {num + den - 1}) div {num + den}")
+        ubound = F.least(F.col("na") - F.col("ia"),
+                         F.col("nb") - F.col("ib"))
+        cond = cond & length_ok & (ubound >= overlap_floor)
+    return (a.join(b, "ptok").where(cond)
+            .select("doc_a", "doc_b").distinct())
 
 
 def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,11 +963,23 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the token-set table is checkpointed once (prefix build
     + both verify sides); candidate generation is the prefix explode's
-    equi-join (never all-pairs); verification is per-candidate
-    row-local.  At 100 TB the source partition bounds the self-join
-    domain the way LSH bands bound theirs — and the PPJoin length/
-    position filters (documented, not needed at this selectivity) are
-    the standard tightenings on the same plan.
+    equi-join (never all-pairs), tightened by PPJoin's two standard
+    filters — both exact-integer, so losslessness survives:
+
+    - LENGTH filter: Jaccard ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+      with t = num/den that is num·max ≤ den·min, pure BIGINT.
+    - POSITION filter: a prefix token at 0-based positions (ia, ib)
+      bounds the overlap by min(|A|−ia, |B|−ib); Jaccard ≥ t needs
+      overlap ≥ ⌈t·(|A|+|B|)/(1+t)⌉ = (num·(na+nb)+num+den−1) div
+      (num+den) — candidates whose every shared prefix token fails the
+      bound are pruned before the distinct (keeping a pair when ANY
+      shared token passes is a superset of textbook PPJoin's
+      first-token rule, so no false negatives).
+
+    Verification is per-candidate row-local.  At 100 TB the source
+    partition bounds the self-join domain the way LSH bands bound
+    theirs; the filters' measured candidate reduction is pinned in
+    tests/test_plans.py and tools/stress_dedup.py.
     """
     d = (t_wide(spark, sf_dir, "documents")
          .where(F.col("source") == "src0")
@@ -931,23 +987,7 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array_distinct(F.split(F.col("text"), " "))
                  .alias("toks"))
          .localCheckpoint(eager=False))
-    tok_freq = (d.select(F.explode("toks").alias("tok"))
-                .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
-    ordered = (d.select("doc_id", F.explode("toks").alias("tok"))
-               .join(tok_freq, "tok")
-               .groupBy("doc_id")
-               .agg(F.transform(
-                   F.sort_array(F.collect_list(F.struct("freq", "tok"))),
-                   lambda s: s["tok"]).alias("sorted_toks")))
-    n = F.size("sorted_toks")
-    p = (n - F.ceil(F.lit(SETSIM_T) * n) + 1).cast("int")
-    prefixes = (ordered.select(
-        "doc_id", F.explode(F.slice("sorted_toks", 1, p)).alias("ptok")))
-    a = prefixes.select(F.col("doc_id").alias("doc_a"), "ptok")
-    b = prefixes.select(F.col("doc_id").alias("doc_b"), "ptok")
-    cand = (a.join(b, "ptok")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+    cand = setsim_candidates(d)
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))

@@ -450,7 +450,7 @@ GROUP BY l_returnflag, l_linestatus
 
 _SUBQUERY_SQL = """
 SELECT c.c_custkey, c.c_name,
-       round(c.c_acctbal, 2) AS acctbal,
+       floor(c.c_acctbal * 1e2 + 0.5) / 1e2 AS acctbal,
        (SELECT count(*) FROM orders o
         WHERE o.o_custkey = c.c_custkey) AS n_orders
 FROM customer c

@@ -702,9 +702,14 @@ def q_text_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two shuffles, both linear: corpus counts partial-agg on the bigram,
     then the doc←count equi-join re-shuffles (bigram, count) pairs —
-    never documents — and folds per doc. At 100 TB swap the string join
-    key for xxhash64(bigram) to shuffle 8-byte keys (the dedup-family
-    trick); kept as the string here so the DuckDB oracle is exact."""
+    never documents — and folds per doc. Both the aggregate and the
+    join ride ``xxhash64(bigram)`` — the string collapses to an 8-byte
+    key map-side BEFORE either exchange (the dedup-family trick, ~3×
+    fewer shuffle bytes than ~20-char bigram strings). The output never
+    exposes the bigram, so the oracle needs no hash parity — only the
+    grouping, which a 64-bit key preserves up to a ~n²/2⁶⁵ collision
+    (odds ~1e-7 even at a 100 M-bigram vocab; any collision would merge
+    two counts and fail the hash gate loudly, not silently)."""
     d = t_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     bigrams = F.transform(
@@ -712,10 +717,11 @@ def q_text_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
     bg = (d.where(F.size(toks) >= 2)
-          .select("doc_id", "lang", F.explode(bigrams).alias("bigram")))
-    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+          .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+          .select("doc_id", "lang", F.xxhash64("bigram").alias("bk")))
+    counts = bg.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
     return (
-        bg.join(counts, "bigram")
+        bg.join(counts, "bk")
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              F.sum("c").alias("sum_bfreq"),

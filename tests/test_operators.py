@@ -480,3 +480,24 @@ def test_gini_matches_numpy_formula(spark, sf_dir):
         expected = float((2 * np.sum((np.arange(1, n + 1)) * x)
                           - (n + 1) * np.sum(x)) / (n * np.sum(x)))
         assert abs(out[seg] - expected) < 1e-4, (seg, out[seg], expected)
+
+
+def test_grouped_global_rank_shuffle_offsets_path(spark):
+    """broadcast_offsets=False (the high-cardinality-grouping escape
+    hatch) must produce identical ranks via a shuffle join, with no
+    broadcast of the offsets table in the plan."""
+    import random
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_global_rank)
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 7}", rng.randrange(10 ** 6), i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long, uid long")
+
+    def ranks(broadcast):
+        out = grouped_global_rank(df, ["g"], ["v", "uid"],
+                                  broadcast_offsets=broadcast)
+        return {(r["g"], r["uid"]): r["_rank"] for r in out.collect()}
+
+    assert ranks(True) == ranks(False)

@@ -681,6 +681,19 @@ def test_join_setsim_prefix_filter_prunes_and_no_cartesian(spark):
     # every emitted pair respects the threshold
     assert out.where(F.col("jaccard") < SETSIM_T).count() == 0
 
+    # PPJoin length/position filters: strictly fewer candidates than the
+    # prefix-only AllPairs baseline (measured ~50% at sf0.01/0.1), and
+    # lossless — every survivor pair is still generated
+    from hippo_claim_crossover_spark.plans.dedup import setsim_candidates
+    sets = (d.select("doc_id",
+                     F.array_distinct(F.split(F.col("text"), " "))
+                     .alias("toks"))
+            .localCheckpoint(eager=False))
+    n_base = setsim_candidates(sets, use_filters=False).count()
+    n_filt = setsim_candidates(sets, use_filters=True).count()
+    assert 0 < n_filt < n_base, (n_filt, n_base)
+    assert n_filt >= n_out
+
 
 def test_matmul_dense_factor_gated_broadcast(spark, monkeypatch):
     """q_matmul's dense (vocab x topics) factor: static broadcast below

@@ -104,6 +104,18 @@ def run_family(spark, path: str) -> dict[str, float]:
     out["cc_cluster"] = time.time() - t0
     out["cc_rounds"] = stats.get("rounds")
     out["cc_n"] = n_comp
+    # exact set-similarity (PPJoin): prefix candidates with the
+    # length/position filters, plus the filters' candidate reduction
+    from hippo_claim_crossover_spark.plans.dedup import setsim_candidates
+    sets = (d.select("doc_id",
+                     F.array_distinct(F.split(F.col("text"), " "))
+                     .alias("toks"))
+            .localCheckpoint(eager=False))
+    out["setsim_ppjoin"] = timed(setsim_candidates(sets, use_filters=True))
+    out["setsim_cand_base"] = setsim_candidates(
+        sets, use_filters=False).count()
+    out["setsim_cand_filt"] = setsim_candidates(
+        sets, use_filters=True).count()
     return out
 
 
@@ -124,9 +136,15 @@ def main() -> None:
     print(f"\n{'operator':<18} {'n=%d' % n_small:>10} {'n=%d' % n_big:>10} "
           f"{'ratio':>7}  (10x data)")
     for op in ["exact", "ngram_jaccard", "minhash_lsh",
-               "simhash_32bit", "simhash_adaptive", "cc_cluster"]:
+               "simhash_32bit", "simhash_adaptive", "cc_cluster",
+               "setsim_ppjoin"]:
         a, b = results[n_small][op], results[n_big][op]
         print(f"{op:<18} {a:>9.2f}s {b:>9.2f}s {b / a:>6.1f}x")
+    for n in (n_small, n_big):
+        base, filt = (results[n]["setsim_cand_base"],
+                      results[n]["setsim_cand_filt"])
+        print(f"setsim candidates n={n}: {base} -> {filt} "
+              f"({1 - filt / base:.1%} pruned by length/position filters)")
     print(f"simhash_bits_for: {results[n_small]['bits']} -> "
           f"{results[n_big]['bits']}; cc rounds: "
           f"{results[n_small]['cc_rounds']} -> {results[n_big]['cc_rounds']}"
