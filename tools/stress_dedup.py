@@ -104,13 +104,40 @@ def run_family(spark, path: str) -> dict[str, float]:
     out["cc_cluster"] = time.time() - t0
     out["cc_rounds"] = stats.get("rounds")
     out["cc_n"] = n_comp
-    # exact set-similarity (PPJoin): prefix candidates with the
-    # length/position filters, plus the filters' candidate reduction
+    return out
+
+
+def run_setsim(spark, n: int) -> dict[str, float]:
+    """Exact set-similarity (PPJoin) stress on its own corpus: the
+    dedup table's deliberately tiny 28-word vocab is DEGENERATE for
+    prefix filtering (every doc shares every token, candidates go
+    quadratic by construction — the shape PPJoin exists to avoid), so
+    this row uses fixture-like text over a realistic vocab where
+    rare-first prefixes discriminate. Reports runtime plus the
+    length/position filters' candidate reduction."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(4000)]
+    # zipf-ish draw: frequent head + long tail, near-dups every 50th
+    texts = []
+    for i in range(n):
+        if i % 50 == 1 and texts:
+            toks = texts[-1].split()
+            toks[rng.randint(0, len(toks))] = vocab[rng.randint(0, 4000)]
+        else:
+            k = rng.randint(20, 41)
+            idx = np.minimum((rng.pareto(1.2, size=k) * 40).astype(int),
+                             3999)
+            toks = [vocab[j] for j in idx]
+        texts.append(" ".join(toks))
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     from hippo_claim_crossover_spark.plans.dedup import setsim_candidates
     sets = (d.select("doc_id",
                      F.array_distinct(F.split(F.col("text"), " "))
                      .alias("toks"))
+            .repartition(spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=False))
+    out: dict[str, float] = {}
     out["setsim_ppjoin"] = timed(setsim_candidates(sets, use_filters=True))
     out["setsim_cand_base"] = setsim_candidates(
         sets, use_filters=False).count()
@@ -132,6 +159,7 @@ def main() -> None:
         if not os.path.exists(path):
             make_table(path, n)
         results[n] = run_family(spark, path)
+        results[n].update(run_setsim(spark, n))
 
     print(f"\n{'operator':<18} {'n=%d' % n_small:>10} {'n=%d' % n_big:>10} "
           f"{'ratio':>7}  (10x data)")
