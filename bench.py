@@ -173,6 +173,7 @@ HEADLINE = [
     "q_chunk",
     "q_sample_weighted_group",
     "q_rag_pipeline",
+    "q_split_leakproof",
 ]
 
 

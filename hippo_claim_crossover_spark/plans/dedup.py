@@ -35,6 +35,8 @@ from hippo_claim_crossover_spark.operators.dedup import (
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
+    hex2long,
+    sql_hex2long,
     t,
     t_wide,
 )
@@ -341,6 +343,89 @@ FROM (
   FROM members
 )
 WHERE rk = 1
+"""
+
+
+def q_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split: assign the content-addressed
+    80/10/10 split to near-dup CLUSTERS, not documents — a row-level
+    split leaks whenever two near-duplicates land on opposite sides
+    (the standard train/eval contamination failure a groupwise split
+    exists to prevent).  Every member inherits its cluster's split, so
+    no candidate near-dup pair can span splits by construction, and the
+    ``cross_split_pairs`` audit column (count of LSH candidate pairs
+    whose endpoints disagree — computed for real by BOTH engines, not
+    asserted) proves it stayed 0.
+
+    Composition of declared operators: LSH banding pairs →
+    large-star/small-star components → md5-bucket split on the cluster
+    id (the q_sample_hash discipline lifted from row keys to group
+    keys).  Scale shape: the pairs/components stages are the audited
+    sub-quadratic q_dedup_cluster plan; split assignment is row-local
+    arithmetic on the cluster id; the audit joins ship only (doc, split)
+    pairs along the already-materialized candidate edges; the rollup is
+    a 3-key partial/final aggregate.  The checkpointed assignment feeds
+    both the rollup and the audit without recomputing components.
+    """
+    from hippo_claim_crossover_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = _band_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = hex2long(F.md5(F.concat(
+        F.col("cluster_id").cast("string"), F.lit(":lsplit")))) % 10
+    assigned = (
+        d.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", "n_chars",
+                F.coalesce(F.col("comp"), F.col("doc_id"))
+                .alias("cluster_id"))
+        .withColumn("split", F.when(bucket == 0, "test")
+                    .when(bucket == 1, "val").otherwise("train"))
+        .localCheckpoint(eager=False)
+    )
+    sp = assigned.select("doc_id", "split")
+    cross = (
+        pairs
+        .join(sp.withColumnsRenamed({"doc_id": "doc_a", "split": "_sa"}),
+              "doc_a")
+        .join(sp.withColumnsRenamed({"doc_id": "doc_b", "split": "_sb"}),
+              "doc_b")
+        .where(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    return (assigned.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("cluster_id").alias("n_clusters"),
+                 F.sum("n_chars").alias("total_chars"))
+            .crossJoin(F.broadcast(cross))
+            .orderBy("split"))
+
+
+ORACLE_SPLIT_LEAKPROOF = f"""{_CLUSTER_CTES},
+m AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), assigned AS (
+  SELECT doc_id, n_chars, cluster_id,
+         CASE {sql_hex2long(
+             "md5(CAST(cluster_id AS VARCHAR) || ':lsplit')")} % 10
+              WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+              ELSE 'train' END AS split
+  FROM m
+), audit AS (
+  SELECT count(*) AS cross_split_pairs
+  FROM pairs p
+  JOIN assigned a ON p.doc_a = a.doc_id
+  JOIN assigned b ON p.doc_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       (SELECT cross_split_pairs FROM audit) AS cross_split_pairs
+FROM assigned GROUP BY split ORDER BY split
 """
 
 
@@ -1062,4 +1147,8 @@ SPECS: dict[str, QuerySpec] = {
         "exact pair count + recall-floor booleans)"),
     "q_decontaminate": QuerySpec(q_decontaminate, ORACLE_DECONTAMINATE,
                                  "eval-vs-train n-gram decontamination"),
+    "q_split_leakproof": QuerySpec(
+        q_split_leakproof, ORACLE_SPLIT_LEAKPROOF,
+        "cluster-aware train/val/test split (near-dup clusters never "
+        "span splits; cross-split-pair audit computed by both engines)"),
 }

@@ -719,3 +719,26 @@ def test_matmul_dense_factor_gated_broadcast(spark, monkeypatch):
     df2 = ALL_SPECS["q_matmul"].fn(spark, SF_DIR)
     logical2 = df2._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical2
+
+
+def test_split_leakproof_no_cross_split_pairs_and_bounded_plan(spark):
+    """q_split_leakproof: the audit column must be 0 (the guard's whole
+    point), splits must partition the corpus, and the plan must stay on
+    the audited sub-quadratic components shape (no cartesian product;
+    the only nested-loop join is the 1-row audit broadcast)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hippo_claim_crossover_spark.plans.base import t as _t
+
+    df = ALL_SPECS["q_split_leakproof"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {r["split"]: r for r in df.collect()}
+    assert set(rows) == {"train", "val", "test"}
+    for r in rows.values():
+        assert r["cross_split_pairs"] == 0, dict(r.asDict())
+    n_total = _t(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_total
+    # 80/10/10 by buckets of clusters — loose band, deterministic data
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
