@@ -174,6 +174,7 @@ HEADLINE = [
     "q_sample_weighted_group",
     "q_rag_pipeline",
     "q_split_leakproof",
+    "q_attribution",
 ]
 
 

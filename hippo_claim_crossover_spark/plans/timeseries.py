@@ -850,7 +850,98 @@ FROM merged GROUP BY user_id ORDER BY user_id
 """
 
 
+_ATTR_LOOKBACK_US = 7 * 86_400 * 1_000_000   # 7-day attribution window
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution, first-touch AND last-touch models in one
+    pass: each purchase is attributed to the earliest / latest
+    click-or-view touch by the same user inside a 7-day lookback, then
+    conversions and revenue roll up per (model, channel) — the
+    marketing-analytics primitive behind every channel-ROI report.
+
+    Shape at 100 TB: purchases ⋈ touches is an equi-join on ``user_id``
+    (the natural partition key; per-user history is the bounded domain,
+    same contract as sessionize/cohort) with the lookback as a residual
+    range predicate; the join output collapses to ONE row per purchase
+    via min_by/max_by on ``event_id`` (unique, time-ordered — the
+    deterministic tiebreak both engines share, so attribution never
+    depends on timestamp collisions), and the final rollup is a tiny
+    (model × channel) partial/final aggregate over exploded
+    two-model structs. Revenue rides exact integer micros; untouched
+    purchases fall into the ``(none)`` channel through the left join.
+    """
+    e = (t(spark, sf_dir, "events")
+         .select("user_id", "event_id", "event_type", "value",
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu")))
+    touches = (e.where(F.col("event_type").isin("click", "view"))
+               .select(F.col("user_id").alias("t_user"),
+                       F.col("event_id").alias("t_id"),
+                       F.col("tsu").alias("t_tsu"),
+                       F.col("event_type").alias("channel")))
+    purch = (e.where(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("p_id"),
+                     F.col("tsu").alias("p_tsu"),
+                     money_micros(F.col("value")).alias("val_u")))
+    cond = ((F.col("user_id") == F.col("t_user"))
+            & (F.col("t_tsu") <= F.col("p_tsu"))
+            & (F.col("t_tsu") > F.col("p_tsu") - _ATTR_LOOKBACK_US))
+    per = (purch.join(touches, cond, "left")
+           .groupBy("p_id", "val_u")
+           .agg(F.min_by("channel", "t_id").alias("first_ch"),
+                F.max_by("channel", "t_id").alias("last_ch")))
+    stacked = per.select(F.explode(F.array(
+        F.struct(F.lit("first_touch").alias("model"),
+                 F.coalesce("first_ch", F.lit("(none)")).alias("channel"),
+                 F.col("val_u")),
+        F.struct(F.lit("last_touch").alias("model"),
+                 F.coalesce("last_ch", F.lit("(none)")).alias("channel"),
+                 F.col("val_u")))).alias("s")).select("s.*")
+    return (stacked.groupBy("model", "channel")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 (F.sum("val_u").cast("double") / F.lit(1e6))
+                 .alias("attributed_value"))
+            .orderBy("model", "channel"))
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+  FROM events
+), touches AS (
+  SELECT user_id AS t_user, event_id AS t_id, tsu AS t_tsu,
+         event_type AS channel
+  FROM e WHERE event_type IN ('click', 'view')
+), purch AS (
+  SELECT user_id, event_id AS p_id, tsu AS p_tsu,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS val_u
+  FROM e WHERE event_type = 'purchase'
+), per AS (
+  SELECT p.p_id, p.val_u,
+         arg_min(t.channel, t.t_id) AS first_ch,
+         arg_max(t.channel, t.t_id) AS last_ch
+  FROM purch p LEFT JOIN touches t
+    ON p.user_id = t.t_user AND t.t_tsu <= p.p_tsu
+       AND t.t_tsu > p.p_tsu - {_ATTR_LOOKBACK_US}
+  GROUP BY p.p_id, p.val_u
+), stacked AS (
+  SELECT 'first_touch' AS model, coalesce(first_ch, '(none)') AS channel,
+         val_u FROM per
+  UNION ALL
+  SELECT 'last_touch', coalesce(last_ch, '(none)'), val_u FROM per
+)
+SELECT model, channel, count(*) AS n_conversions,
+       CAST(sum(val_u) AS DOUBLE) / 1e6 AS attributed_value
+FROM stacked GROUP BY model, channel ORDER BY model, channel
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_attribution": QuerySpec(
+        q_attribution, ORACLE_ATTRIBUTION,
+        "first/last-touch conversion attribution (per-user lookback "
+        "join, event_id-deterministic tiebreak)"),
     "q_interval_coverage": QuerySpec(
         q_interval_coverage, ORACLE_INTERVAL_COVERAGE,
         "interval-union coverage (merged islands, exact integer "

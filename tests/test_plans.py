@@ -742,3 +742,21 @@ def test_split_leakproof_no_cross_split_pairs_and_bounded_plan(spark):
     # 80/10/10 by buckets of clusters — loose band, deterministic data
     assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
     assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+
+
+def test_attribution_aggregates_per_purchase_before_rollup(spark):
+    """q_attribution: user-keyed lookback join (never a cartesian), one
+    row per purchase before the model/channel rollup, and both models'
+    totals must equal the purchase count (every conversion attributed
+    exactly once per model)."""
+    plan = _plan(spark, "q_attribution")
+    assert "CartesianProduct" not in plan
+    assert "user_id" in plan  # equi-join key reached the exchange
+    rows = ALL_SPECS["q_attribution"].fn(spark, SF_DIR).collect()
+    from hippo_claim_crossover_spark.plans.base import t as _t
+    from pyspark.sql import functions as F  # noqa: F811
+    n_purch = (_t(spark, SF_DIR, "events")
+               .where(F.col("event_type") == "purchase").count())
+    for model in ("first_touch", "last_touch"):
+        got = sum(r["n_conversions"] for r in rows if r["model"] == model)
+        assert got == n_purch, (model, got, n_purch)
