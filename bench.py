@@ -175,6 +175,7 @@ HEADLINE = [
     "q_rag_pipeline",
     "q_split_leakproof",
     "q_attribution",
+    "q_mm_frames",
 ]
 
 

@@ -12,6 +12,7 @@ from hippo_claim_crossover_spark.multimodal import (
     decode_media,
     materialize_binary_fixture,
     read_binary_files,
+    sample_frames,
 )
 from hippo_claim_crossover_spark.plans.base import QuerySpec, t
 
@@ -124,6 +125,63 @@ FROM feat GROUP BY media_type
 """
 
 
+_FRAME_NTH, _FRAME_MAX = 8, 4
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the decoded media stream: every 8th frame,
+    capped at 4 per object (``multimodal.sample_frames`` —
+    ``sequence`` + ``slice`` + ``explode``, the JVM-side fan-out a video
+    pipeline runs before per-frame feature extraction), rolled up per
+    media type.
+
+    Exactly oracle-checked end to end: the frame counts derive from the
+    stub codec's sha256-byte ``n_frames`` (multimodal._decode_one), and
+    for a 0-based every-Nth sample the per-object sampled count is
+    ``least(cap, (n_frames−1) div N + 1)`` with max index
+    ``N·(k−1)`` — pure integer arithmetic DuckDB reproduces, so the
+    driver hash covers the Arrow decode stage AND the generator fan-out
+    (the explode multiplies rows; keeping it joins/shuffle-free is the
+    100 TB point — the only shuffle here is the final 3-key rollup).
+    """
+    media = attach_binary_payload(t(spark, sf_dir, "documents"))
+    feats = decode_media(media, fake=True)
+    frames = sample_frames(feats, every_nth=_FRAME_NTH,
+                           max_frames=_FRAME_MAX)
+    return (
+        frames.groupBy("media_type")
+        .agg(F.count(F.lit(1)).alias("frames_sampled"),
+             F.countDistinct("doc_id").alias("n_media"),
+             F.max("frame_idx").alias("max_frame_idx"))
+    )
+
+
+ORACLE_MM_FRAMES = f"""
+WITH f AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS dg
+  FROM documents
+), feat AS (
+  SELECT media_type,
+         CASE WHEN media_type = 'image' THEN 1
+              ELSE 1 + CAST(('0x' || substr(dg, 5, 2)) AS INTEGER) % 32
+         END AS n_frames
+  FROM f
+), k AS (
+  SELECT media_type, n_frames,
+         least({_FRAME_MAX}, (n_frames - 1) // {_FRAME_NTH} + 1) AS n_samp
+  FROM feat WHERE n_frames > 0
+)
+SELECT media_type,
+       CAST(sum(n_samp) AS BIGINT) AS frames_sampled,
+       count(*) AS n_media,
+       CAST(max({_FRAME_NTH} * (n_samp - 1)) AS INTEGER) AS max_frame_idx
+FROM k GROUP BY media_type
+"""
+
+
 SHARD_BYTES = 4096
 
 
@@ -197,4 +255,8 @@ SPECS: dict[str, QuerySpec] = {
         "feature arithmetic reproduced in SQL)"),
     "q_mm_shard": QuerySpec(q_mm_shard, ORACLE_MM_SHARD,
                             "webdataset-style byte-budget shard packing"),
+    "q_mm_frames": QuerySpec(
+        q_mm_frames, ORACLE_MM_FRAMES,
+        "every-Nth capped frame sampling over decoded media (exact "
+        "integer-arithmetic oracle)"),
 }
