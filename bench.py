@@ -176,6 +176,7 @@ HEADLINE = [
     "q_split_leakproof",
     "q_attribution",
     "q_mm_frames",
+    "q_mm_resize",
 ]
 
 

@@ -156,6 +156,63 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the decoded media stream: letterbox
+    scale + output dims per object (``multimodal.resize_spec``, target
+    224), rolled up per media type — the arithmetic stage a real resize
+    kernel applies, with the pixel work itself belonging to the codec's
+    mapInPandas stage.
+
+    Exactly oracle-checked: dims come from the stub codec's sha256
+    bytes, the letterbox scale is one IEEE double division both engines
+    compute bit-identically, and the emitted aggregates are INTEGER
+    out-dims only (min/max/sum — no double accumulation, so no
+    ordering sensitivity). Map-only until the 3-key rollup."""
+    media = attach_binary_payload(t(spark, sf_dir, "documents"))
+    feats = decode_media(media, fake=True)
+    from hippo_claim_crossover_spark.multimodal import resize_spec
+    rs = resize_spec(feats, target=224)
+    return (
+        rs.groupBy("media_type")
+        .agg(F.count(F.lit(1)).alias("n_media"),
+             F.min("out_width").alias("min_out_w"),
+             F.max("out_width").alias("max_out_w"),
+             F.sum("out_width").alias("sum_out_w"),
+             F.max("out_height").alias("max_out_h"))
+    )
+
+
+ORACLE_MM_RESIZE = """
+WITH f AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS dg
+  FROM documents
+), feat AS (
+  SELECT media_type,
+         16 + CAST(('0x' || substr(dg, 1, 2)) AS INTEGER) AS width,
+         16 + CAST(('0x' || substr(dg, 3, 2)) AS INTEGER) AS height
+  FROM f
+), rs AS (
+  SELECT media_type,
+         greatest(1, CAST(floor(width * least(224.0 / width,
+                                              224.0 / height))
+                          AS INTEGER)) AS out_width,
+         greatest(1, CAST(floor(height * least(224.0 / width,
+                                               224.0 / height))
+                          AS INTEGER)) AS out_height
+  FROM feat
+)
+SELECT media_type, count(*) AS n_media,
+       min(out_width) AS min_out_w,
+       max(out_width) AS max_out_w,
+       CAST(sum(out_width) AS BIGINT) AS sum_out_w,
+       max(out_height) AS max_out_h
+FROM rs GROUP BY media_type
+"""
+
+
 ORACLE_MM_FRAMES = f"""
 WITH f AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -259,4 +316,8 @@ SPECS: dict[str, QuerySpec] = {
         q_mm_frames, ORACLE_MM_FRAMES,
         "every-Nth capped frame sampling over decoded media (exact "
         "integer-arithmetic oracle)"),
+    "q_mm_resize": QuerySpec(
+        q_mm_resize, ORACLE_MM_RESIZE,
+        "letterbox resize planning over decoded media (integer-exact "
+        "out-dims rollup)"),
 }
