@@ -211,28 +211,18 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     return times[0], min(times)
 
 
-def _prune_scratch() -> None:
-    """Remove per-run scratch dirs (bucketed tables, source fixtures,
-    sink output) left by earlier sessions: they accumulate ~100s of MB
-    and measurably inflate the bucketed/salted join timings via file-
-    listing overhead. ``binfiles/`` stays — q_mm_binfile reads it."""
-    import shutil
-
-    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "_scratch")
-    if not os.path.isdir(scratch):
-        return
-    for name in os.listdir(scratch):
-        if name == "binfiles":
-            continue
-        shutil.rmtree(os.path.join(scratch, name), ignore_errors=True)
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    _prune_scratch()
     spark = get_spark("bench")
+    # Prune run-tagged scratch dirs idle >30 min (accumulated bucketed
+    # tables / source fixtures measurably inflate the bucketed/salted
+    # join timings via listing overhead). Delegates to the session
+    # helper so the rules match get_spark's own 2h prune: run-tag aware,
+    # never touches a live concurrent session's state or the untagged
+    # shared fixtures (binfiles/, stress corpora).
+    from hippo_claim_crossover_spark.session import _prune_stale_scratch
+    _prune_stale_scratch(spark.sparkContext.applicationId, idle_secs=1800)
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so the first measured query doesn't pay session
     # startup + whole-stage-codegen compilation: run the flagship plan once

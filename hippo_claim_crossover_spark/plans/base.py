@@ -155,6 +155,19 @@ def duck_round(col: Column, scale: int) -> Column:
     return (F.floor(col * p + F.lit(0.5))).cast("double") / p
 
 
+def within_rel_band(approx: Column, exact: Column, rel: float) -> Column:
+    """Deterministic-verdict band predicate ``|approx − exact| ≤
+    rel·|exact|`` — the r8 pattern that makes engine-specific estimates
+    (sketches, approximate percentiles) driver-hash-checkable: the query
+    emits the EXACT side plus this boolean, the oracle computes the
+    exact side and asserts TRUE, and an out-of-band estimate flips the
+    hash red. Single-sourced here so band-width/null semantics can't
+    drift between the call sites."""
+    a = approx.cast("double")
+    e = exact.cast("double")
+    return F.abs(a - e) <= F.lit(rel) * F.abs(e)
+
+
 def money_avg(term: Column, count: Column | None = None,
               out_scale: int = 4) -> Column:
     """Portable AVG: exact long-micros sum / count → one double division (no

@@ -1077,12 +1077,19 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
+    # Emit on the EXACT rational predicate den·inter ≥ num·union (pure
+    # BIGINT, the same J ≥ t the prefix/length/position filters prove
+    # losslessness against) — emitting on the ROUNDED jaccard would
+    # admit pairs with raw J ∈ [t−5e-7, t) that the filters correctly
+    # prune. The rounded jaccard remains an output column only.
     return (cand.join(ta, "doc_a").join(tb, "doc_b")
             .withColumn("n_common", inter)
+            .withColumn("_union", union)
+            .where(F.lit(_SETSIM_DEN) * F.col("n_common")
+                   >= F.lit(_SETSIM_NUM) * F.col("_union"))
             .withColumn("jaccard",
                         duck_round(F.col("n_common").cast("double")
-                                   / union, 6))
-            .where(F.col("jaccard") >= SETSIM_T)
+                                   / F.col("_union"), 6))
             .select("doc_a", "doc_b", "n_common", "jaccard")
             .orderBy("doc_a", "doc_b"))
 
@@ -1099,10 +1106,9 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 - len(list_intersect(a.toks, b.toks))) * 1e6 + 0.5) / 1e6
          AS jaccard
 FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-            / (len(a.toks) + len(b.toks)
-               - len(list_intersect(a.toks, b.toks))) * 1e6 + 0.5) / 1e6
-      >= {SETSIM_T}
+WHERE {_SETSIM_DEN} * len(list_intersect(a.toks, b.toks))
+      >= {_SETSIM_NUM} * (len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)))
 ORDER BY doc_a, doc_b
 """
 

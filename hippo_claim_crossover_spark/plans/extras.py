@@ -25,6 +25,7 @@ from hippo_claim_crossover_spark.plans.base import (
     money_sum,
     money_sum_sql,
     t,
+    within_rel_band,
 )
 
 
@@ -117,7 +118,7 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _band(a, e):
-        return F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e))
+        return within_rel_band(F.col(a), F.col(e), 0.05)
 
     return (
         exact.join(F.broadcast(approx), "l_returnflag")
@@ -228,11 +229,16 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(*[F.lit(x) for kv in _STRATA_FRACTIONS.items()
                        for x in kv]),
         F.col("l_returnflag"))
+    # LEFT join + coalesce: a stratum whose realized sample is empty has
+    # no group-by row on the sampled side — an inner join would silently
+    # drop its output row (vs the oracle's unconditional one per
+    # stratum) even though 0 draws is inside the band for small n·f.
+    n_samp = F.coalesce(F.col("_n_sampled"), F.lit(0))
     return (
-        pop.join(F.broadcast(sampled), "l_returnflag")
+        pop.join(F.broadcast(sampled), "l_returnflag", "left")
         .select("l_returnflag", "n_population",
                 frac.alias("fraction"),
-                (F.abs(F.col("_n_sampled") - frac * F.col("n_population"))
+                (F.abs(n_samp - frac * F.col("n_population"))
                  <= 6 * F.sqrt(frac * (1 - frac) * F.col("n_population"))
                  + 1).alias("within_binomial_band"))
     )
@@ -533,9 +539,7 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_exact"))
     )
     def _within(col):
-        return (F.abs(F.col(col).cast("double")
-                      - F.col("n_exact").cast("double"))
-                <= 0.05 * F.col("n_exact").cast("double"))
+        return within_rel_band(F.col(col), F.col("n_exact"), 0.05)
 
     return merged.join(direct, "event_type").select(
         "event_type", "n_exact",

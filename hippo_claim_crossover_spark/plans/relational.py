@@ -21,6 +21,7 @@ from hippo_claim_crossover_spark.plans.base import (
     money_sum,
     money_sum_sql,
     t,
+    within_rel_band,
 )
 
 
@@ -93,9 +94,9 @@ def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash, turning the old rows-only row into a real check."""
     li = t(spark, sf_dir, "lineitem")
     within = [
-        (F.abs(F.approx_count_distinct(c, 0.01).cast("double")
-               - F.countDistinct(c).cast("double"))
-         <= 0.05 * F.countDistinct(c).cast("double")).alias(f"{a}_within_5pct")
+        within_rel_band(F.approx_count_distinct(c, 0.01),
+                        F.countDistinct(c), 0.05)
+        .alias(f"{a}_within_5pct")
         for c, a in (("l_partkey", "parts"), ("l_orderkey", "claims"))]
     return (
         li.groupBy("l_returnflag")

@@ -32,20 +32,25 @@ _PRUNED_FOR: set[str] = set()
 _PRUNE_IDLE_SECS = 2 * 3600  # > any single harness session's lifetime
 
 
-def _prune_stale_scratch(app_id: str) -> None:
+def _prune_stale_scratch(app_id: str,
+                         idle_secs: int = _PRUNE_IDLE_SECS) -> None:
     """Best-effort removal of scratch dirs left by finished sessions:
     every entry whose name embeds a run tag different from ``app_id``'s
     AND whose tag timestamp (the `local-<epoch-millis>` session start)
     is past the idle margin — so live concurrent sessions keep their
-    state. Entries without a run tag (e.g. the binfiles fixture cache)
-    are shared across sessions and kept."""
+    state. Entries without a run tag (e.g. the binfiles fixture cache,
+    the stress corpora) are shared across sessions and kept.
+    ``idle_secs`` parametrizes the margin: bench.py passes a shorter one
+    (its measurement cares about listing overhead) — but the run-tag +
+    margin rules are identical, so a live concurrent session's state is
+    never deleted by either caller."""
     import time
 
     m = _RUN_TAG.search(app_id)
     if not m:
         return
     current = m.group(1)
-    cutoff_ms = (time.time() - _PRUNE_IDLE_SECS) * 1000.0
+    cutoff_ms = (time.time() - idle_secs) * 1000.0
     for root in _SCRATCH_ROOTS:
         try:
             entries = os.listdir(root)

@@ -5,7 +5,8 @@ Bit-for-bit merge==direct equality holds only while every daily partial
 stays in one sketch mode; past the sparse→dense promotion threshold the
 union path estimates differently (observed at sf0.1), so the
 scale-stable invariant asserted here — and by the query's verdict
-columns — is the shared envelope, plus merged/direct mutual proximity.
+columns — is each estimate's shared 5% envelope around the exact count
+(which transitively bounds merged-vs-direct disagreement at ~10%).
 """
 
 from __future__ import annotations
