@@ -52,10 +52,11 @@ GATE_ORDER = [
     # approximate ops converted to deterministic-verdict oracles
     # (exact side + band booleans) --
     "q_split_leakproof", "q_attribution", "q_mm_frames", "q_mm_resize",
+    "q_matmul", "q_text_typicality",
     "q_dedup_near", "q_sample_stratified", "q_hll_sketch", "q_mm_decode",
     # -- round 6 (late): newly declared correlated-subquery family,
     # PII scrub, repetition signal --
-    "q_small_qty", "q_large_orders", "q_disjunctive", "q_promo_share",
+    "q_disjunctive", "q_promo_share",
     "q_top_supplier", "q_idle_customers", "q_pii_redact", "q_repetition",
     "q_fuzzy_link", "q_embed_gram", "q_hof_array", "q_winsorize",
     "q_drift_ks", "q_join_full", "q_win_nav", "q_collect_sorted",
@@ -75,7 +76,7 @@ GATE_ORDER = [
     # the r5 verdict's item #3) --
     "q_agg_multi", "q_approx_cd",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
+    "q_small_qty", "q_large_orders", "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
     "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed",
     "q_join_range", "q_join_salted", "q_range_ends",
@@ -119,10 +120,10 @@ GATE_ORDER = [
     "q_lateral_join", "q_bpe_merges", "q_postings", "q_shuffle_shards",
     "q_transitions", "q_skew_profile", "q_skyline",
     "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
-    "q_curation_pipeline", "q_src_metadata", "q_matmul",
+    "q_curation_pipeline", "q_src_metadata",
     "q_explode_outer", "q_calendar", "q_graph_bfs", "q_recommend",
     "q_langid_eval", "q_filter_first",
-    "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_text_typicality",
+    "q_merge_upsert", "q_scd2_history", "q_join_bloom",
     "q_stream_static", "q_link_sorted", "q_dq_audit", "q_cohort_retention",
     "q_graph_triangles", "q_incr_agg", "q_sink_zorder",
     "q_join_interval_binned", "q_udf_grouped", "q_udf_cogrouped",
