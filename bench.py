@@ -177,6 +177,7 @@ HEADLINE = [
     "q_attribution",
     "q_mm_frames",
     "q_mm_resize",
+    "q_ohlc",
 ]
 
 

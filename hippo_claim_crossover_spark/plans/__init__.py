@@ -52,7 +52,7 @@ GATE_ORDER = [
     # approximate ops converted to deterministic-verdict oracles
     # (exact side + band booleans) --
     "q_split_leakproof", "q_attribution", "q_mm_frames", "q_mm_resize",
-    "q_matmul", "q_text_typicality",
+    "q_matmul", "q_text_typicality", "q_ohlc",
     "q_dedup_near", "q_sample_stratified", "q_hll_sketch", "q_mm_decode",
     # -- round 6 (late): newly declared correlated-subquery family,
     # PII scrub, repetition signal --
@@ -74,9 +74,9 @@ GATE_ORDER = [
     # -- stalest driver proofs: last green driver row is r2 (three
     # rounds old; judge re-verified in r5, rotated into the window per
     # the r5 verdict's item #3) --
-    "q_agg_multi", "q_approx_cd",
+    "q_agg_multi",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_small_qty", "q_large_orders", "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
+    "q_approx_cd", "q_small_qty", "q_large_orders", "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
     "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed",
     "q_join_range", "q_join_salted", "q_range_ends",

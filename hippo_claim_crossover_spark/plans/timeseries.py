@@ -850,6 +850,47 @@ FROM merged GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per event type per 1-hour bucket, the open /
+    high / low / close of the value stream plus the event count — the
+    bar-building primitive of every metrics/financial downsampler, and
+    the canonical use of FIRST/LAST-by-time aggregation (not a window:
+    one partial/final ``min_by``/``max_by`` aggregate, so the shuffle
+    carries one row per (type, hour) at any scale).
+
+    Open/close ride ``min_by``/``max_by`` on the unique time-ordered
+    ``event_id`` (same deterministic-tiebreak contract as
+    q_attribution, so bars never depend on timestamp collisions);
+    high/low/count are plain aggregates; values pass through RAW (no
+    cross-engine arithmetic anywhere). The bucket id is exact BIGINT
+    division of epoch-microseconds."""
+    e = (t(spark, sf_dir, "events")
+         .select("event_type", "event_id", "value",
+                 F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                        "div 3600000000").alias("hour_id")))
+    return (e.groupBy("event_type", "hour_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min_by("value", "event_id").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "event_id").alias("close"))
+            .orderBy("event_type", "hour_id"))
+
+
+ORACLE_OHLC = """
+SELECT event_type,
+       epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+       count(*) AS n_events,
+       arg_min(value, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, event_id) AS close
+FROM events
+GROUP BY event_type, hour_id
+ORDER BY event_type, hour_id
+"""
+
+
 _ATTR_LOOKBACK_US = 7 * 86_400 * 1_000_000   # 7-day attribution window
 
 
@@ -938,6 +979,10 @@ FROM stacked GROUP BY model, channel ORDER BY model, channel
 
 
 SPECS: dict[str, QuerySpec] = {
+    "q_ohlc": QuerySpec(
+        q_ohlc, ORACLE_OHLC,
+        "per-type hourly OHLC bars (min_by/max_by open-close, exact "
+        "BIGINT bucket ids)"),
     "q_attribution": QuerySpec(
         q_attribution, ORACLE_ATTRIBUTION,
         "first/last-touch conversion attribution (per-user lookback "

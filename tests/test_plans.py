@@ -760,3 +760,18 @@ def test_attribution_aggregates_per_purchase_before_rollup(spark):
     for model in ("first_touch", "last_touch"):
         got = sum(r["n_conversions"] for r in rows if r["model"] == model)
         assert got == n_purch, (model, got, n_purch)
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    """q_ohlc must plan as ONE partial/final aggregate on (type, hour) —
+    no Window operator (a first/last-by-time window would re-sort every
+    bucket's rows), no cartesian — and bar invariants must hold."""
+    plan = _plan(spark, "q_ohlc")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    rows = ALL_SPECS["q_ohlc"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"], dict(r.asDict())
+        assert r["low"] <= r["close"] <= r["high"], dict(r.asDict())
