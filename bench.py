@@ -219,9 +219,11 @@ def main() -> None:
     # Prune run-tagged scratch dirs idle >30 min (accumulated bucketed
     # tables / source fixtures measurably inflate the bucketed/salted
     # join timings via listing overhead). Delegates to the session
-    # helper so the rules match get_spark's own 2h prune: run-tag aware,
-    # never touches a live concurrent session's state or the untagged
-    # shared fixtures (binfiles/, stress corpora).
+    # helper so the rules match get_spark's own 2h prune: run-tag aware
+    # AND mtime-idle — a live concurrent session keeps fresh mtimes as it
+    # writes, so the shorter margin only reclaims genuinely abandoned
+    # state, never a running session's, nor the untagged shared fixtures
+    # (binfiles/, stress corpora).
     from hippo_claim_crossover_spark.session import _prune_stale_scratch
     _prune_stale_scratch(spark.sparkContext.applicationId, idle_secs=1800)
     spark.sparkContext.setLogLevel("ERROR")

@@ -583,7 +583,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=4, seed=42)
     model = lsh.fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
+    # Post-filter threshold is deliberately LOOSER than the exact side's:
+    # the exact detector admits pairs with 4-dp ROUNDED Jaccard >= 0.2
+    # (raw J >= 0.19995), and approxSimilarityJoin's distance is computed
+    # over HashingTF-hashed shingle sets whose collisions jitter J by a
+    # hair. 0.81 (hashed J >= 0.19) gives the candidate superset a full
+    # point of slack on both effects, so a boundary-similarity pair can
+    # never read as "missed" without a real LSH recall regression (r9
+    # ADVICE — the asymmetric 0.8 cutoff was a latent deterministic red).
+    joined = model.approxSimilarityJoin(feat, feat, 0.81, distCol="jaccard_dist")
     found = (
         joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(F.col("datasetA.doc_id").alias("doc_a"),

@@ -513,8 +513,11 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic-verdict output (sketch internals are engine-specific;
     DuckDB has no DataSketches HLL): per event type, the EXACT distinct
     count plus two booleans asserting BOTH the re-aggregated estimate
-    and the one-shot estimate land within ±5% of it (lgK=12 ⇒ rsd
-    ~1.6%, so 5% is a ≥3σ band). Merged and direct agree bit-for-bit
+    and the one-shot estimate land within ±8% of it (lgK=12 ⇒ rsd
+    ~1.63%, so 8% is a ~5σ band; across 10 booleans at untested scales
+    a 5% / ~3σ band had non-negligible odds of a legitimate tail
+    deviation presenting as a cross-engine red — r9 ADVICE, matching
+    the original unit-test envelope). Merged and direct agree bit-for-bit
     only while every partial stays in one sketch mode — past the
     sparse→dense promotion threshold the union path estimates
     differently (observed at sf0.1), so the scale-stable invariant is
@@ -539,18 +542,18 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_exact"))
     )
     def _within(col):
-        return within_rel_band(F.col(col), F.col("n_exact"), 0.05)
+        return within_rel_band(F.col(col), F.col("n_exact"), 0.08)
 
     return merged.join(direct, "event_type").select(
         "event_type", "n_exact",
-        _within("_merged").alias("merged_within_5pct"),
-        _within("_direct").alias("direct_within_5pct"))
+        _within("_merged").alias("merged_within_band"),
+        _within("_direct").alias("direct_within_band"))
 
 
 ORACLE_HLL_SKETCH = """
 SELECT event_type, count(DISTINCT user_id) AS n_exact,
-       TRUE AS merged_within_5pct,
-       TRUE AS direct_within_5pct
+       TRUE AS merged_within_band,
+       TRUE AS direct_within_band
 FROM events GROUP BY event_type
 """
 
@@ -718,5 +721,5 @@ SPECS: dict[str, QuerySpec] = {
     "q_hll_sketch": QuerySpec(
         q_hll_sketch, ORACLE_HLL_SKETCH,
         "DataSketches HLL partial-merge rollup (deterministic verdict: "
-        "exact distincts + merge==direct + within-5%-band booleans)"),
+        "exact distincts + within-8%-band (~5 sigma) booleans)"),
 }

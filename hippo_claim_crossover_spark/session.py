@@ -32,25 +32,49 @@ _PRUNED_FOR: set[str] = set()
 _PRUNE_IDLE_SECS = 2 * 3600  # > any single harness session's lifetime
 
 
+def _tree_is_idle(path: str, cutoff_ts: float) -> bool:
+    """True iff nothing under ``path`` has an mtime at/after ``cutoff_ts``.
+
+    Walk short-circuits on the first fresh entry, so the common live-session
+    case (its newest shuffle/commit file is recent) costs a few stats, not a
+    full tree scan. Unreadable entries count as idle (best-effort prune)."""
+    try:
+        if os.path.getmtime(path) >= cutoff_ts:
+            return False
+    except OSError:
+        return True
+    for dirpath, dirnames, filenames in os.walk(path):
+        for n in dirnames + filenames:
+            try:
+                if os.path.getmtime(os.path.join(dirpath, n)) >= cutoff_ts:
+                    return False
+            except OSError:
+                continue
+    return True
+
+
 def _prune_stale_scratch(app_id: str,
                          idle_secs: int = _PRUNE_IDLE_SECS) -> None:
     """Best-effort removal of scratch dirs left by finished sessions:
     every entry whose name embeds a run tag different from ``app_id``'s
-    AND whose tag timestamp (the `local-<epoch-millis>` session start)
-    is past the idle margin — so live concurrent sessions keep their
-    state. Entries without a run tag (e.g. the binfiles fixture cache,
-    the stress corpora) are shared across sessions and kept.
-    ``idle_secs`` parametrizes the margin: bench.py passes a shorter one
-    (its measurement cares about listing overhead) — but the run-tag +
-    margin rules are identical, so a live concurrent session's state is
-    never deleted by either caller."""
+    AND that is genuinely idle — its ``local-<epoch-millis>`` session
+    start is older than the margin (a session younger than the margin
+    cannot have been idle longer than its age) AND no file under it has
+    been touched within the margin. The mtime check is what protects a
+    live long-running concurrent session (pytest suite, tri-scale oracle
+    sweep): its scratch keeps fresh mtimes as it writes, so even
+    bench.py's shorter 30-min margin never deletes live state — the tag
+    age alone could not guarantee that for a session >idle_secs old.
+    Entries without a run tag (e.g. the binfiles fixture cache, the
+    stress corpora) are shared across sessions and kept."""
     import time
 
     m = _RUN_TAG.search(app_id)
     if not m:
         return
     current = m.group(1)
-    cutoff_ms = (time.time() - idle_secs) * 1000.0
+    now = time.time()
+    cutoff_ms = (now - idle_secs) * 1000.0
     for root in _SCRATCH_ROOTS:
         try:
             entries = os.listdir(root)
@@ -61,8 +85,10 @@ def _prune_stale_scratch(app_id: str,
             if not tag or tag.group(1) == current:
                 continue
             if float(tag.group(1)) > cutoff_ms:
-                continue  # started <2h ago: possibly still running
+                continue  # started <margin ago: possibly still running
             path = os.path.join(root, name)
+            if not _tree_is_idle(path, now - idle_secs):
+                continue  # recently written: owner is live, keep
             try:
                 if os.path.isdir(path):
                     shutil.rmtree(path, ignore_errors=True)
