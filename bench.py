@@ -178,6 +178,11 @@ HEADLINE = [
     "q_mm_frames",
     "q_mm_resize",
     "q_ohlc",
+    # round-9 additions: curation stage-0 HTML strip, CLIP-shaped
+    # cross-modal pair prep, merge-on-read lakehouse read
+    "q_text_strip_html",
+    "q_mm_pairfilter",
+    "q_mor_read",
 ]
 
 

@@ -301,7 +301,178 @@ GROUP BY media_type, start_byte // {SHARD_BYTES}
 """
 
 
+# CLIP-style pair-filter constants. The coherence threshold is calibrated
+# to the synthetic embedding fixture's centroid-cosine distribution
+# (median ~0.15; 0.10 keeps ~60%), playing the role LAION's 0.28 CLIP
+# score plays on real image-text pairs. Dup threshold matches
+# q_dedup_embed's near-dup definition so the two stages share semantics.
+MM_MIN_CAPTION = 100
+MM_COHERENCE = 0.10
+MM_DUP_COS = 0.25
+_MM_DIM = 64
+
+
+def q_mm_pairfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-shaped cross-modal pair preparation (the LAION curation
+    shape): treat ``documents`` as captions and ``embeddings`` as the
+    paired media embeddings (joined 1:1 on id), then (1) drop pairs with
+    trivial captions, (2) keep pairs whose embedding coheres with its
+    label centroid (the stand-in for the CLIP image-text score), and
+    (3) drop near-duplicate media among the survivors via the same
+    SRP-bucket-blocked cosine detector as ``q_dedup_embed``.
+
+    Exactness: the per-label centroid is built from INTEGER micro
+    components (floor(x*1e6+0.5) longs summed exactly per (label, pos) —
+    no float accumulation-order sensitivity), assembled into an array and
+    broadcast back; cosine is then a row-local fixed-fold dot product
+    rounded at 4dp, identical in both engines (the q_sim_topk pattern).
+    Scale: the centroid table is |labels|×d integers (broadcast); the
+    dedup stage blocks on adaptive SRP buckets (planes from the FULL
+    table count, so the oracle recomputes the same plane count from its
+    own COUNT(*)); no stage is all-pairs. The kept set feeds three
+    consumers, so it is localCheckpoint'd once."""
+    from hippo_claim_crossover_spark.operators import similarity as ops_sim
+    from hippo_claim_crossover_spark.plans.base import (
+        duck_round,
+        money_micros,
+        t_wide,
+    )
+
+    docs = t_wide(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    # Exact integer centroid: micro-quantized components (deterministic
+    # quantization — both engines floor the same doubles) summed per
+    # (label, pos) as longs, then re-assembled position-sorted. Cosine is
+    # scale-invariant, so the component SUM serves as the centroid
+    # directly (no /n division to drift).
+    vm = F.transform(
+        F.col("v"), lambda x: money_micros(x))
+    pe = emb.select("label", F.posexplode(vm).alias("pos", "m"))
+    cent = (
+        pe.groupBy("label", "pos").agg(F.sum("m").alias("s"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st["s"].cast("double")).alias("c")))
+    pairs = emb.join(docs, emb.vec_id == docs.doc_id).drop("doc_id")
+    cos_raw = (ops_sim.dot(F.col("v"), F.col("c"))
+               / (ops_sim.l2_norm(F.col("v")) * ops_sim.l2_norm(F.col("c"))))
+    scored = (
+        pairs.where(F.col("n_chars") >= MM_MIN_CAPTION)
+        .join(F.broadcast(cent), "label")
+        .select("vec_id", "label", "v",
+                duck_round(cos_raw, 4).alias("cos4")))
+    kept = (scored.where(F.col("cos4") >= MM_COHERENCE)
+            .localCheckpoint(eager=False))
+    n_total = t_wide(spark, sf_dir, "embeddings").count()
+    dups = ops_sim.embed_near_pairs(
+        kept.select("vec_id", "v"), dim=_MM_DIM, threshold=MM_DUP_COS,
+        n_planes=ops_sim.planes_for(n_total))
+    drops = dups.select(F.col("vec_b").alias("vec_id")).distinct()
+    final = kept.join(drops, "vec_id", "left_anti")
+    a_pairs = pairs.groupBy("label").agg(F.count(F.lit(1)).alias("n_pairs"))
+    a_scored = (
+        scored.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_caption_ok"),
+             F.sum((F.col("cos4") >= MM_COHERENCE).cast("long"))
+             .alias("n_coherent"),
+             F.sum(F.when(F.col("cos4") >= MM_COHERENCE,
+                          money_micros(F.col("cos4"))))
+             .alias("sum_cos_micros")))
+    a_final = final.groupBy("label").agg(F.count(F.lit(1)).alias("n_final"))
+    return (
+        a_pairs
+        .join(a_scored, "label", "left")
+        .join(a_final, "label", "left")
+        .select(
+            "label", "n_pairs",
+            F.coalesce("n_caption_ok", F.lit(0)).alias("n_caption_ok"),
+            F.coalesce("n_coherent", F.lit(0)).alias("n_coherent"),
+            (F.coalesce("n_coherent", F.lit(0))
+             - F.coalesce("n_final", F.lit(0))).alias("n_dropped_dup"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.when(F.col("n_coherent") > 0,
+                   duck_round(F.col("sum_cos_micros").cast("double")
+                              / (F.lit(1e6) * F.col("n_coherent")), 4))
+            .alias("avg_kept_cos"))
+        .orderBy("label"))
+
+
+def _oracle_mm_pairfilter() -> str:
+    from hippo_claim_crossover_spark.plans.similarity import (
+        NP_T_SQL,
+        _bucket_sql_gated,
+        _r4,
+    )
+    cos4 = _r4("list_dot_product(p.v, c.c) / (sqrt(list_dot_product(p.v, "
+               "p.v)) * sqrt(list_dot_product(c.c, c.c)))")
+    return f"""
+WITH {NP_T_SQL}, m AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pe AS (
+  SELECT label, t.i AS pos,
+         CAST(floor(v[t.i] * 1e6 + 0.5) AS BIGINT) AS mv
+  FROM m, (SELECT unnest(range(1, {_MM_DIM} + 1)) AS i) t
+), cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, CAST(sum(mv) AS BIGINT) AS s
+        FROM pe GROUP BY label, pos)
+  GROUP BY label
+), pairs AS (
+  SELECT m.vec_id, m.label, m.v, d.n_chars
+  FROM m JOIN documents d ON m.vec_id = d.doc_id
+), scored AS (
+  SELECT p.vec_id, p.label, p.v, {cos4} AS cos4
+  FROM pairs p JOIN cent c USING (label)
+  WHERE p.n_chars >= {MM_MIN_CAPTION}
+), kept AS (
+  SELECT vec_id, label, cos4,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn,
+         {_bucket_sql_gated(0)} AS bucket
+  FROM scored, np_t WHERE cos4 >= {MM_COHERENCE}
+), drops AS (
+  SELECT b.vec_id AS vec_id
+  FROM kept a JOIN kept b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_r4('list_dot_product(a.vn, b.vn)')} >= {MM_DUP_COS}
+  GROUP BY b.vec_id
+), final AS (
+  SELECT * FROM kept
+  WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+)
+SELECT l.label, l.n_pairs,
+       COALESCE(s.n_caption_ok, 0) AS n_caption_ok,
+       COALESCE(s.n_coherent, 0) AS n_coherent,
+       COALESCE(s.n_coherent, 0) - COALESCE(f.n_final, 0) AS n_dropped_dup,
+       COALESCE(f.n_final, 0) AS n_final,
+       CASE WHEN COALESCE(s.n_coherent, 0) > 0 THEN
+         floor((CAST(s.sum_cos_micros AS DOUBLE)
+                / (1e6 * s.n_coherent)) * 1e4 + 0.5) / 1e4
+       END AS avg_kept_cos
+FROM (SELECT label, count(*) AS n_pairs FROM pairs GROUP BY label) l
+LEFT JOIN (
+  SELECT label, count(*) AS n_caption_ok,
+         CAST(sum(CASE WHEN cos4 >= {MM_COHERENCE} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_coherent,
+         CAST(sum(CASE WHEN cos4 >= {MM_COHERENCE}
+                  THEN CAST(floor(cos4 * 1e6 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS sum_cos_micros
+  FROM scored GROUP BY label) s ON l.label = s.label
+LEFT JOIN (SELECT label, count(*) AS n_final FROM final GROUP BY label) f
+  ON l.label = f.label
+ORDER BY l.label
+"""
+
+
+ORACLE_MM_PAIRFILTER = _oracle_mm_pairfilter()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_mm_pairfilter": QuerySpec(
+        q_mm_pairfilter, ORACLE_MM_PAIRFILTER,
+        "CLIP-shaped cross-modal pair prep: caption filter -> exact-"
+        "integer centroid coherence -> SRP-blocked near-dup drop"),
     "q_mm_meta": QuerySpec(q_mm_meta, ORACLE_MM_META,
                            "binary payload metadata"),
     "q_mm_binfile": QuerySpec(q_mm_binfile, ORACLE_MM_BINFILE,

@@ -1148,6 +1148,116 @@ FROM m GROUP BY source ORDER BY source
 """
 
 
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate strip — the stage-0 of every web-corpus curation
+    pipeline, upstream of ``q_text_gopher`` / ``q_curation_pipeline``.
+
+    The fixture corpus is clean text, so the query first wraps each
+    document in a deterministic HTML envelope derived only from
+    ``doc_id``/``text`` (head with title/style/script, a nav whose link
+    count varies per doc, a footer, and a body with numeric-entity
+    encoding) — a reproducible stand-in for raw crawl HTML — then runs
+    the real strip: drop ``<head>``, drop the boilerplate ``<nav>`` /
+    ``<footer>`` blocks (the link-density-heavy segments a main-content
+    heuristic discards), strip remaining tags, decode entities, collapse
+    whitespace.  All regexes stay in the conservative subset Java
+    (Spark) and RE2 (DuckDB) interpret identically.
+
+    Verdict design: the strip must ROUND-TRIP — recovered main content
+    equal to the original ``text`` byte-for-byte — so ``n_roundtrip_exact
+    == n_docs`` and the md5-based ``stripped_hash`` pin the actual
+    stripped bytes cross-engine, not just counts.  Fully row-local:
+    wrap + strip run inside the scan stage (map-only, whole-stage
+    codegen) with the per-source rollup as the only shuffle — at 100 TB
+    this is a single map pass like every real boilerplate stripper.
+    The md5-mod-1e9 hash terms keep ``sum`` inside int64 up to ~9e9 docs
+    per source; widen to DECIMAL(38,0)/HUGEINT beyond that."""
+    d = t_wide(spark, sf_dir, "documents")
+    nav = F.concat(
+        F.lit('<nav><a href="/">home</a>'),
+        F.repeat(F.lit('<a href="/p">more</a>'),
+                 (F.col("doc_id") % 3).cast("int")),
+        F.lit("</nav>"))
+    body_enc = F.replace(
+        F.replace(F.col("text"), F.lit("table"), F.lit("ta&#98;le")),
+        F.lit("join"), F.lit("jo&#105;n"))
+    html = F.concat(
+        F.lit("<html><head><title>d"), F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0;}</style>"
+              "<script>var x=1;</script></head><body>"),
+        nav, F.lit('<p class="main">'), body_enc,
+        F.lit('</p><footer><a href="/tos">tos</a> (c) 2026</footer>'
+              "</body></html>"))
+    s = F.regexp_replace(html, F.lit("<head>.*?</head>"), F.lit(" "))
+    s = F.regexp_replace(s, F.lit("<nav>.*?</nav>"), F.lit(" "))
+    s = F.regexp_replace(s, F.lit("<footer>.*?</footer>"), F.lit(" "))
+    s = F.regexp_replace(s, F.lit("<[^>]*>"), F.lit(" "))
+    s = F.replace(F.replace(s, F.lit("&#98;"), F.lit("b")),
+                  F.lit("&#105;"), F.lit("i"))
+    stripped = F.trim(F.regexp_replace(s, F.lit(" +"), F.lit(" ")))
+    per_doc = d.select(
+        "source",
+        F.length(html).alias("html_len"),
+        F.length("text").alias("text_len"),
+        (F.size(F.split(html, "<a href")) - 1).alias("n_links"),
+        (stripped == F.col("text")).cast("int").alias("ok"),
+        (hex2long(F.md5(stripped)) % 1000000007).alias("h"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("ok").alias("n_roundtrip_exact"),
+             F.sum("n_links").alias("total_links"),
+             F.sum(F.col("html_len") - F.col("text_len"))
+             .alias("markup_chars"),
+             duck_round(F.avg("n_links"), 4).alias("avg_links"),
+             F.sum("h").alias("stripped_hash"))
+        .orderBy("source"))
+
+
+ORACLE_TEXT_STRIP_HTML = """
+WITH h AS (
+  SELECT source, text, length(text) AS text_len,
+         '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{margin:0;}</style>'
+         || '<script>var x=1;</script></head><body>'
+         || '<nav><a href="/">home</a>'
+         || repeat('<a href="/p">more</a>', CAST(doc_id % 3 AS INT))
+         || '</nav>'
+         || '<p class="main">'
+         || replace(replace(text, 'table', 'ta&#98;le'),
+                    'join', 'jo&#105;n')
+         || '</p><footer><a href="/tos">tos</a> (c) 2026</footer>'
+         || '</body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT source, text, text_len, length(html) AS html_len,
+         len(string_split(html, '<a href')) - 1 AS n_links,
+         trim(regexp_replace(
+           replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '<head>.*?</head>', ' ', 'g'),
+                   '<nav>.*?</nav>', ' ', 'g'),
+                 '<footer>.*?</footer>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&#98;', 'b'), '&#105;', 'i'),
+           ' +', ' ', 'g')) AS stripped
+  FROM h
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN stripped = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip_exact,
+       CAST(sum(n_links) AS BIGINT) AS total_links,
+       CAST(sum(html_len - text_len) AS BIGINT) AS markup_chars,
+       floor((CAST(sum(n_links) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+         AS avg_links,
+       CAST(sum(CAST(('0x' || substr(md5(stripped), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS stripped_hash
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal (the Gopher/MassiveText "duplicate
     n-gram fraction"): per document, the share of bigram slots taken by
@@ -1379,6 +1489,10 @@ SPECS: dict[str, QuerySpec] = {
     "q_repetition": QuerySpec(
         q_repetition, ORACLE_REPETITION,
         "duplicate-bigram repetition signal (Gopher-style)"),
+    "q_text_strip_html": QuerySpec(
+        q_text_strip_html, ORACLE_TEXT_STRIP_HTML,
+        "HTML/boilerplate strip stage-0 (tag/entity strip + "
+        "nav/footer drop, round-trip verdict, map-only)"),
     "q_langid_eval": QuerySpec(q_langid_eval, ORACLE_LANGID_EVAL,
                                "classifier-eval confusion matrix for the "
                                "langid heuristic"),

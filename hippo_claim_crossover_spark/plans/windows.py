@@ -16,6 +16,8 @@ from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
     money_micros,
+    money_sum,
+    money_sum_sql,
     t,
 )
 
@@ -308,6 +310,92 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lakehouse read — the Delta/Iceberg-shaped read path
+    the CDC family was missing: a compacted BASE snapshot plus an
+    ordered change LOG (upsert commit, delete commit, late-insert
+    commit) resolved at read time, newest commit wins, tombstones hide
+    rows. Completes change-data *application* (q_merge_upsert) and
+    *generation* (q_snapshot_diff) with the log-structured *read*.
+
+    Base and log are derived deterministically from ``orders``: base =
+    keys ∉ 0 mod 10 at commit seq 0; commit 1 upserts keys ≡ 3 mod 7
+    with a +10.00 price revision; commit 2 tombstones keys ≡ 5 mod 13;
+    commit 3 late-inserts the base-missing keys ≡ 0 mod 10 — so
+    update-wins, delete-wins, and insert-after-miss all occur (and a
+    key can traverse several commits). The merge is
+    ``operators.cdc.mor_read``: one union + ONE shuffle on the key
+    (q_latest_snapshot's window), never a per-commit self-join, so at
+    100 TB a day of commits costs the same exchange as one. The rollup
+    audits the read: visible rows, tombstoned keys, patched/late-insert
+    winners, and the exact money total over visible rows."""
+    from hippo_claim_crossover_spark.operators.cdc import mor_read
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    k = F.col("o_orderkey")
+
+    def _rec(df: DataFrame, price: F.Column, seq: int, op: str) -> DataFrame:
+        return df.select(
+            "o_orderkey", "o_orderpriority", price.alias("price"),
+            F.lit(seq).alias("seq"), F.lit(op).alias("op"))
+
+    base = _rec(o.where(k % 10 != 0), F.col("o_totalprice"), 0, "u")
+    log = (
+        _rec(o.where(k % 7 == 3), F.col("o_totalprice") + F.lit(10.0),
+             1, "u")
+        .unionByName(_rec(o.where(k % 13 == 5), F.col("o_totalprice"),
+                          2, "d"))
+        .unionByName(_rec(o.where(k % 10 == 0), F.col("o_totalprice"),
+                          3, "u")))
+    win = mor_read(base, log, "o_orderkey")
+    visible = F.col("op") != "d"
+    return (
+        win.groupBy("o_orderpriority")
+        .agg(F.sum(visible.cast("long")).alias("n_visible"),
+             F.sum((~visible).cast("long")).alias("n_tombstoned"),
+             money_sum(F.when(visible, F.col("price")))
+             .alias("total_price"),
+             F.sum((visible & (F.col("seq") == 1)).cast("long"))
+             .alias("n_patched"),
+             F.sum((F.col("seq") == 3).cast("long"))
+             .alias("n_late_inserts"))
+        .orderBy("o_orderpriority"))
+
+
+ORACLE_MOR_READ = f"""
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS price
+  FROM orders
+), recs AS (
+  SELECT k, pr, price, 0 AS seq, 'u' AS op FROM src WHERE k % 10 != 0
+  UNION ALL
+  SELECT k, pr, price + 10.0, 1, 'u' FROM src WHERE k % 7 = 3
+  UNION ALL
+  SELECT k, pr, price, 2, 'd' FROM src WHERE k % 13 = 5
+  UNION ALL
+  SELECT k, pr, price, 3, 'u' FROM src WHERE k % 10 = 0
+), win AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk
+    FROM recs)
+  WHERE rk = 1
+)
+SELECT pr AS o_orderpriority,
+       CAST(sum(CASE WHEN op != 'd' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_visible,
+       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tombstoned,
+       {money_sum_sql("CASE WHEN op != 'd' THEN price END")}
+         AS total_price,
+       CAST(sum(CASE WHEN op != 'd' AND seq = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_patched,
+       CAST(sum(CASE WHEN seq = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_inserts
+FROM win GROUP BY pr ORDER BY pr
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — change-data *generation*, the inverse of
     q_merge_upsert's change *application*: given yesterday's and today's
@@ -490,4 +578,8 @@ SPECS: dict[str, QuerySpec] = {
                                 "SCD type-2 validity-interval history"),
     "q_snapshot_diff": QuerySpec(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
                                  "snapshot diff (change-data generation)"),
+    "q_mor_read": QuerySpec(
+        q_mor_read, ORACLE_MOR_READ,
+        "merge-on-read lakehouse read (base + commit log, newest wins, "
+        "tombstone filter after the window)"),
 }

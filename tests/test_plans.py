@@ -775,3 +775,61 @@ def test_ohlc_is_single_aggregate_no_window(spark):
     for r in rows:
         assert r["low"] <= r["open"] <= r["high"], dict(r.asDict())
         assert r["low"] <= r["close"] <= r["high"], dict(r.asDict())
+
+
+def test_text_strip_html_map_only_and_roundtrips(spark):
+    """q_text_strip_html: the wrap+strip must be a single map pass —
+    no join anywhere in the plan, one partial/final rollup — and the
+    strip must recover the original text for EVERY document (the
+    cross-engine oracle only proves Spark==DuckDB; this pins that the
+    agreed answer is the right one)."""
+    plan = _plan(spark, "q_text_strip_html")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    rows = ALL_SPECS["q_text_strip_html"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_roundtrip_exact"] == r["n_docs"], dict(r.asDict())
+        assert r["total_links"] >= r["n_docs"] * 2  # home + tos at least
+        assert r["markup_chars"] > 0
+
+
+def test_mm_pairfilter_broadcast_centroid_no_cartesian(spark):
+    """q_mm_pairfilter: centroid join must broadcast (|labels|×d rows),
+    the dedup stage must block on SRP buckets (no cartesian), and the
+    funnel counts must be monotone (pairs ⊇ caption-ok ⊇ coherent ⊇
+    final) with every pair accounted for."""
+    plan = _plan(spark, "q_mm_pairfilter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = ALL_SPECS["q_mm_pairfilter"].fn(spark, SF_DIR).collect()
+    assert rows
+    from hippo_claim_crossover_spark.plans.base import t as _t
+    n_emb = _t(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_pairs"] for r in rows) == n_emb
+    for r in rows:
+        d = dict(r.asDict())
+        assert r["n_pairs"] >= r["n_caption_ok"] >= r["n_coherent"], d
+        assert r["n_coherent"] == r["n_dropped_dup"] + r["n_final"], d
+        assert r["n_final"] >= 0, d
+
+
+def test_mor_read_single_window_covers_all_keys(spark):
+    """q_mor_read: base∪log must resolve through ONE window shuffle on
+    the key (never a per-commit self-join), and the read must account
+    for every order key exactly once (visible + tombstoned = |orders|),
+    with all three commit kinds exercised."""
+    plan = _plan(spark, "q_mor_read")
+    assert "CartesianProduct" not in plan
+    # exactly one Window exec node ("Window [...") — WindowGroupLimit
+    # pre-pruning nodes also contain the substring and are welcome
+    assert plan.count("Window [") == 1
+    rows = ALL_SPECS["q_mor_read"].fn(spark, SF_DIR).collect()
+    from hippo_claim_crossover_spark.plans.base import t as _t
+    n_orders = _t(spark, SF_DIR, "orders").count()
+    assert (sum(r["n_visible"] for r in rows)
+            + sum(r["n_tombstoned"] for r in rows)) == n_orders
+    assert sum(r["n_tombstoned"] for r in rows) > 0
+    assert sum(r["n_patched"] for r in rows) > 0
+    assert sum(r["n_late_inserts"] for r in rows) > 0
