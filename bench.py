@@ -183,6 +183,25 @@ HEADLINE = [
     "q_text_strip_html",
     "q_mm_pairfilter",
     "q_mor_read",
+    # round-9 second batch: TPC-H Q4/Q7/Q13/Q16/Q21 silhouettes + CMS
+    # sketch + token entropy + truncated EWMA
+    "q_order_priority",
+    "q_nation_trade",
+    "q_cust_order_dist",
+    "q_part_supplier_cnt",
+    "q_waiting_supplier",
+    "q_cms_sketch",
+    "q_text_entropy",
+    "q_ewma",
+    # round-9 third batch: the remaining TPC-H silhouettes (all 22 now
+    # declared)
+    "q_min_cost_supplier",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_nation_profit",
+    "q_late_lines",
+    "q_important_stock",
+    "q_dominant_supplier",
 ]
 
 

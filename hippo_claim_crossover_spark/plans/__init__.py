@@ -49,8 +49,17 @@ for _m in _MODULES:
 GATE_WINDOW = 50
 GATE_ORDER = [
     # -- round 9: new surface (HTML-strip stage-0, CLIP-shaped pair
-    # prep, merge-on-read lakehouse read) --
+    # prep, merge-on-read lakehouse read, the TPC-H Q4/Q7/Q13/Q16/Q21
+    # silhouettes, CMS sketch, token entropy, truncated EWMA) --
     "q_text_strip_html", "q_mm_pairfilter", "q_mor_read",
+    "q_order_priority", "q_nation_trade", "q_cust_order_dist",
+    "q_part_supplier_cnt", "q_waiting_supplier",
+    "q_cms_sketch", "q_text_entropy", "q_ewma",
+    # -- round 9 second batch: the remaining TPC-H silhouettes (all 22
+    # now declared) --
+    "q_min_cost_supplier", "q_forecast_revenue", "q_market_share",
+    "q_nation_profit", "q_late_lines", "q_important_stock",
+    "q_dominant_supplier",
     # -- round 9: code/oracle changed this round (advisor fixes), plus
     # q_approx_cd whose r8-rewritten verdict oracle was never
     # driver-checked (its newest driver record is a stale r6 FAIL) --
@@ -67,12 +76,12 @@ GATE_ORDER = [
     # lead the r10 window) --
     "q_crossover", "q_scan", "q_sink", "q_pivot",
     "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
-    "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
-    "q_unpivot", "q_filter_eq", "q_filter_notnull", "q_having",
-    "q_join_broadcast", "q_join_inner", "q_join_left", "q_mm_meta",
-    "q_parent_denorm", "q_project_rename", "q_sample_hash",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- r3-cohort remainder: first into the r10 window --
+    "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
+    "q_unpivot", "q_filter_eq", "q_filter_notnull",
+    "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
+    "q_mm_meta", "q_parent_denorm", "q_project_rename", "q_sample_hash",
     "q_stream_late", "q_text_fingerprint", "q_text_langid",
     "q_text_tokcount", "q_text_tokens", "q_text_lang", "q_text_quality",
     # -- green driver row in r4, code unchanged since --

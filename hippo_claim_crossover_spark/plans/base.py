@@ -110,8 +110,8 @@ def money_sum_sql(term_sql: str, out_scale: int = 6) -> str:
     """DuckDB SQL mirroring :func:`money_sum` exactly (DuckDB's sum(BIGINT)
     widens to HUGEINT — still exact; the double cast of the same integer
     matches Spark's)."""
-    return (f"round(CAST(sum(CAST(floor({term_sql} * 1e6 + 0.5) AS BIGINT)) "
-            f"AS DOUBLE) / 1e6, {out_scale})")
+    return (f"round(CAST(sum(CAST(floor(({term_sql}) * 1e6 + 0.5) "
+            f"AS BIGINT)) AS DOUBLE) / 1e6, {out_scale})")
 
 
 def hex2long(hexstr: Column) -> Column:

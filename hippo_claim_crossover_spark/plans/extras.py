@@ -679,6 +679,109 @@ FROM top GROUP BY lang ORDER BY lang
 """
 
 
+# Count-Min parameters: depth × width. 3 independent md5-affine rows over
+# a 1024-cell width keep the sketch state at 3 KiB while the fixture
+# vocabulary (~10^3-10^4 tokens) still collides enough to exercise the
+# min-of-rows estimate. Both engines derive every cell from the same md5,
+# so the sketch itself — not just a band around it — is hash-checkable.
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def _cms_cell(tok, seed):
+    """Row ``seed``'s cell index for token ``tok`` — md5-affine, engine-
+    portable (DuckDB mirror: :data:`_CMS_CELL_SQL`)."""
+    return hex2long(F.md5(F.concat_ws(
+        ":", F.lit("cms"), seed.cast("string"), tok))) % CMS_WIDTH
+
+
+_CMS_CELL_SQL = ("CAST(('0x' || substr(md5('cms' || ':' || "
+                 "CAST({seed} AS VARCHAR) || ':' || {tok}), 1, 15)) "
+                 f"AS BIGINT) % {CMS_WIDTH}")
+
+
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over document tokens, DETERMINISTIC and therefore
+    fully hash-checkable: the d×w cell matrix is an aggregation, the
+    point query is a min over d cells, and because the row hashes are
+    md5-affine (not engine-private), DuckDB rebuilds the *identical*
+    sketch — the oracle checks the estimates themselves, not a band.
+
+    Shape: token counts aggregate once (partial/final — the corpus is
+    never re-scanned per row); the 3-row seed frame fans each distinct
+    token's count into its 3 cells via a broadcast nested-loop (3 rows,
+    constant); cells aggregate to ≤ 3×1024 rows of re-mergeable sketch
+    state — the 100 TB point being demonstrated: a CMS of ANY corpus is
+    a KB-sized partial/final aggregate, and shards' sketches merge by
+    cell-wise addition exactly like these partials do.  The probe side
+    (top-20 exact tokens) broadcasts into the cell table; ``cms_est ≥
+    exact`` (the one-sided CMS guarantee) is emitted as a verdict column
+    the oracle re-proves.
+    """
+    docs = t(spark, sf_dir, "documents").select("text")
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    counts = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint(eager=False))
+    seeds = spark.range(CMS_DEPTH).select(F.col("id").alias("seed"))
+    cells = (counts.crossJoin(F.broadcast(seeds))
+             .select("seed",
+                     _cms_cell(F.col("tok"), F.col("seed")).alias("cell"),
+                     "cnt")
+             .groupBy("seed", "cell")
+             .agg(F.sum("cnt").alias("cell_cnt")))
+    top = (counts.orderBy(F.col("cnt").desc(), "tok").limit(20)
+           .withColumnRenamed("tok", "q_tok")
+           .withColumnRenamed("cnt", "exact_cnt"))
+    probes = (top.crossJoin(F.broadcast(seeds))
+              .select("q_tok", "exact_cnt", "seed",
+                      _cms_cell(F.col("q_tok"), F.col("seed"))
+                      .alias("cell")))
+    return (F.broadcast(probes).join(cells, ["seed", "cell"])
+            .groupBy("q_tok", "exact_cnt")
+            .agg(F.min("cell_cnt").alias("cms_est"))
+            .select(F.col("q_tok").alias("token"), "exact_cnt", "cms_est",
+                    (F.col("cms_est") - F.col("exact_cnt"))
+                    .alias("overcount"),
+                    (F.col("cms_est") >= F.col("exact_cnt"))
+                    .alias("never_undercounts"))
+            .orderBy(F.col("exact_cnt").desc(), "token"))
+
+
+_CELL_Q = _CMS_CELL_SQL.format(seed="s.seed", tok="c.tok")
+_CELL_P = _CMS_CELL_SQL.format(seed="s.seed", tok="p.q_tok")
+
+ORACLE_CMS_SKETCH = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
+  WHERE tok <> '' GROUP BY tok
+), seeds AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS v(seed)
+), cells AS (
+  SELECT s.seed, {_CELL_Q} AS cell,
+         CAST(sum(c.cnt) AS BIGINT) AS cell_cnt
+  FROM counts c CROSS JOIN seeds s
+  GROUP BY s.seed, {_CELL_Q}
+), top AS (
+  SELECT tok AS q_tok, cnt AS exact_cnt FROM counts
+  ORDER BY cnt DESC, tok LIMIT 20
+), probes AS (
+  SELECT p.q_tok, p.exact_cnt, s.seed, {_CELL_P} AS cell
+  FROM top p CROSS JOIN seeds s
+)
+SELECT p.q_tok AS token, p.exact_cnt,
+       min(c.cell_cnt) AS cms_est,
+       min(c.cell_cnt) - p.exact_cnt AS overcount,
+       min(c.cell_cnt) >= p.exact_cnt AS never_undercounts
+FROM probes p
+JOIN cells c ON p.seed = c.seed AND p.cell = c.cell
+GROUP BY p.q_tok, p.exact_cnt
+ORDER BY p.exact_cnt DESC, token
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_sample_balance": QuerySpec(
         q_sample_balance, ORACLE_SAMPLE_BALANCE,
@@ -722,4 +825,8 @@ SPECS: dict[str, QuerySpec] = {
         q_hll_sketch, ORACLE_HLL_SKETCH,
         "DataSketches HLL partial-merge rollup (deterministic verdict: "
         "exact distincts + within-8%-band (~5 sigma) booleans)"),
+    "q_cms_sketch": QuerySpec(
+        q_cms_sketch, ORACLE_CMS_SKETCH,
+        "deterministic Count-Min sketch (md5-affine rows, estimates "
+        "hash-checked, re-mergeable cell state)"),
 }

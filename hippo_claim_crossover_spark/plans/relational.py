@@ -423,6 +423,279 @@ ORDER BY revenue DESC, nation
 """
 
 
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade — revenue
+    shipped between two specific nations, both directions, per shipment
+    year.
+
+    The join chain is Q5's with TWO nation legs: the supplier's nation
+    rides the supplier dimension, the customer's nation rides
+    customer → orders.  Both nation dimensions broadcast (25 rows), and
+    the bilateral filter is applied to EACH leg before the fact joins —
+    customer and supplier shrink to the two qualifying nations first, so
+    the lineitem shuffle only carries rows that can still qualify; the
+    cross-pair condition (exclude same-nation trades) survives as a
+    one-row residual on the joined result.  Year extraction is integer;
+    revenue rides exact micros; output is the 2-directions × years grid.
+    """
+    nations = (t(spark, sf_dir, "nation")
+               .where(F.col("n_name").isin("NATION_19", "NATION_20"))
+               .select("n_nationkey", "n_name"))
+    s = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(nations),
+               F.col("s_nationkey") == nations.n_nationkey)
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+         .join(F.broadcast(nations),
+               F.col("c_nationkey") == nations.n_nationkey)
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_suppkey",
+                  "l_extendedprice", "l_discount", "l_shipdate"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(money_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_NATION_TRADE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {money_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_19', 'NATION_20')
+  AND n2.n_name IN ('NATION_19', 'NATION_20')
+  AND n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one filtered global
+    aggregate — revenue that would have been earned without discounts in
+    a narrow (year, discount band, small quantity) slice.
+
+    The simplest TPC-H silhouette, declared for what it proves about the
+    SCAN: all three conjunctive range predicates (shipdate year, discount
+    band, quantity cap) must push into the parquet reader — at 100 TB
+    this query is pure I/O bound on row-group pruning, and a plan that
+    filters post-scan reads ~50× the bytes. The revenue term
+    ``l_extendedprice × l_discount`` rides exact integer micros; the
+    output is a single row (global partial/final aggregate, no shuffle
+    of data rows — only the 1-row partials)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1997-01-01")
+                     & (F.col("l_shipdate") < "1998-01-01")
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+ORACLE_FORECAST_REVENUE = f"""
+SELECT {money_sum_sql("l_extendedprice * l_discount")} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the share of MIDDLE
+    EAST-customer order revenue supplied by NATION_19 suppliers, per
+    order year — a conditional-aggregation RATIO over a 7-table join.
+
+    Both the numerator (NATION_19-supplied revenue) and denominator
+    (all revenue in the region slice) accumulate as integer micros in
+    the SAME grouped pass — one scan, one aggregate, the share is one
+    double division per output row (never a join of two aggregates).
+    Customer-side region and supplier-side nation both resolve through
+    broadcast dimension hops; the supplier leg keeps ALL nations (the
+    denominator needs them) and tags the numerator rows with a flag
+    column instead of a filter."""
+    r = (t(spark, sf_dir, "region")
+         .where(F.col("r_name") == "MIDDLE EAST").select("r_regionkey"))
+    n = t(spark, sf_dir, "nation")
+    c = (t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+         .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("c_custkey"))
+    s = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n.select("n_nationkey",
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "supp_nation"))
+    o = (t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01"))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev_u = money_micros(F.col("l_extendedprice")
+                         * (F.lit(1.0) - F.col("l_discount")))
+    is_target = F.col("supp_nation") == "NATION_19"
+    agg = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(s, li.l_suppkey == s.s_suppkey)
+           .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+           .agg(F.sum(F.when(is_target, rev_u).otherwise(F.lit(0)))
+                .alias("num_u"),
+                F.sum(rev_u).alias("den_u")))
+    return (agg.select(
+        "o_year",
+        duck_round(F.col("num_u").cast("double")
+                   / F.col("den_u").cast("double"), 6).alias("mkt_share"),
+        F.round(F.col("den_u").cast("double") / F.lit(1e6), 6)
+        .alias("total_revenue"))
+        .orderBy("o_year"))
+
+
+ORACLE_MARKET_SHARE = """
+WITH agg AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_19'
+                  THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 1e6 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS num_u,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS den_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'MIDDLE EAST'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY year(o.o_orderdate)
+)
+SELECT o_year,
+       floor(CAST(num_u AS DOUBLE) / CAST(den_u AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS mkt_share,
+       round(CAST(den_u AS DOUBLE) / 1e6, 6) AS total_revenue
+FROM agg ORDER BY o_year
+"""
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per (supplier nation, order
+    year), profit on ECONOMY-type parts — revenue minus an inventory
+    cost the fixture expresses as ``p_retailprice × l_quantity`` (no
+    partsupp table; the retail price is the cost proxy).
+
+    The profit term mixes a 4dp-exact product (price × (1−disc)) and a
+    2dp-exact product (retail × qty), so the difference is exact at 4dp
+    and integer-micros summation stays engine-identical even though
+    profit can be NEGATIVE (money_micros floors y+0.5 for either sign).
+    Part (filtered to one type before the join) and the two dimension
+    hops broadcast; the lineitem⋈orders join is the only fact shuffle."""
+    p = (t(spark, sf_dir, "part")
+         .where(F.col("p_type") == "ECONOMY")
+         .select("p_partkey", "p_retailprice"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(money_sum(profit).alias("profit"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+ORACLE_NATION_PROFIT = f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {money_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)"
+                      " - p.p_retailprice * l.l_quantity")} AS profit,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_type = 'ECONOMY'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority check): among LATE lines
+    (shipped >45 days after the order date), how many belong to
+    high-priority orders (URGENT/HIGH) vs low-priority ones, per line
+    status — the fixture's stand-in for Q12's ship-mode dimension.
+
+    One fact⋈fact equi-join, lateness filtered BEFORE the aggregate,
+    and the priority split is two conditional counts inside the same
+    grouped pass (Q12's canonical CASE-inside-agg form — never two
+    joins or two scans). Output is the |linestatus|-row matrix."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.col("l_shipdate") > F.col("o_orderdate")
+                   + F.expr("INTERVAL 45 DAYS"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+ORACLE_LATE_LINES = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
 def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4 ``|>``): the linear FROM → WHERE →
     AGGREGATE form of a filtered pricing summary. Pure syntax — it
@@ -1288,6 +1561,20 @@ SPECS: dict[str, QuerySpec] = {
                                  "TPC-H Q3-shaped composite top-10"),
     "q_region_volume": QuerySpec(q_region_volume, ORACLE_REGION_VOLUME,
                                  "TPC-H Q5-shaped 6-table join composite"),
+    "q_nation_trade": QuerySpec(q_nation_trade, ORACLE_NATION_TRADE,
+                                "TPC-H Q7-shaped bilateral volume shipping"),
+    "q_forecast_revenue": QuerySpec(
+        q_forecast_revenue, ORACLE_FORECAST_REVENUE,
+        "TPC-H Q6-shaped filtered global aggregate, full scan pushdown"),
+    "q_market_share": QuerySpec(
+        q_market_share, ORACLE_MARKET_SHARE,
+        "TPC-H Q8-shaped conditional-aggregation market-share ratio"),
+    "q_nation_profit": QuerySpec(
+        q_nation_profit, ORACLE_NATION_PROFIT,
+        "TPC-H Q9-shaped signed-profit rollup per nation-year"),
+    "q_late_lines": QuerySpec(
+        q_late_lines, ORACLE_LATE_LINES,
+        "TPC-H Q12-shaped priority split, CASE-inside-aggregate"),
     "q_returned_items": QuerySpec(q_returned_items, ORACLE_RETURNED_ITEMS,
                                   "TPC-H Q10-shaped returned-item top-20 "
                                   "(aggregate-before-join)"),

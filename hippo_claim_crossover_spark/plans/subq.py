@@ -360,6 +360,389 @@ ORDER BY c.c_mktsegment
 """
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders placed in one
+    quarter that had at least one SLOW line — shipped 60+ days after
+    the order date — counted per priority class.
+
+    Reference SQL is the classic ``EXISTS (SELECT ... WHERE l_orderkey =
+    o_orderkey AND l_shipdate >= o_orderdate + 60 days)``.  The declared
+    plan keeps it a LEFT SEMI join: equi on the order key with the
+    lateness comparison riding as a residual predicate on the same join
+    (one shuffle, no duplicate-order inflation, no second aggregate to
+    re-distinct what EXISTS already guarantees).  The quarter filter
+    prunes orders BEFORE the join, so the shuffle carries one quarter of
+    one table; lineitem needs only (key, shipdate) — a 2-column scan.
+    Counts are exact integers; the 5-row output orders by priority.
+    """
+    o = (t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-04-01"))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= F.col("o_orderdate")
+           + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (slow.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly k qualifying orders — INCLUDING the
+    zero-order customers a plain inner join would silently drop.
+
+    Two stacked aggregations over a LEFT OUTER join: per-customer
+    ``count(o_orderkey)`` (null-skipping, so unmatched customers count
+    0), then the distribution ``count(customers) per order-count``.  The
+    order-side predicate (urgent-only) lives on the orders
+    scan BEFORE the join — on a left join that is equivalent to Q13's
+    join-condition placement and lets the filter push into the parquet
+    scan.  Scale shape: the first aggregate's map-side combine collapses
+    orders-per-customer before the shuffle; the second aggregate's input
+    is |customers| rows and its output ≤ max-orders-per-customer rows.
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey", "o_custkey"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+ORACLE_CUST_ORDER_DIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority = '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct suppliers
+    able to supply each (brand, type, size) bucket, excluding one brand
+    and excluding "complaint" suppliers (negative account balance — the
+    fixture's stand-in for Q16's comment-pattern complaint filter).
+
+    The fixture has no partsupp table; the observed supply relation is
+    ``lineitem (l_partkey, l_suppkey) DISTINCT`` — aggregated FIRST so
+    everything downstream (anti join, part join, count-distinct) works
+    on the ~|part|×few relation instead of raw lineitems.  The NOT-IN
+    complaint set is a broadcast LEFT ANTI (null-safe by construction:
+    keys are non-null), and the final count-distinct runs partial/final
+    on the (brand, type, size) key.
+    """
+    pairs = (t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (t(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = (t(spark, sf_dir, "part")
+         .where(F.col("p_brand") != "Brand#1")
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    ok = pairs.join(F.broadcast(bad),
+                    pairs.l_suppkey == bad.s_suppkey, "left_anti")
+    return (ok.join(p, ok.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(),
+                     "p_brand", "p_type", "p_size"))
+
+
+ORACLE_PART_SUPPLIER_CNT = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT s.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) s
+JOIN part p ON s.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND s.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on completed
+    ('F') multi-supplier orders, the supplier who was the ONLY one to
+    ship late (>30 days after the order date), counted per supplier.
+
+    Reference SQL is the famous EXISTS + NOT-EXISTS double correlation
+    (another supplier shipped on this order / no OTHER supplier shipped
+    late).  Decorrelated: ONE conditional aggregation per order —
+    ``count(DISTINCT suppkey)``, ``count(DISTINCT late suppkey)`` and
+    ``max(late suppkey)`` — replaces both correlated probes; an order
+    qualifies iff n_supp ≥ 2 and n_late = 1, at which point max() IS the
+    culprit.  Both EXISTS subqueries thus cost a single grouped pass
+    over the already-joined fact rows (one shuffle on the order key),
+    and supplier names join the aggregated ≤|supplier|-row result via
+    broadcast of that small side — raw lineitems never touch the
+    supplier table.
+    """
+    o = (t(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate")
+        + F.expr("INTERVAL 30 DAYS"))
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    per_ord = (base.groupBy("l_orderkey")
+               .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                    F.countDistinct(late_supp).alias("n_late"),
+                    F.max(late_supp).alias("culprit")))
+    waits = (per_ord
+             .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+             .groupBy("culprit")
+             .agg(F.count(F.lit(1)).alias("numwait")))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (s.join(F.broadcast(waits),
+                   F.col("s_suppkey") == F.col("culprit"))
+            .select("s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_name"))
+
+
+ORACLE_WAITING_SUPPLIER = """
+WITH per_ord AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate >
+               o.o_orderdate + INTERVAL 30 DAY
+               THEN l.l_suppkey END) AS n_late,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+             THEN l.l_suppkey END) AS culprit
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM per_ord p
+JOIN supplier s ON p.culprit = s.s_suppkey
+WHERE p.n_supp >= 2 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small part, the
+    EUROPE supplier offering the lowest observed unit cost — the
+    correlated ``cost = (SELECT min(cost) WHERE partkey = outer)`` form.
+
+    The fixture has no partsupp; the observed supply cost is the minimum
+    per-line unit price ``l_extendedprice / l_quantity`` over each
+    (part, supplier)'s lineitems.  Decorrelated the way Q2 should run at
+    scale: ONE grouped aggregate builds the (part, supplier, unit_cost)
+    relation, the region restriction broadcasts through
+    supplier→nation→region BEFORE that aggregate consumes it, and the
+    per-part argmin is a row_number window on the AGGREGATED relation
+    (≤ |part|×|suppliers-per-part| rows, never raw lineitems) with the
+    deterministic (cost, suppkey) tie-break.  The correlated min is thus
+    one window over a pre-shrunk table — no per-row subquery, no
+    join-back of a second aggregate."""
+    r = (t(spark, sf_dir, "region")
+         .where(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    s = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                             "s_nationkey")
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+         .select("s_suppkey", "s_name"))
+    p = (t(spark, sf_dir, "part")
+         .where(F.col("p_size") <= 10).select("p_partkey", "p_size"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    supply = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .groupBy("p_partkey", "p_size", "s_suppkey", "s_name")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc())
+    return (supply.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("p_partkey", "p_size", "s_name",
+                    duck_round(F.col("unit_cost"), 4).alias("unit_cost"))
+            .orderBy("p_partkey"))
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH supply AS (
+  SELECT l.l_partkey AS p_partkey, p.p_size, s.s_suppkey, s.s_name,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size <= 10 AND r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, p.p_size, s.s_suppkey, s.s_name
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+             ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
+  FROM supply
+)
+SELECT p_partkey, p_size, s_name,
+       floor(unit_cost * 1e4 + 0.5) / 1e4 AS unit_cost
+FROM ranked WHERE rn = 1 ORDER BY p_partkey
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    EUROPE-supplied revenue exceeds a threshold derived from the WHOLE
+    relation — the grouped-HAVING-against-scalar-subquery form.
+
+    Q11's fixed ``fraction`` HAVING degenerates across scales (every
+    part passes at sf0.001, none at sf0.1); the declared threshold is
+    scale-free: value > 1.5 × the mean per-part value, with the mean
+    computed from the SAME aggregated relation and attached as a 1-row
+    broadcast (never a driver collect, never a second scan of the
+    fact).  Two aggregates total — per-part and global-mean — both over
+    integer micros; the HAVING comparison is long-vs-double on identical
+    doubles."""
+    r = (t(spark, sf_dir, "region")
+         .where(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    s = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+         .select("s_suppkey"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    per_part = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+                .groupBy("l_partkey")
+                .agg(F.sum(money_micros(F.col("l_extendedprice")))
+                     .alias("value_u"))
+                .localCheckpoint(eager=False))
+    mean_row = per_part.agg(
+        (F.sum("value_u").cast("double") / F.count(F.lit(1)))
+        .alias("_mean_u"))
+    return (per_part.crossJoin(F.broadcast(mean_row))
+            .where(F.col("value_u").cast("double")
+                   > F.lit(1.5) * F.col("_mean_u"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.round(F.col("value_u").cast("double") / F.lit(1e6),
+                            6).alias("value"))
+            .orderBy(F.col("value").desc(), "p_partkey"))
+
+
+ORACLE_IMPORTANT_STOCK = """
+WITH per_part AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(floor(l.l_extendedprice * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_u
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey
+), m AS (
+  SELECT CAST(sum(value_u) AS DOUBLE) / count(*) AS mean_u FROM per_part
+)
+SELECT p.l_partkey AS p_partkey,
+       round(CAST(p.value_u AS DOUBLE) / 1e6, 6) AS value
+FROM per_part p, m
+WHERE CAST(p.value_u AS DOUBLE) > 1.5 * m.mean_u
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    an above-average share of at least one PROMO part — the nested
+    ``IN (SELECT ... WHERE qty > threshold(SELECT ...))`` silhouette.
+
+    Q20's inner correlated threshold (half the part's shipped quantity)
+    decorrelates into a per-part pre-aggregate: shipped quantity per
+    (part, supplier), the part's total and its supplier count in ONE
+    reuse of that relation, and the qualifying pairs are those with
+    ``qty × n_supp > total`` (strictly above the equal share — integer
+    cross-multiplication, no division, engine-exact).  Suppliers then
+    aggregate their qualifying-part count; names attach via broadcast
+    of the aggregated side.  No subquery is evaluated per row; the
+    whole nest is two grouped passes over one narrow projection."""
+    p = (t(spark, sf_dir, "part")
+         .where(F.col("p_type") == "PROMO").select("p_partkey"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity")
+    qty = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+           .localCheckpoint(eager=False))
+    totals = (qty.groupBy("l_partkey")
+              .agg(F.sum("qty").alias("total_qty"),
+                   F.count(F.lit(1)).alias("n_supp")))
+    qual = (qty.join(totals, "l_partkey")
+            .where((F.col("n_supp") >= 2)
+                   & (F.col("qty") * F.col("n_supp") > F.col("total_qty")))
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_dominant_parts"),
+                 F.sum("qty").alias("dominated_qty")))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey)
+            .select("s_name", "n_dominant_parts", "dominated_qty")
+            .orderBy(F.col("n_dominant_parts").desc(),
+                     F.col("dominated_qty").desc(), "s_name"))
+
+
+ORACLE_DOMINANT_SUPPLIER = """
+WITH qty AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY l.l_partkey, l.l_suppkey
+), totals AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM qty GROUP BY l_partkey
+), qual AS (
+  SELECT q.l_suppkey, count(*) AS n_dominant_parts,
+         CAST(sum(q.qty) AS BIGINT) AS dominated_qty
+  FROM qty q JOIN totals t ON q.l_partkey = t.l_partkey
+  WHERE t.n_supp >= 2 AND q.qty * t.n_supp > t.total_qty
+  GROUP BY q.l_suppkey
+)
+SELECT s.s_name, q.n_dominant_parts, q.dominated_qty
+FROM supplier s JOIN qual q ON s.s_suppkey = q.l_suppkey
+ORDER BY n_dominant_parts DESC, dominated_qty DESC, s_name
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_small_qty": QuerySpec(
         q_small_qty, ORACLE_SMALL_QTY,
@@ -379,4 +762,26 @@ SPECS: dict[str, QuerySpec] = {
     "q_idle_customers": QuerySpec(
         q_idle_customers, ORACLE_IDLE_CUSTOMERS,
         "TPC-H Q22-shaped scalar-AVG + NOT-EXISTS, broadcast + anti join"),
+    "q_order_priority": QuerySpec(
+        q_order_priority, ORACLE_ORDER_PRIORITY,
+        "TPC-H Q4-shaped EXISTS, semi join with residual date predicate"),
+    "q_cust_order_dist": QuerySpec(
+        q_cust_order_dist, ORACLE_CUST_ORDER_DIST,
+        "TPC-H Q13-shaped left-outer count distribution, stacked aggs"),
+    "q_part_supplier_cnt": QuerySpec(
+        q_part_supplier_cnt, ORACLE_PART_SUPPLIER_CNT,
+        "TPC-H Q16-shaped NOT-IN + grouped count-distinct"),
+    "q_waiting_supplier": QuerySpec(
+        q_waiting_supplier, ORACLE_WAITING_SUPPLIER,
+        "TPC-H Q21-shaped double correlation, one conditional aggregation"),
+    "q_min_cost_supplier": QuerySpec(
+        q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER,
+        "TPC-H Q2-shaped correlated min, window argmin on pre-aggregate"),
+    "q_important_stock": QuerySpec(
+        q_important_stock, ORACLE_IMPORTANT_STOCK,
+        "TPC-H Q11-shaped HAVING vs broadcast scalar (scale-free 1.5x "
+        "mean threshold)"),
+    "q_dominant_supplier": QuerySpec(
+        q_dominant_supplier, ORACLE_DOMINANT_SUPPLIER,
+        "TPC-H Q20-shaped nested IN, integer cross-multiplied threshold"),
 }

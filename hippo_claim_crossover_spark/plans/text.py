@@ -1474,6 +1474,89 @@ FROM top GROUP BY lang ORDER BY lang
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Shannon entropy as a quality signal (low entropy =
+    repetitive/templated text, the class Gopher's repetition rules
+    target), rolled up per source — with the float-safety discipline the
+    repo applies to money applied to ENTROPY: every engine-divergent
+    accumulation is integer.
+
+    The identity ``H·n = n·log2(n) − Σ c·log2(c)`` (c = per-token count,
+    n = doc token count) makes per-doc entropy computable without any
+    per-doc float division until the very end: both log2 terms are
+    snapped to integer micro-bits (``⌊x·1e6 + 0.5⌋`` — c and n are small
+    integers, so the snapped values are identical across engines), so
+    per-doc ``h_n_u = n·⌊log2(n)·1e6⌉ − Σ⌊c·log2(c)·1e6⌉`` is a BIGINT,
+    and the per-source rollup sums BIGINTs — order-insensitive, exactly
+    like money_sum. The one double division (token-weighted mean
+    entropy = Σh_n_u / Σn / 1e6) happens once per output row.
+
+    Scale shape: explode → two partial/final aggregates, all keys
+    compact; nothing per-doc is buffered (the per-doc aggregate's state
+    is two longs)."""
+    docs = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    tok = (docs.select(
+        "doc_id", "source",
+        F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != ""))
+    tc = (tok.groupBy("doc_id", "source", "tok")
+          .agg(F.count(F.lit(1)).alias("c")))
+    term_u = F.floor(F.col("c").cast("double")
+                     * F.log2(F.col("c").cast("double"))
+                     * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_doc = (tc.groupBy("doc_id", "source")
+               .agg(F.sum(term_u).alias("sum_u"),
+                    F.sum("c").alias("n")))
+    logn_u = F.floor(F.log2(F.col("n").cast("double"))
+                     * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_doc = per_doc.withColumn(
+        "h_n_u", F.col("n") * logn_u - F.col("sum_u"))
+    h_bits = (F.col("h_n_u").cast("double")
+              / F.col("n").cast("double") / F.lit(1e6))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n").alias("n_tokens"),
+                 duck_round(F.sum("h_n_u").cast("double")
+                            / F.sum("n").cast("double") / F.lit(1e6), 4)
+                 .alias("mean_entropy_bits"),
+                 duck_round(F.min(h_bits), 4).alias("min_doc_entropy"),
+                 duck_round(F.max(h_bits), 4).alias("max_doc_entropy"))
+            .orderBy("source"))
+
+
+ORACLE_TEXT_ENTROPY = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE tok <> '' GROUP BY doc_id, source, tok
+), per_doc AS (
+  SELECT doc_id, source,
+         CAST(sum(CAST(floor(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM tc GROUP BY doc_id, source
+), scored AS (
+  SELECT source, n,
+         n * CAST(floor(log2(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           - sum_u AS h_n_u
+  FROM per_doc
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       floor(CAST(sum(h_n_u) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+             / 1e6 * 1e4 + 0.5) / 1e4 AS mean_entropy_bits,
+       floor(min(CAST(h_n_u AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+             * 1e4 + 0.5) / 1e4 AS min_doc_entropy,
+       floor(max(CAST(h_n_u AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+             * 1e4 + 0.5) / 1e4 AS max_doc_entropy
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_export_pipeline": QuerySpec(
         q_export_pipeline, ORACLE_EXPORT_PIPELINE,
@@ -1546,4 +1629,7 @@ SPECS: dict[str, QuerySpec] = {
                                "Gopher-style quality-rule filter"),
     "q_text_typicality": QuerySpec(q_text_typicality, ORACLE_TEXT_TYPICALITY,
                                    "corpus-LM typicality (perplexity proxy)"),
+    "q_text_entropy": QuerySpec(
+        q_text_entropy, ORACLE_TEXT_ENTROPY,
+        "token-entropy quality signal, integer micro-bit accumulation"),
 }

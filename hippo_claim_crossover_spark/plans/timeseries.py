@@ -978,6 +978,83 @@ FROM stacked GROUP BY model, channel ORDER BY model, channel
 """
 
 
+# EWMA window: 8 taps, decay 0.75 per step. 0.75^j has mantissa 3^j < 2^53
+# for every tap, so each weight is an EXACT double and the fixed
+# left-associated multiply-add chain below evaluates bit-identically in
+# Spark and DuckDB — no rounding wrapper needed until the final display.
+EWMA_TAPS = 8
+EWMA_DECAY = 0.75
+_EWMA_W = [EWMA_DECAY ** j for j in range(EWMA_TAPS)]
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the recency-weighted feature every behavioral model wants — with a
+    TRUNCATED kernel (8 taps of 0.75-decay, ≥ 90% of the infinite
+    kernel's mass) so the state per row is a fixed 8-value window
+    frame, not an unbounded recurrence.
+
+    The infinite EWMA recurrence is inherently sequential; the
+    power-weight rewrite that parallelizes it overflows doubles past ~90
+    steps. The truncated kernel is the scalable form: ``lag(value, j)``
+    for j < 8 over the (user, event_id) window — ONE window node, one
+    shuffle on user_id, O(taps) state — with missing taps (first rows of
+    each user) renormalized out of the weight sum. Weights are exact
+    binary doubles and both engines evaluate the same left-associated
+    chain, so the quotient is bit-identical before the display round.
+    The per-user rollup keeps the LAST row's EWMA via max_by on the
+    unique time-ordered event_id (the repo's first/last discipline).
+    """
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    num = F.col("value") * F.lit(_EWMA_W[0])
+    den = F.lit(_EWMA_W[0])
+    for j in range(1, EWMA_TAPS):
+        lj = F.lag("value", j).over(w)
+        num = num + F.coalesce(lj, F.lit(0.0)) * F.lit(_EWMA_W[j])
+        den = den + F.when(lj.isNull(), F.lit(0.0)) \
+                     .otherwise(F.lit(_EWMA_W[j]))
+    scored = e.withColumn("ewma", num / den)
+    return (scored.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 duck_round(F.max_by("ewma", "event_id"), 4)
+                 .alias("last_ewma"),
+                 duck_round(F.max_by("value", "event_id"), 4)
+                 .alias("last_value"))
+            .orderBy("user_id"))
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n         ".join(
+        f"lag(value, {j}) OVER "
+        f"(PARTITION BY user_id ORDER BY event_id) AS l{j}"
+        for j in range(1, EWMA_TAPS))
+    num = f"value * {_EWMA_W[0]!r}"
+    den = f"{_EWMA_W[0]!r}"
+    for j in range(1, EWMA_TAPS):
+        num = f"({num} + coalesce(l{j}, 0.0) * {_EWMA_W[j]!r})"
+        den = (f"({den} + CASE WHEN l{j} IS NULL THEN 0.0 "
+               f"ELSE {_EWMA_W[j]!r} END)")
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, value,
+         {lags}
+  FROM events
+), scored AS (
+  SELECT user_id, event_id, value, {num} / {den} AS ewma
+  FROM lagged
+)
+SELECT user_id,
+       count(*) AS n_events,
+       floor(arg_max(ewma, event_id) * 1e4 + 0.5) / 1e4 AS last_ewma,
+       floor(arg_max(value, event_id) * 1e4 + 0.5) / 1e4 AS last_value
+FROM scored GROUP BY user_id ORDER BY user_id
+"""
+
+
+ORACLE_EWMA = _ewma_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_ohlc": QuerySpec(
         q_ohlc, ORACLE_OHLC,
@@ -1030,4 +1107,7 @@ SPECS: dict[str, QuerySpec] = {
                           "ordered conversion funnel (view→click→purchase)"),
     "q_date_spine": QuerySpec(q_date_spine, ORACLE_DATE_SPINE,
                               "recursive-CTE month spine, gap-free rollup"),
+    "q_ewma": QuerySpec(q_ewma, ORACLE_EWMA,
+                        "per-user truncated-kernel EWMA (8-tap lag chain, "
+                        "bit-identical cross-engine)"),
 }

@@ -833,3 +833,236 @@ def test_mor_read_single_window_covers_all_keys(spark):
     assert sum(r["n_tombstoned"] for r in rows) > 0
     assert sum(r["n_patched"] for r in rows) > 0
     assert sum(r["n_late_inserts"] for r in rows) > 0
+
+
+def test_order_priority_semi_join_residual_predicate(spark):
+    """q_order_priority: the EXISTS must stay ONE left-semi join (equi on
+    the order key, lateness as a residual on the same join — never a
+    second aggregate or a duplicate-inflating inner join), with the
+    quarter filter pushed to the orders scan."""
+    plan = _plan(spark, "q_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") >= 1
+    rows = ALL_SPECS["q_order_priority"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["order_count"] > 0 for r in rows)
+
+
+def test_cust_order_dist_keeps_zero_order_customers(spark):
+    """q_cust_order_dist: the left outer join must keep zero-order
+    customers (the whole point of Q13's join-condition filter), the
+    distribution must account for every customer exactly once, and the
+    plan must stack two partial/final aggregates."""
+    from hippo_claim_crossover_spark.plans.base import t as _t
+
+    plan = _plan(spark, "q_cust_order_dist")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # two partial/final pairs
+    rows = ALL_SPECS["q_cust_order_dist"].fn(spark, SF_DIR).collect()
+    n_cust = _t(spark, SF_DIR, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert any(r["c_count"] == 0 for r in rows), "zero-order bin missing"
+
+
+def test_part_supplier_cnt_distinct_before_joins(spark):
+    """q_part_supplier_cnt: the supply relation must aggregate to
+    DISTINCT (partkey, suppkey) BEFORE the anti/part joins (raw
+    lineitems never reach them), and the complaint NOT-IN must plan as
+    a broadcast left-anti."""
+    plan = _plan(spark, "q_part_supplier_cnt")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    rows = ALL_SPECS["q_part_supplier_cnt"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["supplier_cnt"] >= 1 for r in rows)
+    assert all(r["p_brand"] != "Brand#1" for r in rows)
+
+
+def test_waiting_supplier_one_grouped_pass_no_double_probe(spark):
+    """q_waiting_supplier: both of Q21's correlated EXISTS probes must
+    decorrelate into ONE conditional aggregation on the order key — so
+    the plan joins lineitem⋈orders once, aggregates once, and touches
+    supplier only with the aggregated (≤|supplier|-row) result via
+    broadcast."""
+    plan = _plan(spark, "q_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    # lineitem⋈orders + supplier⋈aggregate = exactly two equi joins
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + \
+        plan.count("ShuffledHashJoin") == 2
+    rows = ALL_SPECS["q_waiting_supplier"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["numwait"] >= 1 for r in rows)
+    names = [r["s_name"] for r in rows]
+    assert len(names) == len(set(names))
+
+
+def test_nation_trade_prunes_nations_before_facts(spark):
+    """q_nation_trade: both nation legs must broadcast and shrink
+    customer/supplier BEFORE the fact joins; no same-nation row may
+    survive; the year grid stays inside the shipdate filter."""
+    plan = _plan(spark, "q_nation_trade")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = ALL_SPECS["q_nation_trade"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["supp_nation"] != r["cust_nation"], dict(r.asDict())
+        assert r["l_year"] in (1996, 1997), dict(r.asDict())
+
+
+def test_cms_sketch_one_sided_and_kb_state(spark):
+    """q_cms_sketch: the CMS one-sided guarantee (estimate ≥ exact) must
+    hold on every probe, the cell state must stay ≤ depth×width rows
+    (the re-mergeable KB-sized sketch claim), and the only nested-loop
+    join is the constant 3-row seed fan-out."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hippo_claim_crossover_spark.plans.base import t as _t
+    from hippo_claim_crossover_spark.plans.extras import (
+        CMS_DEPTH, CMS_WIDTH, _cms_cell)
+
+    plan = _plan(spark, "q_cms_sketch")
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_cms_sketch"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["never_undercounts"], dict(r.asDict())
+        assert r["cms_est"] >= r["exact_cnt"] >= 1, dict(r.asDict())
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+    # state bound: distinct (seed, cell) pairs over the whole corpus
+    toks = (_t(spark, SF_DIR, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != "").distinct())
+    seeds = spark.range(CMS_DEPTH).select(F.col("id").alias("seed"))
+    n_cells = (toks.crossJoin(seeds)
+               .select("seed", _cms_cell(F.col("tok"), F.col("seed"))
+                       .alias("cell"))
+               .distinct().count())
+    assert n_cells <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_text_entropy_integer_accumulation_no_window(spark):
+    """q_text_entropy: the per-source rollup must be plain partial/final
+    aggregates over BIGINT micro-bit terms (no Window, no cartesian),
+    and the entropy stats must satisfy min ≤ mean ≤ max with
+    non-negative entropies."""
+    plan = _plan(spark, "q_text_entropy")
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+    rows = ALL_SPECS["q_text_entropy"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        d = dict(r.asDict())
+        assert 0.0 <= r["min_doc_entropy"] <= r["max_doc_entropy"], d
+        # token-weighted mean lies within the per-doc envelope (loose
+        # 1e-4 slack for the display rounding)
+        assert r["min_doc_entropy"] - 1e-4 <= r["mean_entropy_bits"] \
+            <= r["max_doc_entropy"] + 1e-4, d
+
+
+def test_ewma_single_window_node(spark):
+    """q_ewma: all 8 lag taps must collapse into ONE Window exec node
+    (one shuffle on user_id, O(taps) frame state) — a per-tap window
+    would sort the partition 8 times."""
+    plan = _plan(spark, "q_ewma")
+    assert plan.count("Window [") == 1
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_ewma"].fn(spark, SF_DIR).collect()
+    assert rows
+    import math
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert math.isfinite(r["last_ewma"]), dict(r.asDict())
+
+
+def test_min_cost_supplier_argmin_on_preaggregate(spark):
+    """q_min_cost_supplier: the correlated min must run as a row_number
+    window over the AGGREGATED (part, supplier) relation — so the plan
+    carries a WindowGroupLimit pre-prune — with the region hop
+    broadcast, and exactly one winner per part."""
+    plan = _plan(spark, "q_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    rows = ALL_SPECS["q_min_cost_supplier"].fn(spark, SF_DIR).collect()
+    assert rows
+    parts = [r["p_partkey"] for r in rows]
+    assert len(parts) == len(set(parts))
+    assert all(r["p_size"] <= 10 and r["unit_cost"] > 0 for r in rows)
+
+
+def test_forecast_revenue_full_scan_pushdown(spark):
+    """q_forecast_revenue: all three conjunctive range predicates must
+    reach the parquet reader (at 100 TB this query IS row-group
+    pruning), and the global aggregate is one partial/final pass."""
+    plan = _plan(spark, "q_forecast_revenue")
+    pushed = plan[plan.find("PushedFilters"):].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert plan.count("HashAggregate") >= 2
+    rows = ALL_SPECS["q_forecast_revenue"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 1 and rows[0]["revenue"] > 0
+
+
+def test_market_share_single_pass_ratio(spark):
+    """q_market_share: numerator and denominator must come from the SAME
+    grouped pass (conditional sum, never two aggregates joined), nation
+    and region hops broadcast, and the share bounded in [0, 1]."""
+    plan = _plan(spark, "q_market_share")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    rows = ALL_SPECS["q_market_share"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0, dict(r.asDict())
+        assert r["total_revenue"] > 0
+
+
+def test_nation_profit_broadcast_dims_signed_sum(spark):
+    """q_nation_profit: part (pre-filtered) and nation must broadcast,
+    and the signed integer-micros sum must survive negative profits
+    (the money_micros either-sign guarantee)."""
+    plan = _plan(spark, "q_nation_profit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = ALL_SPECS["q_nation_profit"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["n_lines"] >= 1 for r in rows)
+
+
+def test_late_lines_case_inside_single_aggregate(spark):
+    """q_late_lines: the priority split must be CASE-inside-agg in ONE
+    grouped pass over one join (never two scans), with the lateness
+    filter before the aggregate; counts must partition the late rows."""
+    plan = _plan(spark, "q_late_lines")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    rows = ALL_SPECS["q_late_lines"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["high_line_count"] + r["low_line_count"] > 0
+               for r in rows)
+
+
+def test_important_stock_scalar_is_broadcast_not_collect(spark):
+    """q_important_stock: the HAVING threshold must ride a 1-row
+    broadcast nested-loop join (never a driver collect), the per-part
+    relation must be reused (checkpoint), and every survivor must beat
+    1.5x the mean by construction."""
+    plan = _plan(spark, "q_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    rows = ALL_SPECS["q_important_stock"].fn(spark, SF_DIR).collect()
+    assert rows
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_dominant_supplier_integer_threshold_no_division(spark):
+    """q_dominant_supplier: the Q20 nest must resolve as two grouped
+    passes over one narrow projection with the threshold as integer
+    cross-multiplication; supplier names join the aggregated side via
+    broadcast."""
+    plan = _plan(spark, "q_dominant_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = ALL_SPECS["q_dominant_supplier"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["n_dominant_parts"] >= 1 for r in rows)
