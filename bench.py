@@ -202,6 +202,8 @@ HEADLINE = [
     "q_late_lines",
     "q_important_stock",
     "q_dominant_supplier",
+    "q_kmv_sketch",
+    "q_dataset_mixture",
 ]
 
 

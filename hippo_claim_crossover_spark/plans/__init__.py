@@ -60,6 +60,9 @@ GATE_ORDER = [
     "q_min_cost_supplier", "q_forecast_revenue", "q_market_share",
     "q_nation_profit", "q_late_lines", "q_important_stock",
     "q_dominant_supplier",
+    # -- round 9 third batch: deterministic KMV distinct sketch +
+    # target-proportion dataset mixture --
+    "q_kmv_sketch", "q_dataset_mixture",
     # -- round 9: code/oracle changed this round (advisor fixes), plus
     # q_approx_cd whose r8-rewritten verdict oracle was never
     # driver-checked (its newest driver record is a stale r6 FAIL) --
@@ -75,9 +78,10 @@ GATE_ORDER = [
     # -- stale-evidence rotation, r3 cohort (23 of 30; the remaining 7
     # lead the r10 window) --
     "q_crossover", "q_scan", "q_sink", "q_pivot",
-    "q_cube", "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband",
+    "q_cube", "q_dedup_exact",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- r3-cohort remainder: first into the r10 window --
+    "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
     "q_unpivot", "q_filter_eq", "q_filter_notnull",
     "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators.ranking import (
     grouped_exact_percentiles,
+    grouped_global_rank,
 )
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
@@ -782,6 +783,207 @@ ORDER BY p.exact_cnt DESC, token
 """
 
 
+# KMV sketch size. rsd ≈ 1/sqrt(K−2) ≈ 12.7% at K=64; the verdict band is
+# ~5σ (65%) so a red boolean means a broken sketch, not tail luck — and
+# unlike HLL the estimate ITSELF also hash-matches, because every input
+# to it (md5 order statistics) is engine-portable.
+KMV_K = 64
+_KMV_NUM = float((KMV_K - 1) * (1 << 60))  # exact double: 63 · 2^60
+
+
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over (user, day)
+    activity keys, per event type and for the union scope — the
+    DETERMINISTIC mergeable sketch: where HLL's register layout is
+    engine-private (q_hll_sketch can only band-check it), KMV's state is
+    the K smallest md5 values of the key set, so DuckDB rebuilds the
+    byte-identical sketch and the driver hashes the ESTIMATES, not just
+    a band.
+
+    Estimator: with h(K) the K-th smallest of n distinct 60-bit hashes,
+    E[h(K)/2^60] ≈ K/(n+1), so ``est = (K−1)·2^60 / h(K)`` (the
+    unbiased form); when a scope has fewer than K distinct keys the
+    sketch IS the key set and the estimate is exact. Merge = union the
+    hash sets, re-take the K smallest — exactly what the ALL scope does,
+    which is why a 100 TB deployment ships per-shard KMV states (K
+    longs) and merges them cheaply. The top-K per scope plans as a
+    WindowGroupLimit (per-partition pre-prune, never a full per-scope
+    sort); the verdict band is ~5σ."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            F.datediff(F.col("ts").cast("date"),
+                       F.to_date(F.lit("1970-01-01"))).cast("string"))
+        .alias("k"))
+    scoped = (e.unionByName(
+        e.select(F.lit("ALL").alias("event_type"), "k"))
+        .distinct())
+    hashed = (scoped.select("event_type", hex2long(F.md5("k")).alias("h"))
+              .localCheckpoint(eager=False))
+    exact = (hashed.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("exact_distinct")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (hashed.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") <= KMV_K)
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")))
+    est_d = F.when(F.col("n_kept") < KMV_K,
+                   F.col("n_kept").cast("double")) \
+             .otherwise(F.lit(_KMV_NUM) / F.col("kth").cast("double"))
+    return (exact.join(sk, "event_type")
+            .select(F.col("event_type").alias("scope"), "exact_distinct",
+                    F.floor(est_d).cast("long").alias("kmv_est"))
+            .withColumn("within_5_sigma",
+                        within_rel_band(F.col("kmv_est").cast("double"),
+                                        F.col("exact_distinct")
+                                        .cast("double"), 0.65))
+            .orderBy("scope"))
+
+
+ORACLE_KMV_SKETCH = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS VARCHAR) AS k
+  FROM events
+  UNION ALL
+  SELECT DISTINCT 'ALL' AS event_type,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS VARCHAR) AS k
+  FROM events
+), hashed AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h
+  FROM keys
+), exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM hashed GROUP BY event_type
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         max(h) AS kth
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+), est AS (
+  SELECT e.event_type AS scope, e.exact_distinct,
+         CAST(floor(CASE WHEN s.n_kept < {KMV_K}
+                    THEN CAST(s.n_kept AS DOUBLE)
+                    ELSE {_KMV_NUM!r} / CAST(s.kth AS DOUBLE) END)
+              AS BIGINT) AS kmv_est
+  FROM exact e JOIN sk s ON e.event_type = s.event_type
+)
+SELECT scope, exact_distinct, kmv_est,
+       abs(CAST(kmv_est AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+         <= 0.65 * abs(CAST(exact_distinct AS DOUBLE)) AS within_5_sigma
+FROM est ORDER BY scope
+"""
+
+
+# Target mixture (integer shares out of 20): the Pile/Dolma-style
+# domain-weighting recipe — upweight the first sources, exclude the rest.
+MIX_SHARES = [("src0", 8), ("src1", 6), ("src2", 4), ("src3", 2)]
+_MIX_DENOM = 20
+
+
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-proportion dataset mixing: draw the LARGEST corpus subset
+    whose domain composition matches the target weights exactly — the
+    mixture step every LM data recipe runs after curation (upweight
+    curated sources, drop the tail), as opposed to q_sample_balance's
+    equalize-to-minimum.
+
+    All mixture arithmetic is INTEGER so both engines agree bit-for-bit:
+    shares are integer twentieths; the feasible total is
+    ``N = min_s(n_avail·20 div share)`` (the binding-constraint source
+    caps the whole draw); per-source quota ``share·N div 20``. Rows are
+    drawn content-addressed — md5-rank per source, take the quota — so
+    membership is engine/run/partitioning-independent, and the output
+    carries the SUM of selected doc_ids as a membership checksum the
+    oracle must reproduce (the hash proves the identical rows were
+    chosen, not just the identical counts). Because the quota is a
+    data-derived COLUMN (no WindowGroupLimit pre-prune possible) and
+    the grouping key has only |sources| values, the rank runs through
+    operators/ranking.py grouped_global_rank — range shuffle + local
+    row_number + broadcast prefix offsets — not a per-source Window
+    that would sort each domain's full corpus in one task at 100 TB."""
+    shares = F.broadcast(spark.createDataFrame(
+        MIX_SHARES, "source string, share bigint"))
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = docs.join(shares, "source").localCheckpoint(eager=False)
+    avail = (tagged.groupBy("source", "share")
+             .agg(F.count(F.lit(1)).alias("n_avail")))
+    cap = avail.agg(F.min(F.expr(
+        f"n_avail * {_MIX_DENOM} div share")).alias("N"))
+    quota = (avail.crossJoin(F.broadcast(cap))
+             .withColumn("n_take",
+                         F.expr(f"share * N div {_MIX_DENOM}")))
+    ranked = grouped_global_rank(
+        tagged.withColumn(
+            "_h", hex2long(F.md5(F.col("doc_id").cast("string")))),
+        ["source"], ["_h", "doc_id"], out_col="_rn")
+    sel = (ranked
+           .join(F.broadcast(quota.select("source", "n_take")), "source")
+           .where(F.col("_rn") <= F.col("n_take")))
+    agg_sel = (sel.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_selected"),
+                    F.sum("doc_id").alias("sel_checksum")))
+    return (quota.join(agg_sel, "source", "left")
+            .select("source", "n_avail", "n_take",
+                    F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+                    duck_round(F.col("n_take").cast("double")
+                               / F.col("N").cast("double"), 4)
+                    .alias("achieved_share"),
+                    F.coalesce("sel_checksum", F.lit(0))
+                    .alias("sel_checksum"))
+            .orderBy("source"))
+
+
+ORACLE_DATASET_MIXTURE = f"""
+WITH shares AS (
+  SELECT * FROM (VALUES ('src0', CAST(8 AS BIGINT)),
+                        ('src1', 6), ('src2', 4), ('src3', 2))
+         AS v(source, share)
+), tagged AS (
+  SELECT d.doc_id, d.source, s.share
+  FROM documents d JOIN shares s ON d.source = s.source
+), avail AS (
+  SELECT source, share, CAST(count(*) AS BIGINT) AS n_avail
+  FROM tagged GROUP BY source, share
+), cap AS (
+  SELECT min(n_avail * {_MIX_DENOM} // share) AS n_total FROM avail
+), quota AS (
+  SELECT a.source, a.n_avail, a.share * c.n_total // {_MIX_DENOM}
+         AS n_take, c.n_total
+  FROM avail a, cap c
+), ranked AS (
+  SELECT t.source, t.doc_id,
+         row_number() OVER (PARTITION BY t.source ORDER BY
+           CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT), t.doc_id) AS rn
+  FROM tagged t
+), sel AS (
+  SELECT r.source, r.doc_id
+  FROM ranked r JOIN quota q ON r.source = q.source AND r.rn <= q.n_take
+), agg_sel AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+         CAST(sum(doc_id) AS BIGINT) AS sel_checksum
+  FROM sel GROUP BY source
+)
+SELECT q.source, q.n_avail, q.n_take,
+       CAST(coalesce(a.n_selected, 0) AS BIGINT) AS n_selected,
+       floor(CAST(q.n_take AS DOUBLE) / CAST(q.n_total AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS achieved_share,
+       CAST(coalesce(a.sel_checksum, 0) AS BIGINT) AS sel_checksum
+FROM quota q LEFT JOIN agg_sel a ON q.source = a.source
+ORDER BY q.source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_sample_balance": QuerySpec(
         q_sample_balance, ORACLE_SAMPLE_BALANCE,
@@ -829,4 +1031,12 @@ SPECS: dict[str, QuerySpec] = {
         q_cms_sketch, ORACLE_CMS_SKETCH,
         "deterministic Count-Min sketch (md5-affine rows, estimates "
         "hash-checked, re-mergeable cell state)"),
+    "q_kmv_sketch": QuerySpec(
+        q_kmv_sketch, ORACLE_KMV_SKETCH,
+        "KMV distinct sketch (md5 order statistics, estimates "
+        "hash-checked, union merge via the ALL scope)"),
+    "q_dataset_mixture": QuerySpec(
+        q_dataset_mixture, ORACLE_DATASET_MIXTURE,
+        "target-proportion domain mixture, integer quotas + md5 draw "
+        "with membership checksum"),
 }

@@ -1066,3 +1066,45 @@ def test_dominant_supplier_integer_threshold_no_division(spark):
     assert "BroadcastHashJoin" in plan
     rows = ALL_SPECS["q_dominant_supplier"].fn(spark, SF_DIR).collect()
     assert rows and all(r["n_dominant_parts"] >= 1 for r in rows)
+
+
+def test_kmv_sketch_windowgrouplimit_and_exact_under_k(spark):
+    """q_kmv_sketch: the per-scope top-K must plan as a WindowGroupLimit
+    pre-prune (never a full per-scope sort of all hashes), the estimate
+    must be EXACT whenever a scope has < K distinct keys, and every
+    verdict boolean must hold."""
+    from hippo_claim_crossover_spark.plans.extras import KMV_K
+
+    plan = _plan(spark, "q_kmv_sketch")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_kmv_sketch"].fn(spark, SF_DIR).collect()
+    assert rows and any(r["scope"] == "ALL" for r in rows)
+    for r in rows:
+        d = dict(r.asDict())
+        assert r["within_5_sigma"], d
+        if r["exact_distinct"] < KMV_K:
+            assert r["kmv_est"] == r["exact_distinct"], d
+
+
+def test_dataset_mixture_quotas_and_checksum(spark):
+    """q_dataset_mixture: integer quotas must respect availability and
+    the target ratios (share·N div 20), the selection must fill every
+    quota exactly, and the md5 draw must be content-addressed — same
+    checksum on a recomputation."""
+    rows = ALL_SPECS["q_dataset_mixture"].fn(spark, SF_DIR).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert set(by_src) == {"src0", "src1", "src2", "src3"}
+    for r in rows:
+        d = dict(r.asDict())
+        assert r["n_take"] <= r["n_avail"], d
+        assert r["n_selected"] == r["n_take"], d
+    rows2 = ALL_SPECS["q_dataset_mixture"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # rank rides grouped_global_rank (range shuffle + local row_number +
+    # offsets), never a per-source Window sorting a whole domain in one
+    # task: the plan must carry the range exchange and no per-source
+    # global sort outside it
+    plan = _plan(spark, "q_dataset_mixture")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan
