@@ -204,6 +204,8 @@ HEADLINE = [
     "q_dominant_supplier",
     "q_kmv_sketch",
     "q_dataset_mixture",
+    "q_scd2_lookup",
+    "q_seasonal",
 ]
 
 

@@ -1055,6 +1055,87 @@ FROM scored GROUP BY user_id ORDER BY user_id
 ORACLE_EWMA = _ewma_oracle()
 
 
+# Centered moving-average half-width for the trend (25-hour window).
+SEASONAL_HALF = 12
+_SEASONAL_N = 2 * SEASONAL_HALF + 1
+
+
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly value series —
+    hour-of-day seasonality after removing a 25-hour centered
+    moving-average trend — with every engine-divergent accumulation
+    kept INTEGER (the money_micros discipline applied to a time-series
+    decomposition, like q_text_entropy applies it to entropy).
+
+    Stages: (1) hourly buckets aggregate value into exact micros — the
+    partial/final aggregate crushes event volume to ≤ calendar-hours
+    rows, so everything downstream is bounded by the TIME RANGE, not
+    the data size (720 rows for the 30-day fixture; 8 760/year at any
+    petabyte scale — broadcast-sized by construction, which is why the
+    unpartitioned ordered window over the bucket series is safe);
+    (2) the centered MA over ±12 hours stays a BIGINT frame sum, and
+    only INTERIOR buckets (full 25-term frames, pinned by a count
+    check) are decomposed, so the detrended value ``25·v_u − Σ_frame``
+    is exact integer micros×25; (3) the hour-of-day seasonal profile
+    sums those BIGINTs — order-insensitive — and divides once per
+    output row. A full-window decomposition would average variable-n
+    frames (doubles) and lose cross-engine exactness at the edges."""
+    e = t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+        .alias("hour_id"),
+        money_micros(F.col("value")).alias("v_u"))
+    hourly = (e.groupBy("hour_id").agg(F.sum("v_u").alias("v_u"))
+              .localCheckpoint(eager=False))
+    w = Window.orderBy("hour_id").rowsBetween(-SEASONAL_HALF,
+                                              SEASONAL_HALF)
+    trended = (hourly
+               .withColumn("frame_sum", F.sum("v_u").over(w))
+               .withColumn("frame_n", F.count(F.lit(1)).over(w))
+               .where(F.col("frame_n") == _SEASONAL_N)
+               .withColumn("detr_u25",
+                           F.lit(_SEASONAL_N) * F.col("v_u")
+                           - F.col("frame_sum")))
+    return (trended
+            .groupBy(F.pmod(F.col("hour_id"), F.lit(24)).alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 duck_round(F.sum("detr_u25").cast("double")
+                            / F.count(F.lit(1)).cast("double")
+                            / F.lit(float(_SEASONAL_N)) / F.lit(1e6), 4)
+                 .alias("seasonal"),
+                 duck_round(F.sum("v_u").cast("double")
+                            / F.count(F.lit(1)).cast("double")
+                            / F.lit(1e6), 4).alias("mean_hourly_value"))
+            .orderBy("hour"))
+
+
+ORACLE_SEASONAL = f"""
+WITH hourly AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+         CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_u
+  FROM events GROUP BY hour_id
+), trended AS (
+  SELECT hour_id, v_u,
+         CAST(sum(v_u) OVER w AS BIGINT) AS frame_sum,
+         CAST(count(*) OVER w AS BIGINT) AS frame_n
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_id
+               ROWS BETWEEN {SEASONAL_HALF} PRECEDING
+               AND {SEASONAL_HALF} FOLLOWING)
+), interior AS (
+  SELECT hour_id, v_u, {_SEASONAL_N} * v_u - frame_sum AS detr_u25
+  FROM trended WHERE frame_n = {_SEASONAL_N}
+)
+SELECT hour_id % 24 AS hour,
+       count(*) AS n_buckets,
+       floor(CAST(sum(detr_u25) AS DOUBLE) / count(*)
+             / {_SEASONAL_N}.0 / 1e6 * 1e4 + 0.5) / 1e4 AS seasonal,
+       floor(CAST(sum(v_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5)
+         / 1e4 AS mean_hourly_value
+FROM interior GROUP BY hour_id % 24 ORDER BY hour
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_ohlc": QuerySpec(
         q_ohlc, ORACLE_OHLC,
@@ -1110,4 +1191,8 @@ SPECS: dict[str, QuerySpec] = {
     "q_ewma": QuerySpec(q_ewma, ORACLE_EWMA,
                         "per-user truncated-kernel EWMA (8-tap lag chain, "
                         "bit-identical cross-engine)"),
+    "q_seasonal": QuerySpec(
+        q_seasonal, ORACLE_SEASONAL,
+        "hour-of-day seasonal decomposition, integer-micros centered-MA "
+        "detrending over the calendar-bounded bucket series"),
 }

@@ -556,7 +556,85 @@ ORDER BY custkey
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the SCD2 history — the
+    CONSUMPTION side of q_scd2_history: for every purchase event, the
+    user's activity state ONE HOUR EARLIER (the attribution-style
+    lookback that makes the lookup non-trivial — at the purchase's own
+    timestamp the state is the purchase itself).
+
+    The lookup is an equi join on the user key with the interval
+    containment (``valid_from ≤ t < valid_to``, open-ended current row)
+    as a residual predicate — at most one interval matches because SCD2
+    intervals partition each key's timeline, so the join never inflates.
+    LEFT join keeps purchases that predate the first interval
+    ('(none)' state). At 100 TB: intervals-per-user is the CHANGE
+    count (small by construction), so the shuffle pairs each purchase
+    with only its user's few intervals — never a time-cross-product.
+    The rollup audits totality: states' n_purchases sum to the purchase
+    count."""
+    from hippo_claim_crossover_spark.operators.cdc import scd2_intervals
+
+    e = t(spark, sf_dir, "events")
+    dim = scd2_intervals(e, "user_id", "event_type", ["ts", "event_id"]) \
+        .select(F.col("user_id").alias("d_user"), "attr",
+                "valid_from", "valid_to")
+    facts = (e.where(F.col("event_type") == "purchase")
+             .select("user_id", "event_id", "value",
+                     (F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+                     .alias("pts")))
+    j = facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (dim.valid_from <= F.col("pts"))
+        & (F.col("pts") < F.coalesce(
+            dim.valid_to, F.lit("9999-01-01").cast("timestamp_ntz"))),
+        "left")
+    return (j.groupBy(F.coalesce(F.col("attr"), F.lit("(none)"))
+                      .alias("state_1h_before"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 money_sum(F.col("value")).alias("purchase_value"))
+            .orderBy("state_1h_before"))
+
+
+ORACLE_SCD2_LOOKUP = f"""
+WITH chg AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id AS d_user, event_type AS attr, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg
+), facts AS (
+  SELECT user_id, event_id, value,
+         CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(d.attr, '(none)') AS state_1h_before,
+       count(*) AS n_purchases,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+       {money_sum_sql('f.value')} AS purchase_value
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.d_user
+ AND d.valid_from <= f.pts
+ AND f.pts < coalesce(d.valid_to, TIMESTAMP '9999-01-01')
+GROUP BY coalesce(d.attr, '(none)')
+ORDER BY state_1h_before
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_scd2_lookup": QuerySpec(
+        q_scd2_lookup, ORACLE_SCD2_LOOKUP,
+        "point-in-time SCD2 lookup (1h lookback), interval-residual "
+        "equi join"),
     "q_win_nav": QuerySpec(
         q_win_nav, ORACLE_WIN_NAV,
         "window navigation: first/last/nth_value, full frame"),

@@ -1108,3 +1108,41 @@ def test_dataset_mixture_quotas_and_checksum(spark):
     plan = _plan(spark, "q_dataset_mixture")
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_scd2_lookup_interval_residual_no_inflation(spark):
+    """q_scd2_lookup: the PIT lookup must be an equi join on the user
+    key with interval containment as a residual (never a cartesian or
+    time-cross-product), at most one interval matches per fact, and
+    the rollup must account for every purchase exactly once."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hippo_claim_crossover_spark.plans.base import t as _t
+
+    plan = _plan(spark, "q_scd2_lookup")
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_scd2_lookup"].fn(spark, SF_DIR).collect()
+    n_purch = (_t(spark, SF_DIR, "events")
+               .where(F.col("event_type") == "purchase").count())
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+
+
+def test_seasonal_interior_only_integer_detrend(spark):
+    """q_seasonal: the decomposition must aggregate BEFORE the window
+    (the ordered window runs over the calendar-bounded hourly series,
+    never raw events), only full 25-term frames decompose, and the
+    seasonal profile must be a 24-row zero-mean-ish signal."""
+    plan = _plan(spark, "q_seasonal")
+    assert "CartesianProduct" not in plan
+    # the window input is the aggregated hourly frame: a HashAggregate
+    # must appear below the Window in the plan tree (rendered above it
+    # in the root-first string)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Window [") == 1
+    rows = ALL_SPECS["q_seasonal"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 24
+    assert {r["hour"] for r in rows} == set(range(24))
+    # detrended seasonal signal: bounded by the mean hourly magnitude
+    mx = max(abs(r["seasonal"]) for r in rows)
+    mh = max(r["mean_hourly_value"] for r in rows)
+    assert mx < mh
