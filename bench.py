@@ -206,6 +206,8 @@ HEADLINE = [
     "q_dataset_mixture",
     "q_scd2_lookup",
     "q_seasonal",
+    "q_time_travel",
+    "q_melt",
 ]
 
 

@@ -93,6 +93,47 @@ SELECT p_partkey AS part_id, 'retailprice' AS metric,
 """
 
 
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` (Spark 4's melt API — the declarative
+    sibling of q_unpivot's stack() expression): three lineitem measures
+    melt to long form, then a per-metric profile aggregates the melted
+    stream in the same job.
+
+    The API matters at scale for the same reason stack() does: the
+    unpivot is an Expand node — each input row fans to |measures| rows
+    INSIDE the scan stage, no shuffle, and the downstream aggregate's
+    map-side combine sees the long form immediately. The profile rides
+    exact integer micros for the sum; min/max pass through raw."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    melted = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "value")
+    return (melted.groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 money_sum(F.col("value")).alias("vsum"))
+            .orderBy("metric"))
+
+
+ORACLE_MELT = f"""
+WITH melted AS (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+)
+SELECT metric, count(*) AS n,
+       min(value) AS vmin, max(value) AS vmax,
+       {money_sum_sql("value")} AS vsum
+FROM melted GROUP BY metric ORDER BY metric
+"""
+
+
 def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2b JSON extraction from events.props (schema-on-read over a string
     column; get_json_object is codegen'd JsonPath, no UDF)."""
@@ -214,6 +255,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_explode_nested": QuerySpec(q_explode_nested, ORACLE_EXPLODE_NESTED,
                                   "E2 nested array round-trip"),
     "q_unpivot": QuerySpec(q_unpivot, ORACLE_UNPIVOT, "E3 stack unpivot"),
+    "q_melt": QuerySpec(q_melt, ORACLE_MELT,
+                        "DataFrame.unpivot (melt API) + per-metric "
+                        "profile"),
     "q_json": QuerySpec(q_json, ORACLE_JSON, "JSON agg"),
     "q_variant": QuerySpec(q_variant, ORACLE_VARIANT,
                            "VARIANT parse + typed path extraction"),

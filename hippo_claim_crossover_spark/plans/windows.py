@@ -630,7 +630,90 @@ ORDER BY state_1h_before
 """
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the log-structured table: the SAME deterministic
+    base+log as q_mor_read, read AS OF every commit sequence 0..3 — the
+    ``VERSION AS OF`` face of the lakehouse read path (q_mor_read is
+    "latest"; this is the trajectory).
+
+    A single-version production read filters the log to ``seq ≤ as_of``
+    and runs exactly q_mor_read's plan. The four-version AUDIT form here
+    fans each record to the versions that can see it (broadcast 4-row
+    version frame, one filter) and resolves winners with ONE
+    partial/final ``max_by(·, seq)`` aggregate per (version, key) — no
+    window, no per-version re-merge, so reading V versions costs one
+    shuffle of ≤ V× the log (not V separate jobs). Monotonicity of the
+    trajectory (deletes only at commit 2, inserts at 0/1/3) is visible
+    in the output and pinned by the plan audit."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    k = F.col("o_orderkey")
+
+    def _rec(df: DataFrame, price, seq: int, op: str) -> DataFrame:
+        return df.select(
+            "o_orderkey", price.alias("price"),
+            F.lit(seq).cast("long").alias("seq"), F.lit(op).alias("op"))
+
+    recs = (_rec(o.where(k % 10 != 0), F.col("o_totalprice"), 0, "u")
+            .unionByName(_rec(o.where(k % 7 == 3),
+                              F.col("o_totalprice") + F.lit(10.0), 1, "u"))
+            .unionByName(_rec(o.where(k % 13 == 5),
+                              F.col("o_totalprice"), 2, "d"))
+            .unionByName(_rec(o.where(k % 10 == 0),
+                              F.col("o_totalprice"), 3, "u")))
+    versions = spark.range(4).select(F.col("id").alias("as_of"))
+    states = (recs.crossJoin(F.broadcast(versions))
+              .where(F.col("seq") <= F.col("as_of"))
+              .groupBy("as_of", "o_orderkey")
+              .agg(F.max_by("op", "seq").alias("op"),
+                   F.max_by("price", "seq").alias("price")))
+    visible = F.col("op") != "d"
+    return (states.groupBy("as_of")
+            .agg(F.sum(visible.cast("long")).alias("n_visible"),
+                 F.sum((~visible).cast("long")).alias("n_tombstoned"),
+                 money_sum(F.when(visible, F.col("price")))
+                 .alias("total_price"))
+            .orderBy("as_of"))
+
+
+ORACLE_TIME_TRAVEL = f"""
+WITH src AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+), recs AS (
+  SELECT k, price, CAST(0 AS BIGINT) AS seq, 'u' AS op
+  FROM src WHERE k % 10 != 0
+  UNION ALL
+  SELECT k, price + 10.0, 1, 'u' FROM src WHERE k % 7 = 3
+  UNION ALL
+  SELECT k, price, 2, 'd' FROM src WHERE k % 13 = 5
+  UNION ALL
+  SELECT k, price, 3, 'u' FROM src WHERE k % 10 = 0
+), versions AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) v(as_of)
+), states AS (
+  SELECT v.as_of, r.k,
+         arg_max(r.op, r.seq) AS op,
+         arg_max(r.price, r.seq) AS price
+  FROM recs r CROSS JOIN versions v
+  WHERE r.seq <= v.as_of
+  GROUP BY v.as_of, r.k
+)
+SELECT as_of,
+       CAST(sum(CASE WHEN op != 'd' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_visible,
+       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tombstoned,
+       {money_sum_sql("CASE WHEN op != 'd' THEN price END")}
+         AS total_price
+FROM states GROUP BY as_of ORDER BY as_of
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_time_travel": QuerySpec(
+        q_time_travel, ORACLE_TIME_TRAVEL,
+        "VERSION-AS-OF time travel over base+log, one max_by aggregate "
+        "for all versions"),
     "q_scd2_lookup": QuerySpec(
         q_scd2_lookup, ORACLE_SCD2_LOOKUP,
         "point-in-time SCD2 lookup (1h lookback), interval-residual "

@@ -1146,3 +1146,41 @@ def test_seasonal_interior_only_integer_detrend(spark):
     mx = max(abs(r["seasonal"]) for r in rows)
     mh = max(r["mean_hourly_value"] for r in rows)
     assert mx < mh
+
+
+def test_time_travel_single_aggregate_no_window_no_cartesian(spark):
+    """q_time_travel: all four versions must resolve through ONE
+    partial/final max_by aggregate (no Window, no per-version re-merge);
+    the version fan-out is a 4-row broadcast. The trajectory must be
+    consistent: tombstones only from commit 2 on, total keys grow at
+    the late-insert commit."""
+    plan = _plan(spark, "q_time_travel")
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    rows = {r["as_of"]: r for r in
+            ALL_SPECS["q_time_travel"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0]["n_tombstoned"] == rows[1]["n_tombstoned"] == 0
+    assert rows[2]["n_tombstoned"] > 0
+    assert rows[3]["n_visible"] > rows[2]["n_visible"]  # late inserts
+    # a tombstoned key stays in the key set (op='d' wins), so totals
+    # per version never lose keys
+    tot = {v: r["n_visible"] + r["n_tombstoned"] for v, r in rows.items()}
+    assert tot[0] <= tot[1] <= tot[2] <= tot[3]
+
+
+def test_melt_expands_inside_scan_stage(spark):
+    """q_melt: DataFrame.unpivot must plan as an Expand directly over
+    the scan (row fan-out without a shuffle), feeding the aggregate's
+    map-side combine; every metric accounts for all input rows."""
+    from hippo_claim_crossover_spark.plans.base import t as _t
+
+    plan = _plan(spark, "q_melt")
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_melt"].fn(spark, SF_DIR).collect()
+    n_li = _t(spark, SF_DIR, "lineitem").count()
+    assert len(rows) == 3
+    assert all(r["n"] == n_li for r in rows)
+    assert all(r["vmin"] <= r["vmax"] for r in rows)
