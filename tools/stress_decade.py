@@ -50,6 +50,7 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_QUERIES = [
     "q_percentile", "q_percentile_approx", "q_winsorize", "q_outlier_mad",
     "q_join_setsim", "q_recommend", "q_negative_sample",
+    "q_scd2_lookup",  # r9: the one new >1s-tier query
 ]
 
 # Key namespaces: every *key* column shifts by replica × OFF so joins
@@ -71,6 +72,7 @@ TABLES_FOR = {
     "q_join_setsim": ["documents"],
     "q_recommend": ["lineitem", "orders"],
     "q_negative_sample": ["part", "lineitem", "orders"],
+    "q_scd2_lookup": ["events"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
