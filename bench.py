@@ -208,6 +208,7 @@ HEADLINE = [
     "q_seasonal",
     "q_time_travel",
     "q_melt",
+    "q_corr_matrix",
 ]
 
 

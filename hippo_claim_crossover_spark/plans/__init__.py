@@ -64,7 +64,7 @@ GATE_ORDER = [
     # target-proportion dataset mixture + SCD2 point-in-time lookup +
     # seasonal decomposition --
     "q_kmv_sketch", "q_dataset_mixture", "q_scd2_lookup", "q_seasonal",
-    "q_time_travel", "q_melt",
+    "q_time_travel", "q_melt", "q_corr_matrix",
     # -- round 9: code/oracle changed this round (advisor fixes), plus
     # q_approx_cd whose r8-rewritten verdict oracle was never
     # driver-checked (its newest driver record is a stale r6 FAIL) --
@@ -79,10 +79,10 @@ GATE_ORDER = [
     "q_win_running",
     # -- stale-evidence rotation, r3 cohort (23 of 30; the remaining 7
     # lead the r10 window) --
-    "q_crossover", "q_scan",
+    "q_crossover",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # -- r3-cohort remainder: first into the r10 window --
-    "q_sink", "q_pivot",
+    "q_scan", "q_sink", "q_pivot",
     "q_cube", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",

@@ -797,7 +797,102 @@ ORDER BY t.c_mktsegment
 """
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Pearson correlation matrix over three measures
+    (quantity, price, discount) from exact sufficient statistics in ONE
+    pass — the feature-correlation screen an ML pipeline runs before
+    training, built on q_regr_group's moment discipline: built-in
+    ``corr`` accumulates doubles in partition order (not reproducible
+    across engines), so every first and second moment here is an exact
+    DECIMAL(38)/HUGEINT sum of integer micros, and
+    ``corr = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` is a
+    fixed double expression over identical operands — including the
+    correctly-rounded IEEE sqrt — in both engines.
+
+    One partial/final aggregate computes all 9 moments; the 3 pair rows
+    per segment unpivot from the single aggregate row (Expand, no
+    second scan). Micros scale factors cancel in the ratio, so no
+    /1e6 appears anywhere."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = {"x": "l_quantity", "y": "l_extendedprice", "z": "l_discount"}
+    proj = li.select(
+        "l_returnflag",
+        *[money_micros(F.col(c)).alias(k) for k, c in cols.items()])
+    agg = proj.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        *[_dsum(F.col(k)).alias(f"s{k}") for k in cols],
+        *[_dsum(F.col(a).cast(_D38) * F.col(b)).alias(f"s{a}{b}")
+          for a, b in (("x", "x"), ("y", "y"), ("z", "z"),
+                       ("x", "y"), ("x", "z"), ("y", "z"))])
+
+    def _corr(a: str, b: str):
+        num = F.col("nd") * F.col(f"s{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}")
+        va = F.col("nd") * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+        vb = F.col("nd") * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+        return num / F.sqrt(va * vb)
+
+    wide = agg.select(
+        "l_returnflag", F.col("nd").cast("long").alias("n"),
+        duck_round(_corr("x", "y"), 6).alias("_qp"),
+        duck_round(_corr("x", "z"), 6).alias("_qd"),
+        duck_round(_corr("y", "z"), 6).alias("_pd"))
+    return (wide.select(
+        "l_returnflag", "n",
+        F.expr("stack(3, 'quantity~price', _qp, 'quantity~discount', _qd,"
+               " 'price~discount', _pd) AS (pair, corr)"))
+        .select("l_returnflag", "pair", "n", "corr")
+        .orderBy("l_returnflag", "pair"))
+
+
+ORACLE_CORR_MATRIX = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS y,
+         CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT) AS z
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(z AS HUGEINT)) AS DOUBLE) AS sz,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS szz,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * z) AS DOUBLE) AS sxz,
+         CAST(sum(CAST(y AS HUGEINT) * z) AS DOUBLE) AS syz
+  FROM m GROUP BY l_returnflag
+), w AS (
+  SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+         floor((nd * sxy - sx * sy)
+               / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+               * 1e6 + 0.5) / 1e6 AS qp,
+         floor((nd * sxz - sx * sz)
+               / sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz))
+               * 1e6 + 0.5) / 1e6 AS qd,
+         floor((nd * syz - sy * sz)
+               / sqrt((nd * syy - sy * sy) * (nd * szz - sz * sz))
+               * 1e6 + 0.5) / 1e6 AS pd
+  FROM a
+), stacked AS (
+  SELECT l_returnflag, n, 'quantity~price' AS pair, qp AS corr FROM w
+  UNION ALL
+  SELECT l_returnflag, n, 'quantity~discount', qd FROM w
+  UNION ALL
+  SELECT l_returnflag, n, 'price~discount', pd FROM w
+)
+SELECT l_returnflag, pair, n, corr FROM stacked
+ORDER BY l_returnflag, pair
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_corr_matrix": QuerySpec(
+        q_corr_matrix, ORACLE_CORR_MATRIX,
+        "one-pass exact Pearson correlation matrix (DECIMAL(38) "
+        "moments, micros factors cancel)"),
     "q_gini": QuerySpec(
         q_gini, ORACLE_GINI,
         "exact Gini + top-decile concentration via distributed grouped "

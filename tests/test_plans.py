@@ -1184,3 +1184,22 @@ def test_melt_expands_inside_scan_stage(spark):
     assert len(rows) == 3
     assert all(r["n"] == n_li for r in rows)
     assert all(r["vmin"] <= r["vmax"] for r in rows)
+
+
+def test_corr_matrix_single_pass_bounded_corr(spark):
+    """q_corr_matrix: all 9 moments must come from ONE partial/final
+    aggregate pass (no second scan — the pair rows unpivot via Expand),
+    and every correlation must be a valid Pearson value in [-1, 1] with
+    the matrix symmetric-complete (3 pairs per segment)."""
+    plan = _plan(spark, "q_corr_matrix")
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1  # one scan only
+    # the 3 pair rows fan out of the single aggregate row (Expand or
+    # Generate-stack, depending on how Catalyst lowers stack())
+    assert ("Expand" in plan) or ("Generate" in plan)
+    assert plan.count("HashAggregate") >= 2  # partial + final moments
+    rows = ALL_SPECS["q_corr_matrix"].fn(spark, SF_DIR).collect()
+    segs = {r["l_returnflag"] for r in rows}
+    assert len(rows) == 3 * len(segs)
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0, dict(r.asDict())
