@@ -209,6 +209,7 @@ HEADLINE = [
     "q_time_travel",
     "q_melt",
     "q_corr_matrix",
+    "q_percentile_highcard",
 ]
 
 

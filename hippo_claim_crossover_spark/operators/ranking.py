@@ -109,7 +109,8 @@ def grouped_global_rank(df: DataFrame, group_cols: list[str],
 
 def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
                               value_col: str, ps: list[float],
-                              n_partitions: int | None = None) -> DataFrame:
+                              n_partitions: int | None = None,
+                              broadcast_offsets: bool = True) -> DataFrame:
     """EXACT linear-interpolation percentiles per group without
     buffering any group in one task: rank every row with
     :func:`grouped_global_rank`, then fetch only the two rows straddling
@@ -127,9 +128,12 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
     and fails a bit-exact oracle compare. When ``rn`` is integral the
     fraction is exactly 0.0 and the value returns bit-identically.
 
-    Scale shape: one range shuffle of (group, value) + two broadcast
-    joins against rank metadata (offsets: partitions×groups rows;
-    targets: groups×|ps| rows). Reduce-side state is O(1) per row —
+    Scale shape: one range shuffle of (group, value) + two joins
+    against rank metadata (offsets: partitions×groups rows; targets:
+    groups×|ps| rows) — broadcast by default (KB-sized for the
+    enum-like keys most callers group by), shuffle joins when
+    ``broadcast_offsets=False`` (the high-cardinality contract:
+    a 10M-key grouping would make both metadata tables GB-sized). Reduce-side state is O(1) per row —
     no per-group materialization anywhere, so the plan survives a
     3-value grouping key at 100 TB where the exact-percentile
     aggregate's O(rows/group) buffer is a guaranteed OOM.
@@ -145,7 +149,8 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
             .where(F.col(value_col).isNotNull())
             .localCheckpoint(eager=False))
     ranked = grouped_global_rank(vals, group_cols, [value_col],
-                                 n_partitions)
+                                 n_partitions,
+                                 broadcast_offsets=broadcast_offsets)
     targets_per_p = F.array(*[
         F.struct(F.lit(i).alias("_p_idx"),
                  F.lit(float(p)).alias("_p")) for i, p in enumerate(ps)])
@@ -162,7 +167,11 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
                        (F.floor(rn).cast("long") + 1).alias("_lo"),
                        (F.ceil(rn).cast("long") + 1).alias("_hi"),
                        (rn - F.floor(rn)).alias("_frac")))
-    straddle = (ranked.join(F.broadcast(targets), group_cols)
+    # same contract as the offsets table: targets is groups x |ps| rows
+    # - KB-sized for enum-like keys, but a high-cardinality grouping
+    # passes broadcast_offsets=False and gets a shuffle join here too
+    targets_side = F.broadcast(targets) if broadcast_offsets else targets
+    straddle = (ranked.join(targets_side, group_cols)
                 .where((F.col("_rank") == F.col("_lo"))
                        | (F.col("_rank") == F.col("_hi"))))
     return (straddle.groupBy(*group_cols, "_p_idx")

@@ -64,25 +64,28 @@ GATE_ORDER = [
     # target-proportion dataset mixture + SCD2 point-in-time lookup +
     # seasonal decomposition --
     "q_kmv_sketch", "q_dataset_mixture", "q_scd2_lookup", "q_seasonal",
-    "q_time_travel", "q_melt", "q_corr_matrix",
+    "q_time_travel", "q_melt", "q_corr_matrix", "q_percentile_highcard",
     # -- round 9: code/oracle changed this round (advisor fixes), plus
     # q_approx_cd whose r8-rewritten verdict oracle was never
-    # driver-checked (its newest driver record is a stale r6 FAIL) --
+    # driver-checked (its newest driver record is a stale r6 FAIL),
+    # plus the rank-machinery callers whose shared operator gained the
+    # broadcast_offsets pass-through this round (default path is
+    # plan-identical, but changed code gets driver evidence) --
     "q_dedup_near", "q_hll_sketch", "q_approx_cd",
+    "q_percentile", "q_percentile_approx", "q_winsorize",
+    "q_outlier_mad",
     # -- stale-evidence rotation, r2 cohort: newest driver check
     # predates the round-4 fixture regeneration --
     "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
     "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
     "q_str_dxcode", "q_str_join", "q_str_name", "q_str_zip", "q_topk",
-    "q_topk_group", "q_udf", "q_win_dist", "q_win_frame", "q_win_rank",
-    "q_win_running",
-    # -- stale-evidence rotation, r3 cohort (23 of 30; the remaining 7
-    # lead the r10 window) --
-    "q_crossover",
+    "q_topk_group", "q_udf",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # -- r3-cohort remainder: first into the r10 window --
-    "q_scan", "q_sink", "q_pivot",
+    # -- pushed to the r10 head by the round-9 additions: the 4 window
+    # demos from the r2 cohort, then the full r3 cohort --
+    "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",
+    "q_crossover", "q_scan", "q_sink", "q_pivot",
     "q_cube", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_lshband",
     "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
@@ -123,13 +126,13 @@ GATE_ORDER = [
     "q_matmul", "q_text_typicality", "q_ohlc", "q_sample_stratified",
     "q_mm_decode", "q_disjunctive", "q_promo_share", "q_top_supplier",
     "q_idle_customers", "q_pii_redact", "q_repetition", "q_fuzzy_link",
-    "q_embed_gram", "q_hof_array", "q_winsorize", "q_drift_ks",
+    "q_embed_gram", "q_hof_array", "q_drift_ks",
     "q_join_full", "q_win_nav", "q_collect_sorted", "q_gini",
     "q_rolling_7d", "q_negative_sample", "q_target_encode",
     "q_feature_hash", "q_interval_coverage", "q_subquery_sql",
     "q_sample_balance", "q_not_in", "q_export_pipeline", "q_join_setsim",
-    "q_percentile", "q_percentile_approx", "q_histogram_eq_approx",
-    "q_reconcile", "q_outlier_mad", "q_bm25", "q_collocations",
+    "q_histogram_eq_approx",
+    "q_reconcile", "q_bm25", "q_collocations",
     "q_sample_weighted", "q_sample_weighted_group", "q_diversity",
     "q_rag_pipeline", "q_agg_multi", "q_chunk", "q_heavy_hitters",
     # -- green driver row in r6 (via the r7 byte-copy artifact) --

@@ -783,6 +783,40 @@ ORDER BY p.exact_cnt DESC, token
 """
 
 
+def q_percentile_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-PART median price — the HIGH-CARDINALITY face of the
+    distributed percentile machinery, declared so the
+    ``broadcast_offsets=False`` contract is driver-checked, not just
+    unit-tested: q_percentile groups by a 3-value enum (metadata tables
+    broadcast, KB-sized); this groups by ``l_partkey`` (|parts| grows
+    with the catalog — at a 100 TB-scale 10M-part catalog the offsets
+    and targets tables are GB-sized and MUST NOT broadcast).
+
+    Same rank-and-interpolate plan, same bit-exact quantile_cont
+    results; the only difference is both rank-metadata joins run as
+    shuffle joins on the already-aggregated tables (one extra exchange
+    each over partitions×groups / groups rows — never an OOM hint).
+    AQE remains free to re-promote off runtime statistics when the
+    realized sizes are small, which is exactly the right division of
+    labor: the static plan must not bake in the broadcast."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice")
+    res = grouped_exact_percentiles(
+        li, ["l_partkey"], "l_extendedprice", [0.5],
+        broadcast_offsets=False)
+    return (res.where(F.col("_p_idx") == 0)
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("value").alias("median_price"))
+            .orderBy("p_partkey"))
+
+
+ORACLE_PERCENTILE_HIGHCARD = """
+SELECT l_partkey AS p_partkey,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem GROUP BY l_partkey ORDER BY p_partkey
+"""
+
+
 # KMV sketch size. rsd ≈ 1/sqrt(K−2) ≈ 12.7% at K=64; the verdict band is
 # ~5σ (65%) so a red boolean means a broken sketch, not tail luck — and
 # unlike HLL the estimate ITSELF also hash-matches, because every input
@@ -1031,6 +1065,10 @@ SPECS: dict[str, QuerySpec] = {
         q_cms_sketch, ORACLE_CMS_SKETCH,
         "deterministic Count-Min sketch (md5-affine rows, estimates "
         "hash-checked, re-mergeable cell state)"),
+    "q_percentile_highcard": QuerySpec(
+        q_percentile_highcard, ORACLE_PERCENTILE_HIGHCARD,
+        "exact per-part median via the high-cardinality rank path "
+        "(shuffle-joined rank metadata, no broadcast hint)"),
     "q_kmv_sketch": QuerySpec(
         q_kmv_sketch, ORACLE_KMV_SKETCH,
         "KMV distinct sketch (md5 order statistics, estimates "

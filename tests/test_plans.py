@@ -1203,3 +1203,31 @@ def test_corr_matrix_single_pass_bounded_corr(spark):
     assert len(rows) == 3 * len(segs)
     for r in rows:
         assert -1.0 <= r["corr"] <= 1.0, dict(r.asDict())
+
+
+def test_percentile_highcard_no_broadcast_hint(spark):
+    """q_percentile_highcard: the static plan must NOT bake a broadcast
+    hint into either rank-metadata join (offsets, targets) — the
+    high-cardinality contract — while keeping the distributed-rank
+    shape (range shuffle, per-partition ranking). AQE may still promote
+    at runtime off realized statistics; the audit reads the pre-AQE
+    plan."""
+    df = ALL_SPECS["q_percentile_highcard"].fn(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "_pid" in plan
+    assert "CartesianProduct" not in plan
+    # results equal the broadcast-path machinery bit-for-bit
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_exact_percentiles)
+    from hippo_claim_crossover_spark.plans.base import t as _t
+    li = _t(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_extendedprice")
+    bc = grouped_exact_percentiles(
+        li, ["l_partkey"], "l_extendedprice", [0.5],
+        broadcast_offsets=True)
+    got = {r["p_partkey"]: r["median_price"] for r in df.collect()}
+    want = {r["l_partkey"]: r["value"] for r in bc.collect()}
+    assert got == want
