@@ -85,8 +85,7 @@ def scd2_intervals(df: DataFrame, key: str, attr: str,
 
 
 def mor_read(base: DataFrame, log: DataFrame, key: str,
-             seq_col: str = "seq", op_col: str = "op",
-             delete_op: str = "d") -> DataFrame:
+             seq_col: str = "seq") -> DataFrame:
     """Merge-on-read: resolve a compacted base snapshot plus an ordered
     change log into the latest visible view AT READ TIME — the
     Delta/Iceberg read path when deletes/upserts haven't been compacted
@@ -94,15 +93,15 @@ def mor_read(base: DataFrame, log: DataFrame, key: str,
     hide rows).
 
     ``base`` rows must carry the lowest ``seq_col`` (the compaction
-    watermark); ``log`` rows carry their commit sequence and an
-    ``op_col`` whose ``delete_op`` value marks a tombstone. Both must
+    watermark); ``log`` rows carry their commit sequence. Both must
     share a schema. One union + ONE shuffle on the key (the
     q_latest_snapshot window, row_number over seq desc) — never a
     per-commit self-join, so a day of commits costs the same shuffle as
-    one. The tombstone filter happens AFTER the window so a delete
-    followed by a re-insert at a higher seq correctly resurfaces the
-    key. Returns the winning record per key (op column retained so
-    callers can audit tombstones before filtering)."""
+    one. Tombstone semantics belong to the CALLER: every column of the
+    winning record (including any op/tombstone marker) is returned
+    untouched, and the caller filters deletes AFTER this merge — that
+    ordering is what lets a delete followed by a re-insert at a higher
+    seq correctly resurface the key (see q_mor_read)."""
     cols = base.columns
     assert cols == log.columns, (cols, log.columns)
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())

@@ -179,5 +179,8 @@ def money_avg(term: Column, count: Column | None = None,
 
 
 def money_avg_sql(term_sql: str, out_scale: int = 4) -> str:
-    return (f"round(CAST(sum(CAST(floor({term_sql} * 1e6 + 0.5) AS BIGINT)) "
-            f"AS DOUBLE) / 1e6 / count(*), {out_scale})")
+    """DuckDB SQL mirroring :func:`money_avg` (term parenthesized — a
+    compound term like ``a - b`` must not bind as ``a - b*1e6``, the
+    same precedence trap fixed in :func:`money_sum_sql`)."""
+    return (f"round(CAST(sum(CAST(floor(({term_sql}) * 1e6 + 0.5) "
+            f"AS BIGINT)) AS DOUBLE) / 1e6 / count(*), {out_scale})")

@@ -365,7 +365,9 @@ def q_mm_pairfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 duck_round(cos_raw, 4).alias("cos4")))
     kept = (scored.where(F.col("cos4") >= MM_COHERENCE)
             .localCheckpoint(eager=False))
-    n_total = t_wide(spark, sf_dir, "embeddings").count()
+    # metadata-only parquet footer count (t_wide's repartition would
+    # force a full scan+shuffle just to learn the row count)
+    n_total = t(spark, sf_dir, "embeddings").count()
     dups = ops_sim.embed_near_pairs(
         kept.select("vec_id", "v"), dim=_MM_DIM, threshold=MM_DUP_COS,
         n_planes=ops_sim.planes_for(n_total))

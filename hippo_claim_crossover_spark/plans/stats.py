@@ -829,7 +829,9 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = F.col("nd") * F.col(f"s{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}")
         va = F.col("nd") * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
         vb = F.col("nd") * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
-        return num / F.sqrt(va * vb)
+        # zero-variance guard (single-row or constant group): 0/0 is
+        # NaN in Spark but NULL in DuckDB — emit NULL in both engines
+        return F.when(va * vb > 0, num / F.sqrt(va * vb))
 
     wide = agg.select(
         "l_returnflag", F.col("nd").cast("long").alias("n"),
@@ -866,15 +868,18 @@ WITH m AS (
   FROM m GROUP BY l_returnflag
 ), w AS (
   SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
-         floor((nd * sxy - sx * sy)
-               / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
-               * 1e6 + 0.5) / 1e6 AS qp,
-         floor((nd * sxz - sx * sz)
-               / sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz))
-               * 1e6 + 0.5) / 1e6 AS qd,
-         floor((nd * syz - sy * sz)
-               / sqrt((nd * syy - sy * sy) * (nd * szz - sz * sz))
-               * 1e6 + 0.5) / 1e6 AS pd
+         CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0
+              THEN floor((nd * sxy - sx * sy)
+                   / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                   * 1e6 + 0.5) / 1e6 END AS qp,
+         CASE WHEN (nd * sxx - sx * sx) * (nd * szz - sz * sz) > 0
+              THEN floor((nd * sxz - sx * sz)
+                   / sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz))
+                   * 1e6 + 0.5) / 1e6 END AS qd,
+         CASE WHEN (nd * syy - sy * sy) * (nd * szz - sz * sz) > 0
+              THEN floor((nd * syz - sy * sz)
+                   / sqrt((nd * syy - sy * sy) * (nd * szz - sz * sz))
+                   * 1e6 + 0.5) / 1e6 END AS pd
   FROM a
 ), stacked AS (
   SELECT l_returnflag, n, 'quantity~price' AS pair, qp AS corr FROM w

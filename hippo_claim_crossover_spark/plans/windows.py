@@ -310,6 +310,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _mor_commits(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ONE deterministic base+log recipe shared by q_mor_read
+    (latest-version read) and q_time_travel (VERSION AS OF): base =
+    keys ∉ 0 mod 10 at commit seq 0; commit 1 upserts keys ≡ 3 mod 7
+    with a +10.00 price revision; commit 2 tombstones keys ≡ 5 mod 13;
+    commit 3 late-inserts the base-missing keys ≡ 0 mod 10 — so
+    update-wins, delete-wins, and insert-after-miss all occur (and a
+    key can traverse several commits). Single-sourced (with the
+    :data:`_MOR_RECS_SQL` oracle CTE) so retuning the commit moduli
+    cannot desynchronize the two queries that read the same table."""
+    k = F.col("o_orderkey")
+
+    def _rec(df: DataFrame, price: F.Column, seq: int, op: str) -> DataFrame:
+        return df.select(
+            "o_orderkey", "o_orderpriority", price.alias("price"),
+            F.lit(seq).cast("long").alias("seq"), F.lit(op).alias("op"))
+
+    base = _rec(o.where(k % 10 != 0), F.col("o_totalprice"), 0, "u")
+    log = (
+        _rec(o.where(k % 7 == 3), F.col("o_totalprice") + F.lit(10.0),
+             1, "u")
+        .unionByName(_rec(o.where(k % 13 == 5), F.col("o_totalprice"),
+                          2, "d"))
+        .unionByName(_rec(o.where(k % 10 == 0), F.col("o_totalprice"),
+                          3, "u")))
+    return base, log
+
+
+# Oracle-side mirror of _mor_commits (interpolated into both oracles).
+_MOR_RECS_SQL = """
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS price,
+         CAST(0 AS BIGINT) AS seq, 'u' AS op
+  FROM orders WHERE o_orderkey % 10 != 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice + 10.0, 1, 'u'
+  FROM orders WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice, 2, 'd'
+  FROM orders WHERE o_orderkey % 13 = 5
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice, 3, 'u'
+  FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
 def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read lakehouse read — the Delta/Iceberg-shaped read path
     the CDC family was missing: a compacted BASE snapshot plus an
@@ -333,21 +378,7 @@ def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
-    k = F.col("o_orderkey")
-
-    def _rec(df: DataFrame, price: F.Column, seq: int, op: str) -> DataFrame:
-        return df.select(
-            "o_orderkey", "o_orderpriority", price.alias("price"),
-            F.lit(seq).alias("seq"), F.lit(op).alias("op"))
-
-    base = _rec(o.where(k % 10 != 0), F.col("o_totalprice"), 0, "u")
-    log = (
-        _rec(o.where(k % 7 == 3), F.col("o_totalprice") + F.lit(10.0),
-             1, "u")
-        .unionByName(_rec(o.where(k % 13 == 5), F.col("o_totalprice"),
-                          2, "d"))
-        .unionByName(_rec(o.where(k % 10 == 0), F.col("o_totalprice"),
-                          3, "u")))
+    base, log = _mor_commits(o)
     win = mor_read(base, log, "o_orderkey")
     visible = F.col("op") != "d"
     return (
@@ -364,18 +395,7 @@ def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MOR_READ = f"""
-WITH src AS (
-  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS price
-  FROM orders
-), recs AS (
-  SELECT k, pr, price, 0 AS seq, 'u' AS op FROM src WHERE k % 10 != 0
-  UNION ALL
-  SELECT k, pr, price + 10.0, 1, 'u' FROM src WHERE k % 7 = 3
-  UNION ALL
-  SELECT k, pr, price, 2, 'd' FROM src WHERE k % 13 = 5
-  UNION ALL
-  SELECT k, pr, price, 3, 'u' FROM src WHERE k % 10 = 0
-), win AS (
+WITH recs AS ({_MOR_RECS_SQL}), win AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk
     FROM recs)
@@ -647,20 +667,9 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the output and pinned by the plan audit."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
-    k = F.col("o_orderkey")
-
-    def _rec(df: DataFrame, price, seq: int, op: str) -> DataFrame:
-        return df.select(
-            "o_orderkey", price.alias("price"),
-            F.lit(seq).cast("long").alias("seq"), F.lit(op).alias("op"))
-
-    recs = (_rec(o.where(k % 10 != 0), F.col("o_totalprice"), 0, "u")
-            .unionByName(_rec(o.where(k % 7 == 3),
-                              F.col("o_totalprice") + F.lit(10.0), 1, "u"))
-            .unionByName(_rec(o.where(k % 13 == 5),
-                              F.col("o_totalprice"), 2, "d"))
-            .unionByName(_rec(o.where(k % 10 == 0),
-                              F.col("o_totalprice"), 3, "u")))
+    base, log = _mor_commits(o)
+    recs = base.unionByName(log).select(
+        "o_orderkey", "price", "seq", "op")
     versions = spark.range(4).select(F.col("id").alias("as_of"))
     states = (recs.crossJoin(F.broadcast(versions))
               .where(F.col("seq") <= F.col("as_of"))
@@ -677,18 +686,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TIME_TRAVEL = f"""
-WITH src AS (
-  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
-), recs AS (
-  SELECT k, price, CAST(0 AS BIGINT) AS seq, 'u' AS op
-  FROM src WHERE k % 10 != 0
-  UNION ALL
-  SELECT k, price + 10.0, 1, 'u' FROM src WHERE k % 7 = 3
-  UNION ALL
-  SELECT k, price, 2, 'd' FROM src WHERE k % 13 = 5
-  UNION ALL
-  SELECT k, price, 3, 'u' FROM src WHERE k % 10 = 0
-), versions AS (
+WITH recs AS ({_MOR_RECS_SQL}), versions AS (
   SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) v(as_of)
 ), states AS (
   SELECT v.as_of, r.k,

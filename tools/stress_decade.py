@@ -98,14 +98,19 @@ def materialize(spark, tables: list[str], replicas: int, dest: str) -> None:
     os.makedirs(dest, exist_ok=True)
     for t in tables:
         path = f"{dest}/{t}.parquet"
-        if os.path.exists(path):
+        done = f"{path}.done"
+        # a crashed run leaves a partial dir behind (cleanup only runs
+        # on success) — reuse ONLY when the completion marker exists
+        if os.path.exists(done):
             continue
+        shutil.rmtree(path, ignore_errors=True)
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = [_replica(base, t, r) for r in range(replicas)]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         df.repartition(32).write.mode("overwrite").parquet(path)
+        open(done, "w").close()
 
 
 def timed(build, reps: int = 2) -> float:
