@@ -210,6 +210,7 @@ HEADLINE = [
     "q_melt",
     "q_corr_matrix",
     "q_percentile_highcard",
+    "q_graph_lpa",
 ]
 
 

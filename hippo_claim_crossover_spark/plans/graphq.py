@@ -447,7 +447,102 @@ ORDER BY custkey, neg_rank
 """
 
 
+LPA_ROUNDS = 3
+
+
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over
+    the co-purchase graph — the clustering face of the graph family
+    next to reachability (CC), importance (PageRank), distance (BFS)
+    and local density (triangles).
+
+    Determinism (LPA's classic weakness — random tie-breaks and async
+    sweep order make vanilla LPA non-reproducible): labels start as the
+    node's own id, every round is SYNCHRONOUS (all nodes update from
+    the previous round's labels), and the update is "most frequent
+    neighbor label, ties to the SMALLEST label" — a total order, so
+    both engines converge identically and the driver can hash the
+    communities. Fixed ``LPA_ROUNDS`` rounds (the iterative-algorithm
+    contract q_pagerank/q_cluster_kmeans use; unrolled as CTE layers in
+    the oracle).
+
+    Scale shape per round: one equi-join shuffle of the checkpointed
+    edge list against the ≤|nodes|-row label table, then two src-keyed
+    partial/final aggregates (count per (node, label) → max → min
+    label at max). Label tables never exceed |nodes| rows; the edge
+    list is materialized once. Never all-pairs, no Pregel-style
+    mutable state needed — each round is a plain dataflow."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = (e.select(F.col("src").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=False))
+    for _ in range(LPA_ROUNDS):
+        nbr = (e.join(labels, e.dst == labels.node)
+               .select("src", "label"))
+        counts = (nbr.groupBy("src", "label")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        mx = counts.groupBy("src").agg(F.max("c").alias("mc"))
+        labels = (counts.join(mx, "src")
+                  .where(F.col("c") == F.col("mc"))
+                  .groupBy("src")
+                  .agg(F.min("label").alias("label"))
+                  .select(F.col("src").alias("node"), "label")
+                  .localCheckpoint(eager=False))
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("node").alias("min_member"),
+                 F.max("node").alias("max_member"))
+            .orderBy(F.col("n_members").desc(), "community"))
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""c{i} AS (
+  SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN {prev} l ON e.dst = l.node GROUP BY e.src, l.label
+), m{i} AS (
+  SELECT src, max(c) AS mc FROM c{i} GROUP BY src
+), l{i} AS (
+  SELECT c{i}.src AS node, CAST(min(c{i}.label) AS BIGINT) AS label
+  FROM c{i} JOIN m{i} ON c{i}.src = m{i}.src AND c{i}.c = m{i}.mc
+  GROUP BY c{i}.src
+)""")
+        prev = f"l{i}"
+    rounds_sql = ", ".join(rounds)
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {MIN_SUP}
+), edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL
+  SELECT v, u FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+), {rounds_sql}
+SELECT label AS community, count(*) AS n_members,
+       min(node) AS min_member, max(node) AS max_member
+FROM {prev} GROUP BY label
+ORDER BY n_members DESC, community
+"""
+
+
+ORACLE_GRAPH_LPA = _lpa_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_graph_lpa": QuerySpec(
+        q_graph_lpa, ORACLE_GRAPH_LPA,
+        "deterministic synchronous label propagation, 3 rounds, "
+        "min-label tie-break"),
     "q_negative_sample": QuerySpec(
         q_negative_sample, ORACLE_NEGATIVE_SAMPLE,
         "deterministic bucketed negative sampling (md5 draw, anti-join "

