@@ -211,6 +211,8 @@ HEADLINE = [
     "q_corr_matrix",
     "q_percentile_highcard",
     "q_graph_lpa",
+    "q_cusum_changepoint",
+    "q_ab_test",
 ]
 
 

@@ -893,7 +893,215 @@ ORDER BY l_returnflag, pair
 """
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — the monitoring
+    family's "WHEN did the distribution move" next to χ²/KS's "DID it
+    move": the event-ordered cumulative sum of deviations from the
+    series mean peaks exactly at a level shift.
+
+    Exactness: the textbook ``S_t = Σ_{i≤t}(x_i − x̄)`` mixes a float
+    mean into every prefix — order-sensitive. Multiplying through by n
+    removes the division: ``n·S_t = n·C_t − t·T`` where ``C_t`` is the
+    integer-micros prefix sum, ``T`` the total and ``t`` the prefix
+    row count — ALL BIGINT, so the argmax row is engine-exact and the
+    reported statistic divides once at the end. Per type: one window
+    shuffle (prefix sums over the event_id order) + one max_by
+    aggregate; at 100 TB the window input is the event stream once,
+    state O(1)/row. n·S_t magnitude: n ≤ 2e5·|v|max ≈ 5e8 micros ×
+    prefix ≈ ... bounded by n²·v̄·1e6 ≈ 2e19 at sf0.1-scale-100 —
+    rides DECIMAL(38) via the long product guard below at any scale
+    (here n·C stays < 9e18 at the gated fixtures; the product is
+    computed in DECIMAL(38,0) regardless so no bound is load-bearing).
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts",
+        money_micros(F.col("value")).alias("v_u"))
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    totals = (e.groupBy("event_type")
+              .agg(F.sum("v_u").alias("tot_u"),
+                   F.count(F.lit(1)).alias("n")))
+    pref = (e.withColumn("c_u", F.sum("v_u").over(w))
+            .withColumn("t_idx", F.count(F.lit(1)).over(w)))
+    dev = (pref.join(F.broadcast(totals), "event_type")
+           .withColumn(
+               "ns_u",
+               F.col("n").cast(_D38) * F.col("c_u").cast(_D38)
+               - F.col("t_idx").cast(_D38) * F.col("tot_u").cast(_D38)))
+    dev = dev.withColumn("absdev", F.abs(F.col("ns_u"))) \
+             .localCheckpoint(eager=False)
+    # deterministic argmax without engine-specific struct-ordered
+    # arg_max: max |n·S_t| per type (broadcast back, exact integer
+    # equality), ties to the earliest event via min/min_by
+    mx = dev.groupBy("event_type").agg(F.max("absdev").alias("mx"))
+    peak = (dev.join(F.broadcast(mx), "event_type")
+            .where(F.col("absdev") == F.col("mx")))
+    return (peak.groupBy("event_type")
+            .agg(F.min("event_id").alias("change_event_id"),
+                 F.min_by("ts", "event_id").alias("change_ts"),
+                 F.min_by("t_idx", "event_id").alias("t_index"),
+                 F.max("n").alias("n"),
+                 duck_round(
+                     F.max("mx").cast("double")
+                     / F.max("n").cast("double")
+                     / F.max("n").cast("double") / F.lit(1e6), 4)
+                 .alias("max_abs_cusum"))
+            .orderBy("event_type"))
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_u
+  FROM events
+), totals AS (
+  SELECT event_type, CAST(sum(v_u) AS BIGINT) AS tot_u,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type
+), pref AS (
+  SELECT event_type, event_id, ts,
+         CAST(sum(v_u) OVER w AS BIGINT) AS c_u,
+         CAST(count(*) OVER w AS BIGINT) AS t_idx
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), dev AS (
+  SELECT p.event_type, p.event_id, p.ts, p.t_idx, t.n,
+         CAST(t.n AS HUGEINT) * p.c_u
+           - CAST(p.t_idx AS HUGEINT) * t.tot_u AS ns_u
+  FROM pref p JOIN totals t ON p.event_type = t.event_type
+)
+, mx AS (
+  SELECT event_type, max(abs(ns_u)) AS mx FROM dev GROUP BY event_type
+), peak AS (
+  SELECT d.* FROM dev d JOIN mx ON d.event_type = mx.event_type
+  WHERE abs(d.ns_u) = mx.mx
+)
+SELECT event_type,
+       min(event_id) AS change_event_id,
+       arg_min(ts, event_id) AS change_ts,
+       arg_min(t_idx, event_id) AS t_index,
+       max(n) AS n,
+       floor(CAST(max(abs(ns_u)) AS DOUBLE)
+             / CAST(max(n) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+             / 1e6 * 1e4 + 0.5) / 1e4 AS max_abs_cusum
+FROM peak GROUP BY event_type ORDER BY event_type
+"""
+
+
+# Two-sided critical value for a 95% z/t test (large samples).
+AB_CRIT_95 = 1.96
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch test per market segment — A/B experimentation
+    readout (URGENT-priority orders as treatment, LOW as control,
+    o_totalprice as the metric): the statistic every experiment
+    platform computes, built on exact sufficient statistics so an
+    irrational t-value hash-matches across engines.
+
+    Per (segment, arm): n, Σx, Σx² ride integer micros in DECIMAL(38)
+    (one partial/final pass over the joined facts). Welch:
+    ``t = (x̄_a − x̄_b) / √(s²_a/n_a + s²_b/n_b)`` with sample
+    variances — every input to the IEEE expression is an exact integer
+    cast once to double, so both engines evaluate the identical
+    operand sequence (sqrt correctly rounded). The verdict column
+    compares |t| to the fixed 1.96 large-sample critical value; no
+    p-value (needs erf, engine-private) — the boolean is what a
+    dashboard gates on anyway."""
+    o = (t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+         .select("o_custkey",
+                 F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+                 .otherwise("b").alias("arm"),
+                 money_micros(F.col("o_totalprice")).alias("xm")))
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (o.join(c, o.o_custkey == c.c_custkey)
+           .groupBy("c_mktsegment", "arm")
+           .agg(F.count(F.lit(1)).cast("double").alias("nd"),
+                _dsum(F.col("xm")).alias("s1"),
+                _dsum(F.col("xm").cast(_D38) * F.col("xm")).alias("s2")))
+    mean = F.col("s1") / F.col("nd")
+    var = ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
+           / (F.col("nd") - F.lit(1.0)))
+    # two consumers (treatment/control splits) — checkpoint or the
+    # whole join+aggregate recomputes per side
+    arms = (agg.select("c_mktsegment", "arm", "nd",
+                       mean.alias("m"), var.alias("v"))
+            .localCheckpoint(eager=False))
+    a = arms.where(F.col("arm") == "a").select(
+        "c_mktsegment", F.col("nd").alias("na"), F.col("m").alias("ma"),
+        F.col("v").alias("va"))
+    b = arms.where(F.col("arm") == "b").select(
+        "c_mktsegment", F.col("nd").alias("nb"), F.col("m").alias("mb"),
+        F.col("v").alias("vb"))
+    denom = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    # zero-denominator guard (both arms constant): 0/0 is NaN in Spark
+    # but NULL in DuckDB — emit NULL in both engines
+    tstat = F.when(denom > 0,
+                   (F.col("ma") - F.col("mb")) / F.sqrt(denom))
+    return (a.join(b, "c_mktsegment")
+            .select("c_mktsegment",
+                    F.col("na").cast("long").alias("n_treat"),
+                    F.col("nb").cast("long").alias("n_control"),
+                    duck_round(F.col("ma") / F.lit(1e6), 2)
+                    .alias("mean_treat"),
+                    duck_round(F.col("mb") / F.lit(1e6), 2)
+                    .alias("mean_control"),
+                    duck_round(tstat, 4).alias("t_stat"),
+                    (F.abs(tstat) > F.lit(AB_CRIT_95))
+                    .alias("significant_95"))
+            .orderBy("c_mktsegment"))
+
+
+ORACLE_AB_TEST = f"""
+WITH m AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END
+           AS arm,
+         CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT) AS xm
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+), agg AS (
+  SELECT c_mktsegment, arm,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(xm AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(xm AS HUGEINT) * xm) AS DOUBLE) AS s2
+  FROM m GROUP BY c_mktsegment, arm
+), arms AS (
+  SELECT c_mktsegment, arm, nd, s1 / nd AS mean,
+         (s2 - s1 * s1 / nd) / (nd - 1.0) AS var
+  FROM agg
+), j AS (
+  SELECT a.c_mktsegment, a.nd AS na, a.mean AS ma, a.var AS va,
+         b.nd AS nb, b.mean AS mb, b.var AS vb,
+         CASE WHEN a.var / a.nd + b.var / b.nd > 0
+              THEN (a.mean - b.mean) / sqrt(a.var / a.nd + b.var / b.nd)
+         END AS tstat
+  FROM arms a JOIN arms b
+    ON a.c_mktsegment = b.c_mktsegment AND a.arm = 'a' AND b.arm = 'b'
+)
+SELECT c_mktsegment,
+       CAST(na AS BIGINT) AS n_treat,
+       CAST(nb AS BIGINT) AS n_control,
+       floor(ma / 1e6 * 1e2 + 0.5) / 1e2 AS mean_treat,
+       floor(mb / 1e6 * 1e2 + 0.5) / 1e2 AS mean_control,
+       floor(tstat * 1e4 + 0.5) / 1e4 AS t_stat,
+       abs(tstat) > {AB_CRIT_95!r} AS significant_95
+FROM j ORDER BY c_mktsegment
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_cusum_changepoint": QuerySpec(
+        q_cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT,
+        "CUSUM changepoint per type (integer n*S_t prefix deviations, "
+        "deterministic argmax)"),
+    "q_ab_test": QuerySpec(
+        q_ab_test, ORACLE_AB_TEST,
+        "two-sample Welch t per segment from exact moments, fixed "
+        "critical-value verdict"),
     "q_corr_matrix": QuerySpec(
         q_corr_matrix, ORACLE_CORR_MATRIX,
         "one-pass exact Pearson correlation matrix (DECIMAL(38) "

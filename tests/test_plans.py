@@ -1250,3 +1250,42 @@ def test_graph_lpa_deterministic_and_bounded(spark):
         assert r["min_member"] <= r["max_member"]
     rows2 = ALL_SPECS["q_graph_lpa"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_cusum_changepoint_integer_prefix_no_cartesian(spark):
+    """q_cusum_changepoint: prefix deviations must stay integer (the
+    n*S_t identity), the peak lookup is a broadcast-back equality (no
+    cartesian, no struct-ordered argmax), and the changepoint must be
+    an interior, per-type-unique row."""
+    plan = _plan(spark, "q_cusum_changepoint")
+    assert "CartesianProduct" not in plan
+    # the prefix-sum window lives inside the checkpointed dev lineage;
+    # the outer plan consumes it as two ExistingRDD scans (mx + peak)
+    assert plan.count("Scan ExistingRDD") == 2
+    rows = ALL_SPECS["q_cusum_changepoint"].fn(spark, SF_DIR).collect()
+    assert rows
+    types = [r["event_type"] for r in rows]
+    assert len(types) == len(set(types))
+    for r in rows:
+        d = dict(r.asDict())
+        assert 1 <= r["t_index"] <= r["n"], d
+        assert r["max_abs_cusum"] >= 0, d
+
+
+def test_ab_test_exact_moments_single_pass(spark):
+    """q_ab_test: both arms' moments must come from ONE partial/final
+    aggregate over the joined facts (no per-arm scan), and the verdict
+    must be consistent with the reported t statistic."""
+    plan = _plan(spark, "q_ab_test")
+    assert "CartesianProduct" not in plan
+    # the moments aggregate is checkpointed; both arm splits read the
+    # SAME materialization (a re-derived aggregate per side was the
+    # recompute pathology this audit pins)
+    assert plan.count("orders.parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    rows = ALL_SPECS["q_ab_test"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        d = dict(r.asDict())
+        assert r["n_treat"] >= 2 and r["n_control"] >= 2, d
+        assert (abs(r["t_stat"]) > 1.96) == r["significant_95"], d
