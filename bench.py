@@ -213,6 +213,8 @@ HEADLINE = [
     "q_graph_lpa",
     "q_cusum_changepoint",
     "q_ab_test",
+    "q_mode",
+    "q_active_users",
 ]
 
 

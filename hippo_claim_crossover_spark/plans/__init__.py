@@ -66,6 +66,7 @@ GATE_ORDER = [
     "q_kmv_sketch", "q_dataset_mixture", "q_scd2_lookup", "q_seasonal",
     "q_time_travel", "q_melt", "q_corr_matrix", "q_percentile_highcard",
     "q_graph_lpa", "q_cusum_changepoint", "q_ab_test",
+    "q_mode", "q_active_users",
     # -- round 9: code/oracle changed this round (advisor fixes), plus
     # q_approx_cd whose r8-rewritten verdict oracle was never
     # driver-checked (its newest driver record is a stale r6 FAIL),
@@ -80,8 +81,9 @@ GATE_ORDER = [
     "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
     "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
-    "q_str_dxcode", "q_str_join", "q_str_name", "q_str_zip",
+    "q_str_dxcode", "q_str_join",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_str_name", "q_str_zip",
     "q_topk", "q_topk_group",
     "q_udf",
     # -- pushed to the r10 head by the round-9 additions: the 4 window

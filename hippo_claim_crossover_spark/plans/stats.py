@@ -1093,7 +1093,61 @@ FROM j ORDER BY c_mktsegment
 """
 
 
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per segment with a deterministic tie-break —
+    the descriptive statistic both engines ship as an aggregate but
+    with ENGINE-PRIVATE tie behavior (Spark's ``mode`` and DuckDB's
+    ``mode`` both pick an arbitrary winner among equally-frequent
+    values), so the portable form is spelled out: value counts, max
+    count per group broadcast back, smallest value among the winners.
+
+    Two partial/final aggregates + one broadcast-back equality — the
+    same max-then-join shape as q_graph_lpa's label vote and
+    q_cusum_changepoint's peak lookup; at 100 TB the shuffle carries
+    (group, value) pairs once and ≤|groups| rows after."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+    counts = (li.groupBy("l_returnflag", "qty")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=False))
+    mx = counts.groupBy("l_returnflag").agg(
+        F.max("c").alias("mc"),
+        F.count(F.lit(1)).alias("n_distinct_values"))
+    return (counts.join(F.broadcast(mx), "l_returnflag")
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("l_returnflag", "mc", "n_distinct_values")
+            .agg(F.min("qty").alias("mode_qty"))
+            .select("l_returnflag", "mode_qty",
+                    F.col("mc").alias("mode_count"),
+                    "n_distinct_values")
+            .orderBy("l_returnflag"))
+
+
+ORACLE_MODE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+), mx AS (
+  SELECT l_returnflag, max(c) AS mc,
+         CAST(count(*) AS BIGINT) AS n_distinct_values
+  FROM counts GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, min(c.qty) AS mode_qty,
+       max(m.mc) AS mode_count,
+       max(m.n_distinct_values) AS n_distinct_values
+FROM counts c JOIN mx m ON c.l_returnflag = m.l_returnflag
+WHERE c.c = m.mc
+GROUP BY c.l_returnflag
+ORDER BY c.l_returnflag
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_mode": QuerySpec(
+        q_mode, ORACLE_MODE,
+        "deterministic per-group mode (max-then-join, min-value "
+        "tie-break — engine mode() aggregates tie arbitrarily)"),
     "q_cusum_changepoint": QuerySpec(
         q_cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT,
         "CUSUM changepoint per type (integer n*S_t prefix deviations, "

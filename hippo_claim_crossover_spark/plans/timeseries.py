@@ -1055,6 +1055,74 @@ FROM scored GROUP BY user_id ORDER BY user_id
 ORACLE_EWMA = _ewma_oracle()
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU per observed day — the most-asked product
+    analytics metric family, and the one a trailing-sum window CANNOT
+    compute (q_rolling_7d sums values; active users need a trailing
+    COUNT DISTINCT, which has no partial/final window form).
+
+    The scalable shape: collapse events to distinct (user, day) pairs
+    FIRST (the only fact-sized shuffle), then fan each pair out to the
+    trailing windows it serves — a user active on day a contributes to
+    WAU(d) for d ∈ [a, a+6] (7 rows) and MAU(d) for d ∈ [a, a+27]
+    (28 rows) — and count distinct users per covered day. The fan-out
+    factor is the window length, a constant; the alternative (a
+    per-day self-join with a BETWEEN range) re-scans the pair table
+    per window. Early days carry partial windows by definition (a
+    dashboard's first week shows WAU over the available history);
+    covered days beyond the observed range drop via the semi join on
+    observed days. All integers; day ids are exact epoch-day BIGINTs.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.to_date(F.lit("1970-01-01"))).cast("long")
+        .alias("day"))
+    ud = e.distinct().localCheckpoint(eager=False)
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n_days: int, out: str) -> DataFrame:
+        cover = ud.select(
+            F.explode(F.sequence(
+                F.col("day"), F.col("day") + F.lit(n_days - 1)))
+            .alias("day"), "user_id")
+        return (cover.join(days, "day", "left_semi")
+                .groupBy("day")
+                .agg(F.countDistinct("user_id").alias(out)))
+
+    return (dau.join(trailing(7, "wau"), "day")
+            .join(trailing(28, "mau"), "day")
+            .select(F.date_format(
+                F.date_add(F.to_date(F.lit("1970-01-01")),
+                           F.col("day").cast("int")),
+                "yyyy-MM-dd").alias("d"),
+                    "dau", "wau", "mau")
+            .orderBy("d"))
+
+
+ORACLE_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(d.day AS INTEGER)), '%Y-%m-%d') AS d,
+       CAST(count(DISTINCT CASE WHEN u.day = d.day
+                  THEN u.user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN u.day >= d.day - 6
+                  THEN u.user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+FROM days d
+JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+GROUP BY d.day
+ORDER BY d
+"""
+
+
 # Centered moving-average half-width for the trend (25-hour window).
 SEASONAL_HALF = 12
 _SEASONAL_N = 2 * SEASONAL_HALF + 1
@@ -1195,4 +1263,8 @@ SPECS: dict[str, QuerySpec] = {
         q_seasonal, ORACLE_SEASONAL,
         "hour-of-day seasonal decomposition, integer-micros centered-MA "
         "detrending over the calendar-bounded bucket series"),
+    "q_active_users": QuerySpec(
+        q_active_users, ORACLE_ACTIVE_USERS,
+        "DAU/WAU/MAU trailing distinct-user counts (fan-out distinct, "
+        "never a sliding count-distinct window)"),
 }

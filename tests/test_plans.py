@@ -1289,3 +1289,31 @@ def test_ab_test_exact_moments_single_pass(spark):
         d = dict(r.asDict())
         assert r["n_treat"] >= 2 and r["n_control"] >= 2, d
         assert (abs(r["t_stat"]) > 1.96) == r["significant_95"], d
+
+
+def test_mode_max_then_join_deterministic(spark):
+    """q_mode: the tie-break must be total (min value among max-count
+    winners — engine mode() aggregates tie arbitrarily), one row per
+    segment, and the mode count can never exceed the group size."""
+    plan = _plan(spark, "q_mode")
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_mode"].fn(spark, SF_DIR).collect()
+    segs = [r["l_returnflag"] for r in rows]
+    assert len(segs) == len(set(segs)) and segs
+    for r in rows:
+        d = dict(r.asDict())
+        assert 1 <= r["mode_count"], d
+        assert r["n_distinct_values"] >= 1, d
+
+
+def test_active_users_fanout_and_monotone(spark):
+    """q_active_users: the fan-out runs over the DISTINCT (user, day)
+    pairs (one fact-sized shuffle, then constant-factor expansion), and
+    per day DAU ≤ WAU ≤ MAU with WAU/MAU never below the day's DAU."""
+    plan = _plan(spark, "q_active_users")
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_active_users"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        d = dict(r.asDict())
+        assert 1 <= r["dau"] <= r["wau"] <= r["mau"], d
