@@ -73,6 +73,8 @@ TABLES_FOR = {
     "q_recommend": ["lineitem", "orders"],
     "q_negative_sample": ["part", "lineitem", "orders"],
     "q_scd2_lookup": ["events"],
+    "q_corr_matrix": ["lineitem"],
+    "q_percentile_highcard": ["lineitem"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
