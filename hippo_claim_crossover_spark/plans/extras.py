@@ -25,6 +25,7 @@ from hippo_claim_crossover_spark.plans.base import (
     money_micros,
     money_sum,
     money_sum_sql,
+    sql_hex2long,
     t,
     within_rel_band,
 )
@@ -696,9 +697,9 @@ def _cms_cell(tok, seed):
         ":", F.lit("cms"), seed.cast("string"), tok))) % CMS_WIDTH
 
 
-_CMS_CELL_SQL = ("CAST(('0x' || substr(md5('cms' || ':' || "
-                 "CAST({seed} AS VARCHAR) || ':' || {tok}), 1, 15)) "
-                 f"AS BIGINT) % {CMS_WIDTH}")
+_CMS_CELL_SQL = (sql_hex2long("md5('cms' || ':' || "
+                              "CAST({seed} AS VARCHAR) || ':' || {tok})")
+                 + f" % {CMS_WIDTH}")
 
 
 def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,16 +844,20 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs) and merges them cheaply. The top-K per scope plans as a
     WindowGroupLimit (per-partition pre-prune, never a full per-scope
     sort); the verdict band is ~5σ."""
-    e = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.concat_ws(
-            ":", F.col("user_id").cast("string"),
-            F.datediff(F.col("ts").cast("date"),
-                       F.to_date(F.lit("1970-01-01"))).cast("string"))
-        .alias("k"))
-    scoped = (e.unionByName(
-        e.select(F.lit("ALL").alias("event_type"), "k"))
-        .distinct())
+    # ONE scan: each event fans to its own scope and the ALL scope via
+    # a 2-element array explode (a union of two selects re-scans the
+    # parquet source per branch)
+    scoped = (t(spark, sf_dir, "events")
+              .select(
+                  F.explode(F.array(F.col("event_type"), F.lit("ALL")))
+                  .alias("event_type"),
+                  F.concat_ws(
+                      ":", F.col("user_id").cast("string"),
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.to_date(F.lit("1970-01-01")))
+                      .cast("string"))
+                  .alias("k"))
+              .distinct())
     hashed = (scoped.select("event_type", hex2long(F.md5("k")).alias("h"))
               .localCheckpoint(eager=False))
     exact = (hashed.groupBy("event_type")
@@ -890,7 +895,7 @@ WITH keys AS (
   FROM events
 ), hashed AS (
   SELECT event_type,
-         CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h
+         {sql_hex2long("md5(k)")} AS h
   FROM keys
 ), exact AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
@@ -997,8 +1002,8 @@ WITH shares AS (
 ), ranked AS (
   SELECT t.source, t.doc_id,
          row_number() OVER (PARTITION BY t.source ORDER BY
-           CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))
-                AS BIGINT), t.doc_id) AS rn
+           {sql_hex2long("md5(CAST(t.doc_id AS VARCHAR))")},
+           t.doc_id) AS rn
   FROM tagged t
 ), sel AS (
   SELECT r.source, r.doc_id

@@ -913,9 +913,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here n·C stays < 9e18 at the gated fixtures; the product is
     computed in DECIMAL(38,0) regardless so no bound is load-bearing).
     """
-    e = t(spark, sf_dir, "events").select(
-        "event_type", "event_id", "ts",
-        money_micros(F.col("value")).alias("v_u"))
+    e = (t(spark, sf_dir, "events")
+         .select("event_type", "event_id", "ts",
+                 money_micros(F.col("value")).alias("v_u"))
+         .localCheckpoint(eager=False))  # 2 consumers: totals + prefix
     w = (Window.partitionBy("event_type").orderBy("event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     totals = (e.groupBy("event_type")

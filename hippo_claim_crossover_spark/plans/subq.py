@@ -30,7 +30,7 @@ order-insensitive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.plans.base import (
@@ -587,7 +587,6 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("p_partkey", "p_size", "s_suppkey", "s_name")
               .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                    .alias("unit_cost")))
-    from pyspark.sql import Window
     w = Window.partitionBy("p_partkey").orderBy(
         F.col("unit_cost").asc(), F.col("s_suppkey").asc())
     return (supply.withColumn("_rn", F.row_number().over(w))
