@@ -215,6 +215,8 @@ HEADLINE = [
     "q_ab_test",
     "q_mode",
     "q_active_users",
+    "q_parse_tree",
+    "q_dedup_incremental",
 ]
 
 

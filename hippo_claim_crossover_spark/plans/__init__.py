@@ -48,6 +48,9 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
+    # -- round 10: new surface (S2 raw-text parse, incremental corpus
+    # dedup, persisted ANN index, watermark-dedup streaming) --
+    "q_parse_tree", "q_dedup_incremental",
     # -- round 9: new surface (HTML-strip stage-0, CLIP-shaped pair
     # prep, merge-on-read lakehouse read, the TPC-H Q4/Q7/Q13/Q16/Q21
     # silhouettes, CMS sketch, token entropy, truncated EWMA) --
@@ -81,9 +84,8 @@ GATE_ORDER = [
     "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
     "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
-    "q_str_dxcode", "q_str_join",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_str_name", "q_str_zip",
+    "q_str_dxcode", "q_str_join", "q_str_name", "q_str_zip",
     "q_topk", "q_topk_group",
     "q_udf",
     # -- pushed to the r10 head by the round-9 additions: the 4 window

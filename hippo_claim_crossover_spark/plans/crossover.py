@@ -697,6 +697,105 @@ FROM customer
 """
 
 
+def q_parse_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 raw hierarchical-text parse (lib/hippo_claim_crossover.rb:11):
+    schema-on-read from a FLAT segment/loop text — the one reference
+    face (`Hippo::...::L2000A.new.parse(string)`) the parquet-star
+    queries never exercised.
+
+    The fixture corpus carries no EDI text, so stage 1 *serializes* a
+    deterministic X12-shaped document per claim from the star schema —
+    segments separated by ``~``, elements by ``*``, exactly the 837
+    wire shape: one ``CLM`` header (id, integer-cents total, status),
+    one ``DTP`` date segment (yyyyMMdd), and one sorted ``SV1`` per
+    service line (line-no, cents charge, units).  Stage 2 is the real
+    operator — parse ONE text column back into the loop tree with
+    built-ins only: ``split`` on the segment/element separators,
+    ``filter``+``startswith`` for loop routing, ``transform`` into
+    arrays-of-structs, and a row-local ``aggregate`` fold over the
+    service loop.  No UDF, no explode-shuffle: the whole parse +
+    per-claim rollup runs inside one codegen map stage, which is the
+    100 TB plan for claim-per-row EDI ingest (stage 1 exists only to
+    synthesize the input; a real pipeline starts at stage 2's text
+    column).  Money rides integer cents end-to-end (serialize
+    ``floor(x*100+0.5)``, parse ``cast(long)``, one double division at
+    the end), so the round-trip is exact.
+
+    The oracle is the round-trip identity: ``parse(serialize(claim)) ==
+    claim``, i.e. plain SQL over the original star tables — a hash
+    match proves the parser reconstructs every field bit-exactly.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    # -- stage 1: serialize (fixture synthesis only) --
+    sv1 = li.select(
+        "l_orderkey",
+        F.concat_ws(
+            "*", F.lit("SV1"),
+            F.col("l_linenumber").cast("string"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long").cast("string"),
+            F.col("l_quantity").cast("int").cast("string")).alias("seg"))
+    # sort_array over the rendered segment strings: deterministic even
+    # under fully-duplicated service lines (equal strings are
+    # interchangeable in the concat).
+    lines_txt = (sv1.groupBy("l_orderkey")
+                 .agg(F.array_join(F.sort_array(F.collect_list("seg")),
+                                   "~").alias("svtxt")))
+    edi = (lines_txt
+           .join(o, lines_txt.l_orderkey == o.o_orderkey)
+           .select(F.concat(
+               F.lit("CLM*"), F.col("o_orderkey").cast("string"),
+               F.lit("*"),
+               F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+               .cast("long").cast("string"),
+               F.lit("*"), F.col("o_orderstatus"),
+               F.lit("~DTP*472*"),
+               F.date_format("o_orderdate", "yyyyMMdd"),
+               F.lit("~"), F.col("svtxt"), F.lit("~")).alias("edi_text")))
+    # -- stage 2: the parser (map-only; input is ONE text column) --
+    segs = F.split(F.col("edi_text"), "~")
+    clm = F.split(F.element_at(
+        F.filter(segs, lambda s: F.startswith(s, F.lit("CLM*"))), 1), "\\*")
+    dtp = F.split(F.element_at(
+        F.filter(segs, lambda s: F.startswith(s, F.lit("DTP*"))), 1), "\\*")
+    services = F.transform(
+        F.filter(segs, lambda s: F.startswith(s, F.lit("SV1*"))),
+        lambda s: F.struct(
+            F.element_at(F.split(s, "\\*"), 2).cast("int").alias("line_no"),
+            F.element_at(F.split(s, "\\*"), 3).cast("long").alias("cents"),
+            F.element_at(F.split(s, "\\*"), 4).cast("int").alias("units")))
+    return edi.select(
+        F.element_at(clm, 2).cast("long").alias("claim_id"),
+        F.element_at(clm, 4).alias("claim_status"),
+        F.round(F.element_at(clm, 3).cast("long").cast("double") / 100, 2)
+        .alias("claim_total"),
+        F.to_date(F.element_at(dtp, 3), "yyyyMMdd").cast("timestamp_ntz")
+        .alias("claim_date"),
+        F.size(services).cast("long").alias("n_services"),
+        F.round(
+            F.aggregate(services, F.lit(0).cast("long"),
+                        lambda acc, s: acc + s.cents)
+            .cast("double") / 100, 2).alias("total_charge"),
+        F.array_max(F.transform(services, lambda s: s.units))
+        .alias("max_units"))
+
+
+ORACLE_PARSE_TREE = """
+SELECT o.o_orderkey AS claim_id,
+       o.o_orderstatus AS claim_status,
+       round(CAST(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                  AS DOUBLE) / 100, 2) AS claim_total,
+       CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP) AS claim_date,
+       CAST(count(*) AS BIGINT) AS n_services,
+       round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100, 2) AS total_charge,
+       max(CAST(l.l_quantity AS INT)) AS max_units
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_crossover": QuerySpec(q_crossover, ORACLE_CROSSOVER,
                              "flagship crossover denormalization"),
@@ -729,4 +828,7 @@ SPECS: dict[str, QuerySpec] = {
     "q_coalesce2": QuerySpec(q_coalesce2, ORACLE_COALESCE2, "C6/C7"),
     "q_coalesce_pair": QuerySpec(q_coalesce_pair, ORACLE_COALESCE_PAIR, "C8"),
     "q_branch_route": QuerySpec(q_branch_route, ORACLE_BRANCH_ROUTE, "C10"),
+    "q_parse_tree": QuerySpec(q_parse_tree, ORACLE_PARSE_TREE,
+                              "S2 raw segment/loop text parse "
+                              "(schema-on-read round-trip)"),
 }

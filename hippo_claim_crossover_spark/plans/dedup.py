@@ -163,10 +163,11 @@ def _band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_pairs_for(t_wide(spark, sf_dir, "documents"))
 
 
-def band_pairs_for(docs: DataFrame) -> DataFrame:
-    """Same candidate-pair stage over an arbitrary (doc_id, text) set —
-    the pipeline composite runs it on its quality/exact-dedup survivors
-    rather than the raw table."""
+def band_key_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — one row per document per LSH band, the
+    probe-able form of the MinHash index. Shared by the batch-internal
+    pair join (:func:`band_pairs_for`) and the incremental
+    new-batch-vs-persisted-index probe (``q_dedup_incremental``)."""
     sigs = ops_dedup.minhash_signatures(docs, "doc_id", "text",
                                         k=N_MINHASH, n=NGRAM)
     band_keys = F.array(*[
@@ -174,7 +175,14 @@ def band_pairs_for(docs: DataFrame) -> DataFrame:
                           *[F.col(f"mh_{b * ROWS_PER_BAND + r}")
                             for r in range(ROWS_PER_BAND)]))
         for b in range(N_BANDS)])
-    keyed = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    return sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+
+def band_pairs_for(docs: DataFrame) -> DataFrame:
+    """Same candidate-pair stage over an arbitrary (doc_id, text) set —
+    the pipeline composite runs it on its quality/exact-dedup survivors
+    rather than the raw table."""
+    keyed = band_key_table(docs)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -1121,6 +1129,119 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a NEW batch probed against the
+    PERSISTED MinHash index of the existing corpus — the shape a real
+    100 TB pipeline runs daily (dedup each incoming shard against
+    everything already ingested, never re-shingling the corpus).
+
+    Corpus = ``doc_id % 5 != 0`` (existing), batch = ``doc_id % 5 == 0``
+    (incoming, 20%). Phase 1 builds the corpus's LSH band-key table
+    (:func:`band_key_table` — the exact machinery of
+    ``q_dedup_lshband``) and WRITES it to parquet once per session —
+    the persisted index. Phase 2 reads the index back, computes band
+    keys for the batch only (cost ∝ |batch|, not |corpus|), and marks a
+    batch doc as dup iff it collides with the index in ≥1 band
+    (left-semi on ``band_key`` — sub-quadratic, the band carries its
+    position in the md5 so only same-band matches collide). Survivors
+    union-append: the output audits the whole cycle per source
+    (corpus/batch/dup/appended counts, survivor id-sum checksum, and
+    the post-append corpus size).
+
+    Scale: the index is build-once/probe-many (amortized across
+    batches); the probe shuffles only |batch|×4 band keys against an
+    equi-partitioned index read — no corpus re-scan, no pairwise
+    anything. Batch-internal dups are the existing ``q_dedup_*``
+    machinery composed upstream; this query is the cross-batch face.
+
+    The oracle recomputes both phases from scratch (CTE per phase) —
+    a hash match proves the persisted index round-trips losslessly.
+    """
+    from hippo_claim_crossover_spark.plans.sources import _materialize
+
+    d = t_wide(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    batch = d.where(F.col("doc_id") % 5 == 0)
+
+    def write(out: str) -> None:
+        band_key_table(corpus).write.mode("overwrite").parquet(out)
+
+    out = _materialize(spark, sf_dir, "mhidx", write)
+    from pyspark.sql import types as T
+    idx = spark.read.schema(T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_key", T.StringType()),
+    ])).parquet(out)
+
+    dup_ids = (band_key_table(batch)
+               .join(idx.select("band_key"), "band_key", "left_semi")
+               .select("doc_id").distinct()
+               .withColumn("is_dup", F.lit(1)))
+    marked = batch.join(dup_ids, "doc_id", "left")
+    batch_stats = (marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        F.sum(F.when(F.col("is_dup").isNull(), F.col("doc_id"))
+              .otherwise(F.lit(0))).alias("appended_id_sum")))
+    corpus_stats = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_corpus"))
+    return (corpus_stats.join(batch_stats, "source", "full")
+            .select("source",
+                    F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
+                    F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+                    F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                    (F.coalesce("n_batch", F.lit(0))
+                     - F.coalesce("n_dup", F.lit(0))).alias("n_appended"),
+                    F.coalesce("appended_id_sum", F.lit(0))
+                    .alias("appended_id_sum"),
+                    (F.coalesce("n_corpus", F.lit(0))
+                     + F.coalesce("n_batch", F.lit(0))
+                     - F.coalesce("n_dup", F.lit(0)))
+                    .alias("corpus_after")))
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest({_SQL_SHINGLES})), 1, 7)) AS BIGINT) AS h
+  FROM documents WHERE len(string_split(text, ' ')) >= {NGRAM}
+), sigs AS (
+  SELECT doc_id,
+       {_MH_COLS}
+  FROM sh GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+), dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM keyed b
+  WHERE b.doc_id % 5 = 0
+    AND EXISTS (SELECT 1 FROM keyed c
+                WHERE c.doc_id % 5 <> 0 AND c.band_key = b.band_key)
+), batch_stats AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_batch,
+         CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM dup))
+              AS BIGINT) AS n_dup,
+         CAST(coalesce(sum(doc_id) FILTER (
+              doc_id NOT IN (SELECT doc_id FROM dup)), 0) AS BIGINT)
+           AS appended_id_sum
+  FROM documents WHERE doc_id % 5 = 0 GROUP BY source
+), corpus_stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_corpus
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY source
+)
+SELECT coalesce(c.source, b.source) AS source,
+       coalesce(n_corpus, 0) AS n_corpus,
+       coalesce(n_batch, 0) AS n_batch,
+       coalesce(n_dup, 0) AS n_dup,
+       coalesce(n_batch, 0) - coalesce(n_dup, 0) AS n_appended,
+       coalesce(appended_id_sum, 0) AS appended_id_sum,
+       coalesce(n_corpus, 0) + coalesce(n_batch, 0) - coalesce(n_dup, 0)
+         AS corpus_after
+FROM corpus_stats c FULL JOIN batch_stats b USING (source)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_join_setsim": QuerySpec(
         q_join_setsim, ORACLE_JOIN_SETSIM,
@@ -1161,6 +1282,10 @@ SPECS: dict[str, QuerySpec] = {
         "exact pair count + recall-floor booleans)"),
     "q_decontaminate": QuerySpec(q_decontaminate, ORACLE_DECONTAMINATE,
                                  "eval-vs-train n-gram decontamination"),
+    "q_dedup_incremental": QuerySpec(
+        q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
+        "incremental dedup: new batch probed against the persisted "
+        "corpus MinHash index, survivors union-appended"),
     "q_split_leakproof": QuerySpec(
         q_split_leakproof, ORACLE_SPLIT_LEAKPROOF,
         "cluster-aware train/val/test split (near-dup clusters never "

@@ -1317,3 +1317,48 @@ def test_active_users_fanout_and_monotone(spark):
     for r in rows:
         d = dict(r.asDict())
         assert 1 <= r["dau"] <= r["wau"] <= r["mau"], d
+
+
+def test_parse_tree_parser_adds_no_shuffle(spark):
+    """q_parse_tree: the parser (split/filter/transform/aggregate fold
+    over the text column) must be row-local — the plan's only joins and
+    aggregates belong to the fixture-synthesis stage (one service-line
+    collect + one header join). No Window, no cartesian, exactly one
+    join; and the parsed tree must be internally consistent."""
+    plan = _plan(spark, "q_parse_tree")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    rows = ALL_SPECS["q_parse_tree"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        d = dict(r.asDict())
+        assert r["n_services"] >= 1, d
+        assert 1 <= r["max_units"] <= 50, d
+        assert r["total_charge"] > 0, d
+        assert r["claim_status"] in ("F", "O", "P"), d
+        assert r["claim_date"] is not None, d
+
+
+def test_dedup_incremental_probes_persisted_index(spark):
+    """q_dedup_incremental: the probe must READ the persisted parquet
+    index (FileScan on the mhidx scratch path — never re-deriving the
+    corpus signatures in the probe job), the dup test must be a
+    LeftSemi on band_key, and the append arithmetic must reconcile."""
+    plan = _plan(spark, "q_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "mhidx" in plan  # probe side scans the persisted index
+    assert "LeftSemi" in plan
+    rows = ALL_SPECS["q_dedup_incremental"].fn(spark, SF_DIR).collect()
+    assert rows
+    from hippo_claim_crossover_spark.plans.base import t as _t
+    docs = _t(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_corpus"] + r["n_batch"] for r in rows) == n_docs
+    for r in rows:
+        d = dict(r.asDict())
+        assert r["n_appended"] == r["n_batch"] - r["n_dup"] >= 0, d
+        assert r["corpus_after"] == r["n_corpus"] + r["n_appended"], d
+        assert (r["appended_id_sum"] > 0) == (r["n_appended"] > 0), d
