@@ -50,7 +50,8 @@ GATE_WINDOW = 50
 GATE_ORDER = [
     # -- round 10: new surface (S2 raw-text parse, incremental corpus
     # dedup, persisted ANN index, watermark-dedup streaming) --
-    "q_parse_tree", "q_dedup_incremental",
+    "q_parse_tree", "q_dedup_incremental", "q_sim_ivf_persisted",
+    "q_stream_dedup",
     # -- round 9: new surface (HTML-strip stage-0, CLIP-shaped pair
     # prep, merge-on-read lakehouse read, the TPC-H Q4/Q7/Q13/Q16/Q21
     # silhouettes, CMS sketch, token entropy, truncated EWMA) --
@@ -83,9 +84,10 @@ GATE_ORDER = [
     # predates the round-4 fixture regeneration --
     "q_coalesce2", "q_coalesce_pair",
     "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
-    "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
+    "q_join_salted", "q_range_ends",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_str_dxcode", "q_str_join", "q_str_name", "q_str_zip",
+    "q_rollup", "q_setops", "q_str_dxcode", "q_str_join", "q_str_name",
+    "q_str_zip",
     "q_topk", "q_topk_group",
     "q_udf",
     # -- pushed to the r10 head by the round-9 additions: the 4 window

@@ -365,6 +365,59 @@ FROM cells GROUP BY i, j ORDER BY i, j
 """
 
 
+def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a PERSISTED index: build-once, write
+    (centroids + cell-partitioned assignment) as parquet, read back and
+    probe — the lakehouse face of ANN serving, the way ``q_mor_read`` /
+    ``q_time_travel`` are for CDC. ``q_sim_ivf`` rebuilds its index
+    inside the query; at 100 TB the index is built once and amortized
+    over every query, which is exactly what this plan does: the probe
+    job's scan side is the *parquet index*, never the raw embedding
+    re-derivation.
+
+    The assignment is written ``partitionBy(cell)`` — the physical
+    layout that lets a probe touch only nprobe/n_cells of the files
+    (directory-level pruning against the broadcast probed-cells set).
+    The oracle is ``q_sim_ivf``'s: an identical hash proves the
+    persisted index round-trips losslessly (float64 vectors are exact
+    in parquet) and the probe over the read-back index returns
+    bit-identical top-k."""
+    from pyspark.sql import types as T
+
+    from hippo_claim_crossover_spark.plans.sources import _materialize
+
+    e = t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("v").alias("qv"),
+                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    s = e.where(F.col("vec_id") != QUERY_VEC_ID)
+
+    def write_index(out: str) -> None:
+        cents_b = ops_sim.ivf_centroids(s, N_CELLS).localCheckpoint(
+            eager=False)
+        cents_b.write.mode("overwrite").parquet(f"{out}/centroids")
+        (ops_sim.ivf_assign(s, cents_b)
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(f"{out}/assign"))
+
+    out = _materialize(spark, sf_dir, "ivfidx", write_index)
+    cents = spark.read.schema(T.StructType([
+        T.StructField("cent_id", T.LongType()),
+        T.StructField("cv", T.ArrayType(T.DoubleType())),
+    ])).parquet(f"{out}/centroids")
+    assign = spark.read.schema(T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+    ])).parquet(f"{out}/assign")
+    return ops_sim.ivf_probe_topk(s, cents, assign, q, TOP_K, NPROBE)
+
+
+# Identical results to the inline build by construction — the oracle IS
+# q_sim_ivf's; the hash match is the persistence-losslessness proof.
+ORACLE_SIM_IVF_PERSISTED = ORACLE_SIM_IVF
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_embed_gram": QuerySpec(
         q_embed_gram, ORACLE_EMBED_GRAM,
@@ -378,6 +431,10 @@ SPECS: dict[str, QuerySpec] = {
                                    "bucketed approximate kNN"),
     "q_sim_ivf": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                            "IVF cell-probed ANN top-k"),
+    "q_sim_ivf_persisted": QuerySpec(
+        q_sim_ivf_persisted, ORACLE_SIM_IVF_PERSISTED,
+        "IVF probe over the PERSISTED parquet index (build-once, "
+        "cell-partitioned layout; hash == inline build)"),
     "q_sim_pq": QuerySpec(q_sim_pq, ORACLE_SIM_PQ,
                           "product-quantization ADC top-k"),
 }

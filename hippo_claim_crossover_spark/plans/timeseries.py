@@ -125,6 +125,34 @@ FROM sess GROUP BY user_id, sid
 _LATE_RUN = itertools.count()
 
 
+def _write_stream_batches(spark: SparkSession, batches,
+                          prefix: str) -> tuple[str, int]:
+    """Materialize a pinned micro-batch sequence for a file-source
+    streaming run: one parquet file per batch under a per-(app, run)
+    scratch dir, mtimes forced monotone so the file source's
+    modification-time ordering never depends on write latency."""
+    import glob
+    import os
+    import shutil
+
+    from hippo_claim_crossover_spark.streaming.ops import EVENT_STREAM_SCHEMA
+
+    run_id = next(_LATE_RUN)
+    src = ("/root/repo/_scratch/"
+           f"{prefix}-{spark.sparkContext.applicationId}-{run_id}")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        stage = f"{src}.stage"
+        (spark.createDataFrame(rows, EVENT_STREAM_SCHEMA)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        shutil.rmtree(stage)
+    return src, run_id
+
+
 def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark/late-data semantics as a declared query: a real
     two-micro-batch Structured Streaming run (file source,
@@ -151,10 +179,6 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     query would normally get. Unit tests in tests/test_streaming.py cover
     the incremental state machinery itself.
     """
-    import glob
-    import os
-    import shutil
-
     from hippo_claim_crossover_spark.streaming.ops import (
         read_event_stream,
         run_to_memory,
@@ -175,23 +199,7 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
          ev(7, 65, "view", 5.0)],
     ]
 
-    run_id = next(_LATE_RUN)
-    src = ("/root/repo/_scratch/"
-           f"late_src-{spark.sparkContext.applicationId}-{run_id}")
-    os.makedirs(src, exist_ok=True)
-    from hippo_claim_crossover_spark.streaming.ops import EVENT_STREAM_SCHEMA
-    for i, rows in enumerate(batches):
-        stage = f"{src}.stage"
-        (spark.createDataFrame(rows, EVENT_STREAM_SCHEMA)
-         .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch-{i}.parquet")
-        shutil.copyfile(part, dst)
-        # the file source orders micro-batches by modification time —
-        # pin mtimes so batch order never depends on write latency
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
-        shutil.rmtree(stage)
-
+    src, run_id = _write_stream_batches(spark, batches, "late_src")
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     out_name = f"late_out_{run_id}"
     run_to_memory(tumbling_agg(stream), out_name, output_mode="append")
@@ -205,6 +213,85 @@ SELECT * FROM (VALUES
   (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
    'view', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE))
 ) AS t(window_start, window_end, event_type, n_events, sum_value)
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` as a declared, VALUES-pinned
+    query (the q_stream_late recipe): a real 3-micro-batch availableNow
+    run through ``streaming.dedup_stream`` — streaming exact dedup whose
+    state is bounded by the watermark horizon, the property that
+    separates it from plain ``dropDuplicates`` (whose stream state grows
+    forever).
+
+    The fixture exercises all three behaviors deterministically
+    (delay = 30 min; the file source's batch order is mtime-pinned):
+    - batch 0: event 1 delivered twice in one batch (identical rows) +
+      event 2 → both emitted once;
+    - batch 1: event 1 REdelivered at 10:10 (gap 10 min < horizon ⇒
+      suppressed; the first copy's values survive) + event 3 at 12:00,
+      which advances the watermark to 11:30;
+    - batch 2: event 5 only — during it the state store evicts event 1's
+      entry (expiry 10:00 + 30 min < 11:30; eviction runs one batch
+      behind the watermark advance, the same two-phase asymmetry
+      q_stream_late documents for the late filter);
+    - batch 3: event 1 arrives again at 11:40 — after eviction and ahead
+      of the 11:30 filter watermark, so it is emitted AGAIN (the
+      "within watermark" bound, pinned as a second output row for the
+      same key) + event 4.
+
+    The VALUES oracle pins exactly which five rows survive — including
+    which redelivery's payload won — which a rows-only streaming check
+    never could. State-machinery unit tests live in
+    tests/test_streaming.py; this query is the driver-checked face.
+    """
+    from hippo_claim_crossover_spark.streaming.ops import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, minutes, uid, etype, value):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, etype,
+                value, None)
+
+    batches = [
+        [ev(1, 0, 10, "click", 1.0),
+         ev(1, 0, 10, "click", 1.0),      # same-batch exact redelivery
+         ev(2, 5, 11, "view", 2.0)],
+        [ev(1, 10, 10, "click", 55.0),    # within horizon: suppressed
+         ev(3, 120, 12, "purchase", 3.0)],  # advances watermark to 11:30
+        [ev(5, 121, 14, "view", 9.0)],    # eviction batch (id 1 expires)
+        [ev(1, 100, 10, "click", 7.0),    # state evicted: emitted again
+         ev(4, 125, 13, "click", 4.0)],
+    ]
+
+    src, run_id = _write_stream_batches(spark, batches, "dedup_src")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out_name = f"stream_dedup_out_{run_id}"
+    run_to_memory(dedup_stream(stream, ["event_id"], "30 minutes"),
+                  out_name, output_mode="append")
+    return spark.table(out_name).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00',
+   CAST(10 AS BIGINT), 'click', CAST(1.0 AS DOUBLE)),
+  (CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 10:05:00',
+   CAST(11 AS BIGINT), 'view', CAST(2.0 AS DOUBLE)),
+  (CAST(3 AS BIGINT), TIMESTAMP '2024-01-01 12:00:00',
+   CAST(12 AS BIGINT), 'purchase', CAST(3.0 AS DOUBLE)),
+  (CAST(5 AS BIGINT), TIMESTAMP '2024-01-01 12:01:00',
+   CAST(14 AS BIGINT), 'view', CAST(9.0 AS DOUBLE)),
+  (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 11:40:00',
+   CAST(10 AS BIGINT), 'click', CAST(7.0 AS DOUBLE)),
+  (CAST(4 AS BIGINT), TIMESTAMP '2024-01-01 12:05:00',
+   CAST(13 AS BIGINT), 'click', CAST(4.0 AS DOUBLE))
+) AS t(event_id, ts, user_id, event_type, value)
 """
 
 
@@ -1236,6 +1323,10 @@ SPECS: dict[str, QuerySpec] = {
     "q_stream_late": QuerySpec(q_stream_late, ORACLE_STREAM_LATE,
                                "watermarked late-data drop (real 2-batch "
                                "streaming run, VALUES oracle)"),
+    "q_stream_dedup": QuerySpec(q_stream_dedup, ORACLE_STREAM_DEDUP,
+                                "dropDuplicatesWithinWatermark (3-batch "
+                                "run: suppress, evict, re-emit — VALUES "
+                                "oracle)"),
     "q_stream_interval": QuerySpec(q_stream_interval, ORACLE_STREAM_INTERVAL,
                                    "stream-stream interval join "
                                    "(attribution, batch parity)"),
