@@ -48,105 +48,80 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 10: new surface (S2 raw-text parse, incremental corpus
-    # dedup, persisted ANN index, watermark-dedup streaming) --
+    # -- round 10 window: 4 new (S2 raw-text parse, incremental
+    # corpus dedup, persisted ANN index, watermark streaming dedup),
+    # 2 changed this round (q_seasonal floor-div/pmod hardening,
+    # q_dedup_cluster via the band_key_table refactor), the full
+    # 39-query r2+r3 stale-evidence cohort (newest driver record
+    # predates the r4 fixture regen — VERDICT r9 #1), and the 5
+    # next-oldest r4-cohort entries --
     "q_parse_tree", "q_dedup_incremental", "q_sim_ivf_persisted",
-    "q_stream_dedup",
-    # -- round 9: new surface (HTML-strip stage-0, CLIP-shaped pair
-    # prep, merge-on-read lakehouse read, the TPC-H Q4/Q7/Q13/Q16/Q21
-    # silhouettes, CMS sketch, token entropy, truncated EWMA) --
-    "q_text_strip_html", "q_mm_pairfilter", "q_mor_read",
-    "q_order_priority", "q_nation_trade", "q_cust_order_dist",
-    "q_part_supplier_cnt", "q_waiting_supplier",
-    "q_cms_sketch", "q_text_entropy", "q_ewma",
-    # -- round 9 second batch: the remaining TPC-H silhouettes (all 22
-    # now declared) --
+    "q_stream_dedup", "q_seasonal", "q_dedup_cluster",
+    # stale-evidence rotation (r2+r3 cohorts, complete):
+    "q_crossover", "q_scan", "q_sink", "q_project_rename", "q_parent_denorm",
+    "q_filter_eq", "q_filter_notnull", "q_having", "q_join_inner",
+    "q_join_broadcast", "q_join_left", "q_explode", "q_explode_nested",
+    "q_unpivot", "q_str_zip", "q_str_name", "q_text_tokens", "q_text_lang",
+    "q_text_langid", "q_text_quality", "q_text_tokcount",
+    "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact", "q_dedup_minhash",
+    "q_dedup_lshband", "q_dedup_simhash", "q_win_rank", "q_win_running",
+    "q_win_frame", "q_win_dist", "q_topk", "q_topk_group", "q_udf", "q_pivot",
+    "q_cube", "q_sample_hash", "q_mm_meta", "q_stream_late",
+    # next-oldest driver evidence (r4 cohort):
+    "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
+    "q_histogram",
+    # ---- end of gate window (first GATE_WINDOW entries) ----
+    # remaining queries keep their prior relative order; all have
+    # post-regen driver-green records (r4-r9) and unchanged code.
+    "q_text_strip_html", "q_mm_pairfilter", "q_mor_read", "q_order_priority",
+    "q_nation_trade", "q_cust_order_dist", "q_part_supplier_cnt",
+    "q_waiting_supplier", "q_cms_sketch", "q_text_entropy", "q_ewma",
     "q_min_cost_supplier", "q_forecast_revenue", "q_market_share",
     "q_nation_profit", "q_late_lines", "q_important_stock",
-    "q_dominant_supplier",
-    # -- round 9 third batch: deterministic KMV distinct sketch +
-    # target-proportion dataset mixture + SCD2 point-in-time lookup +
-    # seasonal decomposition --
-    "q_kmv_sketch", "q_dataset_mixture", "q_scd2_lookup", "q_seasonal",
-    "q_time_travel", "q_melt", "q_corr_matrix", "q_percentile_highcard",
-    "q_graph_lpa", "q_cusum_changepoint", "q_ab_test",
-    "q_mode", "q_active_users",
-    # -- round 9: code/oracle changed this round (advisor fixes), plus
-    # q_approx_cd whose r8-rewritten verdict oracle was never
-    # driver-checked (its newest driver record is a stale r6 FAIL),
-    # plus the rank-machinery callers whose shared operator gained the
-    # broadcast_offsets pass-through this round (default path is
-    # plan-identical, but changed code gets driver evidence) --
-    "q_dedup_near", "q_hll_sketch", "q_approx_cd",
-    "q_percentile", "q_percentile_approx", "q_winsorize",
-    "q_outlier_mad",
-    # -- stale-evidence rotation, r2 cohort: newest driver check
-    # predates the round-4 fixture regeneration --
-    "q_coalesce2", "q_coalesce_pair",
-    "q_date_fmt", "q_distinct", "q_join_bucketed", "q_join_range",
-    "q_join_salted", "q_range_ends",
-    # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_rollup", "q_setops", "q_str_dxcode", "q_str_join", "q_str_name",
-    "q_str_zip",
-    "q_topk", "q_topk_group",
-    "q_udf",
-    # -- pushed to the r10 head by the round-9 additions: the 4 window
-    # demos from the r2 cohort, then the full r3 cohort --
-    "q_win_dist", "q_win_frame", "q_win_rank", "q_win_running",
-    "q_crossover", "q_scan", "q_sink", "q_pivot",
-    "q_cube", "q_dedup_exact",
-    "q_dedup_minhash", "q_dedup_lshband",
-    "q_dedup_simhash", "q_text_tfidf", "q_explode", "q_explode_nested",
-    "q_unpivot", "q_filter_eq", "q_filter_notnull",
-    "q_having", "q_join_broadcast", "q_join_inner", "q_join_left",
-    "q_mm_meta", "q_parent_denorm", "q_project_rename", "q_sample_hash",
-    "q_stream_late", "q_text_fingerprint", "q_text_langid",
-    "q_text_tokcount", "q_text_tokens", "q_text_lang", "q_text_quality",
-    # -- green driver row in r4, code unchanged since --
-    "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
-    "q_histogram", "q_profile", "q_sink_clustered", "q_ship_priority",
-    "q_udf_arrow", "q_date_spine", "q_udtf", "q_variant", "q_pipe_sql",
-    "q_assoc_rules", "q_pagerank", "q_text_gopher", "q_mm_shard",
-    "q_src_evolve", "q_src_orc", "q_text_vocab", "q_cluster_kmeans",
-    "q_part_prune", "q_src_csv", "q_src_jsonl", "q_dedup_simhash_pairs",
-    "q_mm_binfile", "q_stream_tumble", "q_stream_slide",
-    "q_stream_session", "q_time_trunc", "q_join_asof", "q_json",
-    "q_json_project", "q_dedup_cluster", "q_udaf", "q_sim_topk",
-    "q_sim_ivf", "q_join_semi", "q_join_anti", "q_agg_sum",
-    "q_agg_exists", "q_dedup_embed", "q_decontaminate",
-    "q_latest_snapshot", "q_stream_interval", "q_dedup_ngram",
-    "q_dedup_keep_best", "q_histogram_eq", "q_sim_lsh_buckets",
-    # -- green driver row in r5, code unchanged since --
-    "q_regr_group", "q_outlier_zscore", "q_drift_chi2", "q_sessionize",
-    "q_snapshot_diff", "q_returned_items", "q_transpose", "q_sql_udf",
-    "q_lateral_join", "q_bpe_merges", "q_postings", "q_shuffle_shards",
-    "q_transitions", "q_skew_profile", "q_skyline", "q_bpe_encode",
-    "q_sample_group", "q_gapfill", "q_sink_pyds", "q_curation_pipeline",
-    "q_src_metadata", "q_explode_outer", "q_calendar", "q_graph_bfs",
-    "q_recommend", "q_langid_eval", "q_filter_first", "q_merge_upsert",
-    "q_scd2_history", "q_join_bloom", "q_stream_static", "q_link_sorted",
-    "q_dq_audit", "q_cohort_retention", "q_graph_triangles", "q_incr_agg",
-    "q_sink_zorder", "q_join_interval_binned", "q_udf_grouped",
-    "q_udf_cogrouped", "q_stream_interval_lo", "q_region_volume",
-    "q_src_xml", "q_src_pyds", "q_src_pyds_stream", "q_sim_knn_blocked",
-    # -- green driver row in r8 (freshest proofs go last) --
+    "q_dominant_supplier", "q_kmv_sketch", "q_dataset_mixture",
+    "q_scd2_lookup", "q_time_travel", "q_melt", "q_corr_matrix",
+    "q_percentile_highcard", "q_graph_lpa", "q_cusum_changepoint",
+    "q_ab_test", "q_mode", "q_active_users", "q_dedup_near", "q_hll_sketch",
+    "q_approx_cd", "q_percentile", "q_percentile_approx", "q_winsorize",
+    "q_outlier_mad", "q_coalesce2", "q_coalesce_pair", "q_date_fmt",
+    "q_distinct", "q_join_bucketed", "q_join_range", "q_join_salted",
+    "q_range_ends", "q_rollup", "q_setops", "q_str_dxcode", "q_str_join",
+    "q_profile", "q_sink_clustered", "q_ship_priority", "q_udf_arrow",
+    "q_date_spine", "q_udtf", "q_variant", "q_pipe_sql", "q_assoc_rules",
+    "q_pagerank", "q_text_gopher", "q_mm_shard", "q_src_evolve", "q_src_orc",
+    "q_text_vocab", "q_cluster_kmeans", "q_part_prune", "q_src_csv",
+    "q_src_jsonl", "q_dedup_simhash_pairs", "q_mm_binfile", "q_stream_tumble",
+    "q_stream_slide", "q_stream_session", "q_time_trunc", "q_join_asof",
+    "q_json", "q_json_project", "q_udaf", "q_sim_topk", "q_sim_ivf",
+    "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
+    "q_dedup_embed", "q_decontaminate", "q_latest_snapshot",
+    "q_stream_interval", "q_dedup_ngram", "q_dedup_keep_best",
+    "q_histogram_eq", "q_sim_lsh_buckets", "q_regr_group", "q_outlier_zscore",
+    "q_drift_chi2", "q_sessionize", "q_snapshot_diff", "q_returned_items",
+    "q_transpose", "q_sql_udf", "q_lateral_join", "q_bpe_merges",
+    "q_postings", "q_shuffle_shards", "q_transitions", "q_skew_profile",
+    "q_skyline", "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
+    "q_curation_pipeline", "q_src_metadata", "q_explode_outer", "q_calendar",
+    "q_graph_bfs", "q_recommend", "q_langid_eval", "q_filter_first",
+    "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_stream_static",
+    "q_link_sorted", "q_dq_audit", "q_cohort_retention", "q_graph_triangles",
+    "q_incr_agg", "q_sink_zorder", "q_join_interval_binned", "q_udf_grouped",
+    "q_udf_cogrouped", "q_stream_interval_lo", "q_region_volume", "q_src_xml",
+    "q_src_pyds", "q_src_pyds_stream", "q_sim_knn_blocked",
     "q_split_leakproof", "q_attribution", "q_mm_frames", "q_mm_resize",
     "q_matmul", "q_text_typicality", "q_ohlc", "q_sample_stratified",
     "q_mm_decode", "q_disjunctive", "q_promo_share", "q_top_supplier",
     "q_idle_customers", "q_pii_redact", "q_repetition", "q_fuzzy_link",
-    "q_embed_gram", "q_hof_array", "q_drift_ks",
-    "q_join_full", "q_win_nav", "q_collect_sorted", "q_gini",
-    "q_rolling_7d", "q_negative_sample", "q_target_encode",
-    "q_feature_hash", "q_interval_coverage", "q_subquery_sql",
-    "q_sample_balance", "q_not_in", "q_export_pipeline", "q_join_setsim",
-    "q_histogram_eq_approx",
-    "q_reconcile", "q_bm25", "q_collocations",
-    "q_sample_weighted", "q_sample_weighted_group", "q_diversity",
-    "q_rag_pipeline", "q_agg_multi", "q_chunk", "q_heavy_hitters",
-    # -- green driver row in r6 (via the r7 byte-copy artifact) --
-    "q_small_qty", "q_large_orders", "q_bool_eq", "q_bool_or",
-    "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
-    "q_case_struct", "q_cast",
+    "q_embed_gram", "q_hof_array", "q_drift_ks", "q_join_full", "q_win_nav",
+    "q_collect_sorted", "q_gini", "q_rolling_7d", "q_negative_sample",
+    "q_target_encode", "q_feature_hash", "q_interval_coverage",
+    "q_subquery_sql", "q_sample_balance", "q_not_in", "q_export_pipeline",
+    "q_join_setsim", "q_histogram_eq_approx", "q_reconcile", "q_bm25",
+    "q_collocations", "q_sample_weighted", "q_sample_weighted_group",
+    "q_diversity", "q_rag_pipeline", "q_agg_multi", "q_chunk",
+    "q_heavy_hitters", "q_small_qty", "q_large_orders", "q_bool_eq",
+    "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict",
+    "q_case_multi", "q_case_struct", "q_cast",
 ]
 
 _missing = _BY_NAME.keys() - set(GATE_ORDER)

@@ -1235,9 +1235,13 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums those BIGINTs — order-insensitive — and divides once per
     output row. A full-window decomposition would average variable-n
     frames (doubles) and lose cross-engine exactness at the edges."""
+    # Floor-division bucketing (not `div`, which truncates toward zero):
+    # identical in both engines for NEGATIVE hour ids too, so pre-1970
+    # timestamps bucket consistently (ADVICE r9). The double division is
+    # exact here: |unix_micros| < 2^53 until year ~2255.
     e = t(spark, sf_dir, "events").select(
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
-        .alias("hour_id"),
+        F.floor(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                / F.lit(3600000000.0)).cast("long").alias("hour_id"),
         money_micros(F.col("value")).alias("v_u"))
     hourly = (e.groupBy("hour_id").agg(F.sum("v_u").alias("v_u"))
               .localCheckpoint(eager=False))
@@ -1265,7 +1269,8 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SEASONAL = f"""
 WITH hourly AS (
-  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+  SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+              AS BIGINT) AS hour_id,
          CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
            AS v_u
   FROM events GROUP BY hour_id
@@ -1281,13 +1286,13 @@ WITH hourly AS (
   SELECT hour_id, v_u, {_SEASONAL_N} * v_u - frame_sum AS detr_u25
   FROM trended WHERE frame_n = {_SEASONAL_N}
 )
-SELECT hour_id % 24 AS hour,
+SELECT ((hour_id % 24) + 24) % 24 AS hour,
        count(*) AS n_buckets,
        floor(CAST(sum(detr_u25) AS DOUBLE) / count(*)
              / {_SEASONAL_N}.0 / 1e6 * 1e4 + 0.5) / 1e4 AS seasonal,
        floor(CAST(sum(v_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5)
          / 1e4 AS mean_hourly_value
-FROM interior GROUP BY hour_id % 24 ORDER BY hour
+FROM interior GROUP BY ((hour_id % 24) + 24) % 24 ORDER BY hour
 """
 
 

@@ -126,6 +126,10 @@ def timed(build, reps: int = 2) -> float:
 
 def main() -> None:
     queries = sys.argv[1:] or DEFAULT_QUERIES
+    unknown = [q for q in queries if q not in TABLES_FOR]
+    if unknown:
+        sys.exit(f"unknown quer{'y' if len(unknown) == 1 else 'ies'} "
+                 f"{unknown} — supported: {sorted(TABLES_FOR)}")
     spark = get_spark("stress_decade")
     spark.sparkContext.setLogLevel("ERROR")
     one_dir, ten_dir = f"{SCRATCH}/x1", f"{SCRATCH}/x10"
