@@ -217,6 +217,7 @@ HEADLINE = [
     "q_active_users",
     "q_parse_tree",
     "q_dedup_incremental",
+    "q_minhash_merge",
 ]
 
 

@@ -53,10 +53,11 @@ GATE_ORDER = [
     # 2 changed this round (q_seasonal floor-div/pmod hardening,
     # q_dedup_cluster via the band_key_table refactor), the full
     # 39-query r2+r3 stale-evidence cohort (newest driver record
-    # predates the r4 fixture regen — VERDICT r9 #1), and the 5
-    # next-oldest r4-cohort entries --
-    "q_parse_tree", "q_dedup_incremental", "q_sim_ivf_persisted",
-    "q_stream_dedup", "q_seasonal", "q_dedup_cluster",
+    # predates the r4 fixture regen — VERDICT r9 #1), the 3 other
+    # band_key_table callers, and the 2 next-oldest r4 entries --
+    "q_parse_tree", "q_dedup_incremental", "q_minhash_merge",
+    "q_sim_ivf_persisted", "q_stream_dedup", "q_seasonal",
+    "q_dedup_cluster",
     # stale-evidence rotation (r2+r3 cohorts, complete):
     "q_crossover", "q_scan", "q_sink", "q_project_rename", "q_parent_denorm",
     "q_filter_eq", "q_filter_notnull", "q_having", "q_join_inner",
@@ -67,13 +68,17 @@ GATE_ORDER = [
     "q_dedup_lshband", "q_dedup_simhash", "q_win_rank", "q_win_running",
     "q_win_frame", "q_win_dist", "q_topk", "q_topk_group", "q_udf", "q_pivot",
     "q_cube", "q_sample_hash", "q_mm_meta", "q_stream_late",
+    # the other three callers of the refactored band_key_table path
+    # (plan-identical, but changed code gets driver evidence):
+    "q_dedup_keep_best", "q_split_leakproof", "q_curation_pipeline",
     # next-oldest driver evidence (r4 cohort):
-    "q_grouping_sets", "q_pack_sequences", "q_funnel", "q_sim_pq",
-    "q_histogram",
+    "q_grouping_sets",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_pack_sequences",
     # remaining queries keep their prior relative order; all have
     # post-regen driver-green records (r4-r9) and unchanged code.
-    "q_text_strip_html", "q_mm_pairfilter", "q_mor_read", "q_order_priority",
+    "q_funnel", "q_sim_pq", "q_histogram", "q_text_strip_html",
+    "q_mm_pairfilter", "q_mor_read", "q_order_priority",
     "q_nation_trade", "q_cust_order_dist", "q_part_supplier_cnt",
     "q_waiting_supplier", "q_cms_sketch", "q_text_entropy", "q_ewma",
     "q_min_cost_supplier", "q_forecast_revenue", "q_market_share",
@@ -95,20 +100,20 @@ GATE_ORDER = [
     "q_json", "q_json_project", "q_udaf", "q_sim_topk", "q_sim_ivf",
     "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
     "q_dedup_embed", "q_decontaminate", "q_latest_snapshot",
-    "q_stream_interval", "q_dedup_ngram", "q_dedup_keep_best",
+    "q_stream_interval", "q_dedup_ngram",
     "q_histogram_eq", "q_sim_lsh_buckets", "q_regr_group", "q_outlier_zscore",
     "q_drift_chi2", "q_sessionize", "q_snapshot_diff", "q_returned_items",
     "q_transpose", "q_sql_udf", "q_lateral_join", "q_bpe_merges",
     "q_postings", "q_shuffle_shards", "q_transitions", "q_skew_profile",
     "q_skyline", "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
-    "q_curation_pipeline", "q_src_metadata", "q_explode_outer", "q_calendar",
+    "q_src_metadata", "q_explode_outer", "q_calendar",
     "q_graph_bfs", "q_recommend", "q_langid_eval", "q_filter_first",
     "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_stream_static",
     "q_link_sorted", "q_dq_audit", "q_cohort_retention", "q_graph_triangles",
     "q_incr_agg", "q_sink_zorder", "q_join_interval_binned", "q_udf_grouped",
     "q_udf_cogrouped", "q_stream_interval_lo", "q_region_volume", "q_src_xml",
     "q_src_pyds", "q_src_pyds_stream", "q_sim_knn_blocked",
-    "q_split_leakproof", "q_attribution", "q_mm_frames", "q_mm_resize",
+    "q_attribution", "q_mm_frames", "q_mm_resize",
     "q_matmul", "q_text_typicality", "q_ohlc", "q_sample_stratified",
     "q_mm_decode", "q_disjunctive", "q_promo_share", "q_top_supplier",
     "q_idle_customers", "q_pii_redact", "q_repetition", "q_fuzzy_link",

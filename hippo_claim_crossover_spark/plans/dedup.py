@@ -1242,6 +1242,43 @@ FROM corpus_stats c FULL JOIN batch_stats b USING (source)
 """
 
 
+def q_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash MERGEABILITY — the property that makes sketch maintenance
+    distributable at 100 TB: sig(A ∪ B) = elementwise-min(sig(A),
+    sig(B)). Spark computes per-DOCUMENT signatures (the table
+    ``q_dedup_incremental`` persists) and merges them per source with a
+    plain ``min`` aggregate — the partial/final combine shape, so
+    source-level (or corpus-level) sketches roll up from shard sketches
+    WITHOUT re-shingling anything. The oracle computes each source's
+    signature DIRECTLY from its pooled shingle hashes; the hash match
+    is the mergeability proof, not a recomputation of the same plan.
+
+    At scale this is how a signature index stays current: each incoming
+    shard contributes doc sketches; corpus/stratum rollups are min
+    merges over KB-sized rows (here 8 longs), never over text."""
+    d = t_wide(spark, sf_dir, "documents")
+    sigs = ops_dedup.minhash_signatures(d, "doc_id", "text",
+                                        k=N_MINHASH, n=NGRAM)
+    return (sigs.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.min(f"mh_{i}").alias(f"mh_{i}")
+                   for i in range(N_MINHASH)])
+            .orderBy("source"))
+
+
+ORACLE_MINHASH_MERGE = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(unnest({_SQL_SHINGLES})), 1, 7)) AS BIGINT) AS h
+  FROM documents WHERE len(string_split(text, ' ')) >= {NGRAM}
+)
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       {_MH_COLS}
+FROM sh GROUP BY source ORDER BY source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_join_setsim": QuerySpec(
         q_join_setsim, ORACLE_JOIN_SETSIM,
@@ -1286,6 +1323,10 @@ SPECS: dict[str, QuerySpec] = {
         q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
         "incremental dedup: new batch probed against the persisted "
         "corpus MinHash index, survivors union-appended"),
+    "q_minhash_merge": QuerySpec(
+        q_minhash_merge, ORACLE_MINHASH_MERGE,
+        "MinHash mergeability: doc-sketch min-merge == direct "
+        "source-level sketch (oracle computes the direct side)"),
     "q_split_leakproof": QuerySpec(
         q_split_leakproof, ORACLE_SPLIT_LEAKPROOF,
         "cluster-aware train/val/test split (near-dup clusters never "

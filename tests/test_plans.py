@@ -1362,3 +1362,33 @@ def test_dedup_incremental_probes_persisted_index(spark):
         assert r["n_appended"] == r["n_batch"] - r["n_dup"] >= 0, d
         assert r["corpus_after"] == r["n_corpus"] + r["n_appended"], d
         assert (r["appended_id_sum"] > 0) == (r["n_appended"] > 0), d
+
+
+def test_minhash_merge_is_partial_final_min(spark):
+    """q_minhash_merge: the source rollup must be a plain partial/final
+    HashAggregate over the per-doc signature table (min combine — the
+    mergeability shape), no Window, no cartesian; and every per-source
+    merged component must equal the min of its docs' components (the
+    in-Spark face of the oracle's direct-computation proof)."""
+    plan = _plan(spark, "q_minhash_merge")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    rows = ALL_SPECS["q_minhash_merge"].fn(spark, SF_DIR).collect()
+    assert rows
+    from hippo_claim_crossover_spark.operators import dedup as ops_dedup
+    from hippo_claim_crossover_spark.plans.base import t as _t
+    from hippo_claim_crossover_spark.plans.dedup import N_MINHASH, NGRAM
+    d = _t(spark, SF_DIR, "documents")
+    sigs = (ops_dedup.minhash_signatures(d, "doc_id", "text",
+                                         k=N_MINHASH, n=NGRAM)
+            .join(d.select("doc_id", "source"), "doc_id").collect())
+    by_source = {}
+    for s in sigs:
+        cur = by_source.setdefault(s["source"], [float("inf")] * N_MINHASH)
+        for i in range(N_MINHASH):
+            cur[i] = min(cur[i], s[f"mh_{i}"])
+    for r in rows:
+        want = by_source[r["source"]]
+        got = [r[f"mh_{i}"] for i in range(N_MINHASH)]
+        assert got == want, (r["source"], got, want)
