@@ -107,14 +107,50 @@ def grouped_global_rank(df: DataFrame, group_cols: list[str],
             .drop("_pid", "_lrn", "_off"))
 
 
+def grouped_histogram_cdf(hist: DataFrame, group_cols: list[str],
+                          value_col: str, cnt_col: str = "_cnt",
+                          n_partitions: int | None = None,
+                          broadcast_offsets: bool = True) -> DataFrame:
+    """Append the exact inclusive cumulative count ``_cum`` to a
+    per-group value HISTOGRAM (one row per (group, value) with its
+    multiplicity ``cnt_col``) — i.e. the grouped empirical CDF — with
+    every stage distributed: the same range-shuffle + per-partition
+    window + per-group prefix-offset discipline as
+    :func:`grouped_global_rank`, but summing multiplicities instead of
+    counting rows. Rows must be unique per (group, value); NULLs are
+    the caller's problem."""
+    parts = n_partitions or hist.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in group_cols + [value_col]]
+    ranged = (hist.repartitionByRange(parts, *keys)
+              .withColumn("_pid", F.spark_partition_id()))
+    local_w = (Window.partitionBy("_pid", *group_cols).orderBy(value_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged.withColumn("_lcum", F.sum(cnt_col).over(local_w))
+    totals = (local.groupBy("_pid", *group_cols)
+              .agg(F.sum(cnt_col).alias("_tot")))
+    off_w = (Window.partitionBy(*group_cols).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid", *group_cols,
+        F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_off"))
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    return (local.join(offsets, ["_pid", *group_cols])
+            .withColumn("_cum", F.col("_lcum") + F.col("_off"))
+            .drop("_pid", "_lcum", "_off"))
+
+
 def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
                               value_col: str, ps: list[float],
                               n_partitions: int | None = None,
                               broadcast_offsets: bool = True) -> DataFrame:
     """EXACT linear-interpolation percentiles per group without
-    buffering any group in one task: rank every row with
-    :func:`grouped_global_rank`, then fetch only the two rows straddling
-    each target rank and interpolate.
+    buffering any group in one task: tie-compress the values into a
+    (group, value, count) HISTOGRAM first (a partial/final hash
+    aggregate — map-side combine crushes the row count before anything
+    shuffles), walk the histogram's distributed CDF
+    (:func:`grouped_histogram_cdf`), then fetch only the rows whose
+    cumulative-count range covers each target rank and interpolate.
 
     Returns one row per (group, percentile): ``group_cols ++ [_p_idx,
     value]`` where ``_p_idx`` indexes into ``ps``. NULL values are
@@ -127,39 +163,49 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
     which differs in the last ulp for some inputs (observed at sf0.1)
     and fails a bit-exact oracle compare. When ``rn`` is integral the
     fraction is exactly 0.0 and the value returns bit-identically.
+    Rank-indexed value lookup is tie-insensitive, so compressing a
+    tie-run into one histogram row with a rank RANGE changes nothing:
+    the value at every rank inside the run IS the run's value.
 
-    Scale shape: one range shuffle of (group, value) + two joins
-    against rank metadata (offsets: partitions×groups rows; targets:
-    groups×|ps| rows) — broadcast by default (KB-sized for the
-    enum-like keys most callers group by), shuffle joins when
-    ``broadcast_offsets=False`` (the high-cardinality contract:
-    a 10M-key grouping would make both metadata tables GB-sized). Reduce-side state is O(1) per row —
-    no per-group materialization anywhere, so the plan survives a
-    3-value grouping key at 100 TB where the exact-percentile
+    Scale shape: one partial/final hash agg over the raw rows, then a
+    range shuffle + window + metadata joins over the HISTOGRAM only
+    (|distinct values per group| rows — for the enum-and-price columns
+    real fact tables take percentiles of, orders of magnitude below the
+    row count; the r10 century stress measured the previous
+    rank-every-row form spilling 9.1 GB sorting 120 M melted rows in
+    the window stage at 100× sf0.1, while this form's window input is
+    the ~KB histogram). Offsets (partitions×groups rows) and targets
+    (groups×|ps| rows) broadcast by default; ``broadcast_offsets=False``
+    is the high-cardinality contract (a 10M-key grouping makes both
+    metadata tables GB-sized — shuffle joins there, and the histogram
+    degenerates gracefully to ~the row count when values are unique).
+    Reduce-side state is O(1) per row everywhere, so the plan survives
+    a 3-value grouping key at 100 TB where the exact-percentile
     aggregate's O(rows/group) buffer is a guaranteed OOM.
     """
-    # Three consumers read `vals`: the range-partitioner's sampling
-    # pass, the rank shuffle itself, and the group-totals aggregate.
-    # Materializing the narrow (group, value) projection once (lazy
-    # localCheckpoint) replaces three upstream scans — measured
-    # 1.8s → 1.44s warm / 5.4s → 1.6s cold on the sf0.1 lineitem
-    # percentiles; at 100 TB this is the standard write-the-projection-
-    # once discipline for multi-consumer frames.
     vals = (df.select(*group_cols, value_col)
-            .where(F.col(value_col).isNotNull())
+            .where(F.col(value_col).isNotNull()))
+    # Three consumers read `hist`: the range-partitioner's sampling
+    # pass, the CDF shuffle itself, and the group-totals aggregate.
+    # Materializing the tie-compressed histogram once (lazy
+    # localCheckpoint) replaces three full upstream scans — the
+    # write-the-projection-once discipline for multi-consumer frames,
+    # and the checkpoint is now histogram-sized, not row-sized.
+    hist = (vals.groupBy(*group_cols, value_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
             .localCheckpoint(eager=False))
-    ranked = grouped_global_rank(vals, group_cols, [value_col],
-                                 n_partitions,
-                                 broadcast_offsets=broadcast_offsets)
+    cdf = grouped_histogram_cdf(hist, group_cols, value_col, "_cnt",
+                                n_partitions,
+                                broadcast_offsets=broadcast_offsets)
     targets_per_p = F.array(*[
         F.struct(F.lit(i).alias("_p_idx"),
                  F.lit(float(p)).alias("_p")) for i, p in enumerate(ps)])
     rn = (F.col("_n") - F.lit(1)).cast("double") * F.col("_t._p")
-    # Group totals come from VALS (scan + partial/final agg), not from
-    # `ranked` — the expensive range-shuffle branch is consumed exactly
-    # once, by the straddle probe below.
-    targets = (vals.groupBy(*group_cols)
-               .agg(F.count(F.lit(1)).alias("_n"))
+    # Group totals come from HIST (tiny partial/final agg), not from
+    # `cdf` — the range-shuffle branch is consumed exactly once, by the
+    # straddle probe below.
+    targets = (hist.groupBy(*group_cols)
+               .agg(F.sum("_cnt").alias("_n"))
                .select(*group_cols, "_n",
                        F.explode(targets_per_p).alias("_t"))
                .select(*group_cols,
@@ -171,14 +217,16 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
     # - KB-sized for enum-like keys, but a high-cardinality grouping
     # passes broadcast_offsets=False and gets a shuffle join here too
     targets_side = F.broadcast(targets) if broadcast_offsets else targets
-    straddle = (ranked.join(targets_side, group_cols)
-                .where((F.col("_rank") == F.col("_lo"))
-                       | (F.col("_rank") == F.col("_hi"))))
+    # A histogram row covers global ranks (_cum - _cnt, _cum]; it
+    # straddles a target when _lo or _hi falls inside that range.
+    hit_lo = ((F.col("_lo") > F.col("_cum") - F.col("_cnt"))
+              & (F.col("_lo") <= F.col("_cum")))
+    hit_hi = ((F.col("_hi") > F.col("_cum") - F.col("_cnt"))
+              & (F.col("_hi") <= F.col("_cum")))
+    straddle = cdf.join(targets_side, group_cols).where(hit_lo | hit_hi)
     return (straddle.groupBy(*group_cols, "_p_idx")
-            .agg(F.max(F.when(F.col("_rank") == F.col("_lo"),
-                              F.col(value_col))).alias("_v_lo"),
-                 F.max(F.when(F.col("_rank") == F.col("_hi"),
-                              F.col(value_col))).alias("_v_hi"),
+            .agg(F.max(F.when(hit_lo, F.col(value_col))).alias("_v_lo"),
+                 F.max(F.when(hit_hi, F.col(value_col))).alias("_v_hi"),
                  F.min("_frac").alias("_frac"))
             .select(*group_cols, "_p_idx",
                     ((F.lit(1.0) - F.col("_frac")) * F.col("_v_lo")

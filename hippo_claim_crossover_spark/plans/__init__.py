@@ -48,13 +48,14 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 10 window: 4 new (S2 raw-text parse, incremental
-    # corpus dedup, persisted ANN index, watermark streaming dedup),
-    # 2 changed this round (q_seasonal floor-div/pmod hardening,
-    # q_dedup_cluster via the band_key_table refactor), the full
-    # 39-query r2+r3 stale-evidence cohort (newest driver record
-    # predates the r4 fixture regen — VERDICT r9 #1), the 3 other
-    # band_key_table callers, and the 2 next-oldest r4 entries --
+    # -- round 10 window: 5 new (S2 raw-text parse, incremental
+    # corpus dedup, MinHash mergeability, persisted ANN index,
+    # watermark streaming dedup), 2 changed this round (q_seasonal
+    # floor-div/pmod hardening, q_dedup_cluster via the band_key_table
+    # refactor), the full 39-query r2+r3 stale-evidence cohort (newest
+    # driver record predates the r4 fixture regen — VERDICT r9 #1),
+    # and the 5-query percentile family whose shared operator was
+    # rewired to the histogram CDF (the 100x spill fix) --
     "q_parse_tree", "q_dedup_incremental", "q_minhash_merge",
     "q_sim_ivf_persisted", "q_stream_dedup", "q_seasonal",
     "q_dedup_cluster",
@@ -68,12 +69,19 @@ GATE_ORDER = [
     "q_dedup_lshband", "q_dedup_simhash", "q_win_rank", "q_win_running",
     "q_win_frame", "q_win_dist", "q_topk", "q_topk_group", "q_udf", "q_pivot",
     "q_cube", "q_sample_hash", "q_mm_meta", "q_stream_late",
-    # the other three callers of the refactored band_key_table path
-    # (plan-identical, but changed code gets driver evidence):
-    "q_dedup_keep_best", "q_split_leakproof", "q_curation_pipeline",
-    # next-oldest driver evidence (r4 cohort):
-    "q_grouping_sets",
+    # the percentile family: grouped_exact_percentiles rewired to the
+    # tie-compressed histogram CDF this round (the 100x spill fix) —
+    # materially-changed plans take the last window slots; the
+    # plan-identical band_key_table callers cede theirs (q_dedup_cluster
+    # above stays in as that refactor's driver-checked representative):
+    # (q_outlier_mad, the family member with the freshest prior driver
+    # row — pass @ r9 — waits just outside the window)
+    "q_percentile", "q_winsorize", "q_percentile_approx",
+    "q_percentile_highcard",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_outlier_mad",
+    "q_dedup_keep_best", "q_split_leakproof", "q_curation_pipeline",
+    "q_grouping_sets",
     "q_pack_sequences",
     # remaining queries keep their prior relative order; all have
     # post-regen driver-green records (r4-r9) and unchanged code.
@@ -85,10 +93,9 @@ GATE_ORDER = [
     "q_nation_profit", "q_late_lines", "q_important_stock",
     "q_dominant_supplier", "q_kmv_sketch", "q_dataset_mixture",
     "q_scd2_lookup", "q_time_travel", "q_melt", "q_corr_matrix",
-    "q_percentile_highcard", "q_graph_lpa", "q_cusum_changepoint",
+    "q_graph_lpa", "q_cusum_changepoint",
     "q_ab_test", "q_mode", "q_active_users", "q_dedup_near", "q_hll_sketch",
-    "q_approx_cd", "q_percentile", "q_percentile_approx", "q_winsorize",
-    "q_outlier_mad", "q_coalesce2", "q_coalesce_pair", "q_date_fmt",
+    "q_approx_cd", "q_coalesce2", "q_coalesce_pair", "q_date_fmt",
     "q_distinct", "q_join_bucketed", "q_join_range", "q_join_salted",
     "q_range_ends", "q_rollup", "q_setops", "q_str_dxcode", "q_str_join",
     "q_profile", "q_sink_clustered", "q_ship_priority", "q_udf_arrow",

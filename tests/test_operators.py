@@ -501,3 +501,32 @@ def test_grouped_global_rank_shuffle_offsets_path(spark):
         return {(r["g"], r["uid"]): r["_rank"] for r in out.collect()}
 
     assert ranks(True) == ranks(False)
+
+
+def test_grouped_histogram_cdf_matches_python(spark):
+    """grouped_histogram_cdf: the inclusive cumulative count per
+    (group, value) equals a per-group python prefix sum over the sorted
+    value domain — on groups smaller than, equal to, and larger than
+    the partition count, with a group spanning many range partitions."""
+    import random
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_histogram_cdf)
+
+    rng = random.Random(11)
+    rows = [("solo", 5.0, 3)]
+    rows += [("pair", 1.0, 10), ("pair", 2.0, 1)]
+    rows += [("wide", float(v), rng.randint(1, 9)) for v in range(500)]
+    df = (spark.createDataFrame(rows, "g string, v double, _cnt long")
+          .repartition(16))
+    got = {(r["g"], r["v"]): r["_cum"]
+           for r in grouped_histogram_cdf(df, ["g"], "v",
+                                          n_partitions=8).collect()}
+    by_g: dict[str, list[tuple[float, int]]] = {}
+    for g, v, c in rows:
+        by_g.setdefault(g, []).append((v, c))
+    for g, vcs in by_g.items():
+        cum = 0
+        for v, c in sorted(vcs):
+            cum += c
+            assert got[(g, v)] == cum, (g, v, got[(g, v)], cum)

@@ -440,6 +440,12 @@ def test_percentile_no_per_group_buffering(spark):
     assert "median(" not in low
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in low
+    # r10: the range shuffle and window must ride the TIE-COMPRESSED
+    # histogram (the checkpointed (group, value, _cnt) frame), not the
+    # raw melted rows — the 100x spill fix. _cnt in the range
+    # exchange's source and _cum in the straddle probe pin the
+    # histogram-CDF shape.
+    assert "_cnt" in plan and "_cum" in plan
 
 
 def test_sample_weighted_is_takeordered(spark):
