@@ -218,6 +218,7 @@ HEADLINE = [
     "q_parse_tree",
     "q_dedup_incremental",
     "q_minhash_merge",
+    "q_kmv_setops",
 ]
 
 

@@ -923,6 +923,177 @@ FROM est ORDER BY scope
 """
 
 
+# Set-operation sketch size. Intersection estimates are noisier than
+# union (rho = |A∩B∩bottomK| / K is binomial with p≈Jaccard), so the
+# set-ops sketch is 4× q_kmv_sketch's: rsd(union) ≈ 1/sqrt(254) ≈ 6.3%,
+# sigma(rho) ≈ sqrt(J(1−J)/256) ≈ 0.026 at the fixture's J≈0.22.
+KMV_SETOPS_K = 256
+_KMV_SETOPS_NUM = float((KMV_SETOPS_K - 1) * (1 << 60))
+
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — audience overlap between every pair of
+    event types from K-minimum-values sketches alone (Beyer et al.,
+    SIGMOD'07): merge = re-take the K smallest of the union; theta =
+    that K-th value estimates |A∪B| as (K−1)·2^60/theta; rho = the
+    fraction of the merged bottom-K present in BOTH input sketches
+    estimates Jaccard; |A∩B| ≈ rho·|A∪B|. Everything derives from md5
+    order statistics, so DuckDB rebuilds the byte-identical sketches
+    and the driver hashes the ESTIMATES themselves — plus exact
+    union/intersection sides with band verdicts (union ~5σ at 0.32,
+    intersection 0.6 — the honest, wider bound of the ratio estimator).
+
+    The 100 TB shape: per-scope sketch build is the only data-scale
+    stage (distinct + per-scope WindowGroupLimit top-K — the same
+    partial-prune as q_kmv_sketch); every pairwise set operation then
+    runs on K-long arrays (5 scopes → 10 pairs of 2 KB sketches, a
+    broadcast nested-loop over metadata-sized rows). That is the point
+    of sketch algebra: overlap matrices over N scopes never rescan or
+    re-shuffle the fact table — ship the sketches, not the sets. The
+    exact sides exist only for the verdict (production drops them).
+    Scale note: the pair enumeration is |scopes|² over KB rows; a
+    10k-scope deployment broadcasts 10k×K longs (~20 MB) — still a
+    broadcast, with the fact table untouched."""
+    K = KMV_SETOPS_K
+    scoped = (t(spark, sf_dir, "events")
+              .select(
+                  F.col("event_type").alias("_t"),
+                  F.concat_ws(
+                      ":", F.col("user_id").cast("string"),
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.to_date(F.lit("1970-01-01")))
+                      .cast("string"))
+                  .alias("k"))
+              .distinct())
+    # consumers: sketch build + exact self-join (×2) + per-type counts
+    hashed = (scoped.select("_t", hex2long(F.md5("k")).alias("h"))
+              .localCheckpoint(eager=False))
+    n_t = hashed.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_t").orderBy("h")
+    sk = (hashed.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") <= K)
+          .groupBy("_t")
+          .agg(F.sort_array(F.collect_list("h")).alias("sig")))
+    sides = sk.join(n_t, "_t")
+    pairs = (sides.select(F.col("_t").alias("pair_a"),
+                          F.col("sig").alias("_sa"),
+                          F.col("_n").alias("_na"))
+             .join(F.broadcast(
+                 sides.select(F.col("_t").alias("pair_b"),
+                              F.col("sig").alias("_sb"),
+                              F.col("_n").alias("_nb"))),
+                 F.col("pair_a") < F.col("pair_b")))
+    inter = (hashed.alias("a")
+             .join(hashed.alias("b"),
+                   (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a._t") < F.col("b._t")))
+             .groupBy(F.col("a._t").alias("pair_a"),
+                      F.col("b._t").alias("pair_b"))
+             .agg(F.count(F.lit(1)).alias("inter_exact")))
+    merged = F.slice(F.array_sort(F.array_union("_sa", "_sb")), 1, K)
+    est = (pairs.join(inter, ["pair_a", "pair_b"], "left")
+           .withColumn("inter_exact",
+                       F.coalesce("inter_exact", F.lit(0)).cast("long"))
+           .withColumn("_mg", merged)
+           .withColumn("_nm", F.size("_mg").cast("long"))
+           .withColumn("_theta", F.element_at("_mg", F.col("_nm").cast("int")))
+           .withColumn("_nboth",
+                       F.size(F.array_intersect(
+                           F.array_intersect("_mg", "_sa"), "_sb"))
+                       .cast("long"))
+           .withColumn("_union_d",
+                       F.when(F.col("_nm") < K, F.col("_nm").cast("double"))
+                       .otherwise(F.lit(_KMV_SETOPS_NUM)
+                                  / F.col("_theta").cast("double")))
+           .withColumn("jaccard_est",
+                       F.col("_nboth").cast("double")
+                       / F.col("_nm").cast("double")))
+    return (est.select(
+        "pair_a", "pair_b",
+        (F.col("_na") + F.col("_nb") - F.col("inter_exact"))
+        .alias("union_exact"),
+        "inter_exact",
+        F.floor(F.col("_union_d")).cast("long").alias("union_est"),
+        F.floor(F.col("jaccard_est") * F.col("_union_d"))
+        .cast("long").alias("inter_est"),
+        "jaccard_est")
+        .withColumn("union_in_band",
+                    within_rel_band(F.col("union_est"),
+                                    F.col("union_exact"), 0.32))
+        .withColumn("inter_in_band",
+                    within_rel_band(F.col("inter_est"),
+                                    F.col("inter_exact"), 0.6))
+        .orderBy("pair_a", "pair_b"))
+
+
+ORACLE_KMV_SETOPS = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type AS t,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS VARCHAR) AS k
+  FROM events
+), hashed AS (
+  SELECT t, {sql_hex2long("md5(k)")} AS h FROM keys
+), n_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n FROM hashed GROUP BY t
+), ranked AS (
+  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT t, h FROM ranked WHERE rn <= {KMV_SETOPS_K}
+), pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM n_t a JOIN n_t b ON a.t < b.t
+), msk AS (
+  SELECT p.ta, p.tb, s.h
+  FROM pairs p JOIN sk s ON s.t = p.ta OR s.t = p.tb
+  GROUP BY 1, 2, 3
+), mranked AS (
+  SELECT ta, tb, h,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+  FROM msk
+), mstat AS (
+  SELECT m.ta, m.tb, CAST(count(*) AS BIGINT) AS n_m,
+         max(m.h) AS theta,
+         CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM mranked m
+  LEFT JOIN sk sa ON sa.t = m.ta AND sa.h = m.h
+  LEFT JOIN sk sb ON sb.t = m.tb AND sb.h = m.h
+  WHERE m.rn <= {KMV_SETOPS_K}
+  GROUP BY 1, 2
+), exact AS (
+  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS inter_exact
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.t < b.t
+  GROUP BY 1, 2
+), est AS (
+  SELECT p.ta, p.tb,
+         na.n + nb.n - COALESCE(e.inter_exact, 0) AS union_exact,
+         COALESCE(e.inter_exact, 0) AS inter_exact,
+         CASE WHEN m.n_m < {KMV_SETOPS_K} THEN CAST(m.n_m AS DOUBLE)
+              ELSE {_KMV_SETOPS_NUM!r} / CAST(m.theta AS DOUBLE)
+         END AS union_d,
+         CAST(m.n_both AS DOUBLE) / CAST(m.n_m AS DOUBLE) AS jaccard_est
+  FROM pairs p
+  JOIN n_t na ON na.t = p.ta
+  JOIN n_t nb ON nb.t = p.tb
+  JOIN mstat m ON m.ta = p.ta AND m.tb = p.tb
+  LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
+)
+SELECT ta AS pair_a, tb AS pair_b, union_exact, inter_exact,
+       CAST(floor(union_d) AS BIGINT) AS union_est,
+       CAST(floor(jaccard_est * union_d) AS BIGINT) AS inter_est,
+       jaccard_est,
+       abs(CAST(CAST(floor(union_d) AS BIGINT) AS DOUBLE)
+           - CAST(union_exact AS DOUBLE))
+         <= 0.32 * abs(CAST(union_exact AS DOUBLE)) AS union_in_band,
+       abs(CAST(CAST(floor(jaccard_est * union_d) AS BIGINT) AS DOUBLE)
+           - CAST(inter_exact AS DOUBLE))
+         <= 0.6 * abs(CAST(inter_exact AS DOUBLE)) AS inter_in_band
+FROM est ORDER BY pair_a, pair_b
+"""
+
+
 # Target mixture (integer shares out of 20): the Pile/Dolma-style
 # domain-weighting recipe — upweight the first sources, exclude the rest.
 MIX_SHARES = [("src0", 8), ("src1", 6), ("src2", 4), ("src3", 2)]
@@ -1078,6 +1249,11 @@ SPECS: dict[str, QuerySpec] = {
         q_kmv_sketch, ORACLE_KMV_SKETCH,
         "KMV distinct sketch (md5 order statistics, estimates "
         "hash-checked, union merge via the ALL scope)"),
+    "q_kmv_setops": QuerySpec(
+        q_kmv_setops, ORACLE_KMV_SETOPS,
+        "KMV sketch set algebra: pairwise union/intersection/Jaccard "
+        "estimates from merged bottom-K sketches, estimates "
+        "hash-checked + exact-side band verdicts"),
     "q_dataset_mixture": QuerySpec(
         q_dataset_mixture, ORACLE_DATASET_MIXTURE,
         "target-proportion domain mixture, integer quotas + md5 draw "

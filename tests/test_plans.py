@@ -1398,3 +1398,22 @@ def test_minhash_merge_is_partial_final_min(spark):
         want = by_source[r["source"]]
         got = [r[f"mh_{i}"] for i in range(N_MINHASH)]
         assert got == want, (r["source"], got, want)
+
+
+def test_kmv_setops_prunes_topk_and_broadcasts_pairs(spark):
+    """q_kmv_setops: the per-scope bottom-K must plan as WindowGroupLimit
+    (per-partition pre-prune before the scope shuffle — the fact table
+    never sorts whole); the pairwise sketch algebra must ride a
+    broadcast (KB-sized K-long arrays), never a CartesianProduct; and
+    every band verdict must be TRUE (the oracle asserts the same, so a
+    drifting estimator flips the driver hash red — this pins it
+    locally)."""
+    plan = _plan(spark, "q_kmv_setops")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    rows = ALL_SPECS["q_kmv_setops"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    for r in rows:
+        assert r["union_in_band"] and r["inter_in_band"], r
+        assert r["union_est"] >= r["inter_est"] >= 0, r
