@@ -219,6 +219,7 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_minhash_merge",
     "q_kmv_setops",
+    "q_ngram_lm",
 ]
 
 

@@ -1557,6 +1557,126 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+# Keep threshold for the bigram-LM quality filter (bits/bigram). The
+# fixture corpus scores 4.71–5.21 bits (median 4.89), so 4.9 splits it
+# meaningfully; production recalibrates per corpus.
+NGRAM_LM_TAU = 4.9
+
+
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity filtering — the KenLM-style
+    quality gate every LLM data pipeline runs (CCNet, Gopher, Dolma:
+    score each doc's cross-entropy under a corpus n-gram LM, drop the
+    high-perplexity tail). Train and score in one job: corpus bigram
+    counts c2(w1,w2) and context counts c1(w1) = Σ_w2 c2, add-one
+    smoothing p = (c2+1)/(c1+V), per-doc cross-entropy = mean
+    −log2 p over its bigrams.
+
+    Exactness rides the scaled-integer log discipline (q_text_entropy's
+    r9 idiom): each bigram's cost in micro-bits is the BIGINT
+    ``⌊log2(c1+V)·1e6⌉ − ⌊log2(c2+1)·1e6⌉``, per-doc and per-source
+    totals sum BIGINTs (order-insensitive), and the one double division
+    per output row happens last — so the keep verdicts and the rolled-up
+    bits/bigram hash-match DuckDB exactly.
+
+    Scale shape: one map-only bigram fan-out (codegen array transform —
+    no UDF), a partial/final count to build the LM (c2 is bounded by the
+    corpus bigram vocabulary, Zipf-truncated in practice — the standard
+    pruned-LM regime, MBs for token-level vocabularies), c1 aggregated
+    FROM c2 (never a second corpus pass), and the score join broadcasts
+    the model to the bigram stream. At a vocabulary too large to
+    broadcast the same plan runs as shuffle equi-joins on the compact
+    (w1, w2) key — AQE decides off the realized model size. Per-doc
+    state in every aggregate is two longs."""
+    docs = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    bg = (docs.withColumn("tk", F.split("text", " "))
+          .where(F.size("tk") >= 2)
+          .select("doc_id", "source",
+                  F.explode(F.expr(
+                      "transform(sequence(0, size(tk) - 2), "
+                      "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+                  .alias("_bg"))
+          .select("doc_id", "source",
+                  F.col("_bg.w1").alias("w1"),
+                  F.col("_bg.w2").alias("w2")))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .agg(F.count_distinct("tok").alias("_v")))
+
+    def _log_u(x):
+        return F.floor(F.log2(x.cast("double")) * F.lit(1e6)
+                       + F.lit(0.5)).cast("long")
+
+    cost_u = (_log_u(F.col("_c1") + F.col("_v"))
+              - _log_u(F.col("_c2") + F.lit(1)))
+    per_doc = (bg.join(F.broadcast(c2), ["w1", "w2"])
+               .join(F.broadcast(c1), "w1")
+               .crossJoin(F.broadcast(vocab))
+               .groupBy("doc_id", "source")
+               .agg(F.sum(cost_u).alias("_tot_u"),
+                    F.count(F.lit(1)).alias("_nb")))
+    xent_doc = (F.col("_tot_u").cast("double")
+                / F.col("_nb").cast("double") / F.lit(1e6))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(xent_doc < NGRAM_LM_TAU, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 duck_round(F.sum("_tot_u").cast("double")
+                            / F.sum("_nb").cast("double") / F.lit(1e6), 4)
+                 .alias("xent_bits"),
+                 duck_round(F.min(xent_doc), 4).alias("min_doc_bits"),
+                 duck_round(F.max(xent_doc), 4).alias("max_doc_bits"))
+            .orderBy("source"))
+
+
+ORACLE_NGRAM_LM = f"""
+WITH bg0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || chr(1) ||
+                     string_split(text, ' ')[i + 1])) AS b
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id, source, split_part(b, chr(1), 1) AS w1,
+         split_part(b, chr(1), 2) AS w2 FROM bg0
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+), per_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(sum(
+           CAST(floor(log2(CAST(c1.c1 + v.vocab AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT)
+         - CAST(floor(log2(CAST(c2.c2 + 1 AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT)) AS BIGINT) AS tot_u,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM bg g
+  JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+  JOIN c1 ON g.w1 = c1.w1
+  CROSS JOIN v
+  GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN CAST(tot_u AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6
+                          < {NGRAM_LM_TAU}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(CAST(sum(tot_u) AS DOUBLE) / CAST(sum(nb) AS DOUBLE)
+             / 1e6 * 1e4 + 0.5) / 1e4 AS xent_bits,
+       floor(min(CAST(tot_u AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6)
+             * 1e4 + 0.5) / 1e4 AS min_doc_bits,
+       floor(max(CAST(tot_u AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6)
+             * 1e4 + 0.5) / 1e4 AS max_doc_bits
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_export_pipeline": QuerySpec(
         q_export_pipeline, ORACLE_EXPORT_PIPELINE,
@@ -1632,4 +1752,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_text_entropy": QuerySpec(
         q_text_entropy, ORACLE_TEXT_ENTROPY,
         "token-entropy quality signal, integer micro-bit accumulation"),
+    "q_ngram_lm": QuerySpec(
+        q_ngram_lm, ORACLE_NGRAM_LM,
+        "bigram-LM perplexity filter: train counts + add-one smoothing "
+        "+ per-doc cross-entropy keep verdicts, integer micro-bit "
+        "accumulation"),
 }

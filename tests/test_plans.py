@@ -1417,3 +1417,15 @@ def test_kmv_setops_prunes_topk_and_broadcasts_pairs(spark):
     for r in rows:
         assert r["union_in_band"] and r["inter_in_band"], r
         assert r["union_est"] >= r["inter_est"] >= 0, r
+
+
+def test_ngram_lm_is_broadcast_model_join(spark):
+    """q_ngram_lm: the LM (c2/c1/vocab) must attach to the bigram
+    stream via broadcast joins (model tables are vocabulary-bounded),
+    the bigram fan-out must be a codegen array transform (no Python
+    UDF), and nothing may plan as a CartesianProduct."""
+    plan = _plan(spark, "q_ngram_lm")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # c2, per-doc, per-source (x2)

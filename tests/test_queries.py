@@ -172,3 +172,48 @@ def test_sample_balance_is_actually_balanced(spark, sf_dir):
     # should put every language within ±60% of uniform at K=200
     for lang, n in out.items():
         assert 0.4 * target <= n <= 1.6 * target, (lang, n, target)
+
+
+def test_ngram_lm_matches_pure_python(spark, sf_dir):
+    """q_ngram_lm equals an independent pure-Python bigram LM (same
+    add-one smoothing, exact float log2 per bigram — no micro-bit
+    snapping) within the snap tolerance: validates the model build and
+    scoring end-to-end against textbook math, not just SQL parity."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from hippo_claim_crossover_spark.plans.text import (
+        NGRAM_LM_TAU, q_ngram_lm)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source", "text"]).to_pylist()
+    c2: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for r in tbl:
+        toks = r["text"].split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    per_source: dict[str, list[float]] = {}
+    for r in tbl:
+        toks = r["text"].split(" ")
+        if len(toks) < 2:
+            continue
+        bits = [math.log2(c1[a] + v) - math.log2(c2[(a, b)] + 1)
+                for a, b in zip(toks, toks[1:])]
+        per_source.setdefault(r["source"], []).append(
+            sum(bits) / len(bits))
+    got = {r["source"]: r for r in q_ngram_lm(spark, sf_dir).collect()}
+    assert set(got) == set(per_source)
+    for src, xents in per_source.items():
+        g = got[src]
+        assert g["n_docs"] == len(xents)
+        # micro-bit snapping moves each bigram by <=5e-7 bits
+        assert abs(g["n_kept"]
+                   - sum(x < NGRAM_LM_TAU for x in xents)) <= 1
+        assert abs(g["min_doc_bits"] - min(xents)) < 1e-3
+        assert abs(g["max_doc_bits"] - max(xents)) < 1e-3
