@@ -220,6 +220,7 @@ HEADLINE = [
     "q_minhash_merge",
     "q_kmv_setops",
     "q_ngram_lm",
+    "q_dedup_containment",
 ]
 
 

@@ -126,6 +126,89 @@ WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= {JACCARD_THRESHOLD}
 """
 
 
+# Containment threshold: C(A→B) = |A∩B|/|A| ≥ 0.8 flags A as mostly
+# inside B even when Jaccard is low (the quote-inclusion / doc-in-doc
+# class symmetric dedup misses).
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment — the
+    doc-in-doc face Jaccard is blind to: a 30-shingle quote fully
+    embedded in a 3,000-shingle article has C(quote→article) = 1.0 but
+    Jaccard ≈ 0.01, so symmetric dedup keeps both and the training set
+    still memorizes the quote twice. Emits every unordered pair whose
+    larger DIRECTIONAL containment reaches the threshold, with both
+    directions, Jaccard, and an ``asym`` verdict (high containment,
+    Jaccard below 0.5 — the pairs only this query finds).
+
+    Same sub-quadratic shape as ``q_dedup_ngram``: the shingle
+    inverted-index self-join computes |A∩B| per candidate pair (cost
+    follows posting-list sizes, never n²), the per-doc shingle counts
+    ride the carried ``n_sh`` column (no size-table join), and both
+    containments plus Jaccard derive from the one (inter, na, nb)
+    aggregate row — one extra projection over the Jaccard query, zero
+    extra shuffles. Rounding rides the floor-formula (≡ DuckDB round on
+    non-negative quotients)."""
+    d = t_wide(spark, sf_dir, "documents")
+    sh = ops_dedup.shingle_table(d, "doc_id", "text", NGRAM) \
+        .localCheckpoint(eager=False)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"),
+                 F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter")))
+    s4 = F.lit(1e4)
+
+    def _r4(x):
+        return (F.floor(x * s4 + F.lit(0.5))).cast("double") / s4
+
+    cab = _r4(F.col("inter").cast("double") / F.col("na"))
+    cba = _r4(F.col("inter").cast("double") / F.col("nb"))
+    jac = _r4(F.col("inter").cast("double")
+              / (F.col("na") + F.col("nb") - F.col("inter")))
+    return (pairs.select(
+        "doc_a", "doc_b",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"), "inter",
+        cab.alias("cont_a_in_b"), cba.alias("cont_b_in_a"),
+        jac.alias("jaccard"))
+        .where(F.greatest("cont_a_in_b", "cont_b_in_a")
+               >= CONTAINMENT_THRESHOLD)
+        .withColumn("asym", F.col("jaccard") < 0.5)
+        .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id, len({_SQL_SHINGLES}) AS n_sh,
+         unnest({_SQL_SHINGLES}) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {NGRAM}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT doc_a, doc_b, na, nb, inter,
+         round(CAST(inter AS DOUBLE) / na, 4) AS cont_a_in_b,
+         round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b_in_a,
+         round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+  FROM pairs
+)
+SELECT doc_a, doc_b, na, nb, inter, cont_a_in_b, cont_b_in_a, jaccard,
+       jaccard < 0.5 AS asym
+FROM scored
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) from one md5-derived 28-bit shingle hash and
     k affine transforms — the signature stage of
@@ -1298,6 +1381,10 @@ SPECS: dict[str, QuerySpec] = {
                                "exact hash-groupBy dedup"),
     "q_dedup_ngram": QuerySpec(q_dedup_ngram, ORACLE_DEDUP_NGRAM,
                                "n-gram Jaccard near-dup"),
+    "q_dedup_containment": QuerySpec(
+        q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
+        "asymmetric shingle-containment near-dup (doc-in-doc pairs "
+        "Jaccard misses)"),
     "q_dedup_minhash": QuerySpec(q_dedup_minhash, ORACLE_DEDUP_MINHASH,
                                  "portable MinHash signatures"),
     "q_dedup_cluster": QuerySpec(q_dedup_cluster, ORACLE_DEDUP_CLUSTER,

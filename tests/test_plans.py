@@ -1429,3 +1429,26 @@ def test_ngram_lm_is_broadcast_model_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4  # c2, per-doc, per-source (x2)
+
+
+def test_dedup_containment_rides_inverted_index(spark):
+    """q_dedup_containment: candidate generation must be the shingle
+    inverted-index equi-join (SortMergeJoin/ShuffledHashJoin on the
+    8-byte xxhash64 key), never a CartesianProduct; and the directional
+    scores must be consistent (each containment >= the pair's Jaccard,
+    both in [0,1])."""
+    plan = _plan(spark, "q_dedup_containment")
+    assert "CartesianProduct" not in plan
+    # the xxhash64 expression itself lives behind the shingle-table
+    # checkpoint — both join sides must read the ONE checkpointed RDD
+    # (the q_dedup_ngram single-materialization discipline), and the
+    # equi-join key is the hashed shingle column
+    assert "ExistingRDD" in plan
+    assert "array_distinct" not in plan
+    assert "sh#" in plan
+    rows = ALL_SPECS["q_dedup_containment"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= r["cont_a_in_b"] <= 1.0, r
+        assert r["jaccard"] <= r["cont_b_in_a"] <= 1.0, r
+        assert r["asym"] == (r["jaccard"] < 0.5), r
