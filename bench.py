@@ -221,6 +221,7 @@ HEADLINE = [
     "q_kmv_setops",
     "q_ngram_lm",
     "q_dedup_containment",
+    "q_dedup_spans",
 ]
 
 

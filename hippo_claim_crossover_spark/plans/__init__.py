@@ -58,6 +58,7 @@ GATE_ORDER = [
     # rewired to the histogram CDF (the 100x spill fix) --
     "q_parse_tree", "q_dedup_incremental", "q_minhash_merge",
     "q_kmv_setops", "q_ngram_lm", "q_dedup_containment",
+    "q_dedup_spans",
     "q_sim_ivf_persisted", "q_stream_dedup", "q_seasonal",
     "q_dedup_cluster",
     # stale-evidence rotation (r2+r3 cohorts, complete):
@@ -77,9 +78,8 @@ GATE_ORDER = [
     # above stays in as that refactor's driver-checked representative):
     # (q_outlier_mad, the family member with the freshest prior driver
     # row — pass @ r9 — waits just outside the window)
-    "q_percentile",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_winsorize", "q_percentile_approx",
+    "q_percentile", "q_winsorize", "q_percentile_approx",
     "q_percentile_highcard", "q_outlier_mad",
     "q_dedup_keep_best", "q_split_leakproof", "q_curation_pipeline",
     "q_grouping_sets",

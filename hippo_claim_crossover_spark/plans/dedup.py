@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators import dedup as ops_dedup
@@ -206,6 +206,111 @@ SELECT doc_a, doc_b, na, nb, inter, cont_a_in_b, cont_b_in_a, jaccard,
 FROM scored
 WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc_a, doc_b
+"""
+
+
+# Span width for exact-substring dedup (tokens per window).
+SPAN_W = 8
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication profile (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of each
+    source's tokens covered by a ``SPAN_W``-token window that occurs
+    MORE THAN ONCE in the corpus — the span-level signal doc-level
+    dedup (exact/MinHash) misses, and the cross-doc complement of
+    q_repetition's intra-doc top-bigram share. Flags docs where ≥ half
+    the tokens sit in duplicated spans (``2·dup ≥ n`` — integer
+    cross-multiplication, never a float threshold).
+
+    Shape: row-local sliding windows (codegen array transform +
+    posexplode), window occurrence counts via partial/final hash agg on
+    the 8-byte ``xxhash64`` key (the shingle_table discipline — strings
+    never shuffle), duplicated positions re-attach by the same key, and
+    per-doc covered-token counts come from a lag window over each doc's
+    duplicated positions (``Σ least(pos − prev, W)`` merges overlapping
+    spans in one pass — no interval materialization). The only
+    per-group window partitions by doc_id (bounded by doc length).
+    Token totals and coverage are integers end-to-end; the one division
+    per output row is the rounded fraction."""
+    d = (t_wide(spark, sf_dir, "documents")
+         .select("doc_id", "source", F.split("text", " ").alias("tk"))
+         .withColumn("n_tok", F.size("tk")))
+    wins = (d.where(F.col("n_tok") >= SPAN_W)
+            .select("doc_id",
+                    F.posexplode(F.expr(
+                        f"transform(sequence(1, n_tok - {SPAN_W} + 1), "
+                        f"i -> array_join(slice(tk, i, {SPAN_W}), ' '))"))
+                    .alias("pos0", "win"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                    F.xxhash64("win").alias("wh"))
+            .localCheckpoint(eager=False))
+    dup = (wins.groupBy("wh").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= 2).select("wh"))
+    lag_w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (wins.join(dup, "wh")
+           .withColumn("_prev", F.lag("pos").over(lag_w))
+           .withColumn("_cover",
+                       F.least(F.col("pos")
+                               - F.coalesce("_prev",
+                                            F.col("pos") - SPAN_W),
+                               F.lit(SPAN_W)))
+           .groupBy("doc_id")
+           .agg(F.sum("_cover").alias("dup_tokens")))
+    per_doc = (d.select("doc_id", "source", "n_tok")
+               .join(cov, "doc_id", "left")
+               .withColumn("dup_tokens",
+                           F.coalesce("dup_tokens", F.lit(0))))
+    frac = (F.floor(F.sum("dup_tokens").cast("double")
+                    / F.sum("n_tok").cast("double") * F.lit(1e4)
+                    + F.lit(0.5)).cast("double") / F.lit(1e4))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("tot_tokens"),
+                 F.sum("dup_tokens").alias("dup_tokens"),
+                 frac.alias("dup_frac"),
+                 F.sum(F.when(F.lit(2) * F.col("dup_tokens")
+                              >= F.col("n_tok"), 1).otherwise(0))
+                 .cast("long").alias("n_flagged"))
+            .orderBy("source"))
+
+
+ORACLE_DEDUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n_tok - {SPAN_W} + 2),
+                i -> struct_pack(pos := i,
+                     win := array_to_string(tk[i:i+{SPAN_W}-1], ' '))))
+           AS u
+  FROM d WHERE n_tok >= {SPAN_W}
+), w2 AS (
+  SELECT doc_id, u.pos AS pos, u.win AS win FROM wins
+), dup AS (
+  SELECT win FROM w2 GROUP BY win HAVING count(*) >= 2
+), dw AS (
+  SELECT w2.doc_id, w2.pos,
+         lag(w2.pos) OVER (PARTITION BY w2.doc_id ORDER BY w2.pos) AS prev
+  FROM w2 JOIN dup ON w2.win = dup.win
+), cov AS (
+  SELECT doc_id,
+         CAST(sum(least(pos - COALESCE(prev, pos - {SPAN_W}), {SPAN_W}))
+              AS BIGINT) AS dup_tokens
+  FROM dw GROUP BY doc_id
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_tok) AS BIGINT) AS tot_tokens,
+       CAST(sum(COALESCE(c.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       floor(CAST(sum(COALESCE(c.dup_tokens, 0)) AS DOUBLE)
+             / CAST(sum(d.n_tok) AS DOUBLE) * 1e4 + 0.5) / 1e4
+         AS dup_frac,
+       CAST(sum(CASE WHEN 2 * COALESCE(c.dup_tokens, 0) >= d.n_tok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM d LEFT JOIN cov c ON d.doc_id = c.doc_id
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -1385,6 +1490,10 @@ SPECS: dict[str, QuerySpec] = {
         q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
         "asymmetric shingle-containment near-dup (doc-in-doc pairs "
         "Jaccard misses)"),
+    "q_dedup_spans": QuerySpec(
+        q_dedup_spans, ORACLE_DEDUP_SPANS,
+        "exact-substring duplication profile: corpus-duplicated W-token "
+        "span coverage per source, integer span merging"),
     "q_dedup_minhash": QuerySpec(q_dedup_minhash, ORACLE_DEDUP_MINHASH,
                                  "portable MinHash signatures"),
     "q_dedup_cluster": QuerySpec(q_dedup_cluster, ORACLE_DEDUP_CLUSTER,

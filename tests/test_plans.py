@@ -1452,3 +1452,21 @@ def test_dedup_containment_rides_inverted_index(spark):
         assert 0.0 <= r["jaccard"] <= r["cont_a_in_b"] <= 1.0, r
         assert r["jaccard"] <= r["cont_b_in_a"] <= 1.0, r
         assert r["asym"] == (r["jaccard"] < 0.5), r
+
+
+def test_dedup_spans_hashes_windows_and_merges_integer_spans(spark):
+    """q_dedup_spans: window occurrence counting and the duplicated-
+    position re-attach must ride the 8-byte xxhash64 key behind the one
+    checkpointed window table (strings never shuffle twice); the only
+    per-group Window partitions by doc_id (bounded by doc length); no
+    CartesianProduct. Coverage sanity: dup_tokens <= tot_tokens and a
+    flagged count bounded by n_docs."""
+    plan = _plan(spark, "q_dedup_spans")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan          # checkpointed window table
+    assert "windowspecdefinition(doc_id" in plan
+    rows = ALL_SPECS["q_dedup_spans"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dup_tokens"] <= r["tot_tokens"], r
+        assert 0 <= r["n_flagged"] <= r["n_docs"], r
