@@ -222,6 +222,7 @@ HEADLINE = [
     "q_ngram_lm",
     "q_dedup_containment",
     "q_dedup_spans",
+    "q_acf",
 ]
 
 

@@ -1296,6 +1296,92 @@ FROM interior GROUP BY ((hour_id % 24) + 24) % 24 ORDER BY hour
 """
 
 
+ACF_MAX_LAG = 7
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..7 — the seasonality screen (a weekly cycle shows as an ACF peak
+    at lag 7) run before fitting any forecast model, and the lag-domain
+    complement of ``q_seasonal``'s bucket profile.
+
+    Exactness rides q_corr_matrix's moment discipline: daily revenue is
+    an exact BIGINT micros sum, every pairwise first/second moment is a
+    DECIMAL(38)/HUGEINT sum of int64 products (day totals reach ~1e15
+    micros, so squares need 128-bit accumulation), and Pearson's ratio
+    is one fixed double expression over identical operands in both
+    engines, zero-variance-guarded to NULL.
+
+    Shape: one partial/final agg to the daily series (|days| rows —
+    KB-scale for years of data), a lag fan-out (explode over the
+    constant lag list), and a self equi-join on the shifted date — all
+    downstream stages run on the AGGREGATED series, so the fact scan
+    happens once and nothing after it grows with row count."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        money_micros(F.col("o_totalprice")).alias("r"))
+    daily = o.groupBy("d").agg(F.sum("r").alias("r"))
+    lags = F.explode(F.array(*[F.lit(k) for k in
+                               range(1, ACF_MAX_LAG + 1)])).alias("lag")
+    probes = daily.select(F.col("d").alias("da"), F.col("r").alias("x"),
+                          lags)
+    pairs = probes.join(
+        daily.select(F.col("d").alias("db"), F.col("r").alias("y")),
+        F.expr("date_add(da, lag) = db"))
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("x"))).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y").cast(d38) * F.col("y"))).cast("double")
+        .alias("syy"),
+        F.sum((F.col("x").cast(d38) * F.col("y"))).cast("double")
+        .alias("sxy"))
+    num = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    va = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vb = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("nd").cast("long").alias("n_pairs"),
+        duck_round(F.when(va * vb > 0, num / F.sqrt(va * vb)), 6)
+        .alias("acf"))
+        .orderBy("lag"))
+
+
+ORACLE_ACF = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS r
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag
+), pairs AS (
+  SELECT l.lag, a.r AS x, b.r AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+), a AS (
+  SELECT lag,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(nd AS BIGINT) AS n_pairs,
+       CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0
+            THEN floor((nd * sxy - sx * sy)
+                 / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 END AS acf
+FROM a ORDER BY lag
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_ohlc": QuerySpec(
         q_ohlc, ORACLE_OHLC,
@@ -1363,4 +1449,9 @@ SPECS: dict[str, QuerySpec] = {
         q_active_users, ORACLE_ACTIVE_USERS,
         "DAU/WAU/MAU trailing distinct-user counts (fan-out distinct, "
         "never a sliding count-distinct window)"),
+    "q_acf": QuerySpec(
+        q_acf, ORACLE_ACF,
+        "daily-revenue autocorrelation at lags 1..7, exact "
+        "DECIMAL(38)/HUGEINT moments, self-join on the aggregated "
+        "series"),
 }

@@ -1470,3 +1470,18 @@ def test_dedup_spans_hashes_windows_and_merges_integer_spans(spark):
     for r in rows:
         assert 0 <= r["dup_tokens"] <= r["tot_tokens"], r
         assert 0 <= r["n_flagged"] <= r["n_docs"], r
+
+
+def test_acf_joins_on_aggregated_series(spark):
+    """q_acf: the lag self-join must run on the AGGREGATED daily series
+    (both join inputs downstream of HashAggregates — the fact scan
+    happens once per side at most, nothing row-scale crosses the
+    join), no CartesianProduct, and the moment sums ride DECIMAL(38)."""
+    plan = _plan(spark, "q_acf")
+    assert "CartesianProduct" not in plan
+    assert "decimal(38,0)" in plan
+    rows = {r["lag"]: r for r in
+            ALL_SPECS["q_acf"].fn(spark, SF_DIR).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]
+    for r in rows.values():
+        assert r["acf"] is None or -1.0 <= r["acf"] <= 1.0, r
