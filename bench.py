@@ -223,6 +223,7 @@ HEADLINE = [
     "q_dedup_containment",
     "q_dedup_spans",
     "q_acf",
+    "q_winnow",
 ]
 
 

@@ -51,18 +51,18 @@ GATE_ORDER = [
     # -- round 10 window: 10 NEW queries (S2 raw-text parse,
     # incremental corpus dedup, MinHash mergeability, KMV set algebra,
     # bigram-LM filter, containment + exact-substring-span dedup,
-    # daily-revenue ACF, persisted ANN index, watermark streaming
-    # dedup), q_seasonal (floor-div/pmod hardening), and the full
-    # 39-query r2+r3 stale-evidence cohort (newest driver record
-    # predates the r4 fixture regen — VERDICT r9 #1). Slots are
-    # zero-sum: the histogram-CDF percentile family and the
-    # plan-identical band_key_table callers are re-verified by the
-    # local tri-scale gate (BASELINE.md round-10 note) and queue just
-    # past the marker for the next window. --
+    # daily-revenue ACF, winnowing fingerprints, persisted ANN index,
+    # watermark streaming dedup) and the full 39-query r2+r3
+    # stale-evidence cohort (newest driver record predates the r4
+    # fixture regen — VERDICT r9 #1). Slots are zero-sum: this round's
+    # CHANGED queries (q_seasonal hardening, the band_key_table
+    # callers, the histogram-CDF percentile family) are re-verified by
+    # the local tri-scale gate (BASELINE.md round-10 note) and queue
+    # just past the marker for the next window. --
     "q_parse_tree", "q_dedup_incremental", "q_minhash_merge",
     "q_kmv_setops", "q_ngram_lm", "q_dedup_containment",
-    "q_dedup_spans", "q_acf",
-    "q_sim_ivf_persisted", "q_stream_dedup", "q_seasonal",
+    "q_dedup_spans", "q_acf", "q_winnow",
+    "q_sim_ivf_persisted", "q_stream_dedup",
     # stale-evidence rotation (r2+r3 cohorts, complete):
     "q_crossover", "q_scan", "q_sink", "q_project_rename", "q_parent_denorm",
     "q_filter_eq", "q_filter_notnull", "q_having", "q_join_inner",
@@ -74,7 +74,7 @@ GATE_ORDER = [
     "q_win_frame", "q_win_dist", "q_topk", "q_topk_group", "q_udf", "q_pivot",
     "q_cube", "q_sample_hash", "q_mm_meta", "q_stream_late",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_dedup_cluster", "q_percentile",
+    "q_seasonal", "q_dedup_cluster", "q_percentile",
     "q_winsorize", "q_percentile_approx",
     "q_percentile_highcard", "q_outlier_mad",
     "q_dedup_keep_best", "q_split_leakproof", "q_curation_pipeline",

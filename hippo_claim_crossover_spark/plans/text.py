@@ -17,6 +17,7 @@ from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
     hex2long,
+    sql_hex2long,
     t,
     t_wide,
 )
@@ -1677,6 +1678,140 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+# Winnowing parameters: k-gram width and window size. Expected selected
+# density is 2/(WINNOW_W + 1) = 0.4 (Schleimer et al., SIGMOD'03).
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every positional k-gram, slide a w-wide
+    window over the hash sequence, keep each window's minimum position
+    (argmin; leftmost on hash ties via a fixed-width (h, pos) string
+    key, so the tie-break is engine-deterministic by construction). The
+    guarantee: any shared substring of length ≥ w+k−1 yields at least
+    one shared fingerprint, at ~2/(w+1) the storage of full shingling —
+    the principled sparsification q_text_fingerprint's whole-doc hashes
+    and q_dedup_ngram's full inverted index sit on either side of.
+
+    Per source: docs/k-grams/selected counts, distinct fingerprints,
+    selected density (≈0.4 at w=4), and how many fingerprints are
+    SHARED with at least one other document corpus-wide — the
+    candidate-generation payload a fingerprint index serves.
+
+    Shape: row-local k-gram fan-out (codegen transform + posexplode) on
+    engine-portable md5-prefix hashes, ONE doc-bounded sliding-min
+    window, then partial/final aggs; the corpus-shared probe is an
+    equi-join on the 8-byte hash of the already-distinct per-doc
+    fingerprint table (rows ≈ 0.4·k-grams, pre-shrunk before the only
+    corpus-wide shuffle)."""
+    d = (t_wide(spark, sf_dir, "documents")
+         .select("doc_id", "source", F.split("text", " ").alias("tk"))
+         .withColumn("n_tok", F.size("tk")))
+    kg = (d.where(F.col("n_tok") >= WINNOW_K)
+          .select("doc_id", "source",
+                  F.posexplode(F.expr(
+                      f"transform(sequence(1, n_tok - {WINNOW_K} + 1), "
+                      f"i -> array_join(slice(tk, i, {WINNOW_K}), ' '))"))
+                  .alias("pos0", "kgram"))
+          .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"),
+                  hex2long(F.md5("kgram")).alias("h"))
+          .localCheckpoint(eager=False))
+    # Canonical winnowing selects each window's ARGMIN position
+    # (leftmost on hash ties). Encoding (h, pos) as one fixed-width
+    # zero-padded string makes "min of the struct" a plain window MIN
+    # whose tie-break is identical in both engines; the window ends at
+    # every position >= w, so each full window contributes its argmin
+    # and DISTINCT keys are the selected positions.
+    key = F.concat(F.lpad(F.col("h").cast("string"), 19, "0"),
+                   F.lpad(F.col("pos").cast("string"), 7, "0"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(-(WINNOW_W - 1), 0))
+    sel = (kg.withColumn("_k", key)
+           .withColumn("_mk", F.min("_k").over(win))
+           .where(F.col("pos") >= WINNOW_W)
+           .select("doc_id", "source", "_mk").distinct()
+           .withColumn("h", F.substring("_mk", 1, 19).cast("long"))
+           .localCheckpoint(eager=False))
+    fp = sel.select("doc_id", "source", "h").distinct()
+    shared = (fp.groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
+              .where(F.col("_nd") >= 2).select("h"))
+    base = (kg.groupBy("source")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_kgrams")))
+    n_sel = sel.groupBy("source").agg(F.count(F.lit(1)).alias("n_selected"))
+    n_fp = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    n_sh = (fp.join(shared, "h").groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_shared_fp")))
+    dens = (F.floor(F.col("n_selected").cast("double")
+                    / F.col("n_kgrams").cast("double") * F.lit(1e4)
+                    + F.lit(0.5)).cast("double") / F.lit(1e4))
+    return (base.join(n_sel, "source").join(n_fp, "source")
+            .join(n_sh, "source", "left")
+            .withColumn("n_shared_fp",
+                        F.coalesce("n_shared_fp", F.lit(0)).cast("long"))
+            .select("source", "n_docs", "n_kgrams", "n_selected", "n_fp",
+                    dens.alias("density"), "n_shared_fp")
+            .orderBy("source"))
+
+
+ORACLE_WINNOW = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), kg0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, n_tok - {WINNOW_K} + 2),
+                i -> struct_pack(pos := i,
+                     kg := array_to_string(tk[i:i+{WINNOW_K}-1], ' '))))
+           AS u
+  FROM d WHERE n_tok >= {WINNOW_K}
+), kg AS (
+  SELECT doc_id, source, u.pos AS pos,
+         {sql_hex2long("md5(u.kg)")} AS h
+  FROM kg0
+), sel AS (
+  SELECT DISTINCT doc_id, source, mk,
+         CAST(substr(mk, 1, 19) AS BIGINT) AS h
+  FROM (SELECT doc_id, source, pos,
+               min(lpad(CAST(h AS VARCHAR), 19, '0') ||
+                   lpad(CAST(pos AS VARCHAR), 7, '0'))
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                       AND CURRENT ROW) AS mk
+        FROM kg)
+  WHERE pos >= {WINNOW_W}
+), fp AS (
+  SELECT DISTINCT doc_id, source, h FROM sel
+), shared AS (
+  SELECT h FROM fp GROUP BY h HAVING count(*) >= 2
+), base AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_kgrams
+  FROM kg GROUP BY source
+), nsel AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_selected
+  FROM sel GROUP BY source
+), nfp AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY source
+), nsh AS (
+  SELECT f.source, CAST(count(*) AS BIGINT) AS n_shared_fp
+  FROM fp f JOIN shared s ON f.h = s.h GROUP BY f.source
+)
+SELECT b.source, b.n_docs, b.n_kgrams, ns.n_selected, nf.n_fp,
+       floor(CAST(ns.n_selected AS DOUBLE) / CAST(b.n_kgrams AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS density,
+       COALESCE(nh.n_shared_fp, 0) AS n_shared_fp
+FROM base b
+JOIN nsel ns ON ns.source = b.source
+JOIN nfp nf ON nf.source = b.source
+LEFT JOIN nsh nh ON nh.source = b.source
+ORDER BY b.source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_export_pipeline": QuerySpec(
         q_export_pipeline, ORACLE_EXPORT_PIPELINE,
@@ -1752,6 +1887,10 @@ SPECS: dict[str, QuerySpec] = {
     "q_text_entropy": QuerySpec(
         q_text_entropy, ORACLE_TEXT_ENTROPY,
         "token-entropy quality signal, integer micro-bit accumulation"),
+    "q_winnow": QuerySpec(
+        q_winnow, ORACLE_WINNOW,
+        "winnowing fingerprint selection (MOSS): window-min k-gram "
+        "hashes, ~2/(w+1) density, corpus-shared fingerprint probe"),
     "q_ngram_lm": QuerySpec(
         q_ngram_lm, ORACLE_NGRAM_LM,
         "bigram-LM perplexity filter: train counts + add-one smoothing "

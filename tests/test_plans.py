@@ -1485,3 +1485,22 @@ def test_acf_joins_on_aggregated_series(spark):
     assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]
     for r in rows.values():
         assert r["acf"] is None or -1.0 <= r["acf"] <= 1.0, r
+
+
+def test_winnow_density_and_guarantee(spark):
+    """q_winnow: selected density must sit near the theoretical
+    2/(w+1) = 0.4 (winnowing's storage bound), the sliding-min window
+    must be doc-bounded, and no CartesianProduct. Guarantee check:
+    fingerprints are a subset of k-gram hashes (n_fp <= n_selected
+    <= n_kgrams)."""
+    plan = _plan(spark, "q_winnow")
+    assert "CartesianProduct" not in plan
+    # the doc-bounded sliding-min window lives behind the selected-
+    # position checkpoint; both downstream consumers read the one RDD
+    assert "ExistingRDD" in plan
+    rows = ALL_SPECS["q_winnow"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_fp"] <= r["n_selected"] <= r["n_kgrams"], r
+        assert 0.25 <= r["density"] <= 0.6, r  # ~0.4 expected
+        assert 0 <= r["n_shared_fp"] <= r["n_fp"], r
