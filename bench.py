@@ -224,6 +224,7 @@ HEADLINE = [
     "q_dedup_spans",
     "q_acf",
     "q_winnow",
+    "q_stream_resume",
 ]
 
 

