@@ -225,6 +225,7 @@ HEADLINE = [
     "q_acf",
     "q_winnow",
     "q_stream_resume",
+    "q_outlier_seasonal",
 ]
 
 

