@@ -226,6 +226,7 @@ HEADLINE = [
     "q_winnow",
     "q_stream_resume",
     "q_outlier_seasonal",
+    "q_graph_sage_agg",
 ]
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.plans.base import (
-    QuerySpec, duck_round, hex2long, t)
+    QuerySpec, duck_round, hex2long, money_micros, t)
 
 DAMPING = 0.85
 ITERS = 2
@@ -538,6 +538,89 @@ ORDER BY n_members DESC, community
 ORACLE_GRAPH_LPA = _lpa_oracle()
 
 
+def q_graph_sage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN FEATURE AGGREGATION (the GraphSAGE "aggregate my neighbors"
+    layer as pure relational ops — the preprocessing a graph-learning
+    pipeline runs before any model sees data): for every node of the
+    co-purchase graph, the mean/max of its neighbors' retail price and
+    mean neighbor size, next to the node's own features. Deeper layers
+    iterate exactly this shape (join state, aggregate by src — the
+    q_pagerank round structure), so one layer declared + hash-checked
+    pins the machinery.
+
+    Exactness: sums ride integer micros; the two means are single
+    double divisions over identical operands. Shape: the symmetrized
+    edge list joins the feature table on dst (equi-join — broadcast
+    when the feature table is dim-sized, shuffle otherwise; AQE
+    decides), then ONE partial/final agg by src; at 100 TB the edge
+    list stays co-partitioned on src across layers and features attach
+    by the same join each layer."""
+    e = _edges(spark, sf_dir)
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        money_micros(F.col("p_retailprice")).alias("price_u"),
+        F.col("p_size").cast("long").alias("size"))
+    nbr = (e.join(p, e.dst == p.p_partkey)
+           .groupBy("src")
+           .agg(F.count(F.lit(1)).alias("deg"),
+                F.sum("price_u").alias("_sp"),
+                F.max("price_u").alias("_mp"),
+                F.sum("size").alias("_ss")))
+    return (nbr.join(p, nbr.src == p.p_partkey)
+            .select(F.col("src").alias("node"), "deg",
+                    duck_round(F.col("price_u").cast("double")
+                               / F.lit(1e6), 2).alias("self_price"),
+                    duck_round(F.col("_sp").cast("double")
+                               / F.col("deg").cast("double")
+                               / F.lit(1e6), 4).alias("nbr_price_mean"),
+                    duck_round(F.col("_mp").cast("double")
+                               / F.lit(1e6), 2).alias("nbr_price_max"),
+                    duck_round(F.col("_ss").cast("double")
+                               / F.col("deg").cast("double"), 4)
+                    .alias("nbr_size_mean"))
+            .orderBy("node"))
+
+
+ORACLE_GRAPH_SAGE_AGG = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SUP}
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs
+),
+feat AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 1e6 + 0.5) AS BIGINT) AS price_u,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+nbr AS (
+  SELECT e.src, CAST(count(*) AS BIGINT) AS deg,
+         CAST(sum(f.price_u) AS BIGINT) AS sp,
+         max(f.price_u) AS mp,
+         CAST(sum(f.size) AS BIGINT) AS ss
+  FROM edges e JOIN feat f ON e.dst = f.p_partkey
+  GROUP BY e.src
+)
+SELECT n.src AS node, n.deg,
+       floor(CAST(f.price_u AS DOUBLE) / 1e6 * 1e2 + 0.5) / 1e2
+         AS self_price,
+       floor(CAST(n.sp AS DOUBLE) / CAST(n.deg AS DOUBLE) / 1e6
+             * 1e4 + 0.5) / 1e4 AS nbr_price_mean,
+       floor(CAST(n.mp AS DOUBLE) / 1e6 * 1e2 + 0.5) / 1e2
+         AS nbr_price_max,
+       floor(CAST(n.ss AS DOUBLE) / CAST(n.deg AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS nbr_size_mean
+FROM nbr n JOIN feat f ON n.src = f.p_partkey
+ORDER BY node
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_graph_lpa": QuerySpec(
         q_graph_lpa, ORACLE_GRAPH_LPA,
@@ -559,4 +642,8 @@ SPECS: dict[str, QuerySpec] = {
                                    ORACLE_GRAPH_TRIANGLES,
                                    "oriented-join triangle count + "
                                    "clustering coefficient"),
+    "q_graph_sage_agg": QuerySpec(
+        q_graph_sage_agg, ORACLE_GRAPH_SAGE_AGG,
+        "GraphSAGE-style 1-hop neighbor feature aggregation over the "
+        "co-purchase graph, exact-micros means"),
 }

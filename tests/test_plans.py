@@ -1521,3 +1521,18 @@ def test_outlier_seasonal_profile_broadcasts_and_group_limits(spark):
     assert len(types) == 5 and len(rows) == 15
     for r in rows:
         assert 0 <= r["hr"] <= 23 and 1 <= r["rk"] <= 3, r
+
+
+def test_graph_sage_agg_is_one_shuffle_layer(spark):
+    """q_graph_sage_agg: one SAGE layer must be join + ONE partial/final
+    aggregate by src (map-side combine on the feature join output), no
+    CartesianProduct; invariants: nbr_price_mean <= nbr_price_max and
+    deg >= 1 (only edge-bearing nodes emit)."""
+    plan = _plan(spark, "q_graph_sage_agg")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    rows = ALL_SPECS["q_graph_sage_agg"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["deg"] >= 1, r
+        assert r["nbr_price_mean"] <= r["nbr_price_max"] + 1e-9, r
