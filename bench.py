@@ -227,6 +227,7 @@ HEADLINE = [
     "q_stream_resume",
     "q_outlier_seasonal",
     "q_graph_sage_agg",
+    "q_dp_counts",
 ]
 
 

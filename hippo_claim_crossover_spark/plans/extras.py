@@ -1094,6 +1094,107 @@ FROM est ORDER BY pair_a, pair_b
 """
 
 
+# DP release parameters: epsilon per statistic (two statistics => the
+# release consumes a 2*eps budget under basic composition), the
+# acctbal clamp bound (= the sum query's sensitivity), and the
+# seeded-uniform denominator (60-bit md5 prefix -> [0, 1)).
+DP_EPS = 1.0
+DP_CLAMP = 10_000
+_DP_DENOM = float(1 << 60)
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE aggregate release — the privacy face of a
+    data pipeline (per-partner statistics published from user-level
+    data): per nation, a Laplace-noised customer count (sensitivity 1)
+    and a noised, CLAMPED account-balance sum (clamp to [0, DP_CLAMP]
+    first — unbounded columns have unbounded sensitivity, the classic
+    DP bug). Per-statistic ε = 1; the two-statistic release costs 2ε
+    under basic composition (documented, not hidden).
+
+    The noise is SEEDED Laplace — inverse-CDF over a 60-bit md5
+    uniform, u = h/2^60, x = −b·sign(u−½)·ln(1−2|u−½|) — so both
+    engines derive the identical noise and the driver hashes the
+    released values outright; the ln() term is snapped to integer
+    micro-precision (the log2 idiom from q_text_entropy) because libm
+    ulp differences would otherwise leak into the hash. A seeded
+    release is exactly how DP deployments make audits reproducible
+    (the seed is the secret; determinism is a feature, not a leak).
+
+    Shape: clamp + micros in the scan projection, one partial/final
+    agg per nation, noise derived row-locally on the 25-row aggregate
+    — nothing beyond the one aggregation touches data scale."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.least(F.greatest(money_micros(F.col("c_acctbal")), F.lit(0)),
+                F.lit(DP_CLAMP * 1_000_000)).alias("bal_u"))
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (c.groupBy("c_nationkey")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sum("bal_u").alias("_s"))
+           .join(F.broadcast(n),
+                 F.col("c_nationkey") == F.col("n_nationkey")))
+
+    def lap_noise(tag: str, b: float):
+        u = (hex2long(F.md5(F.concat(F.lit(f"dp:{tag}:"), F.col("n_name"))))
+             .cast("double") / F.lit(_DP_DENOM))
+        tshift = u - F.lit(0.5)
+        ln_u = F.floor(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(tshift))
+                       * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return (F.lit(-b) * F.signum(tshift)
+                * ln_u.cast("double") / F.lit(1e6))
+
+    noisy_count = F.floor(F.col("_n").cast("double")
+                          + lap_noise("count", 1.0 / DP_EPS)
+                          + F.lit(0.5)).cast("long")
+    noisy_sum = (F.col("_s").cast("double") / F.lit(1e6)
+                 + lap_noise("sum", DP_CLAMP / DP_EPS))
+    return (agg.select(
+        F.col("n_name").alias("nation"),
+        noisy_count.alias("dp_count"),
+        duck_round(noisy_sum, 2).alias("dp_balance_sum"),
+        F.lit(float(DP_EPS)).alias("eps_per_stat"))
+        .orderBy("nation"))
+
+
+ORACLE_DP_COUNTS = f"""
+WITH c AS (
+  SELECT c_nationkey,
+         least(greatest(CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT), 0),
+               {DP_CLAMP * 1_000_000}) AS bal_u
+  FROM customer
+), agg AS (
+  SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cnt,
+         CAST(sum(c.bal_u) AS BIGINT) AS s
+  FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), noised AS (
+  SELECT n_name, n_cnt, s,
+         ({sql_hex2long("md5('dp:count:' || n_name)")}) AS hc,
+         ({sql_hex2long("md5('dp:sum:' || n_name)")}) AS hs
+  FROM agg
+), calc AS (
+  SELECT n_name, n_cnt, s,
+         CAST(hc AS DOUBLE) / {_DP_DENOM!r} - 0.5 AS tc,
+         CAST(hs AS DOUBLE) / {_DP_DENOM!r} - 0.5 AS ts
+  FROM noised
+)
+SELECT n_name AS nation,
+       CAST(floor(CAST(n_cnt AS DOUBLE)
+            + (-{1.0 / DP_EPS!r}) * sign(tc)
+              * CAST(CAST(floor(ln(1.0 - 2.0 * abs(tc)) * 1e6 + 0.5)
+                          AS BIGINT) AS DOUBLE) / 1e6
+            + 0.5) AS BIGINT) AS dp_count,
+       floor((CAST(s AS DOUBLE) / 1e6
+            + (-{DP_CLAMP / DP_EPS!r}) * sign(ts)
+              * CAST(CAST(floor(ln(1.0 - 2.0 * abs(ts)) * 1e6 + 0.5)
+                          AS BIGINT) AS DOUBLE) / 1e6)
+             * 1e2 + 0.5) / 1e2 AS dp_balance_sum,
+       CAST({float(DP_EPS)!r} AS DOUBLE) AS eps_per_stat
+FROM calc ORDER BY nation
+"""
+
+
 # Target mixture (integer shares out of 20): the Pile/Dolma-style
 # domain-weighting recipe — upweight the first sources, exclude the rest.
 MIX_SHARES = [("src0", 8), ("src1", 6), ("src2", 4), ("src3", 2)]
@@ -1254,6 +1355,10 @@ SPECS: dict[str, QuerySpec] = {
         "KMV sketch set algebra: pairwise union/intersection/Jaccard "
         "estimates from merged bottom-K sketches, estimates "
         "hash-checked + exact-side band verdicts"),
+    "q_dp_counts": QuerySpec(
+        q_dp_counts, ORACLE_DP_COUNTS,
+        "differentially-private release: seeded-Laplace noised count + "
+        "clamped sum per nation, noise hash-checked outright"),
     "q_dataset_mixture": QuerySpec(
         q_dataset_mixture, ORACLE_DATASET_MIXTURE,
         "target-proportion domain mixture, integer quotas + md5 draw "

@@ -1536,3 +1536,37 @@ def test_graph_sage_agg_is_one_shuffle_layer(spark):
     for r in rows:
         assert r["deg"] >= 1, r
         assert r["nbr_price_mean"] <= r["nbr_price_max"] + 1e-9, r
+
+
+def test_dp_counts_noise_is_plausible_laplace(spark):
+    """q_dp_counts: the released values must differ from the true
+    aggregates by bounded Laplace noise (|count noise| <= 15/eps and
+    |sum noise| <= 15*clamp/eps covers u in [2^-21, 1-2^-21] — md5
+    uniforms outside that band are ~impossible at 25 draws), the clamp
+    must bind BEFORE the sum, and the plan must stay one aggregate +
+    broadcast dim join."""
+    import math
+
+    import duckdb
+
+    plan = _plan(spark, "q_dp_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = {r["nation"]: r for r in
+            ALL_SPECS["q_dp_counts"].fn(spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    true = {r[0]: (r[1], r[2]) for r in con.execute("""
+        SELECT n_name, count(*),
+               sum(least(greatest(c_acctbal, 0), 10000))
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""").fetchall()}
+    assert set(rows) == set(true)
+    for nat, (n_true, s_true) in true.items():
+        r = rows[nat]
+        assert abs(r["dp_count"] - n_true) <= 15.0, (nat, r, n_true)
+        assert abs(r["dp_balance_sum"] - float(s_true)) <= 15.0 * 10000, \
+            (nat, r, s_true)
+        assert r["eps_per_stat"] == 1.0
