@@ -228,6 +228,7 @@ HEADLINE = [
     "q_outlier_seasonal",
     "q_graph_sage_agg",
     "q_dp_counts",
+    "q_join_asof_fwd",
 ]
 
 

@@ -85,6 +85,64 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                       *lcols, *rcols)
 
 
+def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str, right_ts: str,
+                      tolerance: str | None = None) -> DataFrame:
+    """As-of FORWARD join: for each left row, the single right row with
+    the LEAST ``right_ts`` ≥ ``left_ts`` sharing the key (pandas
+    ``merge_asof(direction='forward')``) — time-to-next-event
+    semantics. The mirror of :func:`asof_join`: same one-shuffle
+    union+window shape, but left rows sort BEFORE right rows at equal
+    timestamps (so an equal-ts right row is inside the forward frame —
+    inclusive match) and the carry is ``first(..., ignorenulls=True)``
+    over the CURRENT-to-following frame. ``tolerance`` nulls out a
+    match further than ``left_ts + tolerance``."""
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if left_ts in rcols:
+        overlap.add(left_ts)
+    if overlap:
+        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
+    internal = {"_k", "_ts", "_is_left", "_rts"}
+    clash = internal & set(left.columns) | internal & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with asof_join internals: {sorted(clash)}")
+    tagged_l = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    # left first at equal ts (descending side tag) => the same-ts right
+    # row falls inside the forward frame: inclusive.
+    w = (Window.partitionBy("_k").orderBy("_ts", F.desc("_is_left"))
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    carried = [F.first(c, ignorenulls=True).over(w).alias(c) for c in rcols]
+    matched_ts = (F.first(F.when(F.col("_is_left") == 0, F.col("_ts")),
+                          ignorenulls=True).over(w).alias("_rts"))
+    out = (
+        tagged_l.unionByName(tagged_r)
+        .select("_k", "_ts", "_is_left", *lcols, *carried, matched_ts)
+        .where(F.col("_is_left") == 1)
+    )
+    if tolerance is not None:
+        in_tol = (F.col("_rts")
+                  <= F.col("_ts") + F.expr(f"INTERVAL {tolerance}"))
+        out = out.select(
+            "_k", "_ts", *lcols,
+            *[F.when(in_tol, F.col(c)).alias(c) for c in rcols])
+    return out.select(F.col("_k").alias(on), F.col("_ts").alias(left_ts),
+                      *lcols, *rcols)
+
+
 _SALTED_JOIN_HOW = {"inner", "left", "leftouter", "left_outer",
                     "left_semi", "leftsemi", "left_anti", "leftanti"}
 

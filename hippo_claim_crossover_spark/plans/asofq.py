@@ -51,7 +51,61 @@ FROM events e ASOF LEFT JOIN o1
 """
 
 
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a tolerance horizon: for each ``error``
+    event, the user's next ``purchase`` at-or-after it, nulled if more
+    than 2 days out — time-to-recovery / conversion-lag semantics
+    (pandas ``merge_asof(direction='forward', tolerance=...)``). The
+    Spark side is :func:`operators.joins.asof_join_forward` (the
+    union+window mirror of the backward operator — one shuffle, no
+    range explosion); the oracle is DuckDB's native ``ASOF LEFT JOIN``
+    with the ``<=`` comparator plus the same tolerance nullify, so two
+    independent implementations cross-check both direction and
+    horizon."""
+    from hippo_claim_crossover_spark.operators.joins import (
+        asof_join_forward)
+
+    e = t(spark, sf_dir, "events")
+    errors = (e.where(F.col("event_type") == "error")
+              .select("user_id", "event_id", "ts"))
+    # deterministic right side: one row per (user, ts), argmax event_id
+    buys = (e.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", F.col("ts").alias("buy_ts"))
+            .agg(F.max(F.struct("event_id", "value")).alias("s"))
+            .select("user_id", "buy_ts",
+                    F.col("s.event_id").alias("buy_id"),
+                    F.col("s.value").alias("buy_value")))
+    out = asof_join_forward(errors, buys, on="user_id",
+                            left_ts="ts", right_ts="buy_ts",
+                            tolerance="2 days")
+    return out.orderBy("user_id", "event_id")
+
+
+ORACLE_JOIN_ASOF_FWD = """
+WITH b AS (
+  SELECT user_id, ts AS buy_ts, max(event_id) AS buy_id,
+         max_by(value, event_id) AS buy_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), m AS (
+  SELECT e.user_id, e.event_id, e.ts, b.buy_ts, b.buy_id, b.buy_value
+  FROM (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'error') e
+  ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts <= b.buy_ts
+)
+SELECT user_id, event_id, ts,
+       CASE WHEN buy_ts <= ts + INTERVAL 2 DAY THEN buy_ts END AS buy_ts,
+       CASE WHEN buy_ts <= ts + INTERVAL 2 DAY THEN buy_id END AS buy_id,
+       CASE WHEN buy_ts <= ts + INTERVAL 2 DAY THEN buy_value END
+         AS buy_value
+FROM m ORDER BY user_id, event_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_join_asof": QuerySpec(q_join_asof, ORACLE_JOIN_ASOF,
                              "as-of join via union+window vs DuckDB ASOF"),
+    "q_join_asof_fwd": QuerySpec(
+        q_join_asof_fwd, ORACLE_JOIN_ASOF_FWD,
+        "forward as-of with tolerance (next purchase within 2 days of "
+        "each error) vs DuckDB ASOF <="),
 }

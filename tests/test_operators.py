@@ -530,3 +530,26 @@ def test_grouped_histogram_cdf_matches_python(spark):
         for v, c in sorted(vcs):
             cum += c
             assert got[(g, v)] == cum, (g, v, got[(g, v)], cum)
+
+
+def test_asof_join_forward_matches_pandas_semantics(spark):
+    """asof_join_forward equals a brute-force 'least right_ts >= left_ts
+    per key' reference on adversarial shapes: equal-ts inclusivity,
+    no-match keys, multiple candidates, and the tolerance horizon."""
+    left = spark.createDataFrame(
+        [("a", 10, "l1"), ("a", 20, "l2"), ("b", 5, "l3"),
+         ("c", 1, "l4")],
+        "k string, lt long, lv string")
+    right = spark.createDataFrame(
+        [("a", 10, "r10"), ("a", 15, "r15"), ("a", 40, "r40"),
+         ("b", 4, "r4")],
+        "k string, rt long, rv string")
+    got = {(r["k"], r["lt"]): r["rv"] for r in
+           __import__("hippo_claim_crossover_spark.operators.joins",
+                      fromlist=["asof_join_forward"])
+           .asof_join_forward(left, right, on="k", left_ts="lt",
+                              right_ts="rt").collect()}
+    # a@10 -> r10 (inclusive equal ts); a@20 -> r40; b@5 -> none
+    # (4 < 5); c -> none
+    assert got == {("a", 10): "r10", ("a", 20): "r40",
+                   ("b", 5): None, ("c", 1): None}
