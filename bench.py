@@ -229,6 +229,7 @@ HEADLINE = [
     "q_graph_sage_agg",
     "q_dp_counts",
     "q_join_asof_fwd",
+    "q_mm_dedup",
 ]
 
 

@@ -470,11 +470,77 @@ ORDER BY l.label
 ORACLE_MM_PAIRFILTER = _oracle_mm_pairfilter()
 
 
+def q_mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload EXACT dedup with storage accounting — the first
+    pass every media-lake curation runs (byte-identical re-uploads and
+    mirror copies dominate raw crawl storage): group the payloads by
+    sha256 digest per routed media type, keep one canonical copy per
+    digest (min doc_id), and account the reclaimable bytes
+    (Σ (copies − 1) × size per duplicate group).
+
+    Shape: digest + size are row-local built-ins over the BinaryType
+    column; ONE partial/final agg on the (media_type, 32-byte digest)
+    key — content-addressed dedup's whole cost is that single shuffle
+    of digests, never payloads (the q_dedup_exact discipline on binary
+    media). The per-type rollup is a second KB-scale agg."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    files = d.select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video").alias("media_type"),
+        F.sha2(payload, 256).alias("digest"),
+        F.octet_length(payload).cast("long").alias("n_bytes"))
+    groups = (files.groupBy("media_type", "digest")
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.max("n_bytes").alias("_sz"),
+                   F.min("doc_id").alias("_keep")))
+    return (groups.groupBy("media_type")
+            .agg(F.sum("_n").alias("n_files"),
+                 F.count(F.lit(1)).alias("n_unique"),
+                 F.sum(F.col("_n") - 1).alias("n_dup_files"),
+                 F.sum(F.col("_n") * F.col("_sz")).alias("bytes_total"),
+                 F.sum((F.col("_n") - 1) * F.col("_sz"))
+                 .alias("bytes_saved"),
+                 F.sum("_keep").alias("keeper_id_sum"))
+            .orderBy("media_type"))
+
+
+ORACLE_MM_DEDUP = """
+WITH files AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS digest,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), groups AS (
+  SELECT media_type, digest, CAST(count(*) AS BIGINT) AS n,
+         max(n_bytes) AS sz, min(doc_id) AS keep
+  FROM files GROUP BY 1, 2
+)
+SELECT media_type,
+       CAST(sum(n) AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n - 1) AS BIGINT) AS n_dup_files,
+       CAST(sum(n * sz) AS BIGINT) AS bytes_total,
+       CAST(sum((n - 1) * sz) AS BIGINT) AS bytes_saved,
+       CAST(sum(keep) AS BIGINT) AS keeper_id_sum
+FROM groups GROUP BY media_type ORDER BY media_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_mm_pairfilter": QuerySpec(
         q_mm_pairfilter, ORACLE_MM_PAIRFILTER,
         "CLIP-shaped cross-modal pair prep: caption filter -> exact-"
         "integer centroid coherence -> SRP-blocked near-dup drop"),
+    "q_mm_dedup": QuerySpec(
+        q_mm_dedup, ORACLE_MM_DEDUP,
+        "binary-payload exact dedup per media type: digest groups, "
+        "canonical keeper, reclaimable bytes"),
     "q_mm_meta": QuerySpec(q_mm_meta, ORACLE_MM_META,
                            "binary payload metadata"),
     "q_mm_binfile": QuerySpec(q_mm_binfile, ORACLE_MM_BINFILE,

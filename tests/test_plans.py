@@ -1570,3 +1570,19 @@ def test_dp_counts_noise_is_plausible_laplace(spark):
         assert abs(r["dp_balance_sum"] - float(s_true)) <= 15.0 * 10000, \
             (nat, r, s_true)
         assert r["eps_per_stat"] == 1.0
+
+
+def test_mm_dedup_shuffles_digests_not_payloads(spark):
+    """q_mm_dedup: the dedup shuffle key must be the 32-byte digest
+    (sha2 computed in the scan projection, payload bytes never cross an
+    exchange as the grouping payload), two partial/final aggregates, no
+    CartesianProduct; accounting invariants hold."""
+    plan = _plan(spark, "q_mm_dedup")
+    assert "CartesianProduct" not in plan
+    assert "sha2" in plan
+    assert plan.count("HashAggregate") >= 4
+    rows = ALL_SPECS["q_mm_dedup"].fn(spark, SF_DIR).collect()
+    assert {r["media_type"] for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert r["n_files"] == r["n_unique"] + r["n_dup_files"], r
+        assert r["bytes_saved"] <= r["bytes_total"], r
