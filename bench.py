@@ -230,6 +230,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_join_asof_fwd",
     "q_mm_dedup",
+    "q_rolling_zscore",
 ]
 
 

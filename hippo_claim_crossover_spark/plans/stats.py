@@ -363,6 +363,85 @@ FROM rr WHERE rk <= 3
 """
 
 
+# Rolling-zscore parameters: trailing history window (rows, excluding
+# the scored row) and the minimum history required to score.
+RZ_WIN = 20
+RZ_MIN_N = 5
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE-STYLE anomaly scoring: each event scored against its own
+    user's trailing-20-event history (exclusive frame — the monitoring
+    semantics where the current point must not contaminate its own
+    baseline; q_outlier_zscore's global scoring can't see a per-user
+    level shift). Top-10 most anomalous events corpus-wide.
+
+    Exactness: the frame aggregates are INTEGER sums of micros and
+    squared micros (value ≤ ~1e3 ⇒ v_u² ≤ 1e18/100 — inside int64 for
+    any plausible frame width), so mean and the sample-variance
+    numerator ``n·Σx² − (Σx)²`` are identical doubles cross-engine,
+    and z is one fixed expression over them, zero-variance-guarded.
+
+    Shape: one hash shuffle on user_id + per-user window (frame state
+    is two longs — Spark's sliding ROWS frame is incremental, not
+    re-summed), then TakeOrdered for the global top-10: no global
+    sort, no per-group buffering beyond the 20-row frame."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        money_micros(F.col("value")).alias("v_u"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-RZ_WIN, -1))
+    hist = (e.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_s", F.sum("v_u").over(w))
+            .withColumn("_s2", F.sum(F.col("v_u") * F.col("v_u")).over(w)))
+    nd = F.col("_n").cast("double")
+    sd = F.col("_s").cast("double")
+    s2d = F.col("_s2").cast("double")
+    var_num = nd * s2d - sd * sd
+    mean = sd / nd / F.lit(1e6)
+    z = ((F.col("value") - mean)
+         / (F.sqrt(var_num / (nd * (nd - 1))) / F.lit(1e6)))
+    scored = (hist.where(F.col("_n") >= RZ_MIN_N)
+              .where(var_num > 0)
+              .withColumn("z", z))
+    return (scored.select("event_id", "user_id", "event_type", "value",
+                          F.col("_n").alias("n_hist"),
+                          duck_round(F.col("z"), 4).alias("z"))
+            .orderBy(F.abs(F.col("z")).desc(), "event_id")
+            .limit(10))
+
+
+ORACLE_ROLLING_ZSCORE = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_u
+  FROM events
+), h AS (
+  SELECT *,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(v_u) OVER w AS BIGINT) AS s,
+         CAST(sum(v_u * v_u) OVER w AS BIGINT) AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {RZ_WIN} PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_id, user_id, event_type, value, n,
+         (value - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+         / (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 1e6)
+           AS z
+  FROM h
+  WHERE n >= {RZ_MIN_N}
+    AND CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+)
+SELECT event_id, user_id, event_type, value,
+       n AS n_hist, floor(z * 1e4 + 0.5) / 1e4 AS z
+FROM scored ORDER BY abs(z) DESC, event_id LIMIT 10
+"""
+
+
 # The event-type universe is part of the query contract (drift is always
 # measured over a fixed label vocabulary); spelling it out keeps the χ²
 # summation a fixed-order chain of 5 additions instead of an
@@ -1279,6 +1358,10 @@ SPECS: dict[str, QuerySpec] = {
         q_outlier_seasonal, ORACLE_OUTLIER_SEASONAL,
         "seasonality-adjusted anomalies: hourly-profile residuals "
         "scored by median/MAD, top-3 per type"),
+    "q_rolling_zscore": QuerySpec(
+        q_rolling_zscore, ORACLE_ROLLING_ZSCORE,
+        "per-user trailing-window z-score anomalies (exclusive frame, "
+        "integer frame sums), global top-10"),
     "q_drift_chi2": QuerySpec(
         q_drift_chi2, ORACLE_DRIFT_CHI2,
         "shard-vs-corpus chi-square distribution drift"),

@@ -1586,3 +1586,20 @@ def test_mm_dedup_shuffles_digests_not_payloads(spark):
     for r in rows:
         assert r["n_files"] == r["n_unique"] + r["n_dup_files"], r
         assert r["bytes_saved"] <= r["bytes_total"], r
+
+
+def test_rolling_zscore_is_takeordered_sliding_frame(spark):
+    """q_rolling_zscore: global top-10 must plan as
+    TakeOrderedAndProject (never a global sort exchange); the per-user
+    window partitions on user_id; scored rows carry >= RZ_MIN_N
+    history."""
+    plan = _plan(spark, "q_rolling_zscore")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(user_id" in plan
+    rows = ALL_SPECS["q_rolling_zscore"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    zs = [abs(r["z"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    from hippo_claim_crossover_spark.plans.stats import RZ_MIN_N
+    assert all(r["n_hist"] >= RZ_MIN_N for r in rows)
