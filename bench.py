@@ -231,6 +231,7 @@ HEADLINE = [
     "q_join_asof_fwd",
     "q_mm_dedup",
     "q_rolling_zscore",
+    "q_vocab_oov",
 ]
 
 

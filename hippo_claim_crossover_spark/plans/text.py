@@ -1678,6 +1678,66 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+# Truncated-vocabulary size for the OOV-coverage analysis.
+VOCAB_K = 16
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE under truncation — the analysis run before
+    fixing any tokenizer vocab size: freeze the top-K corpus tokens
+    (count desc, token asc tie-break — fully deterministic) and measure
+    each source's out-of-vocabulary rate and distinct OOV types. A
+    source with a high OOV rate under the corpus vocab is the one whose
+    text the tokenizer will shred into bytes/unknowns.
+
+    Shape: token counts (partial/final agg) → top-K via
+    TakeOrdered (K rows to the driver-side plan, never a global sort)
+    → broadcast left join tags each token occurrence → one per-source
+    rollup. The only data-scale shuffles are the two aggregates."""
+    toks = (t_wide(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.explode(F.split("text", " ")).alias("tok")))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+             .orderBy(F.col("_c").desc(), "tok").limit(VOCAB_K)
+             .select("tok", F.lit(1).alias("_in")))
+    tagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (tagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov"),
+                 F.count_distinct(
+                     F.when(F.col("_in").isNull(), F.col("tok")))
+                 .alias("oov_types"))
+            .withColumn("oov_rate",
+                        (F.floor(F.col("n_oov").cast("double")
+                                 / F.col("n_tokens").cast("double")
+                                 * F.lit(1e4) + F.lit(0.5)))
+                        .cast("double") / F.lit(1e4))
+            .orderBy("source"))
+
+
+ORACLE_VOCAB_OOV = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT {VOCAB_K}
+), tagged AS (
+  SELECT t.source, t.tok, v.tok IS NOT NULL AS in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_oov,
+       CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN tok END)
+            AS BIGINT) AS oov_types,
+       floor(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS oov_rate
+FROM tagged GROUP BY source ORDER BY source
+"""
+
+
 # Winnowing parameters: k-gram width and window size. Expected selected
 # density is 2/(WINNOW_W + 1) = 0.4 (Schleimer et al., SIGMOD'03).
 WINNOW_K = 4
@@ -1887,6 +1947,9 @@ SPECS: dict[str, QuerySpec] = {
     "q_text_entropy": QuerySpec(
         q_text_entropy, ORACLE_TEXT_ENTROPY,
         "token-entropy quality signal, integer micro-bit accumulation"),
+    "q_vocab_oov": QuerySpec(
+        q_vocab_oov, ORACLE_VOCAB_OOV,
+        "OOV rate under a truncated top-K vocabulary, per source"),
     "q_winnow": QuerySpec(
         q_winnow, ORACLE_WINNOW,
         "winnowing fingerprint selection (MOSS): window-min k-gram "

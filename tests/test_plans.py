@@ -1603,3 +1603,19 @@ def test_rolling_zscore_is_takeordered_sliding_frame(spark):
     assert zs == sorted(zs, reverse=True)
     from hippo_claim_crossover_spark.plans.stats import RZ_MIN_N
     assert all(r["n_hist"] >= RZ_MIN_N for r in rows)
+
+
+def test_vocab_oov_prunes_topk_and_broadcasts(spark):
+    """q_vocab_oov: the top-K vocab must plan as TakeOrderedAndProject
+    over the token counts (K rows, never a global sort of the corpus)
+    and re-attach via broadcast; rates are consistent."""
+    plan = _plan(spark, "q_vocab_oov")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_vocab_oov"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"], r
+        assert 0.0 <= r["oov_rate"] <= 1.0, r
+        assert r["oov_types"] <= r["n_oov"] or r["n_oov"] == 0, r
