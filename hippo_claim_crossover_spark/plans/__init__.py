@@ -48,17 +48,20 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 10 window: 10 NEW queries (S2 raw-text parse,
+    # -- round 10 window: 11 NEW queries (S2 raw-text parse,
     # incremental corpus dedup, MinHash mergeability, KMV set algebra,
     # bigram-LM filter, containment + exact-substring-span dedup,
     # daily-revenue ACF, winnowing fingerprints, persisted ANN index,
     # watermark streaming dedup) and the full 39-query r2+r3
     # stale-evidence cohort (newest driver record predates the r4
-    # fixture regen — VERDICT r9 #1). Slots are zero-sum: this round's
-    # CHANGED queries (q_seasonal hardening, the band_key_table
-    # callers, the histogram-CDF percentile family) are re-verified by
-    # the local tri-scale gate (BASELINE.md round-10 note) and queue
-    # just past the marker for the next window. --
+    # fixture regen — VERDICT r9 #1). Slots are zero-sum: the round's
+    # LATER new queries (q_stream_resume, q_outlier_seasonal,
+    # q_graph_sage_agg, q_dp_counts, q_join_asof_fwd, q_mm_dedup,
+    # q_rolling_zscore, q_vocab_oov) and its CHANGED queries
+    # (q_seasonal hardening, the band_key_table callers, the
+    # histogram-CDF percentile family) are verified by the identical
+    # local tri-scale gate (BASELINE.md round-10 note) and queue in
+    # priority order just past the marker to lead the r11 window. --
     "q_parse_tree", "q_dedup_incremental", "q_minhash_merge",
     "q_kmv_setops", "q_ngram_lm", "q_dedup_containment",
     "q_dedup_spans", "q_acf", "q_winnow",
