@@ -75,6 +75,11 @@ TABLES_FOR = {
     "q_scd2_lookup": ["events"],
     "q_corr_matrix": ["lineitem"],
     "q_percentile_highcard": ["lineitem"],
+    # r10 >1s-tier additions
+    "q_parse_tree": ["lineitem", "orders"],
+    "q_graph_sage_agg": ["lineitem", "part"],
+    "q_outlier_seasonal": ["events"],
+    "q_ngram_lm": ["documents"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
