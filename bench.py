@@ -232,6 +232,7 @@ HEADLINE = [
     "q_mm_dedup",
     "q_rolling_zscore",
     "q_vocab_oov",
+    "q_weighted_median",
 ]
 
 

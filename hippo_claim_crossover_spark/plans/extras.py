@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from hippo_claim_crossover_spark.operators.ranking import (
     grouped_exact_percentiles,
     grouped_global_rank,
+    grouped_histogram_cdf,
 )
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
@@ -1094,6 +1095,71 @@ FROM est ORDER BY pair_a, pair_b
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED percentiles (median + p90 of price, weighted by units
+    sold — "the median unit costs this much", not "the median line
+    item") straight through :func:`grouped_histogram_cdf`: the
+    histogram's count column is simply the WEIGHT sum, so the same
+    distributed CDF walk answers weighted quantiles with zero new
+    machinery — the payoff of the r10 histogram rewrite being an
+    operator, not a q_percentile special case.
+
+    Exactness: weights ride integer micros, the lower weighted
+    quantile ("smallest value whose cumulative weight reaches p·W")
+    is pure integer cross-multiplication (``10·cum ≥ 9·W`` for p90 —
+    never a float threshold), and the emitted prices are untouched
+    input values. Shape: partial/final hash agg to the (flag, price)
+    histogram, range-shuffled CDF over histogram rows only, broadcast
+    totals, one min-aggregate per quantile."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        money_micros(F.col("l_quantity")).alias("w_u"))
+    hist = (li.groupBy("l_returnflag", "l_extendedprice")
+            .agg(F.sum("w_u").alias("_w")))
+    cdf = grouped_histogram_cdf(hist, ["l_returnflag"],
+                                "l_extendedprice", "_w")
+    totals = hist.groupBy("l_returnflag").agg(F.sum("_w").alias("_tw"))
+    j = cdf.join(F.broadcast(totals), "l_returnflag")
+    return (j.groupBy("l_returnflag")
+            .agg(duck_round(F.max("_tw").cast("double") / F.lit(1e6), 2)
+                 .alias("total_units"),
+                 F.min(F.when(F.lit(2) * F.col("_cum") >= F.col("_tw"),
+                              F.col("l_extendedprice")))
+                 .alias("w_median_price"),
+                 F.min(F.when(F.lit(10) * F.col("_cum")
+                              >= F.lit(9) * F.col("_tw"),
+                              F.col("l_extendedprice")))
+                 .alias("w_p90_price"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH h AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, l_extendedprice, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice) AS BIGINT) AS cum
+  FROM h
+), tot AS (
+  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tw
+  FROM h GROUP BY 1
+)
+SELECT c.l_returnflag,
+       floor(CAST(max(t.tw) AS DOUBLE) / 1e6 * 1e2 + 0.5) / 1e2
+         AS total_units,
+       min(CASE WHEN 2 * c.cum >= t.tw THEN c.l_extendedprice END)
+         AS w_median_price,
+       min(CASE WHEN 10 * c.cum >= 9 * t.tw THEN c.l_extendedprice END)
+         AS w_p90_price
+FROM c JOIN tot t ON c.l_returnflag = t.l_returnflag
+GROUP BY c.l_returnflag ORDER BY c.l_returnflag
+"""
+
+
 # DP release parameters: epsilon per statistic (two statistics => the
 # release consumes a 2*eps budget under basic composition), the
 # acctbal clamp bound (= the sum query's sensitivity), and the
@@ -1355,6 +1421,10 @@ SPECS: dict[str, QuerySpec] = {
         "KMV sketch set algebra: pairwise union/intersection/Jaccard "
         "estimates from merged bottom-K sketches, estimates "
         "hash-checked + exact-side band verdicts"),
+    "q_weighted_median": QuerySpec(
+        q_weighted_median, ORACLE_WEIGHTED_MEDIAN,
+        "units-weighted median/p90 price via the histogram-CDF "
+        "operator with weight sums, integer cross-mult thresholds"),
     "q_dp_counts": QuerySpec(
         q_dp_counts, ORACLE_DP_COUNTS,
         "differentially-private release: seeded-Laplace noised count + "

