@@ -1114,8 +1114,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice",
         money_micros(F.col("l_quantity")).alias("w_u"))
+    # three consumers read `hist` (range sampling, the CDF shuffle,
+    # the totals agg) — same single-materialization rule as
+    # grouped_exact_percentiles' internal histogram
     hist = (li.groupBy("l_returnflag", "l_extendedprice")
-            .agg(F.sum("w_u").alias("_w")))
+            .agg(F.sum("w_u").alias("_w"))
+            .localCheckpoint(eager=False))
     cdf = grouped_histogram_cdf(hist, ["l_returnflag"],
                                 "l_extendedprice", "_w")
     totals = hist.groupBy("l_returnflag").agg(F.sum("_w").alias("_tw"))
