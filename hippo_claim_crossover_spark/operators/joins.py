@@ -12,6 +12,80 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _asof_impl(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str,
+               tolerance: str | None, forward: bool) -> DataFrame:
+    """Shared body of :func:`asof_join` / :func:`asof_join_forward` —
+    the union+window formulation, parameterized only by direction.
+
+    The matched right row is carried as ONE STRUCT (payload columns +
+    its timestamp), never as per-column first/last: carrying columns
+    independently would let a NULL payload field in the matched row be
+    silently back-filled from a farther right row, producing a mixed
+    row no as-of semantics permits (and leaking values past the
+    tolerance horizon). A right row's struct is non-null even when
+    every payload field is NULL, so the carry is atomic."""
+    from pyspark.sql.types import StructField, StructType
+
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if left_ts in rcols:
+        overlap.add(left_ts)  # e.g. both sides call their timestamp 'ts'
+    if overlap:
+        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
+    internal = {"_k", "_ts", "_is_left", "_r", "_rts"}
+    clash = internal & set(left.columns) | internal & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with asof_join internals: {sorted(clash)}")
+
+    r_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in rcols]
+        + [StructField("_rts", right.schema[right_ts].dataType)])
+    tagged_l = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(r_struct_t).alias("_r"),
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*[F.col(c) for c in rcols],
+                 F.col(right_ts).alias("_rts")).alias("_r"),
+    )
+    if forward:
+        # left rows first at equal ts => the same-ts right row is inside
+        # the forward frame: inclusive
+        w = (Window.partitionBy("_k").orderBy("_ts", F.desc("_is_left"))
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        carried = F.first("_r", ignorenulls=True).over(w)
+    else:
+        # right rows first at equal ts => inclusive backward match
+        w = (Window.partitionBy("_k").orderBy("_ts", "_is_left")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = F.last("_r", ignorenulls=True).over(w)
+    out = (
+        tagged_l.unionByName(tagged_r)
+        .select("_k", "_ts", "_is_left", *lcols, carried.alias("_r"))
+        .where(F.col("_is_left") == 1)
+    )
+    if tolerance is not None:
+        if forward:
+            in_tol = (F.col("_r._rts")
+                      <= F.col("_ts") + F.expr(f"INTERVAL {tolerance}"))
+        else:
+            in_tol = (F.col("_r._rts")
+                      >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
+        # null out the WHOLE matched row, never individual fields
+        out = out.withColumn("_r", F.when(in_tol, F.col("_r")))
+    return out.select(F.col("_k").alias(on), F.col("_ts").alias(left_ts),
+                      *lcols,
+                      *[F.col(f"_r.{c}").alias(c) for c in rcols])
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               tolerance: str | None = None) -> DataFrame:
@@ -22,10 +96,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     100 TB design — the union+window formulation, NOT a range join:
     both sides are tagged and unioned, shuffled ONCE on the key, sorted
     within partitions by (ts, side), and each left row picks up the most
-    recent right payload via ``last(..., ignorenulls=True)`` over a running
-    frame. Cost is one shuffle + one sort — no quadratic key×key range
-    explosion, no per-row binary search on the driver. Skewed keys are
-    handled by AQE the same as any other shuffle.
+    recent right payload as one atomic struct via
+    ``last(..., ignorenulls=True)`` over a running frame. Cost is one
+    shuffle + one sort — no quadratic key×key range explosion, no
+    per-row binary search on the driver. Skewed keys are handled by AQE
+    the same as any other shuffle.
 
     Ties: right rows sort *before* left rows at an equal timestamp, so the
     join is inclusive (right_ts == left_ts matches). If the right side has
@@ -33,56 +108,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     unique column) to keep results deterministic.
 
     ``tolerance``: optional SQL interval string (e.g. ``'30 days'``) — a
-    match older than ``left_ts - tolerance`` is nulled out, mirroring
-    pandas ``merge_asof(tolerance=...)``.
+    match older than ``left_ts - tolerance`` is nulled out (the whole
+    matched row at once), mirroring pandas ``merge_asof(tolerance=...)``.
     """
-    lcols = [c for c in left.columns if c not in (on, left_ts)]
-    rcols = [c for c in right.columns if c != on]
-    overlap = set(lcols) & set(rcols)
-    if left_ts in rcols:
-        overlap.add(left_ts)  # e.g. both sides call their timestamp 'ts'
-    if overlap:
-        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
-    internal = {"_k", "_ts", "_is_left", "_rts"}
-    clash = internal & set(left.columns) | internal & set(right.columns)
-    if clash:
-        raise ValueError(
-            f"input columns collide with asof_join internals: {sorted(clash)}")
-
-    tagged_l = left.select(
-        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_is_left"),
-        *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
-    )
-    tagged_r = right.select(
-        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_is_left"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in rcols],
-    )
-    # One shuffle: partition by key, order by (ts, side) — right rows first
-    # at equal ts makes the match inclusive.
-    w = (Window.partitionBy("_k").orderBy("_ts", "_is_left")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols]
-    # The matched right_ts rides along in the same window pass, so the
-    # tolerance bound is checked post-join without a second shuffle.
-    matched_ts = (F.last(F.when(F.col("_is_left") == 0, F.col("_ts")),
-                         ignorenulls=True).over(w).alias("_rts"))
-    out = (
-        tagged_l.unionByName(tagged_r)
-        .select("_k", "_ts", "_is_left", *lcols, *carried, matched_ts)
-        .where(F.col("_is_left") == 1)
-    )
-    if tolerance is not None:
-        in_tol = (F.col("_rts")
-                  >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
-        out = out.select(
-            "_k", "_ts", *lcols,
-            *[F.when(in_tol, F.col(c)).alias(c) for c in rcols])
-    return out.select(F.col("_k").alias(on), F.col("_ts").alias(left_ts),
-                      *lcols, *rcols)
+    return _asof_impl(left, right, on, left_ts, right_ts, tolerance,
+                      forward=False)
 
 
 def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
@@ -91,56 +121,14 @@ def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
     """As-of FORWARD join: for each left row, the single right row with
     the LEAST ``right_ts`` ≥ ``left_ts`` sharing the key (pandas
     ``merge_asof(direction='forward')``) — time-to-next-event
-    semantics. The mirror of :func:`asof_join`: same one-shuffle
-    union+window shape, but left rows sort BEFORE right rows at equal
-    timestamps (so an equal-ts right row is inside the forward frame —
-    inclusive match) and the carry is ``first(..., ignorenulls=True)``
+    semantics. The direction mirror of :func:`asof_join`: same
+    one-shuffle union+window shape, left rows sorted BEFORE right rows
+    at equal timestamps (an equal-ts right row is inside the forward
+    frame — inclusive match), carry via ``first(..., ignorenulls=True)``
     over the CURRENT-to-following frame. ``tolerance`` nulls out a
     match further than ``left_ts + tolerance``."""
-    lcols = [c for c in left.columns if c not in (on, left_ts)]
-    rcols = [c for c in right.columns if c != on]
-    overlap = set(lcols) & set(rcols)
-    if left_ts in rcols:
-        overlap.add(left_ts)
-    if overlap:
-        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
-    internal = {"_k", "_ts", "_is_left", "_rts"}
-    clash = internal & set(left.columns) | internal & set(right.columns)
-    if clash:
-        raise ValueError(
-            f"input columns collide with asof_join internals: {sorted(clash)}")
-    tagged_l = left.select(
-        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_is_left"),
-        *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
-    )
-    tagged_r = right.select(
-        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_is_left"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in rcols],
-    )
-    # left first at equal ts (descending side tag) => the same-ts right
-    # row falls inside the forward frame: inclusive.
-    w = (Window.partitionBy("_k").orderBy("_ts", F.desc("_is_left"))
-         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    carried = [F.first(c, ignorenulls=True).over(w).alias(c) for c in rcols]
-    matched_ts = (F.first(F.when(F.col("_is_left") == 0, F.col("_ts")),
-                          ignorenulls=True).over(w).alias("_rts"))
-    out = (
-        tagged_l.unionByName(tagged_r)
-        .select("_k", "_ts", "_is_left", *lcols, *carried, matched_ts)
-        .where(F.col("_is_left") == 1)
-    )
-    if tolerance is not None:
-        in_tol = (F.col("_rts")
-                  <= F.col("_ts") + F.expr(f"INTERVAL {tolerance}"))
-        out = out.select(
-            "_k", "_ts", *lcols,
-            *[F.when(in_tol, F.col(c)).alias(c) for c in rcols])
-    return out.select(F.col("_k").alias(on), F.col("_ts").alias(left_ts),
-                      *lcols, *rcols)
+    return _asof_impl(left, right, on, left_ts, right_ts, tolerance,
+                      forward=True)
 
 
 _SALTED_JOIN_HOW = {"inner", "left", "leftouter", "left_outer",

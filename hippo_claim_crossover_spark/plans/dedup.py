@@ -162,15 +162,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("a.n_sh").alias("na"),
                  F.col("b.n_sh").alias("nb"))
         .agg(F.count(F.lit(1)).alias("inter")))
-    s4 = F.lit(1e4)
-
-    def _r4(x):
-        return (F.floor(x * s4 + F.lit(0.5))).cast("double") / s4
-
-    cab = _r4(F.col("inter").cast("double") / F.col("na"))
-    cba = _r4(F.col("inter").cast("double") / F.col("nb"))
-    jac = _r4(F.col("inter").cast("double")
-              / (F.col("na") + F.col("nb") - F.col("inter")))
+    cab = duck_round(F.col("inter").cast("double") / F.col("na"), 4)
+    cba = duck_round(F.col("inter").cast("double") / F.col("nb"), 4)
+    jac = duck_round(F.col("inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("inter")), 4)
     return (pairs.select(
         "doc_a", "doc_b",
         F.col("na").cast("long").alias("na"),
@@ -261,9 +256,8 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(cov, "doc_id", "left")
                .withColumn("dup_tokens",
                            F.coalesce("dup_tokens", F.lit(0))))
-    frac = (F.floor(F.sum("dup_tokens").cast("double")
-                    / F.sum("n_tok").cast("double") * F.lit(1e4)
-                    + F.lit(0.5)).cast("double") / F.lit(1e4))
+    frac = duck_round(F.sum("dup_tokens").cast("double")
+                      / F.sum("n_tok").cast("double"), 4)
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").alias("tot_tokens"),

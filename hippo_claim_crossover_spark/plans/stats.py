@@ -403,12 +403,17 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.sqrt(var_num / (nd * (nd - 1))) / F.lit(1e6)))
     scored = (hist.where(F.col("_n") >= RZ_MIN_N)
               .where(var_num > 0)
-              .withColumn("z", z))
-    return (scored.select("event_id", "user_id", "event_type", "value",
-                          F.col("_n").alias("n_hist"),
-                          duck_round(F.col("z"), 4).alias("z"))
-            .orderBy(F.abs(F.col("z")).desc(), "event_id")
-            .limit(10))
+              .withColumn("_z_raw", z))
+    # rank + LIMIT on the RAW z — DuckDB's ORDER BY abs(z) binds to the
+    # source column, not the rounded alias, so ranking on the rounded
+    # value would let top-10 MEMBERSHIP diverge when rounding collapses
+    # near-ties at the cutoff (code-review r10 finding); the q_outlier_*
+    # discipline: round only in the final projection.
+    return (scored.orderBy(F.abs(F.col("_z_raw")).desc(), "event_id")
+            .limit(10)
+            .select("event_id", "user_id", "event_type", "value",
+                    F.col("_n").alias("n_hist"),
+                    duck_round(F.col("_z_raw"), 4).alias("z")))
 
 
 ORACLE_ROLLING_ZSCORE = f"""

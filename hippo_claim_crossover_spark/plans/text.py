@@ -1709,10 +1709,8 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.when(F.col("_in").isNull(), F.col("tok")))
                  .alias("oov_types"))
             .withColumn("oov_rate",
-                        (F.floor(F.col("n_oov").cast("double")
-                                 / F.col("n_tokens").cast("double")
-                                 * F.lit(1e4) + F.lit(0.5)))
-                        .cast("double") / F.lit(1e4))
+                        duck_round(F.col("n_oov").cast("double")
+                                   / F.col("n_tokens").cast("double"), 4))
             .orderBy("source"))
 
 
@@ -1804,9 +1802,8 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_fp = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     n_sh = (fp.join(shared, "h").groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_shared_fp")))
-    dens = (F.floor(F.col("n_selected").cast("double")
-                    / F.col("n_kgrams").cast("double") * F.lit(1e4)
-                    + F.lit(0.5)).cast("double") / F.lit(1e4))
+    dens = duck_round(F.col("n_selected").cast("double")
+                      / F.col("n_kgrams").cast("double"), 4)
     return (base.join(n_sel, "source").join(n_fp, "source")
             .join(n_sh, "source", "left")
             .withColumn("n_shared_fp",

@@ -220,7 +220,7 @@ SELECT * FROM (VALUES
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` as a declared, VALUES-pinned
-    query (the q_stream_late recipe): a real 3-micro-batch availableNow
+    query (the q_stream_late recipe): a real 4-micro-batch availableNow
     run through ``streaming.dedup_stream`` — streaming exact dedup whose
     state is bounded by the watermark horizon, the property that
     separates it from plain ``dropDuplicates`` (whose stream state grows
@@ -242,7 +242,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       "within watermark" bound, pinned as a second output row for the
       same key) + event 4.
 
-    The VALUES oracle pins exactly which five rows survive — including
+    The VALUES oracle pins exactly which six rows survive — including
     which redelivery's payload won — which a rows-only streaming check
     never could. State-machinery unit tests live in
     tests/test_streaming.py; this query is the driver-checked face.

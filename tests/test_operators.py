@@ -553,3 +553,27 @@ def test_asof_join_forward_matches_pandas_semantics(spark):
     # (4 < 5); c -> none
     assert got == {("a", 10): "r10", ("a", 20): "r40",
                    ("b", 5): None, ("c", 1): None}
+
+
+def test_asof_carry_is_atomic_on_null_payload_fields(spark):
+    """The code-review-found NULL-carry hazard: a NULL payload field in
+    the MATCHED right row must stay NULL — never back-filled from a
+    farther right row — in both directions, and tolerance must null the
+    whole row atomically."""
+    from hippo_claim_crossover_spark.operators.joins import (
+        asof_join, asof_join_forward)
+
+    left = spark.createDataFrame([("k", 8), ("k", 50)], "g string, lt long")
+    right = spark.createDataFrame(
+        [("k", 10, None, "x"), ("k", 99, 5, "y")],
+        "g string, rt long, a int, b string")
+    fwd = {r["lt"]: (r["a"], r["b"]) for r in asof_join_forward(
+        left, right, on="g", left_ts="lt", right_ts="rt").collect()}
+    # lt=8 matches rt=10 whose a IS NULL: a must stay NULL, b='x'
+    assert fwd[8] == (None, "x")
+    assert fwd[50] == (5, "y")
+    bwd = {r["lt"]: (r["a"], r["b"]) for r in asof_join(
+        left.selectExpr("g", "lt + 100 as lt"), right,
+        on="g", left_ts="lt", right_ts="rt").collect()}
+    assert bwd[108] == (5, "y")
+    assert bwd[150] == (5, "y")

@@ -36,8 +36,12 @@ SCRATCH = "/root/repo/_scratch/century"
 DEFAULT_QUERIES = ["q_percentile", "q_join_setsim", "q_recommend"]
 
 
-def _stage_metrics(app_id: str) -> list[dict]:
-    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages"
+def _stage_metrics(spark) -> list[dict]:
+    # uiWebUrl, not a hardcoded :4040 — Spark binds the next free port
+    # when another app already holds 4040
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages"
     with urllib.request.urlopen(url, timeout=10) as r:
         return json.load(r)
 
@@ -46,8 +50,7 @@ def timed_with_shuffle(spark, build, reps: int = 2):
     """Best-of-N wall + the shuffle bytes of one (the first) execution.
     Only stages whose id is NEW relative to the pre-run snapshot count,
     so materialization / earlier-query shuffles never leak in."""
-    app_id = spark.sparkContext.applicationId
-    before = {s["stageId"] for s in _stage_metrics(app_id)}
+    before = {s["stageId"] for s in _stage_metrics(spark)}
     best = float("inf")
     shuffle_total = peak = 0
     for i in range(reps):
@@ -55,7 +58,7 @@ def timed_with_shuffle(spark, build, reps: int = 2):
         build().write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
         if i == 0:
-            new = [s for s in _stage_metrics(app_id)
+            new = [s for s in _stage_metrics(spark)
                    if s["stageId"] not in before]
             writes = [s.get("shuffleWriteBytes", 0) for s in new]
             shuffle_total = sum(writes)
