@@ -82,7 +82,7 @@ GATE_ORDER = [
     # window and is VALUES-pinned by the identical local gate)
     "q_stream_resume", "q_outlier_seasonal", "q_graph_sage_agg",
     "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore",
-    "q_vocab_oov", "q_weighted_median", "q_seasonal", "q_dedup_cluster", "q_percentile",
+    "q_vocab_oov", "q_weighted_median", "q_join_asof", "q_seasonal", "q_dedup_cluster", "q_percentile",
     "q_winsorize", "q_percentile_approx",
     "q_percentile_highcard", "q_outlier_mad",
     "q_dedup_keep_best", "q_split_leakproof", "q_curation_pipeline",
@@ -108,7 +108,7 @@ GATE_ORDER = [
     "q_pagerank", "q_text_gopher", "q_mm_shard", "q_src_evolve", "q_src_orc",
     "q_text_vocab", "q_cluster_kmeans", "q_part_prune", "q_src_csv",
     "q_src_jsonl", "q_dedup_simhash_pairs", "q_mm_binfile", "q_stream_tumble",
-    "q_stream_slide", "q_stream_session", "q_time_trunc", "q_join_asof",
+    "q_stream_slide", "q_stream_session", "q_time_trunc",
     "q_json", "q_json_project", "q_udaf", "q_sim_topk", "q_sim_ivf",
     "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
     "q_dedup_embed", "q_decontaminate", "q_latest_snapshot",
