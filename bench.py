@@ -233,6 +233,7 @@ HEADLINE = [
     "q_rolling_zscore",
     "q_vocab_oov",
     "q_weighted_median",
+    "q_stream_chained",
 ]
 
 

@@ -1298,6 +1298,70 @@ FROM interior GROUP BY ((hour_id % 24) + 24) % 24 ORDER BY hour
 """
 
 
+def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL operators in ONE streaming query (Spark 4
+    append-mode support): ``dropDuplicatesWithinWatermark`` feeding a
+    watermarked tumbling aggregate, no intermediate sink — the
+    at-least-once ingestion topology (dedup Kafka redeliveries, then
+    window) that previously required two jobs and a staging table.
+
+    The fixture proves BOTH states live in one query (VALUES-pinned):
+    - batch 0: event 1 at 10:00 (value 1.0) plus its REdelivery at
+      10:02 carrying a poisoned value (999.0) — the dedup state
+      suppresses it, so the window's sum proves which copy survived —
+      and event 2 (view) at 10:05;
+    - batch 1: event 3 at 12:00 advances the watermark to 11:30;
+    - batch 2: event 4 at 12:10 — during it the 10:00–10:10 window
+      finalizes (the one-batch lag q_stream_late documents) with
+      counts the dedup already cleaned: click n=1 sum=1.0 (NOT 2 /
+      1000.0), view n=1 sum=3.0."""
+    from hippo_claim_crossover_spark.streaming.ops import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, minutes, etype, value):
+        return (eid, base + dt.timedelta(minutes=minutes), 1, etype,
+                value, None)
+
+    batches = [
+        [ev(1, 0, "click", 1.0), ev(1, 2, "click", 999.0),
+         ev(2, 5, "view", 3.0)],
+        [ev(3, 120, "click", 4.0)],
+        [ev(4, 130, "view", 5.0)],
+    ]
+    src, run_id = _write_stream_batches(spark, batches, "chained_src")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    # ONE watermark for the whole chain (set by dedup_stream; Spark
+    # forbids redefining it between chained stateful operators), so the
+    # downstream aggregate uses the carried event-time column directly
+    # — tumbling_agg's expressions without its withWatermark.
+    deduped = dedup_stream(stream, ["event_id"])
+    agged = (deduped
+             .groupBy(F.window("ts", "10 minutes"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .select(F.col("window.start").alias("window_start"),
+                     F.col("window.end").alias("window_end"),
+                     "event_type", "n_events", "sum_value"))
+    out_name = f"chained_out_{run_id}"
+    run_to_memory(agged, out_name, output_mode="append")
+    return spark.table(out_name)
+
+
+ORACLE_STREAM_CHAINED = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
+   'click', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
+   'view', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE))
+) AS t(window_start, window_end, event_type, n_events, sum_value)
+"""
+
+
 def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT RECOVERY as a declared, VALUES-pinned query — the
     exactly-once restart contract every production stream relies on:
@@ -1512,6 +1576,10 @@ SPECS: dict[str, QuerySpec] = {
         q_active_users, ORACLE_ACTIVE_USERS,
         "DAU/WAU/MAU trailing distinct-user counts (fan-out distinct, "
         "never a sliding count-distinct window)"),
+    "q_stream_chained": QuerySpec(
+        q_stream_chained, ORACLE_STREAM_CHAINED,
+        "chained stateful streaming (dedup -> windowed agg in one "
+        "query); the window sum proves which redelivery survived"),
     "q_stream_resume": QuerySpec(
         q_stream_resume, ORACLE_STREAM_RESUME,
         "checkpoint restart recovery: run-2 emits windows whose counts "
