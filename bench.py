@@ -234,6 +234,7 @@ HEADLINE = [
     "q_vocab_oov",
     "q_weighted_median",
     "q_stream_chained",
+    "q_bootstrap_ci",
 ]
 
 

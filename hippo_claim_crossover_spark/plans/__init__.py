@@ -83,6 +83,7 @@ GATE_ORDER = [
     "q_stream_resume", "q_outlier_seasonal", "q_graph_sage_agg",
     "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore",
     "q_vocab_oov", "q_weighted_median", "q_stream_chained",
+    "q_bootstrap_ci",
     "q_join_asof", "q_seasonal", "q_dedup_cluster", "q_percentile",
     "q_winsorize", "q_percentile_approx",
     "q_percentile_highcard", "q_outlier_mad",

@@ -35,7 +35,9 @@ from hippo_claim_crossover_spark.operators.ranking import (
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     duck_round,
+    hex2long,
     money_micros,
+    sql_hex2long,
     t,
 )
 
@@ -360,6 +362,125 @@ SELECT event_type, rk, event_id, hr, value,
        floor(resid * 1e4 + 0.5) / 1e4 AS resid,
        floor(rz * 1e4 + 0.5) / 1e4 AS rz
 FROM rr WHERE rk <= 3
+"""
+
+
+# Poisson-bootstrap parameters: replicate count and the Poisson(1)
+# CDF thresholds (exact double literals — identical in both engines)
+# for the inverse-CDF weight draw, truncated at 5.
+BOOT_B = 100
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847,
+              0.9196986029286058, 0.9810118431238462,
+              0.9963401531726563)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP confidence intervals for the per-priority mean order
+    value — by the POISSON BOOTSTRAP, the resampling scheme that
+    actually distributes (classic multinomial resampling needs the
+    global n per draw; Poisson(1) weights are row-local, so replicate
+    b's "resample" is just a weight column and all B replicates ride
+    ONE scan): every experimentation platform's uncertainty machinery.
+
+    Determinism: the weight for (row, replicate) is inverse-CDF over a
+    60-bit md5 uniform against exact Poisson(1) CDF literals — both
+    engines draw the identical integer weights, replicate means are
+    single fixed-order double divisions over integer sums, and the
+    [2.5%, 97.5%] interval over the B means interpolates with the
+    quantile_cont discipline — the whole CI hash-checks.
+
+    Shape: a constant B-way replicate fan-out (codegen explode — rows
+    × B is map-side, never shuffled raw: the partial agg combines to
+    (group, replicate) cells before the exchange), one partial/final
+    agg to B·|groups| cells, and the interval over B values per group
+    runs through the histogram-CDF percentile machinery. At 100 TB the
+    shuffle carries |groups|·B fixed-width cells — independent of row
+    count."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), "o_orderkey",
+        money_micros(F.col("o_totalprice")).alias("x_u"))
+    rep = o.select(
+        "prio", "o_orderkey", "x_u",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"))
+    u = (hex2long(F.md5(F.concat_ws(
+        ":", F.lit("boot"), F.col("o_orderkey").cast("string"),
+        F.col("b").cast("string"))))
+        .cast("double") / F.lit(float(1 << 60)))
+    w = F.when(u < _POIS1_CDF[0], 0).when(u < _POIS1_CDF[1], 1) \
+        .when(u < _POIS1_CDF[2], 2).when(u < _POIS1_CDF[3], 3) \
+        .when(u < _POIS1_CDF[4], 4).otherwise(5).cast("long")
+    means = (rep.withColumn("_w", w)
+             .groupBy("prio", "b")
+             .agg(F.sum(F.col("_w") * F.col("x_u")).alias("_swx"),
+                  F.sum("_w").alias("_sw"))
+             .withColumn("mean_b",
+                         F.col("_swx").cast("double")
+                         / F.col("_sw").cast("double") / F.lit(1e6)))
+    ci = grouped_exact_percentiles(
+        means.select("prio", "mean_b"), ["prio"], "mean_b",
+        [0.025, 0.975])
+    point = (o.groupBy("prio")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  (F.sum("x_u").cast("double")
+                   / F.count(F.lit(1)).cast("double") / F.lit(1e6))
+                  .alias("_pm")))
+    lo = ci.where(F.col("_p_idx") == 0).select(
+        "prio", F.col("value").alias("_lo"))
+    hi = ci.where(F.col("_p_idx") == 1).select(
+        "prio", F.col("value").alias("_hi"))
+    return (point.join(lo, "prio").join(hi, "prio")
+            .select(F.col("prio").alias("o_orderpriority"), "n",
+                    duck_round(F.col("_pm"), 4).alias("mean_value"),
+                    duck_round(F.col("_lo"), 4).alias("ci_lo"),
+                    duck_round(F.col("_hi"), 4).alias("ci_hi"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH o AS (
+  SELECT o_orderpriority AS prio, o_orderkey,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS x_u
+  FROM orders
+), rep AS (
+  SELECT prio, o_orderkey, x_u, CAST(unnest(range(0, {BOOT_B})) AS BIGINT) AS b
+  FROM o
+), drawn AS (
+  SELECT prio, b, x_u,
+         CAST({sql_hex2long(
+             "md5('boot' || ':' || CAST(o_orderkey AS VARCHAR) "
+             "|| ':' || CAST(b AS VARCHAR))")} AS DOUBLE)
+           / {float(1 << 60)!r} AS u
+  FROM rep
+), weighted AS (
+  SELECT prio, b, x_u,
+         CAST(CASE WHEN u < {_POIS1_CDF[0]!r} THEN 0
+              WHEN u < {_POIS1_CDF[1]!r} THEN 1
+              WHEN u < {_POIS1_CDF[2]!r} THEN 2
+              WHEN u < {_POIS1_CDF[3]!r} THEN 3
+              WHEN u < {_POIS1_CDF[4]!r} THEN 4
+              ELSE 5 END AS BIGINT) AS w
+  FROM drawn
+), means AS (
+  SELECT prio, b,
+         CAST(sum(w * x_u) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 1e6
+           AS mean_b
+  FROM weighted GROUP BY prio, b
+), ci AS (
+  SELECT prio, quantile_cont(mean_b, 0.025) AS lo,
+         quantile_cont(mean_b, 0.975) AS hi
+  FROM means GROUP BY prio
+), pt AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+           AS pm
+  FROM o GROUP BY prio
+)
+SELECT p.prio AS o_orderpriority, p.n,
+       floor(p.pm * 1e4 + 0.5) / 1e4 AS mean_value,
+       floor(c.lo * 1e4 + 0.5) / 1e4 AS ci_lo,
+       floor(c.hi * 1e4 + 0.5) / 1e4 AS ci_hi
+FROM pt p JOIN ci c ON p.prio = c.prio
+ORDER BY o_orderpriority
 """
 
 
@@ -1363,6 +1484,10 @@ SPECS: dict[str, QuerySpec] = {
         q_outlier_seasonal, ORACLE_OUTLIER_SEASONAL,
         "seasonality-adjusted anomalies: hourly-profile residuals "
         "scored by median/MAD, top-3 per type"),
+    "q_bootstrap_ci": QuerySpec(
+        q_bootstrap_ci, ORACLE_BOOTSTRAP_CI,
+        "Poisson-bootstrap 95% CI for per-priority mean order value, "
+        "md5-seeded weights, whole CI hash-checked"),
     "q_rolling_zscore": QuerySpec(
         q_rolling_zscore, ORACLE_ROLLING_ZSCORE,
         "per-user trailing-window z-score anomalies (exclusive frame, "

@@ -1638,3 +1638,20 @@ def test_weighted_median_rides_histogram_cdf(spark):
     for r in rows.values():
         assert r["w_median_price"] <= r["w_p90_price"], r
         assert r["total_units"] > 0, r
+
+
+def test_bootstrap_ci_shuffles_cells_not_rows(spark):
+    """q_bootstrap_ci: the replicate fan-out must combine map-side to
+    (group, replicate) cells before the exchange (partial_sum in plan),
+    the interval must ride the histogram-CDF machinery
+    (rangepartitioning), no CartesianProduct; statistically the CI must
+    bracket the point mean with positive width."""
+    plan = _plan(spark, "q_bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "rangepartitioning" in plan.lower()
+    rows = ALL_SPECS["q_bootstrap_ci"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5  # order priorities
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
+        assert r["ci_hi"] > r["ci_lo"], r
