@@ -24,8 +24,17 @@ def _asof_impl(left: DataFrame, right: DataFrame, on: str,
     silently back-filled from a farther right row, producing a mixed
     row no as-of semantics permits (and leaking values past the
     tolerance horizon). A right row's struct is non-null even when
-    every payload field is NULL, so the carry is atomic."""
+    every payload field is NULL, so the carry is atomic.
+
+    Right rows with a NULL ``right_ts`` are dropped up front: a NULL
+    timestamp has no position on the as-of axis, yet it sorts
+    nulls-first ascending, so left unfiltered (backward direction, no
+    tolerance) its non-null struct would be carried as a phantom
+    "match" (with NULL ``_rts``) for every left row preceding the
+    first real right row."""
     from pyspark.sql.types import StructField, StructType
+
+    right = right.where(F.col(right_ts).isNotNull())
 
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     rcols = [c for c in right.columns if c != on]

@@ -1108,9 +1108,13 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile ("smallest value whose cumulative weight reaches p·W")
     is pure integer cross-multiplication (``10·cum ≥ 9·W`` for p90 —
     never a float threshold), and the emitted prices are untouched
-    input values. Shape: partial/final hash agg to the (flag, price)
-    histogram, range-shuffled CDF over histogram rows only, broadcast
-    totals, one min-aggregate per quantile."""
+    input values. The cross-multiplication runs in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB): cumulative micros-weights approach
+    ~5e18 per group at 100 TB, so the ×10 product would silently wrap
+    int64 in non-ANSI Spark — same widening discipline as q_acf.
+    Shape: partial/final hash agg to the (flag, price) histogram,
+    range-shuffled CDF over histogram rows only, broadcast totals,
+    one min-aggregate per quantile."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice",
         money_micros(F.col("l_quantity")).alias("w_u"))
@@ -1124,14 +1128,17 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "l_extendedprice", "_w")
     totals = hist.groupBy("l_returnflag").agg(F.sum("_w").alias("_tw"))
     j = cdf.join(F.broadcast(totals), "l_returnflag")
+    # overflow-proof thresholds: 10·cum on micros-scaled weights wraps
+    # int64 near 9.2e17 cumulative units — widen BEFORE multiplying
+    cum_d = F.col("_cum").cast("decimal(38,0)")
+    tw_d = F.col("_tw").cast("decimal(38,0)")
     return (j.groupBy("l_returnflag")
             .agg(duck_round(F.max("_tw").cast("double") / F.lit(1e6), 2)
                  .alias("total_units"),
-                 F.min(F.when(F.lit(2) * F.col("_cum") >= F.col("_tw"),
+                 F.min(F.when(F.lit(2) * cum_d >= tw_d,
                               F.col("l_extendedprice")))
                  .alias("w_median_price"),
-                 F.min(F.when(F.lit(10) * F.col("_cum")
-                              >= F.lit(9) * F.col("_tw"),
+                 F.min(F.when(F.lit(10) * cum_d >= F.lit(9) * tw_d,
                               F.col("l_extendedprice")))
                  .alias("w_p90_price"))
             .orderBy("l_returnflag"))
@@ -1155,9 +1162,12 @@ WITH h AS (
 SELECT c.l_returnflag,
        floor(CAST(max(t.tw) AS DOUBLE) / 1e6 * 1e2 + 0.5) / 1e2
          AS total_units,
-       min(CASE WHEN 2 * c.cum >= t.tw THEN c.l_extendedprice END)
+       min(CASE WHEN 2 * CAST(c.cum AS HUGEINT) >= CAST(t.tw AS HUGEINT)
+                THEN c.l_extendedprice END)
          AS w_median_price,
-       min(CASE WHEN 10 * c.cum >= 9 * t.tw THEN c.l_extendedprice END)
+       min(CASE WHEN 10 * CAST(c.cum AS HUGEINT)
+                   >= 9 * CAST(t.tw AS HUGEINT)
+                THEN c.l_extendedprice END)
          AS w_p90_price
 FROM c JOIN tot t ON c.l_returnflag = t.l_returnflag
 GROUP BY c.l_returnflag ORDER BY c.l_returnflag
@@ -1187,9 +1197,12 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines derive the identical noise and the driver hashes the
     released values outright; the ln() term is snapped to integer
     micro-precision (the log2 idiom from q_text_entropy) because libm
-    ulp differences would otherwise leak into the hash. A seeded
-    release is exactly how DP deployments make audits reproducible
-    (the seed is the secret; determinism is a feature, not a leak).
+    ulp differences would otherwise leak into the hash. NOTE: this
+    models the MECHANISM only (clamp → sensitivity → calibrated
+    Laplace → composition accounting). The seed here is a public
+    constant derived from the group name purely for cross-engine
+    determinism, so this release provides no actual privacy — a real
+    deployment must draw the noise from a secret seed / CSPRNG.
 
     Shape: clamp + micros in the scan projection, one partial/final
     agg per nation, noise derived row-locally on the 25-row aggregate

@@ -430,22 +430,51 @@ def test_chained_stateful_operators_in_one_query(spark, stream_src):
 
 
 def test_stream_resume_state_survives_restart(spark):
-    """The q_stream_resume contract, asserted directly: run 2 shares
-    only the checkpoint with run 1, its file-source offset log skips
-    run 1's files, yet the finalized windows carry run 1's counts —
-    constructible only from recovered state. Also: run 1 emits nothing
-    (no finalized window before the restart)."""
+    """The q_stream_resume contract, asserted directly with the sink
+    snapshotted BETWEEN the two runs: run 1 finalizes nothing (zero
+    parquet data files in the sink after it stops), run 2 shares only
+    the checkpoint with run 1, its file-source offset log skips run
+    1's files, yet the finalized windows carry run 1's counts —
+    constructible only from recovered state."""
+    import datetime as dt
     import glob
 
     from hippo_claim_crossover_spark.plans.timeseries import (
-        q_stream_resume)
+        _write_stream_batches)
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream, run_to_parquet, tumbling_agg)
 
-    out = q_stream_resume(spark, "/root/testdata/sf0.001")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, minutes, etype, value):
+        return (eid, base + dt.timedelta(minutes=minutes), 1, etype,
+                value, None)
+
+    run1 = [[ev(1, 0, "click", 1.0), ev(2, 4, "click", 2.0),
+             ev(3, 9, "view", 3.0), ev(4, 15, "click", 10.0)]]
+    run2 = [[ev(5, 90, "click", 4.0)], [ev(6, 91, "view", 5.0)]]
+
+    src, _ = _write_stream_batches(spark, run1, "resume_test")
+    ckpt, out = f"{src}.ckpt", f"{src}.out"
+    run_to_parquet(tumbling_agg(read_event_stream(
+        spark, src, max_files_per_trigger=1)), out, ckpt)
+    # run 1's watermark (9:45) finalizes no window: the sink commits
+    # only EMPTY part files before the restart (the property the pinned
+    # VALUES oracle relies on — every output row postdates the restart)
+    run1_files = set(glob.glob(f"{out}/part-*.parquet"))
+    assert spark.read.parquet(out).count() == 0
+
+    _write_stream_batches(spark, run2, "resume_test", src_dir=src, start=1)
+    run_to_parquet(tumbling_agg(read_event_stream(
+        spark, src, max_files_per_trigger=1)), out, ckpt)
+    run2_files = set(glob.glob(f"{out}/part-*.parquet")) - run1_files
+    assert run2_files, "run 2 committed new sink files"
+
     rows = {(r["window_start"].minute, r["event_type"]):
-            (r["n_events"], r["sum_value"]) for r in out.collect()}
+            (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(out).collect()}
     assert rows == {(0, "click"): (2, 3.0), (0, "view"): (1, 3.0),
                     (10, "click"): (1, 10.0)}
-    # every sink file was written by run 2 (run 1 finalized nothing):
-    # batch 0 (run 1) contributes no data files to the sink
-    sink_dirs = sorted(glob.glob("/root/repo/_scratch/resume_src-*.out"))
-    assert sink_dirs
+    # and every emitted row lives in a run-2 file: recovered state, not
+    # a re-read of run 1's input, produced the finalized counts
+    assert spark.read.parquet(*sorted(run2_files)).count() == len(rows)
