@@ -48,6 +48,8 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
+    # -- round 11 new queries --
+    "q_retrieve_rerank", "q_train_matrix", "q_quantile_sketch_merge",
     # -- round 10 window: 11 NEW queries (S2 raw-text parse,
     # incremental corpus dedup, MinHash mergeability, KMV set algebra,
     # bigram-LM filter, containment + exact-substring-span dedup,

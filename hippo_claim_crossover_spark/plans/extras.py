@@ -1174,6 +1174,193 @@ GROUP BY c.l_returnflag ORDER BY c.l_returnflag
 """
 
 
+# Quantile-summary sketch parameters: shard count and the per-shard
+# retained-item target (the rank-error knob: per-shard subsample step
+# s_b = max(1, floor(n_b / QSK_KEEP)), so the merged summary's rank
+# error is < n/QSK_KEEP + QSK_BUCKETS).
+QSK_BUCKETS = 16
+QSK_KEEP = 64
+
+
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile summary with a hash-checked merge — the
+    re-aggregable-state story of q_hll_sketch/q_kmv_setops applied to
+    quantiles, proven the way q_minhash_merge proves MinHash: each of
+    QSK_BUCKETS md5-sharded partitions of the per-priority order totals
+    builds an independent rank-spaced summary (every s_b-th value of
+    the sorted shard, s_b = max(1, ⌊n_b/64⌋), plus the shard max — the
+    one-level Manku–Rajagopalan–Lindsay subsample), the summaries merge
+    by pure weighted UNION (associative, so shard→region→global rollup
+    needs no re-sketching), and the merged summary answers p50/p90
+    within rank error < n/64 + B without ever re-sorting the data.
+
+    Everything is deterministic, so the driver hashes the ESTIMATES
+    outright (the CMS/KMV gate, strictly stronger than a band): shard
+    membership is md5(o_orderkey), within-shard order is the unique
+    (o_totalprice, o_orderkey), each kept item's weight is the
+    rank-gap to the previous kept item (lag over kept rows only), and
+    the quantile rule is the same integer cross-multiplication as
+    q_weighted_median. The emitted booleans assert the SKETCH CONTRACT
+    — est rank ∈ [target, target + n/32 + 2B] computed against the
+    exact CDF — so a merge that silently lost weight flips the hash.
+
+    100 TB shape: the build is a per-shard sort bounded by adapting B
+    to the data (each shard sorts in parallel; here B is fixed for the
+    oracle), kept rows are ~B·64 per group so every post-build window
+    runs over a few-hundred-row pre-aggregated frame (the allowlisted
+    bounded-window pattern), and the exact-CDF audit rides the same
+    grouped_histogram_cdf machinery as q_percentile. Thresholds stay
+    in BIGINT: 10·rank needs rank < 9.2e17 — row COUNTS, not micros,
+    so safe far past 100 TB (contrast q_weighted_median's weights)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice", "o_orderkey")
+    shard = o.withColumn(
+        "_b", F.pmod(hex2long(F.md5(F.col("o_orderkey").cast("string"))),
+                     F.lit(QSK_BUCKETS)))
+    wb = Window.partitionBy("priority", "_b")
+    wbo = wb.orderBy("o_totalprice", "o_orderkey")
+    ranked = shard.select(
+        "priority", "_b", "o_totalprice",
+        F.row_number().over(wbo).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("n_b"))
+    step = F.greatest(F.lit(1), F.floor(F.col("n_b") / QSK_KEEP)
+                      .cast("long"))
+    kept = (ranked.withColumn("_s", step)
+            .where((F.col("rn") % F.col("_s") == 0)
+                   | (F.col("rn") == F.col("n_b"))))
+    # weight = rank gap to the previous kept item in the same shard:
+    # cumulative kept weight at any kept value == its true shard rank,
+    # so the weighted union's CDF is exact at kept points per shard
+    wk = Window.partitionBy("priority", "_b").orderBy("rn")
+    kept_w = kept.select(
+        "priority", "o_totalprice",
+        (F.col("rn") - F.coalesce(F.lag("rn").over(wk), F.lit(0)))
+        .alias("w"))
+    # merge = weighted union: aggregate per value (tie-safe), then one
+    # cumsum over the ≤ B·(KEEP+1) summary rows per priority
+    by_val = (kept_w.groupBy("priority", "o_totalprice")
+              .agg(F.sum("w").alias("wv")))
+    wcum = (Window.partitionBy("priority").orderBy("o_totalprice")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = by_val.select(
+        "priority", "o_totalprice",
+        F.sum("wv").over(wcum).alias("cum_m"))
+    sizes = (by_val.groupBy("priority")
+             .agg(F.count(F.lit(1)).alias("n_kept"),
+                  F.sum("wv").alias("n")))
+    est = (merged.join(F.broadcast(sizes), "priority")
+           .groupBy("priority")
+           .agg(F.max("n").alias("n_orders"),
+                F.max("n_kept").alias("n_kept"),
+                F.min(F.when(F.lit(2) * F.col("cum_m") >= F.col("n"),
+                             F.col("o_totalprice"))).alias("est_p50"),
+                F.min(F.when(F.lit(10) * F.col("cum_m")
+                             >= F.lit(9) * F.col("n"),
+                             F.col("o_totalprice"))).alias("est_p90")))
+    # exact-CDF audit: the estimates' true ranks honor the rank-error
+    # contract (lower side exact by construction, upper side bounded)
+    hist = (o.groupBy("priority", "o_totalprice")
+            .agg(F.count(F.lit(1)).alias("_c")))
+    cdf = grouped_histogram_cdf(hist, ["priority"], "o_totalprice", "_c")
+    audit = (cdf.join(F.broadcast(est), "priority")
+             .groupBy("priority")
+             .agg(F.max(F.when(F.col("o_totalprice") == F.col("est_p50"),
+                               F.col("_cum"))).alias("r50"),
+                  F.max(F.when(F.col("o_totalprice") == F.col("est_p90"),
+                               F.col("_cum"))).alias("r90"),
+                  F.min(F.when(F.lit(2) * F.col("_cum") >= F.col("n_orders"),
+                               F.col("o_totalprice"))).alias("exact_p50"),
+                  F.min(F.when(F.lit(10) * F.col("_cum")
+                               >= F.lit(9) * F.col("n_orders"),
+                               F.col("o_totalprice"))).alias("exact_p90")))
+    slack = (F.floor(F.col("n_orders") / 32).cast("long")
+             + F.lit(2 * QSK_BUCKETS))
+    return (est.join(audit, "priority")
+            .select(
+                "priority", "n_orders", "n_kept",
+                "est_p50", "est_p90", "exact_p50", "exact_p90",
+                ((F.lit(2) * F.col("r50") >= F.col("n_orders"))
+                 & (F.lit(2) * (F.col("r50") - slack)
+                    <= F.col("n_orders") + F.lit(1))).alias("p50_rank_ok"),
+                ((F.lit(10) * F.col("r90") >= F.lit(9) * F.col("n_orders"))
+                 & (F.lit(10) * (F.col("r90") - slack)
+                    <= F.lit(9) * F.col("n_orders") + F.lit(9)))
+                .alias("p90_rank_ok"))
+            .orderBy("priority"))
+
+
+ORACLE_QUANTILE_SKETCH_MERGE = f"""
+WITH o AS (
+  SELECT o_orderpriority AS priority, o_totalprice, o_orderkey,
+         {sql_hex2long("md5(CAST(o_orderkey AS VARCHAR))")}
+           % {QSK_BUCKETS} AS b
+  FROM orders
+), ranked AS (
+  SELECT priority, b, o_totalprice,
+         row_number() OVER (PARTITION BY priority, b
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY priority, b) AS n_b
+  FROM o
+), kept AS (
+  SELECT priority, b, o_totalprice, rn
+  FROM (SELECT *, greatest(1, CAST(floor(n_b / {QSK_KEEP}) AS BIGINT))
+               AS s FROM ranked)
+  WHERE rn % s = 0 OR rn = n_b
+), kept_w AS (
+  SELECT priority, o_totalprice,
+         rn - coalesce(lag(rn) OVER (PARTITION BY priority, b
+                                     ORDER BY rn), 0) AS w
+  FROM kept
+), by_val AS (
+  SELECT priority, o_totalprice, CAST(sum(w) AS BIGINT) AS wv
+  FROM kept_w GROUP BY 1, 2
+), merged AS (
+  SELECT priority, o_totalprice,
+         CAST(sum(wv) OVER (PARTITION BY priority ORDER BY o_totalprice)
+              AS BIGINT) AS cum_m
+  FROM by_val
+), sizes AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(wv) AS BIGINT) AS n
+  FROM by_val GROUP BY 1
+), est AS (
+  SELECT m.priority, max(s.n) AS n_orders, max(s.n_kept) AS n_kept,
+         min(CASE WHEN 2 * m.cum_m >= s.n THEN m.o_totalprice END)
+           AS est_p50,
+         min(CASE WHEN 10 * m.cum_m >= 9 * s.n THEN m.o_totalprice END)
+           AS est_p90
+  FROM merged m JOIN sizes s ON m.priority = s.priority
+  GROUP BY 1
+), cdf AS (
+  SELECT priority, o_totalprice,
+         CAST(sum(count(*)) OVER (PARTITION BY priority
+                                  ORDER BY o_totalprice) AS BIGINT) AS cum
+  FROM o GROUP BY priority, o_totalprice
+), audit AS (
+  SELECT c.priority,
+         max(CASE WHEN c.o_totalprice = e.est_p50 THEN c.cum END) AS r50,
+         max(CASE WHEN c.o_totalprice = e.est_p90 THEN c.cum END) AS r90,
+         min(CASE WHEN 2 * c.cum >= e.n_orders
+                  THEN c.o_totalprice END) AS exact_p50,
+         min(CASE WHEN 10 * c.cum >= 9 * e.n_orders
+                  THEN c.o_totalprice END) AS exact_p90
+  FROM cdf c JOIN est e ON c.priority = e.priority
+  GROUP BY 1
+)
+SELECT e.priority, e.n_orders, e.n_kept,
+       e.est_p50, e.est_p90, a.exact_p50, a.exact_p90,
+       (2 * a.r50 >= e.n_orders
+        AND 2 * (a.r50 - (e.n_orders // 32 + {2 * QSK_BUCKETS}))
+            <= e.n_orders + 1) AS p50_rank_ok,
+       (10 * a.r90 >= 9 * e.n_orders
+        AND 10 * (a.r90 - (e.n_orders // 32 + {2 * QSK_BUCKETS}))
+            <= 9 * e.n_orders + 9) AS p90_rank_ok
+FROM est e JOIN audit a ON e.priority = a.priority
+ORDER BY e.priority
+"""
+
+
 # DP release parameters: epsilon per statistic (two statistics => the
 # release consumes a 2*eps budget under basic composition), the
 # acctbal clamp bound (= the sum query's sensitivity), and the
@@ -1433,6 +1620,11 @@ SPECS: dict[str, QuerySpec] = {
         q_kmv_sketch, ORACLE_KMV_SKETCH,
         "KMV distinct sketch (md5 order statistics, estimates "
         "hash-checked, union merge via the ALL scope)"),
+    "q_quantile_sketch_merge": QuerySpec(
+        q_quantile_sketch_merge, ORACLE_QUANTILE_SKETCH_MERGE,
+        "mergeable rank-spaced quantile summary (md5-sharded MRL "
+        "subsample, weighted-union merge, estimates hash-checked + "
+        "rank-error contract booleans vs the exact CDF)"),
     "q_kmv_setops": QuerySpec(
         q_kmv_setops, ORACLE_KMV_SETOPS,
         "KMV sketch set algebra: pairwise union/intersection/Jaccard "

@@ -418,6 +418,78 @@ def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SIM_IVF_PERSISTED = ORACLE_SIM_IVF
 
 
+N_RERANK_CAND = 50
+
+
+def q_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve→rerank — the standard hybrid-search pipeline
+    (lexical recall, semantic precision): BM25 produces the top-50
+    candidate documents for the fixed query terms, an exact-cosine
+    rerank against the query embedding (vec_id=0, doc_id==vec_id in the
+    fixtures) reorders them, and the final top-10 carries BOTH scores.
+    Composes the declared halves end-to-end: q_bm25 is stage 1
+    verbatim, q_sim_topk's broadcast scoring is stage 2.
+
+    100 TB shape: stage 1 touches only posting lists (q_bm25's explode
+    filters to the query terms before any aggregation) and reduces to
+    the candidate set via ONE TakeOrderedAndProject — no global sort.
+    Stage 2 never scans the embedding table for anything but the
+    candidates: the 50-row candidate set broadcasts into an equi-join
+    on vec_id (a broadcast hash join the parquet scan can prune
+    against), the query vector is a second 1-row broadcast, scoring is
+    a map-side higher-order-function expression, and the final top-k is
+    again TakeOrdered. Exact brute-force cosine stays bounded by the
+    candidate count, which is the whole point of the two-stage design:
+    the expensive exact scorer runs on k₁ rows, not the corpus.
+
+    Determinism: both stages rank on ROUNDED scores (6dp BM25, 4dp
+    cosine) with doc_id tiebreaks, so candidate membership and the
+    final order are bit-identical cross-engine."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+    from hippo_claim_crossover_spark.plans.text import q_bm25
+
+    cand = (q_bm25(spark, sf_dir)
+            .where(F.col("doc_id") != QUERY_VEC_ID)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(N_RERANK_CAND)
+            .select("doc_id", F.col("score").alias("bm25")))
+    e = t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("v").alias("qv"),
+                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    cos = duck_round(
+        ops_sim.dot(F.col("v"), F.col("qv"))
+        / (ops_sim.l2_norm(F.col("v")) * F.col("qnrm")), 4)
+    return (e.join(F.broadcast(cand), F.col("vec_id") == F.col("doc_id"))
+            .join(F.broadcast(q))
+            .select("doc_id", "bm25", cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "doc_id")
+            .limit(TOP_K))
+
+
+def _oracle_retrieve_rerank() -> str:
+    from hippo_claim_crossover_spark.plans.text import ORACLE_BM25
+    return f"""
+WITH bm AS ({ORACLE_BM25}),
+cand AS (
+  SELECT doc_id, score AS bm25 FROM bm
+  WHERE doc_id != {QUERY_VEC_ID}
+  ORDER BY score DESC, doc_id LIMIT {N_RERANK_CAND}
+), n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = {QUERY_VEC_ID})
+SELECT c.doc_id, c.bm25,
+       {_r4('list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm)')} AS cosine
+FROM cand c JOIN n ON n.vec_id = c.doc_id CROSS JOIN q
+ORDER BY cosine DESC, c.doc_id
+LIMIT {TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_embed_gram": QuerySpec(
         q_embed_gram, ORACLE_EMBED_GRAM,
@@ -437,4 +509,8 @@ SPECS: dict[str, QuerySpec] = {
         "cell-partitioned layout; hash == inline build)"),
     "q_sim_pq": QuerySpec(q_sim_pq, ORACLE_SIM_PQ,
                           "product-quantization ADC top-k"),
+    "q_retrieve_rerank": QuerySpec(
+        q_retrieve_rerank, _oracle_retrieve_rerank(),
+        "two-stage retrieval: BM25 top-50 candidates → broadcast "
+        "exact-cosine rerank → top-10 with both scores"),
 }

@@ -1509,6 +1509,110 @@ FROM a ORDER BY lag
 """
 
 
+TRAIN_MATRIX_LO = "1996-01-01 00:00:00"
+TRAIN_MATRIX_HI = "1996-12-31 00:00:00"
+
+
+def q_train_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped time-series TRAINING-FEATURE MATRIX export — the
+    forecasting-model input a data pipeline materializes from raw
+    events: per (returnflag, calendar day of 1996) the target (that
+    day's revenue) alongside its lag-1, lag-7, and trailing-7-day-sum
+    features plus the day-of-week covariate, gap-filled so calendar
+    days with no sales contribute explicit zeros (a lag over observed
+    rows only would silently mix horizons — the q_gapfill lesson
+    composed with q_ewma's lag discipline).
+
+    Exactness: daily revenue is an exact BIGINT micros sum; every lag /
+    rolling-sum window moves those BIGINTs untouched; each output
+    feature divides once to doubles on the 6dp grid. Rows before day 7
+    of the spine are dropped so every emitted feature vector is
+    complete (no NULL-feature training rows).
+
+    100 TB shape: lineitem reduces to (flag, day) in ONE partial/final
+    hash agg before anything else — the windows run over ≤366 rows per
+    flag (calendar-bounded, like q_seasonal), partitioned by flag so
+    spine join and all three window expressions share one exchange.
+    The spine is sequence()-generated, never a stored table, and the
+    shipdate range predicate pushes into the parquet scan."""
+    lo_d, hi_excl = TRAIN_MATRIX_LO.split(" ")[0], "1997-01-01"
+    li = t(spark, sf_dir, "lineitem")
+    actual = (
+        li.where((F.col("l_shipdate") >= lo_d)
+                 & (F.col("l_shipdate") < hi_excl))
+        .groupBy(F.col("l_returnflag").alias("flag"),
+                 F.date_trunc("day", F.col("l_shipdate")).alias("day"))
+        .agg(F.sum(money_micros(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+            .alias("rev_u")))
+    spine = (
+        li.select(F.col("l_returnflag").alias("flag")).distinct()
+        .crossJoin(spark.sql(
+            f"SELECT explode(sequence(timestamp_ntz'{TRAIN_MATRIX_LO}', "
+            f"timestamp_ntz'{TRAIN_MATRIX_HI}', interval 1 day)) AS day")))
+    filled = (spine.join(actual, ["flag", "day"], "left")
+              .select("flag", "day",
+                      F.coalesce("rev_u", F.lit(0)).alias("rev_u")))
+    w = Window.partitionBy("flag").orderBy("day")
+    w7 = w.rowsBetween(-7, -1)
+    di = F.expr(
+        f"timestampdiff(DAY, timestamp_ntz'{TRAIN_MATRIX_LO}', day)")
+    feat = filled.select(
+        "flag", "day", di.alias("di"), "rev_u",
+        F.lag("rev_u", 1).over(w).alias("lag1_u"),
+        F.lag("rev_u", 7).over(w).alias("lag7_u"),
+        F.sum("rev_u").over(w7).alias("roll7_u"))
+    as_money = [duck_round(F.col(c).cast("double") / F.lit(1e6), 6)
+                .alias(a) for c, a in [("rev_u", "target"),
+                                       ("lag1_u", "lag_1"),
+                                       ("lag7_u", "lag_7"),
+                                       ("roll7_u", "roll7_sum")]]
+    return (feat.where(F.col("di") >= 7)
+            .select("flag", "day",
+                    F.dayofweek("day").cast("long").alias("dow"),
+                    *as_money))
+
+
+ORACLE_TRAIN_MATRIX = f"""
+WITH actual AS (
+  SELECT l_returnflag AS flag,
+         date_trunc('day', CAST(l_shipdate AS TIMESTAMP)) AS day,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6
+                             + 0.5) AS BIGINT)) AS BIGINT) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TRAIN_MATRIX_LO}'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), spine AS (
+  SELECT f.flag, d.day
+  FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem) f,
+       (SELECT unnest(generate_series(TIMESTAMP '{TRAIN_MATRIX_LO}',
+               TIMESTAMP '{TRAIN_MATRIX_HI}', INTERVAL 1 DAY)) AS day) d
+), filled AS (
+  SELECT s.flag, s.day,
+         date_diff('day', TIMESTAMP '{TRAIN_MATRIX_LO}', s.day) AS di,
+         coalesce(a.rev_u, 0) AS rev_u
+  FROM spine s LEFT JOIN actual a ON s.flag = a.flag AND s.day = a.day
+), feat AS (
+  SELECT flag, day, di, rev_u,
+         lag(rev_u, 1) OVER w AS lag1_u,
+         lag(rev_u, 7) OVER w AS lag7_u,
+         CAST(sum(rev_u) OVER (PARTITION BY flag ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS roll7_u
+  FROM filled
+  WINDOW w AS (PARTITION BY flag ORDER BY day)
+)
+SELECT flag, day, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+       floor(CAST(rev_u AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS target,
+       floor(CAST(lag1_u AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS lag_1,
+       floor(CAST(lag7_u AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS lag_7,
+       floor(CAST(roll7_u AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+         AS roll7_sum
+FROM feat WHERE di >= 7
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_ohlc": QuerySpec(
         q_ohlc, ORACLE_OHLC,
@@ -1526,6 +1630,10 @@ SPECS: dict[str, QuerySpec] = {
         q_rolling_7d, ORACLE_ROLLING_7D,
         "trailing 7-day RANGE-frame rolling revenue over the daily "
         "aggregate"),
+    "q_train_matrix": QuerySpec(
+        q_train_matrix, ORACLE_TRAIN_MATRIX,
+        "grouped lag/rolling training-feature matrix over the "
+        "gap-filled daily revenue series (exact BIGINT features)"),
     "q_gapfill": QuerySpec(q_gapfill, ORACLE_GAPFILL,
                            "daily spine gap-fill + LOCF + linear "
                            "interpolation"),
