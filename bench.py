@@ -235,6 +235,10 @@ HEADLINE = [
     "q_weighted_median",
     "q_stream_chained",
     "q_bootstrap_ci",
+    "q_retrieve_rerank",
+    "q_train_matrix",
+    "q_quantile_sketch_merge",
+    "q_stream_sink_audit",
 ]
 
 

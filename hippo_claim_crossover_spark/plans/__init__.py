@@ -48,100 +48,88 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 11 new queries --
+    # -- round 11 window (zero-sum, 50 slots): 4 NEW queries
+    # (retrieve->rerank two-stage pipeline, training-feature matrix,
+    # mergeable quantile summary, exactly-once streaming sink audit);
+    # the 11 late-r10 queries with NO driver record yet (VERDICT r10
+    # item 1 — judge-verified locally, contract evidence pending);
+    # q_join_asof, whose shared _asof_impl changed this round (NULL
+    # right-timestamp guard; q_join_asof_fwd is already in the 11);
+    # and the 34 alphabetically-first queries of the r4 stale-evidence
+    # cohort (latest driver record r4 — VERDICT r10 item 2). --
     "q_retrieve_rerank", "q_train_matrix", "q_quantile_sketch_merge",
-    # -- round 10 window: 11 NEW queries (S2 raw-text parse,
-    # incremental corpus dedup, MinHash mergeability, KMV set algebra,
-    # bigram-LM filter, containment + exact-substring-span dedup,
-    # daily-revenue ACF, winnowing fingerprints, persisted ANN index,
-    # watermark streaming dedup) and the full 39-query r2+r3
-    # stale-evidence cohort (newest driver record predates the r4
-    # fixture regen — VERDICT r9 #1). Slots are zero-sum: the round's
-    # LATER new queries (q_stream_resume, q_outlier_seasonal,
-    # q_graph_sage_agg, q_dp_counts, q_join_asof_fwd, q_mm_dedup,
-    # q_rolling_zscore, q_vocab_oov) and its CHANGED queries
-    # (q_seasonal hardening, the band_key_table callers, the
-    # histogram-CDF percentile family) are verified by the identical
-    # local tri-scale gate (BASELINE.md round-10 note) and queue in
-    # priority order just past the marker to lead the r11 window. --
-    "q_parse_tree", "q_dedup_incremental", "q_minhash_merge",
-    "q_kmv_setops", "q_ngram_lm", "q_dedup_containment",
-    "q_dedup_spans", "q_acf", "q_winnow",
-    "q_sim_ivf_persisted", "q_stream_dedup",
-    # stale-evidence rotation (r2+r3 cohorts, complete):
-    "q_crossover", "q_scan", "q_sink", "q_project_rename", "q_parent_denorm",
-    "q_filter_eq", "q_filter_notnull", "q_having", "q_join_inner",
-    "q_join_broadcast", "q_join_left", "q_explode", "q_explode_nested",
-    "q_unpivot", "q_str_zip", "q_str_name", "q_text_tokens", "q_text_lang",
-    "q_text_langid", "q_text_quality", "q_text_tokcount",
-    "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact", "q_dedup_minhash",
-    "q_dedup_lshband", "q_dedup_simhash", "q_win_rank", "q_win_running",
-    "q_win_frame", "q_win_dist", "q_topk", "q_topk_group", "q_udf", "q_pivot",
-    "q_cube", "q_sample_hash", "q_mm_meta", "q_stream_late",
+    "q_stream_sink_audit", "q_stream_resume", "q_outlier_seasonal",
+    "q_graph_sage_agg", "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup",
+    "q_rolling_zscore", "q_vocab_oov", "q_weighted_median",
+    "q_stream_chained", "q_bootstrap_ci", "q_join_asof", "q_agg_exists",
+    "q_agg_sum", "q_assoc_rules", "q_cluster_kmeans", "q_date_spine",
+    "q_decontaminate", "q_dedup_cluster", "q_dedup_embed",
+    "q_dedup_keep_best", "q_dedup_ngram", "q_dedup_simhash_pairs", "q_funnel",
+    "q_grouping_sets", "q_histogram", "q_histogram_eq", "q_join_anti",
+    "q_join_semi", "q_json", "q_json_project", "q_latest_snapshot",
+    "q_mm_binfile", "q_mm_shard", "q_pack_sequences", "q_pagerank",
+    "q_part_prune", "q_pipe_sql", "q_profile", "q_ship_priority", "q_sim_ivf",
+    "q_sim_lsh_buckets", "q_sim_pq", "q_sim_topk", "q_sink_clustered",
+    "q_src_csv",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # (q_stream_resume is the 12th r10-new query — the 50-slot window
-    # takes 11 new + the 39-query stale cohort; it leads next round's
-    # window and is VALUES-pinned by the identical local gate)
-    "q_stream_resume", "q_outlier_seasonal", "q_graph_sage_agg",
-    "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore",
-    "q_vocab_oov", "q_weighted_median", "q_stream_chained",
-    "q_bootstrap_ci",
-    "q_join_asof", "q_seasonal", "q_dedup_cluster", "q_percentile",
-    "q_winsorize", "q_percentile_approx",
-    "q_percentile_highcard", "q_outlier_mad",
-    "q_dedup_keep_best", "q_split_leakproof", "q_curation_pipeline",
-    "q_grouping_sets",
-    "q_pack_sequences",
+    # next-round queue, oldest evidence first: the remaining 14
+    # r4-cohort queries, then the full 46-query r5 cohort.
+    "q_src_evolve", "q_src_jsonl", "q_src_orc", "q_stream_interval",
+    "q_stream_session", "q_stream_slide", "q_stream_tumble", "q_text_gopher",
+    "q_text_vocab", "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf",
+    "q_variant",
+    "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
+    "q_curation_pipeline", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
+    "q_filter_first", "q_gapfill", "q_graph_bfs", "q_graph_triangles",
+    "q_incr_agg", "q_join_bloom", "q_join_interval_binned", "q_langid_eval",
+    "q_lateral_join", "q_link_sorted", "q_merge_upsert", "q_outlier_zscore",
+    "q_postings", "q_recommend", "q_region_volume", "q_regr_group",
+    "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
+    "q_shuffle_shards", "q_sim_knn_blocked", "q_sink_pyds", "q_sink_zorder",
+    "q_skew_profile", "q_skyline", "q_snapshot_diff", "q_sql_udf",
+    "q_src_metadata", "q_src_pyds", "q_src_pyds_stream", "q_src_xml",
+    "q_stream_interval_lo", "q_stream_static", "q_transitions", "q_transpose",
+    "q_udf_cogrouped", "q_udf_grouped",
     # remaining queries keep their prior relative order; all have
-    # post-regen driver-green records (r4-r9) and unchanged code.
-    "q_funnel", "q_sim_pq", "q_histogram", "q_text_strip_html",
-    "q_mm_pairfilter", "q_mor_read", "q_order_priority",
-    "q_nation_trade", "q_cust_order_dist", "q_part_supplier_cnt",
-    "q_waiting_supplier", "q_cms_sketch", "q_text_entropy", "q_ewma",
-    "q_min_cost_supplier", "q_forecast_revenue", "q_market_share",
-    "q_nation_profit", "q_late_lines", "q_important_stock",
+    # post-r7 driver-green records (or r10/r11 local gate coverage)
+    # and unchanged code.
+    "q_parse_tree", "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops",
+    "q_ngram_lm", "q_dedup_containment", "q_dedup_spans", "q_acf", "q_winnow",
+    "q_sim_ivf_persisted", "q_stream_dedup", "q_crossover", "q_scan",
+    "q_sink", "q_project_rename", "q_parent_denorm", "q_filter_eq",
+    "q_filter_notnull", "q_having", "q_join_inner", "q_join_broadcast",
+    "q_join_left", "q_explode", "q_explode_nested", "q_unpivot", "q_str_zip",
+    "q_str_name", "q_text_tokens", "q_text_lang", "q_text_langid",
+    "q_text_quality", "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash",
+    "q_win_rank", "q_win_running", "q_win_frame", "q_win_dist", "q_topk",
+    "q_topk_group", "q_udf", "q_pivot", "q_cube", "q_sample_hash",
+    "q_mm_meta", "q_stream_late", "q_seasonal", "q_percentile", "q_winsorize",
+    "q_percentile_approx", "q_percentile_highcard", "q_outlier_mad",
+    "q_split_leakproof", "q_text_strip_html", "q_mm_pairfilter", "q_mor_read",
+    "q_order_priority", "q_nation_trade", "q_cust_order_dist",
+    "q_part_supplier_cnt", "q_waiting_supplier", "q_cms_sketch",
+    "q_text_entropy", "q_ewma", "q_min_cost_supplier", "q_forecast_revenue",
+    "q_market_share", "q_nation_profit", "q_late_lines", "q_important_stock",
     "q_dominant_supplier", "q_kmv_sketch", "q_dataset_mixture",
     "q_scd2_lookup", "q_time_travel", "q_melt", "q_corr_matrix",
-    "q_graph_lpa", "q_cusum_changepoint",
-    "q_ab_test", "q_mode", "q_active_users", "q_dedup_near", "q_hll_sketch",
-    "q_approx_cd", "q_coalesce2", "q_coalesce_pair", "q_date_fmt",
-    "q_distinct", "q_join_bucketed", "q_join_range", "q_join_salted",
-    "q_range_ends", "q_rollup", "q_setops", "q_str_dxcode", "q_str_join",
-    "q_profile", "q_sink_clustered", "q_ship_priority", "q_udf_arrow",
-    "q_date_spine", "q_udtf", "q_variant", "q_pipe_sql", "q_assoc_rules",
-    "q_pagerank", "q_text_gopher", "q_mm_shard", "q_src_evolve", "q_src_orc",
-    "q_text_vocab", "q_cluster_kmeans", "q_part_prune", "q_src_csv",
-    "q_src_jsonl", "q_dedup_simhash_pairs", "q_mm_binfile", "q_stream_tumble",
-    "q_stream_slide", "q_stream_session", "q_time_trunc",
-    "q_json", "q_json_project", "q_udaf", "q_sim_topk", "q_sim_ivf",
-    "q_join_semi", "q_join_anti", "q_agg_sum", "q_agg_exists",
-    "q_dedup_embed", "q_decontaminate", "q_latest_snapshot",
-    "q_stream_interval", "q_dedup_ngram",
-    "q_histogram_eq", "q_sim_lsh_buckets", "q_regr_group", "q_outlier_zscore",
-    "q_drift_chi2", "q_sessionize", "q_snapshot_diff", "q_returned_items",
-    "q_transpose", "q_sql_udf", "q_lateral_join", "q_bpe_merges",
-    "q_postings", "q_shuffle_shards", "q_transitions", "q_skew_profile",
-    "q_skyline", "q_bpe_encode", "q_sample_group", "q_gapfill", "q_sink_pyds",
-    "q_src_metadata", "q_explode_outer", "q_calendar",
-    "q_graph_bfs", "q_recommend", "q_langid_eval", "q_filter_first",
-    "q_merge_upsert", "q_scd2_history", "q_join_bloom", "q_stream_static",
-    "q_link_sorted", "q_dq_audit", "q_cohort_retention", "q_graph_triangles",
-    "q_incr_agg", "q_sink_zorder", "q_join_interval_binned", "q_udf_grouped",
-    "q_udf_cogrouped", "q_stream_interval_lo", "q_region_volume", "q_src_xml",
-    "q_src_pyds", "q_src_pyds_stream", "q_sim_knn_blocked",
-    "q_attribution", "q_mm_frames", "q_mm_resize",
-    "q_matmul", "q_text_typicality", "q_ohlc", "q_sample_stratified",
-    "q_mm_decode", "q_disjunctive", "q_promo_share", "q_top_supplier",
-    "q_idle_customers", "q_pii_redact", "q_repetition", "q_fuzzy_link",
-    "q_embed_gram", "q_hof_array", "q_drift_ks", "q_join_full", "q_win_nav",
-    "q_collect_sorted", "q_gini", "q_rolling_7d", "q_negative_sample",
-    "q_target_encode", "q_feature_hash", "q_interval_coverage",
-    "q_subquery_sql", "q_sample_balance", "q_not_in", "q_export_pipeline",
-    "q_join_setsim", "q_histogram_eq_approx", "q_reconcile", "q_bm25",
-    "q_collocations", "q_sample_weighted", "q_sample_weighted_group",
-    "q_diversity", "q_rag_pipeline", "q_agg_multi", "q_chunk",
-    "q_heavy_hitters", "q_small_qty", "q_large_orders", "q_bool_eq",
-    "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict",
+    "q_graph_lpa", "q_cusum_changepoint", "q_ab_test", "q_mode",
+    "q_active_users", "q_dedup_near", "q_hll_sketch", "q_approx_cd",
+    "q_coalesce2", "q_coalesce_pair", "q_date_fmt", "q_distinct",
+    "q_join_bucketed", "q_join_range", "q_join_salted", "q_range_ends",
+    "q_rollup", "q_setops", "q_str_dxcode", "q_str_join", "q_attribution",
+    "q_mm_frames", "q_mm_resize", "q_matmul", "q_text_typicality", "q_ohlc",
+    "q_sample_stratified", "q_mm_decode", "q_disjunctive", "q_promo_share",
+    "q_top_supplier", "q_idle_customers", "q_pii_redact", "q_repetition",
+    "q_fuzzy_link", "q_embed_gram", "q_hof_array", "q_drift_ks",
+    "q_join_full", "q_win_nav", "q_collect_sorted", "q_gini", "q_rolling_7d",
+    "q_negative_sample", "q_target_encode", "q_feature_hash",
+    "q_interval_coverage", "q_subquery_sql", "q_sample_balance", "q_not_in",
+    "q_export_pipeline", "q_join_setsim", "q_histogram_eq_approx",
+    "q_reconcile", "q_bm25", "q_collocations", "q_sample_weighted",
+    "q_sample_weighted_group", "q_diversity", "q_rag_pipeline", "q_agg_multi",
+    "q_chunk", "q_heavy_hitters", "q_small_qty", "q_large_orders",
+    "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict",
     "q_case_multi", "q_case_struct", "q_cast",
 ]
 

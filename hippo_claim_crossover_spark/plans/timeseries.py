@@ -1411,6 +1411,128 @@ def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE SINK AUDIT — the operational reconciliation a
+    production stream runs against its own transaction logs (the
+    q_reconcile idea applied to a streaming sink): after a pinned
+    4-batch run (q_stream_resume's event layout in one query: 3 data
+    batches + the trailing no-data watermark-flush batch availableNow
+    schedules), the audit reads the parquet sink's ``_spark_metadata``
+    per-batch manifests, the checkpoint's ``offsets`` and ``commits``
+    logs, and the sink directory itself, and reconciles all four:
+    per batch — rows attributable to that batch's manifest files
+    (pinned: the finalized windows land in batch 2, every other batch
+    commits only empty part files), an offset-log entry exists, a
+    commit-log entry exists (offset-without-commit = in-flight residue
+    of a crash), every manifest file is present on disk, and zero
+    orphan part files exist outside any manifest (the exactly-once
+    guarantee readers depend on: uncommitted task output must be
+    invisible).
+
+    100 TB shape: every leg is a distributed scan — manifests and
+    offset/commit logs via ``wholeTextFiles`` (the DataFrame file
+    sources hard-filter any path under a ``_``-prefixed segment, so
+    ``_spark_metadata``/checkpoint internals are unreachable to them;
+    the Hadoop glob honors explicit patterns, and commit-log files are
+    metadata-sized by construction — one small file per batch — so the
+    whole-file RDD read is bounded), JSON lines parsed with from_json,
+    per-file row counts by grouping the sink read on input_file_name
+    (the metadata-log-aware parquet read, so only COMMITTED files
+    count), the disk listing via the binaryFile source projecting path
+    only (no content I/O). No driver-side directory walk; file counts
+    per batch are shuffle-partition-dependent and deliberately NOT
+    emitted — row counts are the invariant."""
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream,
+        run_to_parquet,
+        tumbling_agg,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, minutes, etype, value):
+        return (eid, base + dt.timedelta(minutes=minutes), 1, etype,
+                value, None)
+
+    batches = [[ev(1, 0, "click", 1.0), ev(2, 4, "click", 2.0),
+                ev(3, 9, "view", 3.0), ev(4, 15, "click", 10.0)],
+               [ev(5, 90, "click", 4.0)], [ev(6, 91, "view", 5.0)]]
+    src, _ = _write_stream_batches(spark, batches, "sinkaudit")
+    ckpt, out = f"{src}.ckpt", f"{src}.out"
+    run_to_parquet(tumbling_agg(read_event_stream(
+        spark, src, max_files_per_trigger=1)), out, ckpt)
+
+    def _basename(col):
+        return F.element_at(F.split(col, "/"), -1)
+
+    def _log_files(glob_path):
+        # wholeTextFiles: the only Spark source that can list inside a
+        # _-prefixed directory (see docstring); one tiny file per batch
+        rdd = spark.sparkContext.wholeTextFiles(glob_path)
+        return (spark.createDataFrame(rdd, "lpath string, content string")
+                .select(_basename(F.col("lpath")).cast("long")
+                        .alias("batch_id"), "content"))
+
+    def _log_batches(glob_path):
+        return _log_files(glob_path).select("batch_id").distinct()
+
+    manifest = (
+        _log_files(f"{out}/_spark_metadata/[0-9]*")
+        .select("batch_id", F.explode(F.split("content", "\n"))
+                .alias("value"))
+        .where(F.col("value").startswith("{"))
+        .select("batch_id",
+                _basename(F.from_json(
+                    "value", "path string, size bigint, action string")
+                    .getField("path")).alias("fname")))
+    counts = (spark.read.parquet(out)
+              .groupBy(_basename(F.input_file_name()).alias("fname"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    disk = (spark.read.format("binaryFile").load(f"{out}/part-*")
+            .select(_basename(F.col("path")).alias("fname"),
+                    F.lit(True).alias("on_disk")))
+    n_orphans = (disk.join(manifest, "fname", "left_anti")
+                 .agg(F.count(F.lit(1)).alias("n_orphans")))
+    per_batch = (
+        manifest.join(counts, "fname", "left")
+        .join(disk, "fname", "left")
+        .groupBy("batch_id")
+        .agg(F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_rows"),
+             F.bool_and(F.coalesce(F.col("on_disk"), F.lit(False)))
+             .alias("files_committed")))
+    offsets = _log_batches(f"{ckpt}/offsets/[0-9]*") \
+        .withColumn("has_offset", F.lit(True))
+    commits = _log_batches(f"{ckpt}/commits/[0-9]*") \
+        .withColumn("has_commit", F.lit(True))
+    return (per_batch
+            .join(F.broadcast(offsets), "batch_id", "left")
+            .join(F.broadcast(commits), "batch_id", "left")
+            .crossJoin(F.broadcast(n_orphans))
+            .select("batch_id", "n_rows",
+                    F.coalesce("has_offset", F.lit(False))
+                    .alias("has_offset"),
+                    F.coalesce("has_commit", F.lit(False))
+                    .alias("has_commit"),
+                    "files_committed", "n_orphans")
+            .orderBy("batch_id"))
+
+
+ORACLE_STREAM_SINK_AUDIT = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE,
+   CAST(0 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE,
+   CAST(0 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), TRUE, TRUE, TRUE,
+   CAST(0 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE,
+   CAST(0 AS BIGINT))
+) AS t(batch_id, n_rows, has_offset, has_commit, files_committed,
+       n_orphans)
+ORDER BY batch_id
+"""
+
+
 ORACLE_STREAM_RESUME = """
 SELECT * FROM (VALUES
   (TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:10:00',
@@ -1688,6 +1810,10 @@ SPECS: dict[str, QuerySpec] = {
         q_stream_chained, ORACLE_STREAM_CHAINED,
         "chained stateful streaming (dedup -> windowed agg in one "
         "query); the window sum proves which redelivery survived"),
+    "q_stream_sink_audit": QuerySpec(
+        q_stream_sink_audit, ORACLE_STREAM_SINK_AUDIT,
+        "exactly-once sink audit: _spark_metadata manifests vs "
+        "offset/commit logs vs disk, per-batch rows pinned"),
     "q_stream_resume": QuerySpec(
         q_stream_resume, ORACLE_STREAM_RESUME,
         "checkpoint restart recovery: run-2 emits windows whose counts "

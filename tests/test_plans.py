@@ -1655,3 +1655,86 @@ def test_bootstrap_ci_shuffles_cells_not_rows(spark):
     for r in rows:
         assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
         assert r["ci_hi"] > r["ci_lo"], r
+
+
+def test_retrieve_rerank_broadcasts_candidates_and_takeorders(spark):
+    """q_retrieve_rerank: stage 1 must reduce to the candidate set via
+    TakeOrderedAndProject (no global sort), stage 2 must join the
+    candidates into the embedding scan as a BROADCAST hash join (the
+    corpus is never shuffled for 50 candidate rows), and nothing may
+    plan as a CartesianProduct; semantically the result is the top-10
+    by rounded cosine with doc_id tiebreak."""
+    plan = _plan(spark, "q_retrieve_rerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastHashJoin" in plan
+    rows = ALL_SPECS["q_retrieve_rerank"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r["bm25"] > 0 for r in rows)
+
+
+def test_train_matrix_pushes_range_and_aggregates_before_window(spark):
+    """q_train_matrix: the 1996 shipdate range must reach the parquet
+    scan, lineitem must collapse to (flag, day) in a partial/final agg
+    BEFORE any window (the windows run over calendar-bounded rows), and
+    the lag/rolling windows must be partitioned by flag (no
+    single-partition exchange of data rows). Features must be complete
+    (no NULLs) and internally consistent."""
+    plan = _plan(spark, "q_train_matrix")
+    # several scans (actuals, spine flags) — the shipdate range must be
+    # pushed on at least one of them (the lineitem actuals scan)
+    pushed_sections = [s.split("]")[0]
+                       for s in plan.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed_sections), pushed_sections
+    assert "partial_sum" in plan
+    rows = ALL_SPECS["q_train_matrix"].fn(spark, SF_DIR).collect()
+    by_key = {(r["flag"], r["day"]): r for r in rows}
+    assert rows and len(by_key) == len(rows)
+    for r in rows:
+        assert r["lag_1"] is not None and r["lag_7"] is not None, r
+        assert r["roll7_sum"] is not None and 1 <= r["dow"] <= 7, r
+    # spot-check the rolling feature: roll7_sum at day d == sum of the
+    # 7 preceding targets (reconstructable from lag chain at day d+1:
+    # roll7(d+1) = roll7(d) + target(d) - lag_7(d))
+    import datetime as dt
+    for (flag, day), r in list(by_key.items())[:50]:
+        nxt = by_key.get((flag, day + dt.timedelta(days=1)))
+        if nxt is not None:
+            assert abs(nxt["roll7_sum"]
+                       - (r["roll7_sum"] + r["target"] - r["lag_7"])) \
+                < 1e-6, (flag, day)
+
+
+def test_quantile_sketch_merge_contract_and_no_resort(spark):
+    """q_quantile_sketch_merge: no exact percentile aggregate anywhere
+    (the estimates come from the merged summary), the exact-CDF audit
+    rides rangepartitioning (grouped_histogram_cdf), no cartesian; the
+    emitted contract booleans are TRUE and the summary is never larger
+    than the data it summarizes."""
+    plan = _plan(spark, "q_quantile_sketch_merge")
+    low = plan.lower()
+    assert "percentile(" not in low
+    assert "rangepartitioning" in low
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_quantile_sketch_merge"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p50_rank_ok"] and r["p90_rank_ok"], r
+        assert r["n_kept"] <= r["n_orders"], r
+        assert r["est_p50"] <= r["est_p90"], r
+        assert r["exact_p50"] <= r["exact_p90"], r
+
+
+def test_stream_sink_audit_reconciles_all_logs(spark):
+    """q_stream_sink_audit: the pinned 4-batch run reconciles manifest,
+    offset log, commit log, and disk — every batch offset has a commit,
+    every manifest file exists, zero orphans, and only the
+    watermark-finalizing batch carries rows."""
+    rows = ALL_SPECS["q_stream_sink_audit"].fn(spark, SF_DIR).collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_rows"] for r in rows] == [0, 0, 3, 0]
+    for r in rows:
+        assert r["has_offset"] and r["has_commit"], r
+        assert r["files_committed"] and r["n_orphans"] == 0, r
