@@ -239,6 +239,7 @@ HEADLINE = [
     "q_train_matrix",
     "q_quantile_sketch_merge",
     "q_stream_sink_audit",
+    "q_compact_files",
 ]
 
 

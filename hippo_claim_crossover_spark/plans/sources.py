@@ -25,6 +25,7 @@ from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
     money_sum,
     money_sum_sql,
+    sql_hex2long,
     t,
 )
 
@@ -552,7 +553,103 @@ FROM orders GROUP BY 1
 """
 
 
+COMPACT_FRAG_FILES = 64
+COMPACT_TARGET_FILES = 4
+_CKSUM_MOD = 1 << 62
+
+
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILES COMPACTION with a row-identity checksum — the
+    lakehouse maintenance job (OPTIMIZE / rewrite_data_files) every
+    streaming or frequently-appended table needs at 100 TB: thousands
+    of per-batch files destroy scan throughput (one footer + open per
+    file, undersized row groups, no skipping), so a periodic job
+    rewrites them into few large files and must PROVE it lost nothing.
+
+    Here lineitem's join keys + exact money micros are written as a
+    64-file fragmented copy (the "many small appends" state), compacted
+    to 4 files, and audited: file counts from a distinct-count over
+    ``input_file_name()`` on each leg (distributed listing, no driver
+    walk), row counts, and an order-insensitive row-identity checksum —
+    sum over md5-prefix row hashes in DECIMAL(38,0) (no int64 overflow
+    at any scale, duplicates COUNT — an XOR checksum would let a
+    compaction that dropped a row an even number of times pass), folded
+    mod 2^62 for the emitted BIGINT. The oracle recomputes both
+    checksums straight from the source table, so frag == compact ==
+    source is hash-proven end to end.
+
+    The compaction itself is one ``repartition(4)`` rewrite (the
+    re-clustering form real OPTIMIZE jobs use; ``coalesce`` is the
+    zero-shuffle alternative when layout doesn't change, but its file
+    count follows the read-combine of the input — config-dependent —
+    so the pinned contract uses the shuffle form)."""
+    cols = ["l_orderkey", "l_linenumber", "qty_u", "price_u"]
+    src = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_quantity") * 1e6 + 0.5).cast("long")
+        .alias("qty_u"),
+        F.floor(F.col("l_extendedprice") * 1e6 + 0.5).cast("long")
+        .alias("price_u"))
+
+    def write(out: str) -> None:
+        src.repartition(COMPACT_FRAG_FILES) \
+            .write.mode("overwrite").parquet(f"{out}/frag")
+        spark.read.parquet(f"{out}/frag") \
+            .repartition(COMPACT_TARGET_FILES) \
+            .write.mode("overwrite").parquet(f"{out}/compact")
+
+    out = _materialize(spark, sf_dir, "compact", write)
+
+    def audit(leg: str):
+        from hippo_claim_crossover_spark.plans.base import hex2long
+        # input_file_name() is non-deterministic to the optimizer, so it
+        # must be projected into a column before aggregation
+        df = (spark.read.parquet(f"{out}/{leg}")
+              .withColumn("_f", F.input_file_name()))
+        h = hex2long(F.md5(F.concat_ws("#", *cols)))
+        return df.agg(
+            F.count_distinct(F.col("_f")).alias(f"n_files_{leg}"),
+            F.count(F.lit(1)).alias(f"n_rows_{leg}"),
+            F.pmod(F.sum(h.cast("decimal(38,0)")),
+                   F.lit(_CKSUM_MOD).cast("decimal(38,0)"))
+            .cast("long").alias(f"checksum_{leg}"))
+
+    return (audit("frag").crossJoin(audit("compact"))
+            .withColumn("lossless",
+                        (F.col("n_rows_frag") == F.col("n_rows_compact"))
+                        & (F.col("checksum_frag")
+                           == F.col("checksum_compact"))))
+
+
+ORACLE_COMPACT_FILES = f"""
+WITH h AS (
+  SELECT {sql_hex2long(
+      "md5(CAST(l_orderkey AS VARCHAR) || '#' || "
+      "CAST(l_linenumber AS VARCHAR) || '#' || "
+      "CAST(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS VARCHAR) "
+      "|| '#' || "
+      "CAST(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) "
+      "AS VARCHAR))")} AS hv
+  FROM lineitem
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(hv AS HUGEINT)) % {_CKSUM_MOD} AS BIGINT) AS cksum
+  FROM h
+)
+SELECT CAST({COMPACT_FRAG_FILES} AS BIGINT) AS n_files_frag,
+       n_rows AS n_rows_frag, cksum AS checksum_frag,
+       CAST({COMPACT_TARGET_FILES} AS BIGINT) AS n_files_compact,
+       n_rows AS n_rows_compact, cksum AS checksum_compact,
+       TRUE AS lossless
+FROM a
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_compact_files": QuerySpec(
+        q_compact_files, ORACLE_COMPACT_FILES,
+        "small-files compaction (64→4 rewrite) with hash-proven "
+        "row-identity checksum and distributed file-count audit"),
     "q_part_prune": QuerySpec(q_part_prune, ORACLE_PART_PRUNE,
                               "partitionBy layout + pruned readback"),
     "q_sink_zorder": QuerySpec(q_sink_zorder, ORACLE_SINK_ZORDER,

@@ -1738,3 +1738,21 @@ def test_stream_sink_audit_reconciles_all_logs(spark):
     for r in rows:
         assert r["has_offset"] and r["has_commit"], r
         assert r["files_committed"] and r["n_orphans"] == 0, r
+
+
+def test_compact_files_lossless_and_distributed_audit(spark):
+    """q_compact_files: the audit must count files via a distributed
+    distinct over input_file_name (no driver directory walk — the plan
+    shows the parquet scans, not a LocalTableScan of listed paths), and
+    the emitted contract must hold: pinned 64→4 file counts, equal row
+    counts, equal checksums, lossless TRUE."""
+    plan = _plan(spark, "q_compact_files")
+    assert "input_file_name" in plan
+    assert "CartesianProduct" not in plan  # 1-row x 1-row cross is BNLJ
+    rows = ALL_SPECS["q_compact_files"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_files_frag"] == 64 and r["n_files_compact"] == 4
+    assert r["n_rows_frag"] == r["n_rows_compact"] > 0
+    assert r["checksum_frag"] == r["checksum_compact"]
+    assert r["lossless"]
