@@ -26,12 +26,17 @@ def _asof_impl(left: DataFrame, right: DataFrame, on: str,
     tolerance horizon). A right row's struct is non-null even when
     every payload field is NULL, so the carry is atomic.
 
-    Right rows with a NULL ``right_ts`` are dropped up front: a NULL
-    timestamp has no position on the as-of axis, yet it sorts
-    nulls-first ascending, so left unfiltered (backward direction, no
-    tolerance) its non-null struct would be carried as a phantom
-    "match" (with NULL ``_rts``) for every left row preceding the
-    first real right row."""
+    NULL timestamps have no position on the as-of axis, and the
+    nulls-first sort would otherwise manufacture phantom matches on
+    BOTH sides: a NULL-``right_ts`` row's non-null struct would be
+    carried backward as a "match" (with NULL ``_rts``) for every left
+    row preceding the first real right row, and a NULL-``left_ts`` row
+    would sort before every right row and pick up the key's earliest
+    right struct in the forward direction. So NULL-timestamp right
+    rows are dropped up front (they can never be a match), while
+    NULL-timestamp left rows are KEPT but their carried struct is
+    nulled (left-outer semantics: the row survives with no match —
+    DuckDB ASOF / pandas merge_asof agree)."""
     from pyspark.sql.types import StructField, StructType
 
     right = right.where(F.col(right_ts).isNotNull())
@@ -78,7 +83,8 @@ def _asof_impl(left: DataFrame, right: DataFrame, on: str,
         carried = F.last("_r", ignorenulls=True).over(w)
     out = (
         tagged_l.unionByName(tagged_r)
-        .select("_k", "_ts", "_is_left", *lcols, carried.alias("_r"))
+        .select("_k", "_ts", "_is_left", *lcols,
+                F.when(F.col("_ts").isNotNull(), carried).alias("_r"))
         .where(F.col("_is_left") == 1)
     )
     if tolerance is not None:

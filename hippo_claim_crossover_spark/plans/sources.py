@@ -583,13 +583,13 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle alternative when layout doesn't change, but its file
     count follows the read-combine of the input — config-dependent —
     so the pinned contract uses the shuffle form)."""
+    from hippo_claim_crossover_spark.plans.base import money_micros
+
     cols = ["l_orderkey", "l_linenumber", "qty_u", "price_u"]
     src = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber",
-        F.floor(F.col("l_quantity") * 1e6 + 0.5).cast("long")
-        .alias("qty_u"),
-        F.floor(F.col("l_extendedprice") * 1e6 + 0.5).cast("long")
-        .alias("price_u"))
+        money_micros(F.col("l_quantity")).alias("qty_u"),
+        money_micros(F.col("l_extendedprice")).alias("price_u"))
 
     def write(out: str) -> None:
         src.repartition(COMPACT_FRAG_FILES) \

@@ -1419,15 +1419,18 @@ def q_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches + the trailing no-data watermark-flush batch availableNow
     schedules), the audit reads the parquet sink's ``_spark_metadata``
     per-batch manifests, the checkpoint's ``offsets`` and ``commits``
-    logs, and the sink directory itself, and reconciles all four:
-    per batch — rows attributable to that batch's manifest files
-    (pinned: the finalized windows land in batch 2, every other batch
-    commits only empty part files), an offset-log entry exists, a
-    commit-log entry exists (offset-without-commit = in-flight residue
-    of a crash), every manifest file is present on disk, and zero
-    orphan part files exist outside any manifest (the exactly-once
-    guarantee readers depend on: uncommitted task output must be
-    invisible).
+    logs, and the sink directory itself, and reconciles all four. The
+    batch universe is the UNION of all three logs — a batch present in
+    the offsets log but missing from the sink manifest (a crash
+    between offset write and sink commit, the classic in-flight
+    residue) still surfaces as a row with ``has_manifest=false``
+    instead of silently vanishing. Per batch: rows attributable to
+    that batch's manifest files (pinned: the finalized windows land in
+    batch 2, every other batch commits only empty part files),
+    offset-log / commit-log / manifest presence booleans, every
+    manifest file present on disk, and zero orphan part files outside
+    any manifest (the exactly-once guarantee readers depend on:
+    uncommitted task output must be invisible).
 
     100 TB shape: every leg is a distributed scan — manifests and
     offset/commit logs via ``wholeTextFiles`` (the DataFrame file
@@ -1499,36 +1502,47 @@ def q_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("batch_id")
         .agg(F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_rows"),
              F.bool_and(F.coalesce(F.col("on_disk"), F.lit(False)))
-             .alias("files_committed")))
+             .alias("_files_ok")))
     offsets = _log_batches(f"{ckpt}/offsets/[0-9]*") \
         .withColumn("has_offset", F.lit(True))
     commits = _log_batches(f"{ckpt}/commits/[0-9]*") \
         .withColumn("has_commit", F.lit(True))
-    return (per_batch
+    # batch universe = union of ALL logs, so a batch that reached one
+    # log but not another cannot vanish from the audit
+    ids = (offsets.select("batch_id")
+           .unionByName(commits.select("batch_id"))
+           .unionByName(per_batch.select("batch_id"))
+           .distinct())
+    return (ids
+            .join(F.broadcast(per_batch), "batch_id", "left")
             .join(F.broadcast(offsets), "batch_id", "left")
             .join(F.broadcast(commits), "batch_id", "left")
             .crossJoin(F.broadcast(n_orphans))
-            .select("batch_id", "n_rows",
+            .select("batch_id",
+                    F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
                     F.coalesce("has_offset", F.lit(False))
                     .alias("has_offset"),
                     F.coalesce("has_commit", F.lit(False))
                     .alias("has_commit"),
-                    "files_committed", "n_orphans")
+                    F.col("_files_ok").isNotNull().alias("has_manifest"),
+                    (F.col("_files_ok").isNotNull() & F.col("_files_ok"))
+                    .alias("files_committed"),
+                    "n_orphans")
             .orderBy("batch_id"))
 
 
 ORACLE_STREAM_SINK_AUDIT = """
 SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE,
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE, TRUE,
    CAST(0 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE,
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE, TRUE,
    CAST(0 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), TRUE, TRUE, TRUE,
+  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), TRUE, TRUE, TRUE, TRUE,
    CAST(0 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE,
+  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE, TRUE,
    CAST(0 AS BIGINT))
-) AS t(batch_id, n_rows, has_offset, has_commit, files_committed,
-       n_orphans)
+) AS t(batch_id, n_rows, has_offset, has_commit, has_manifest,
+       files_committed, n_orphans)
 ORDER BY batch_id
 """
 

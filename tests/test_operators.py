@@ -577,3 +577,33 @@ def test_asof_carry_is_atomic_on_null_payload_fields(spark):
         on="g", left_ts="lt", right_ts="rt").collect()}
     assert bwd[108] == (5, "y")
     assert bwd[150] == (5, "y")
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL timestamps have no position on the as-of axis: a right row
+    with NULL rts must never be carried as a match (it used to sort
+    nulls-first and back-fill every early left row), and a left row
+    with NULL ts must survive with a NULL match (left-outer
+    cardinality) rather than grabbing the key's earliest/latest right
+    row — in BOTH directions."""
+    from hippo_claim_crossover_spark.operators.joins import (
+        asof_join_forward)
+
+    left = spark.createDataFrame(
+        [(1, _ts(1), "early"), (1, None, "no-ts")],
+        "k int, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, None, 666.0), (1, _ts(5), 100.0)],
+        "k int, rts timestamp, val double")
+    for fn in (asof_join, asof_join_forward):
+        rows = {r["ev"]: (r["rts"], r["val"])
+                for r in fn(left, right, "k", "ts", "rts").collect()}
+        assert len(rows) == 2, fn.__name__  # left-outer: both rows kept
+        assert rows["no-ts"] == (None, None), fn.__name__
+    back = {r["ev"]: r["val"]
+            for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert back["early"] is None  # NULL-rts row must not back-fill
+    fwd = {r["ev"]: r["val"]
+           for r in asof_join_forward(left, right, "k", "ts",
+                                      "rts").collect()}
+    assert fwd["early"] == 100.0  # real forward match still found

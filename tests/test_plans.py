@@ -1737,6 +1737,7 @@ def test_stream_sink_audit_reconciles_all_logs(spark):
     assert [r["n_rows"] for r in rows] == [0, 0, 3, 0]
     for r in rows:
         assert r["has_offset"] and r["has_commit"], r
+        assert r["has_manifest"], r
         assert r["files_committed"] and r["n_orphans"] == 0, r
 
 

@@ -99,7 +99,11 @@ def _task_skew(spark, stage_ids) -> tuple[float, float]:
 def _skew_fixture(spark, mult: int, dest: str) -> None:
     """Fact table with a manufactured zipfian key: ~40% of rows land on
     key 0 (md5-deterministic), the rest spread over 100k keys; plus a
-    100k-row dim. Volume scales with ``mult`` via a replica fan-out."""
+    100k-row dim. Volume scales with ``mult`` via a replica fan-out.
+    The hot/tail decision and the tail key come from INDEPENDENT digit
+    ranges of the hash (h%10 vs h//10) — deriving both from h would
+    correlate them (h%100000 shares its last digit with h%10), leaving
+    40% of the tail keyspace unreachable."""
     from pyspark.sql import functions as F
 
     from hippo_claim_crossover_spark.plans.base import hex2long, money_micros
@@ -112,7 +116,10 @@ def _skew_fixture(spark, mult: int, dest: str) -> None:
                 "#", "l_orderkey", "l_linenumber", "rep"))).alias("h"),
                 money_micros(F.col("l_quantity")).alias("v"))
             .select(F.when(F.col("h") % 10 < 4, F.lit(0))
-                    .otherwise(F.col("h") % 100_000).alias("skew_key"),
+                    # integer DIV: h is ~2^60, a double quotient would
+                    # lose exactly the low digits the modulo reads
+                    .otherwise(F.expr("(h DIV 10) % 100000"))
+                    .alias("skew_key"),
                     "v"))
     fact.write.mode("overwrite").parquet(f"{dest}/fact")
     (spark.range(100_000)
