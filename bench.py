@@ -240,6 +240,8 @@ HEADLINE = [
     "q_quantile_sketch_merge",
     "q_stream_sink_audit",
     "q_compact_files",
+    "q_curriculum",
+    "q_ann_recall",
 ]
 
 

@@ -490,7 +490,46 @@ LIMIT {TOP_K}
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX EVALUATION — recall@k of the IVF probe against exact
+    brute force, the measurement every pipeline runs before trusting an
+    approximate index (and re-runs whenever nprobe/cell-count change).
+    Both halves are the declared queries verbatim (q_sim_topk exact,
+    q_sim_ivf approximate), so this is the composed evaluation face:
+    |exact ∩ ivf| / k via a 10-row broadcast left-semi join — the
+    evaluation itself costs nothing beyond the two retrievals.
+
+    Deterministic end to end (both halves rank on rounded cosines with
+    vec_id tiebreaks), so k, hit count, and recall all hash-check."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+
+    exact = q_sim_topk(spark, sf_dir).select("vec_id")
+    approx = q_sim_ivf(spark, sf_dir).select("vec_id")
+    return (exact.join(F.broadcast(approx), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(TOP_K).cast("long").alias("k"),
+                    "n_hits",
+                    duck_round(F.col("n_hits").cast("double")
+                               / F.lit(TOP_K), 4).alias("recall")))
+
+
+def _oracle_ann_recall() -> str:
+    return f"""
+WITH exact AS ({ORACLE_SIM_TOPK}),
+approx AS ({ORACLE_SIM_IVF})
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       floor(CAST(count(*) AS DOUBLE) / {TOP_K} * 1e4 + 0.5) / 1e4
+         AS recall
+FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_ann_recall": QuerySpec(
+        q_ann_recall, _oracle_ann_recall(),
+        "recall@k of the IVF probe vs exact brute force (composed "
+        "index-evaluation face, fully hash-checked)"),
     "q_embed_gram": QuerySpec(
         q_embed_gram, ORACLE_EMBED_GRAM,
         "distributed Gram matrix EᵀE (int64 partial-Gram mapInArrow "

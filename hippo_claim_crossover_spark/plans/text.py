@@ -1869,6 +1869,77 @@ ORDER BY b.source
 """
 
 
+CURRICULUM_PHASES = 4
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM BINNING — the training-data ordering face: the corpus
+    is split into CURRICULUM_PHASES equal-count phases by quality score
+    (phase 1 = lowest quality, phase 4 = highest — the schedule then
+    feeds phases in whatever order the training recipe wants), with
+    per-phase document counts, token budgets, and the quality range
+    each phase spans. Composes q_text_quality's scoring with the
+    distributed_ntile operator.
+
+    100 TB shape: ntile over the whole corpus is a GLOBAL ordering —
+    the naive window plans a single-partition sort of every row;
+    distributed_ntile (operators/ranking.py) range-shuffles on the
+    order key, ranks per partition, and lifts to global ranks via the
+    broadcast prefix-offset table, so no stage ever sees more than a
+    partition. Exactness: ranking is on the ROUNDED 4dp score with
+    doc_id tiebreak (bit-identical both engines), the per-phase mean
+    rides a BIGINT sum of 1e4-scaled scores, token totals are exact
+    BIGINTs."""
+    from hippo_claim_crossover_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    d = ops_text.quality_metrics(
+        t(spark, sf_dir, "documents"), stopwords=_STOPWORDS,
+        target_tokens=80,
+    ).select("doc_id", "n_tokens",
+             "quality_score",
+             F.floor(F.col("quality_score") * 1e4 + 0.5).cast("long")
+             .alias("q4"))
+    binned = distributed_ntile(d, CURRICULUM_PHASES,
+                               ["quality_score", "doc_id"],
+                               out_col="phase")
+    return (binned.groupBy("phase")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+                 F.min("quality_score").alias("q_min"),
+                 F.max("quality_score").alias("q_max"),
+                 duck_round(F.sum("q4").cast("double") / F.lit(1e4)
+                            / F.count(F.lit(1)), 4).alias("q_mean"))
+            .select(F.col("phase").cast("long").alias("phase"),
+                    "n_docs", "n_tokens", "q_min", "q_max", "q_mean")
+            .orderBy("phase"))
+
+
+ORACLE_CURRICULUM = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+         round(least(1.0, CAST(len({_SQL_TOKS}) AS DOUBLE) / 80.0)
+               * (1 - CAST({_SQL_NSTOP} AS DOUBLE) / len({_SQL_TOKS})), 4)
+           AS quality_score
+  FROM documents
+), b AS (
+  SELECT *, ntile({CURRICULUM_PHASES})
+              OVER (ORDER BY quality_score, doc_id) AS phase,
+         CAST(floor(quality_score * 1e4 + 0.5) AS BIGINT) AS q4
+  FROM q
+)
+SELECT CAST(phase AS BIGINT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(quality_score) AS q_min, max(quality_score) AS q_max,
+       floor(CAST(sum(q4) AS DOUBLE) / 1e4 / count(*) * 1e4 + 0.5) / 1e4
+         AS q_mean
+FROM b GROUP BY phase ORDER BY phase
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_export_pipeline": QuerySpec(
         q_export_pipeline, ORACLE_EXPORT_PIPELINE,
@@ -1926,6 +1997,10 @@ SPECS: dict[str, QuerySpec] = {
     "q_text_lang": QuerySpec(q_text_lang, ORACLE_TEXT_LANG, "per-lang stats"),
     "q_text_tokcount": QuerySpec(q_text_tokcount, ORACLE_TEXT_TOKCOUNT,
                                  "ws + BPE-ish token counts"),
+    "q_curriculum": QuerySpec(
+        q_curriculum, ORACLE_CURRICULUM,
+        "curriculum phase binning: distributed ntile over quality "
+        "score, per-phase doc/token budgets + quality range"),
     "q_text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY,
                                 "quality scoring"),
     "q_text_langid": QuerySpec(q_text_langid, ORACLE_TEXT_LANGID,

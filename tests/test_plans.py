@@ -1757,3 +1757,36 @@ def test_compact_files_lossless_and_distributed_audit(spark):
     assert r["n_rows_frag"] == r["n_rows_compact"] > 0
     assert r["checksum_frag"] == r["checksum_compact"]
     assert r["lossless"]
+
+
+def test_curriculum_rides_distributed_ntile(spark):
+    """q_curriculum: the global quality ordering must be the
+    distributed ntile (range shuffle + prefix offsets), never a
+    single-partition window sort of the corpus; phases must partition
+    the corpus into contiguous non-overlapping quality ranges."""
+    plan = _plan(spark, "q_curriculum")
+    low = plan.lower()
+    assert "rangepartitioning" in low
+    assert "ntile(" not in low  # closed-form bucket, not the window fn
+    rows = ALL_SPECS["q_curriculum"].fn(spark, SF_DIR).collect()
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    total = sum(r["n_docs"] for r in rows)
+    assert max(r["n_docs"] for r in rows) \
+        - min(r["n_docs"] for r in rows) <= 1  # equal-count ntile
+    assert total > 0
+    for a, b in zip(rows, rows[1:]):
+        assert a["q_max"] <= b["q_min"], (a, b)  # contiguous ranges
+        assert a["q_min"] <= a["q_mean"] <= a["q_max"], a
+
+
+def test_ann_recall_composes_declared_halves(spark):
+    """q_ann_recall: the evaluation must broadcast the 10-row approx
+    side into a semi join (no shuffle of anything data-sized beyond
+    the two retrievals) and emit a recall consistent with its own hit
+    count."""
+    plan = _plan(spark, "q_ann_recall")
+    assert "CartesianProduct" not in plan
+    [r] = ALL_SPECS["q_ann_recall"].fn(spark, SF_DIR).collect()
+    assert r["k"] == 10 and 0 <= r["n_hits"] <= 10
+    assert abs(r["recall"] - r["n_hits"] / 10) < 1e-9
+    assert r["n_hits"] >= 5  # IVF at nprobe should not be useless
