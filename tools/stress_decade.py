@@ -80,6 +80,8 @@ TABLES_FOR = {
     "q_graph_sage_agg": ["lineitem", "part"],
     "q_outlier_seasonal": ["events"],
     "q_ngram_lm": ["documents"],
+    # r11 >1s-tier addition
+    "q_quantile_sketch_merge": ["orders"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
