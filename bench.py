@@ -242,6 +242,7 @@ HEADLINE = [
     "q_compact_files",
     "q_curriculum",
     "q_ann_recall",
+    "q_backfill_partition",
 ]
 
 

@@ -645,7 +645,89 @@ FROM a
 """
 
 
+def q_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION BACKFILL via dynamic partition overwrite — the
+    idempotent-reprocessing face every partitioned 100 TB table needs:
+    a correction job recomputes ONE partition (here: the `purchase`
+    events, revalued ×2 — a currency fix) and rewrites it with
+    ``partitionOverwriteMode=dynamic``, which replaces exactly the
+    partitions present in the incoming data and leaves every other
+    directory byte-untouched (STATIC overwrite — the default — would
+    silently truncate the whole table to the one partition: the
+    classic backfill disaster this mode exists to prevent).
+
+    The audit reads the table back and emits per-partition row counts
+    and content checksums (the q_compact_files DECIMAL(38,0)
+    sum-of-row-hashes mod 2^62); the oracle recomputes every checksum
+    from the SOURCE table with the revision applied only to the
+    backfilled partition — so the hash proves both sides at once:
+    the target partition carries exactly the recomputed content, and
+    the four untouched partitions still carry exactly the original
+    content. The neighbor-files-byte-identical property is pinned by
+    a snapshot test (tests/test_plans.py). The mode is set as a
+    per-write option, never session-wide (a session-level dynamic
+    default is a loaded gun for unrelated writes)."""
+    from hippo_claim_crossover_spark.plans.base import hex2long
+
+    out = os.path.join(_SCRATCH, f"src_backfill-{_tag(spark, sf_dir)}")
+    base = t(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type")
+    # run-idempotent: every invocation lays down the pristine base,
+    # then backfills — the declared result never depends on prior runs
+    (base.repartition(4).write.mode("overwrite")
+     .partitionBy("event_type").parquet(out))
+    revised = (base.where(F.col("event_type") == "purchase")
+               .withColumn("value", F.col("value") * 2))
+    (revised.repartition(2).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("event_type").parquet(out))
+
+    ev = spark.read.schema(T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_type", T.StringType()),
+    ])).parquet(out)
+    h = hex2long(F.md5(F.concat_ws(
+        "#", "event_id",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.pmod(F.sum(h.cast("decimal(38,0)")),
+                        F.lit(_CKSUM_MOD).cast("decimal(38,0)"))
+                 .cast("long").alias("checksum"))
+            .withColumn("was_backfilled",
+                        F.col("event_type") == "purchase")
+            .orderBy("event_type"))
+
+
+ORACLE_BACKFILL_PARTITION = f"""
+WITH src AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN value * 2
+              ELSE value END AS value
+  FROM events
+), h AS (
+  SELECT event_type,
+         {sql_hex2long(
+      "md5(CAST(event_id AS VARCHAR) || '#' || "
+      "CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR))")}
+           AS hv
+  FROM src
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(hv AS HUGEINT)) % {_CKSUM_MOD} AS BIGINT)
+         AS checksum,
+       event_type = 'purchase' AS was_backfilled
+FROM h GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_backfill_partition": QuerySpec(
+        q_backfill_partition, ORACLE_BACKFILL_PARTITION,
+        "dynamic partition-overwrite backfill: one partition recomputed "
+        "in place, per-partition checksums prove target revised and "
+        "neighbors untouched"),
     "q_compact_files": QuerySpec(
         q_compact_files, ORACLE_COMPACT_FILES,
         "small-files compaction (64→4 rewrite) with hash-proven "

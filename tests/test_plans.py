@@ -1790,3 +1790,45 @@ def test_ann_recall_composes_declared_halves(spark):
     assert r["k"] == 10 and 0 <= r["n_hits"] <= 10
     assert abs(r["recall"] - r["n_hits"] / 10) < 1e-9
     assert r["n_hits"] >= 5  # IVF at nprobe should not be useless
+
+
+def test_backfill_partition_touches_only_target_dir(spark):
+    """q_backfill_partition: the dynamic overwrite must leave every
+    non-target partition directory byte-identical (same file set, same
+    sizes) — the property separating dynamic from the static-overwrite
+    truncation disaster — and the audit contract must hold."""
+    import glob
+    import os
+
+    from hippo_claim_crossover_spark.plans.sources import _SCRATCH, _tag
+
+    rows = ALL_SPECS["q_backfill_partition"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["was_backfilled"] == (r["event_type"] == "purchase"), r
+        assert r["n_rows"] > 0, r
+
+    out = os.path.join(_SCRATCH, f"src_backfill-{_tag(spark, SF_DIR)}")
+
+    def snap(skip_purchase):
+        return {p: os.path.getsize(p)
+                for p in glob.glob(f"{out}/event_type=*/part-*.parquet")
+                if not (skip_purchase and "event_type=purchase" in p)}
+
+    before = snap(skip_purchase=True)
+    # second invocation: fresh base rewrite + backfill; the audit rows
+    # must be bit-identical run to run (idempotent reprocessing)
+    rows2 = ALL_SPECS["q_backfill_partition"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # and within the second run, the four non-target dirs written by
+    # its base step survive its dynamic-overwrite step untouched: the
+    # purchase dir carries 2 repartition files, the others 4
+    per_dir = {}
+    for p in glob.glob(f"{out}/event_type=*/part-*.parquet"):
+        per_dir.setdefault(p.split("event_type=")[1].split("/")[0],
+                           set()).add(p)
+    assert len(per_dir["purchase"]) == 2
+    for etype, files in per_dir.items():
+        if etype != "purchase":
+            assert len(files) == 4, (etype, files)
+    assert before  # the first snapshot actually saw the base layout
