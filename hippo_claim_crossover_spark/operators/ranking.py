@@ -305,3 +305,61 @@ def global_cumsum(df: DataFrame, order_cols: list[str],
     return out.drop("_pid",
                     *[f"_l{c}" for c in sum_cols],
                     *[f"_o{c}" for c in sum_cols])
+
+
+def grouped_quantile_summary(df: DataFrame, group_cols: list[str],
+                             value_col: str, id_col: str,
+                             n_buckets: int = 16,
+                             keep: int = 64) -> DataFrame:
+    """MERGEABLE rank-spaced quantile summary per group — the one-level
+    Manku–Rajagopalan–Lindsay subsample, built shard-parallel and
+    merged by pure weighted union (associative: shard→region→global
+    rollups need no re-sketching).
+
+    Each of ``n_buckets`` md5(id) shards keeps every s_b-th value of
+    its sorted rows (s_b = max(1, ⌊n_b/keep⌋)) plus the shard max; a
+    kept item's weight is the rank-gap to the previous kept item, so
+    the cumulative kept weight at any kept value equals its true shard
+    rank, and the merged CDF's rank error is < Σ_b(s_b−1) + n_buckets
+    ≤ n/keep + n_buckets. The lower quantile rule ("smallest value
+    whose merged cum ≥ p·n") therefore answers any quantile within
+    that additive rank bound. Everything is deterministic (md5 shard
+    membership, unique (value, id) within-shard order), so estimates
+    are engine-portable and hash-checkable.
+
+    Returns one row per (group, distinct kept value):
+    ``group_cols…, value_col, _wv`` (merged weight at that value) and
+    ``_cum_m`` (inclusive merged cumulative weight — Σ_wv per group
+    equals the group's row count exactly).
+
+    Scale shape: the build is a per-(group, shard) sort — parallel over
+    group×n_buckets partitions; size n_buckets so a shard's rows fit a
+    task (the adaptive-bucket rule). Post-build windows touch only the
+    ≤ n_buckets·(keep+1) summary rows per group. ``id_col`` must be
+    unique per row; ``value_col`` non-null."""
+    b = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("long") % n_buckets)
+    shard = df.select(*group_cols, value_col,
+                      F.col(id_col).alias("_id"), b.alias("_b"))
+    wb = Window.partitionBy(*group_cols, "_b")
+    wbo = wb.orderBy(value_col, "_id")
+    ranked = shard.select(
+        *group_cols, "_b", value_col,
+        F.row_number().over(wbo).alias("_rn"),
+        F.count(F.lit(1)).over(wb).alias("_nb"))
+    step = F.greatest(F.lit(1),
+                      F.floor(F.col("_nb") / keep).cast("long"))
+    kept = (ranked.withColumn("_s", step)
+            .where((F.col("_rn") % F.col("_s") == 0)
+                   | (F.col("_rn") == F.col("_nb"))))
+    wk = Window.partitionBy(*group_cols, "_b").orderBy("_rn")
+    kept_w = kept.select(
+        *group_cols, value_col,
+        (F.col("_rn") - F.coalesce(F.lag("_rn").over(wk), F.lit(0)))
+        .alias("_w"))
+    by_val = (kept_w.groupBy(*group_cols, value_col)
+              .agg(F.sum("_w").alias("_wv")))
+    wcum = (Window.partitionBy(*group_cols).orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return by_val.select(*group_cols, value_col, "_wv",
+                         F.sum("_wv").over(wcum).alias("_cum_m"))

@@ -1212,43 +1212,23 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped_histogram_cdf machinery as q_percentile. Thresholds stay
     in BIGINT: 10·rank needs rank < 9.2e17 — row COUNTS, not micros,
     so safe far past 100 TB (contrast q_weighted_median's weights)."""
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_quantile_summary,
+    )
+
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"),
         "o_totalprice", "o_orderkey")
-    shard = o.withColumn(
-        "_b", F.pmod(hex2long(F.md5(F.col("o_orderkey").cast("string"))),
-                     F.lit(QSK_BUCKETS)))
-    wb = Window.partitionBy("priority", "_b")
-    wbo = wb.orderBy("o_totalprice", "o_orderkey")
-    ranked = shard.select(
-        "priority", "_b", "o_totalprice",
-        F.row_number().over(wbo).alias("rn"),
-        F.count(F.lit(1)).over(wb).alias("n_b"))
-    step = F.greatest(F.lit(1), F.floor(F.col("n_b") / QSK_KEEP)
-                      .cast("long"))
-    kept = (ranked.withColumn("_s", step)
-            .where((F.col("rn") % F.col("_s") == 0)
-                   | (F.col("rn") == F.col("n_b"))))
-    # weight = rank gap to the previous kept item in the same shard:
-    # cumulative kept weight at any kept value == its true shard rank,
-    # so the weighted union's CDF is exact at kept points per shard
-    wk = Window.partitionBy("priority", "_b").orderBy("rn")
-    kept_w = kept.select(
-        "priority", "o_totalprice",
-        (F.col("rn") - F.coalesce(F.lag("rn").over(wk), F.lit(0)))
-        .alias("w"))
-    # merge = weighted union: aggregate per value (tie-safe), then one
-    # cumsum over the ≤ B·(KEEP+1) summary rows per priority
-    by_val = (kept_w.groupBy("priority", "o_totalprice")
-              .agg(F.sum("w").alias("wv")))
-    wcum = (Window.partitionBy("priority").orderBy("o_totalprice")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    merged = by_val.select(
-        "priority", "o_totalprice",
-        F.sum("wv").over(wcum).alias("cum_m"))
-    sizes = (by_val.groupBy("priority")
+    # the summary build + weighted-union merge live in the operator
+    # (weight = rank gap → cum kept weight == true shard rank); this
+    # plan adds the quantile rule and the exact-CDF audit
+    merged = grouped_quantile_summary(
+        o, ["priority"], "o_totalprice", "o_orderkey",
+        n_buckets=QSK_BUCKETS, keep=QSK_KEEP).withColumnRenamed(
+        "_cum_m", "cum_m")
+    sizes = (merged.groupBy("priority")
              .agg(F.count(F.lit(1)).alias("n_kept"),
-                  F.sum("wv").alias("n")))
+                  F.sum("_wv").alias("n")))
     est = (merged.join(F.broadcast(sizes), "priority")
            .groupBy("priority")
            .agg(F.max("n").alias("n_orders"),

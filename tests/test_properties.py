@@ -260,3 +260,52 @@ def test_grouped_exact_percentiles_property(spark, rows, ps):
             want = float(np.quantile(np.array(vs), p, method="linear"))
             assert abs(got[(g, i)] - want) <= 1e-9 * max(1.0, abs(want)), (
                 g, p, got[(g, i)], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=1, max_size=120))
+def test_quantile_summary_rank_contract(spark, rows):
+    """grouped_quantile_summary contract on arbitrary grouped ints
+    (duplicates, tiny groups, all-equal values): per group the merged
+    weights sum to the exact row count, the merged CDF is monotone,
+    and the lower-quantile rule answers p50/p90 within the additive
+    rank bound n/keep + n_buckets of the true rank."""
+    import math
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_quantile_summary,
+    )
+
+    keep, buckets = 8, 4
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)],
+        "g string, v long, id long")
+    out = grouped_quantile_summary(df, ["g"], "v", "id",
+                                   n_buckets=buckets, keep=keep).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append(r)
+    data: dict = {}
+    for g, v in rows:
+        data.setdefault(g, []).append(v)
+    assert set(by_group) == set(data)
+    for g, recs in by_group.items():
+        vals = sorted(data[g])
+        n = len(vals)
+        recs = sorted(recs, key=lambda r: r["v"])
+        assert sum(r["_wv"] for r in recs) == n
+        assert recs[-1]["_cum_m"] == n          # total weight exact
+        assert recs[-1]["v"] == vals[-1]        # shard maxes kept
+        cums = [r["_cum_m"] for r in recs]
+        assert cums == sorted(cums)             # monotone CDF
+        slack = n // keep + buckets
+        for p_num, p_den in ((1, 2), (9, 10)):
+            target = math.ceil(p_num * n / p_den)
+            est = next(r["v"] for r in recs
+                       if p_den * r["_cum_m"] >= p_num * n)
+            true_rank = sum(1 for v in vals if v <= est)
+            assert target <= true_rank <= target + slack, (
+                g, n, est, true_rank, target, slack)
