@@ -309,3 +309,72 @@ def test_quantile_summary_rank_contract(spark, rows):
             true_rank = sum(1 for v in vals if v <= est)
             assert target <= true_rank <= target + slack, (
                 g, n, est, true_rank, target, slack)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 3),
+                       st.one_of(st.none(), st.integers(0, 40))),
+             min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(1, 3),
+                       st.one_of(st.none(), st.integers(0, 40)),
+                       st.integers(0, 999)),
+             min_size=0, max_size=25),
+    st.sampled_from([None, 5, 15]))
+def test_asof_join_matches_python_model(spark, lrows, rrows, tol_days):
+    """asof_join / asof_join_forward vs a brute-force Python model over
+    random keyed timestamp sets — including NULL timestamps on both
+    sides (never a match; left rows survive) and the tolerance horizon.
+    Right-side (key, ts) pairs are deduplicated first (the documented
+    determinism precondition)."""
+    import datetime as dt
+
+    from hippo_claim_crossover_spark.operators.joins import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    def ts(d):
+        return None if d is None else dt.datetime(2024, 1, 1) \
+            + dt.timedelta(days=d)
+
+    seen = set()
+    rdedup = []
+    for k, d, val in rrows:
+        if (k, d) not in seen:
+            seen.add((k, d))
+            rdedup.append((k, d, float(val)))
+    left = spark.createDataFrame(
+        [(i, k, ts(d)) for i, (k, d) in enumerate(lrows)],
+        "i long, k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(k, ts(d), v) for k, d, v in rdedup],
+        "k int, rts timestamp, val double")
+
+    def model(forward):
+        out = {}
+        for i, (k, d) in enumerate(lrows):
+            best = None
+            if d is not None:
+                for rk, rd, rv in rdedup:
+                    if rk != k or rd is None:
+                        continue
+                    if forward:
+                        ok = rd >= d and (tol_days is None
+                                          or rd - d <= tol_days)
+                        better = best is None or rd < best[0]
+                    else:
+                        ok = rd <= d and (tol_days is None
+                                          or d - rd <= tol_days)
+                        better = best is None or rd > best[0]
+                    if ok and better:
+                        best = (rd, rv)
+            out[i] = best and best[1]
+        return out
+
+    tol = None if tol_days is None else f"{tol_days} DAYS"
+    for fn, fwd in ((asof_join, False), (asof_join_forward, True)):
+        got = {r["i"]: r["val"]
+               for r in fn(left, right, "k", "ts", "rts",
+                           tolerance=tol).collect()}
+        assert got == model(fwd), (fn.__name__, tol_days)
