@@ -378,3 +378,36 @@ def test_asof_join_matches_python_model(spark, lrows, rrows, tol_days):
                for r in fn(left, right, "k", "ts", "rts",
                            tolerance=tol).collect()}
         assert got == model(fwd), (fn.__name__, tol_days)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 25)),
+             min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 25)),
+             min_size=1, max_size=20),
+    st.sampled_from([1, 4, 16, 64]))
+def test_binned_interval_join_matches_naive_overlap(spark, ls, rs, width):
+    """binned_interval_join vs the naive O(n·m) overlap model on random
+    half-open integer intervals across bin widths from finer-than-any-
+    interval to coarser-than-the-domain: same pair set, no duplicates
+    (the canonical-bin rule), regardless of how many bins a pair
+    shares."""
+    from hippo_claim_crossover_spark.operators.joins import (
+        binned_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(ls)],
+        "li long, ls long, le long")
+    right = spark.createDataFrame(
+        [(j, s, s + w) for j, (s, w) in enumerate(rs)],
+        "rj long, rs long, re long")
+    got = sorted((r["li"], r["rj"]) for r in binned_interval_join(
+        left, right, "ls", "le", "rs", "re", bin_width=width).collect())
+    want = sorted(
+        (i, j)
+        for i, (s1, w1) in enumerate(ls)
+        for j, (s2, w2) in enumerate(rs)
+        if s1 < s2 + w2 and s2 < s1 + w1)
+    assert got == want, width
