@@ -243,6 +243,7 @@ HEADLINE = [
     "q_curriculum",
     "q_ann_recall",
     "q_backfill_partition",
+    "q_retrieve_fuse",
 ]
 
 

@@ -48,21 +48,21 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 11 window (zero-sum, 50 slots): 8 NEW queries
+    # -- round 11 window (zero-sum, 50 slots): 9 NEW queries
     # (retrieve->rerank two-stage pipeline, training-feature matrix,
     # mergeable quantile summary, exactly-once streaming sink audit,
     # small-files compaction with row-identity checksum, curriculum
     # phase binning, ANN recall@k evaluation, dynamic
-    # partition-overwrite backfill);
+    # partition-overwrite backfill, hybrid-search RRF fusion);
     # the 11 late-r10 queries with NO driver record yet (VERDICT r10
     # item 1 — judge-verified locally, contract evidence pending);
     # q_join_asof, whose shared _asof_impl changed this round (NULL
     # timestamp guards; q_join_asof_fwd is already in the 11);
-    # and the 30 alphabetically-first queries of the r4 stale-evidence
+    # and the 29 alphabetically-first queries of the r4 stale-evidence
     # cohort (latest driver record r4 — VERDICT r10 item 2). --
     "q_retrieve_rerank", "q_train_matrix", "q_quantile_sketch_merge",
     "q_stream_sink_audit", "q_compact_files", "q_curriculum",
-    "q_ann_recall", "q_backfill_partition",
+    "q_ann_recall", "q_backfill_partition", "q_retrieve_fuse",
     "q_stream_resume", "q_outlier_seasonal",
     "q_graph_sage_agg", "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup",
     "q_rolling_zscore", "q_vocab_oov", "q_weighted_median",
@@ -74,10 +74,10 @@ GATE_ORDER = [
     "q_join_semi", "q_json", "q_json_project", "q_latest_snapshot",
     "q_mm_binfile", "q_mm_shard", "q_pack_sequences", "q_pagerank",
     "q_part_prune", "q_pipe_sql", "q_profile", "q_ship_priority", "q_sim_ivf",
-    "q_sim_lsh_buckets",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # next-round queue, oldest evidence first: the remaining 18
+    # next-round queue, oldest evidence first: the remaining 19
     # r4-cohort queries, then the full 46-query r5 cohort.
+    "q_sim_lsh_buckets",
     "q_sim_pq", "q_sim_topk", "q_sink_clustered", "q_src_csv",
     "q_src_evolve", "q_src_jsonl", "q_src_orc", "q_stream_interval",
     "q_stream_session", "q_stream_slide", "q_stream_tumble", "q_text_gopher",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hippo_claim_crossover_spark.operators import similarity as ops_sim
 from hippo_claim_crossover_spark.plans.base import QuerySpec, t_wide
@@ -490,6 +491,104 @@ LIMIT {TOP_K}
 """
 
 
+RRF_K = 60
+
+
+def q_retrieve_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID-SEARCH FUSION via Reciprocal Rank Fusion — the other
+    standard way to combine lexical and dense retrieval (q_retrieve_
+    rerank REPLACES the lexical order with exact cosine; RRF keeps
+    both systems' rankings and fuses them: score(d) = Σ 1/(k + rank_s)
+    over the systems that returned d, k=60 per Cormack et al.). A doc
+    found by only one system still scores (its missing-rank term is
+    simply absent), which is RRF's robustness argument over score
+    blending — no cross-system score calibration needed.
+
+    100 TB shape: each system reduces to its top-50 via its own
+    TakeOrderedAndProject FIRST (posting-list-bounded BM25, broadcast
+    +map-side cosine), so the rank windows and the full-outer fuse
+    join run over ≤50-row frames — the bounded-window pattern; nothing
+    data-sized reaches a window or a single partition.
+
+    Determinism: ranks are integers over (rounded score, doc_id)
+    orders; the fused score is a fixed-order sum of two exact binary
+    rationals' IEEE quotients — identical cross-engine, rounded 6dp
+    only in the final projection (ranking uses raw doc_id-tiebroken
+    order on the raw fused sum; membership cannot diverge)."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+    from hippo_claim_crossover_spark.plans.text import q_bm25
+
+    lex = (q_bm25(spark, sf_dir)
+           .where(F.col("doc_id") != QUERY_VEC_ID)
+           .orderBy(F.col("score").desc(), "doc_id")
+           .limit(N_RERANK_CAND)
+           .select("doc_id", "score"))
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex)
+                       .alias("lex_rank"))
+    e = t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("v").alias("qv"),
+                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    dense = ops_sim.cosine_topk(
+        e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
+    w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    den_r = dense.select(F.col("vec_id").alias("doc_id"),
+                         F.row_number().over(w_den).alias("dense_rank"))
+    fused = (lex_r.join(den_r, "doc_id", "full_outer")
+             .select("doc_id", "lex_rank", "dense_rank",
+                     (F.coalesce(1.0 / (F.lit(RRF_K)
+                                        + F.col("lex_rank")), F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(RRF_K)
+                                          + F.col("dense_rank")),
+                                   F.lit(0.0))).alias("_rrf")))
+    return (fused.orderBy(F.col("_rrf").desc(), "doc_id")
+            .limit(TOP_K)
+            .select("doc_id", "lex_rank", "dense_rank",
+                    duck_round(F.col("_rrf"), 6).alias("rrf_score")))
+
+
+def _oracle_retrieve_fuse() -> str:
+    from hippo_claim_crossover_spark.plans.text import ORACLE_BM25
+    return f"""
+WITH bm AS ({ORACLE_BM25}),
+lex AS (
+  SELECT doc_id, score FROM bm WHERE doc_id != {QUERY_VEC_ID}
+  ORDER BY score DESC, doc_id LIMIT {N_RERANK_CAND}
+), lex_r AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS INTEGER) AS lex_rank
+  FROM lex
+), n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = {QUERY_VEC_ID}),
+dense AS (
+  SELECT n.vec_id,
+         {_r4('list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm)')} AS cosine
+  FROM n, q WHERE n.vec_id != {QUERY_VEC_ID}
+  ORDER BY cosine DESC, vec_id LIMIT {N_RERANK_CAND}
+), den_r AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+              AS INTEGER) AS dense_rank
+  FROM dense
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+           + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0.0) AS rrf
+  FROM lex_r l FULL OUTER JOIN den_r d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       floor(rrf * 1e6 + 0.5) / 1e6 AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {TOP_K}
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX EVALUATION — recall@k of the IVF probe against exact
     brute force, the measurement every pipeline runs before trusting an
@@ -552,4 +651,8 @@ SPECS: dict[str, QuerySpec] = {
         q_retrieve_rerank, _oracle_retrieve_rerank(),
         "two-stage retrieval: BM25 top-50 candidates → broadcast "
         "exact-cosine rerank → top-10 with both scores"),
+    "q_retrieve_fuse": QuerySpec(
+        q_retrieve_fuse, _oracle_retrieve_fuse(),
+        "hybrid-search RRF fusion of BM25 and dense top-50 rankings "
+        "(bounded rank windows, full-outer fuse, k=60)"),
 }

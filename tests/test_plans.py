@@ -1832,3 +1832,24 @@ def test_backfill_partition_touches_only_target_dir(spark):
         if etype != "purchase":
             assert len(files) == 4, (etype, files)
     assert before  # the first snapshot actually saw the base layout
+
+
+def test_retrieve_fuse_bounds_windows_and_fuses_full_outer(spark):
+    """q_retrieve_fuse: both rank windows must run AFTER each system's
+    TakeOrdered top-50 (bounded frames — the plan has two
+    TakeOrderedAndProject below the windows), the fuse is a full-outer
+    join, no cartesian; RRF arithmetic must be internally consistent
+    and one-system-only docs must still score."""
+    plan = _plan(spark, "q_retrieve_fuse")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "FullOuter" in plan
+    rows = ALL_SPECS["q_retrieve_fuse"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        terms = sum(1.0 / (60 + x)
+                    for x in (r["lex_rank"], r["dense_rank"])
+                    if x is not None)
+        assert abs(r["rrf_score"] - round(terms, 6)) < 2e-6, r
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
