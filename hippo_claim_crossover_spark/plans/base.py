@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.io import load_table
+from hippo_claim_crossover_spark.operators.hashing import hex2long  # noqa: F401
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -114,12 +115,9 @@ def money_sum_sql(term_sql: str, out_scale: int = 6) -> str:
             f"AS BIGINT)) AS DOUBLE) / 1e6, {out_scale})")
 
 
-def hex2long(hexstr: Column) -> Column:
-    """First 15 hex chars (typically of an md5) → non-negative BIGINT
-    (< 2^60) — the repo's content-addressed-hash primitive, shared by
-    sampling, bucketing, and feature hashing.  DuckDB mirror:
-    :func:`sql_hex2long`."""
-    return F.conv(F.substring(hexstr, 1, 15), 16, 10).cast("long")
+# hex2long is single-sourced in operators/hashing.py (operators sit below
+# plans, and the quantile-summary operator shards on it); re-exported here
+# so plan code keeps importing it from base alongside sql_hex2long.
 
 
 def sql_hex2long(expr: str) -> str:

@@ -42,15 +42,29 @@ def _r4(expr: str) -> str:
     return f"floor(({expr}) * 1e4 + 0.5) / 1e4"
 
 
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as (vec_id, v double[]) — the module's one reading of
+    the vector table, so every query/oracle pair derives from the same
+    cast."""
+    return t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+
+def _query_vec(e: DataFrame) -> DataFrame:
+    """The 1-row broadcast query side (qv, qnrm) for vec_id=QUERY_VEC_ID
+    — kept in ONE place: its norm/cast must stay in lockstep with the
+    oracles' `q` CTE across every retrieval query."""
+    return (e.where(F.col("vec_id") == QUERY_VEC_ID)
+            .select(F.col("v").alias("qv"),
+                    ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against one query vector (vec_id=0),
     ranked on the rounded score with vec_id tiebreak (deterministic across
     engines). Query side is a broadcast single-row join — no collect()."""
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
-         .select(F.col("v").alias("qv"),
-                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    e = _vectors(spark, sf_dir)
+    q = _query_vec(e)
     return ops_sim.cosine_topk(
         e.where(F.col("vec_id") != QUERY_VEC_ID), q, TOP_K)
 
@@ -79,8 +93,7 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SRP bucket computation; same sign-of-fold bits the declarative
     expression produced — the 8×64 plane literals would otherwise be a
     distinct Janino compile unit per query)."""
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = _vectors(spark, sf_dir)
     return (
         ops_sim.srp_keys_arrow(e, [_PLANES])
         .select(F.col("_bs")[0].alias("bucket"))
@@ -110,8 +123,7 @@ def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned from 2 independent plane families, vectors pre-normalized once.
     Deterministic via rounded scores + id tiebreaks; the oracle recomputes
     the identical plane count from its own COUNT(*)."""
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = _vectors(spark, sf_dir)
     return ops_sim.knn_blocked(e, dim=DIM, k=3)
 
 
@@ -175,11 +187,8 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any vector math, and the centroid table (KBs) broadcasts. The
     probe's candidate pruning is a broadcast semi-join, so the big side
     never shuffles."""
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
-         .select(F.col("v").alias("qv"),
-                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    e = _vectors(spark, sf_dir)
+    q = _query_vec(e)
     s = e.where(F.col("vec_id") != QUERY_VEC_ID)
     cents = ops_sim.ivf_centroids(s, N_CELLS)
     assign = ops_sim.ivf_assign(s, cents)
@@ -231,8 +240,7 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is ever read or shuffled at query time. Here codes are built in
     the same plan (the fixture is small); operators/similarity.py
     documents the encode/scan split."""
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = _vectors(spark, sf_dir)
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("v").alias("qv")))
     s = e.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -387,11 +395,8 @@ def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hippo_claim_crossover_spark.plans.sources import _materialize
 
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
-         .select(F.col("v").alias("qv"),
-                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    e = _vectors(spark, sf_dir)
+    q = _query_vec(e)
     s = e.where(F.col("vec_id") != QUERY_VEC_ID)
 
     def write_index(out: str) -> None:
@@ -422,6 +427,19 @@ ORACLE_SIM_IVF_PERSISTED = ORACLE_SIM_IVF
 N_RERANK_CAND = 50
 
 
+def _bm25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 lexical candidates shared by q_retrieve_rerank and
+    q_retrieve_fuse: q_bm25's scored postings reduced to the top-50 by
+    (rounded score, doc_id) via ONE TakeOrderedAndProject."""
+    from hippo_claim_crossover_spark.plans.text import q_bm25
+
+    return (q_bm25(spark, sf_dir)
+            .where(F.col("doc_id") != QUERY_VEC_ID)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(N_RERANK_CAND)
+            .select("doc_id", "score"))
+
+
 def q_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieve→rerank — the standard hybrid-search pipeline
     (lexical recall, semantic precision): BM25 produces the top-50
@@ -447,18 +465,11 @@ def q_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine) with doc_id tiebreaks, so candidate membership and the
     final order are bit-identical cross-engine."""
     from hippo_claim_crossover_spark.plans.base import duck_round
-    from hippo_claim_crossover_spark.plans.text import q_bm25
 
-    cand = (q_bm25(spark, sf_dir)
-            .where(F.col("doc_id") != QUERY_VEC_ID)
-            .orderBy(F.col("score").desc(), "doc_id")
-            .limit(N_RERANK_CAND)
-            .select("doc_id", F.col("score").alias("bm25")))
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
-         .select(F.col("v").alias("qv"),
-                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    cand = _bm25_candidates(spark, sf_dir) \
+        .select("doc_id", F.col("score").alias("bm25"))
+    e = _vectors(spark, sf_dir)
+    q = _query_vec(e)
     cos = duck_round(
         ops_sim.dot(F.col("v"), F.col("qv"))
         / (ops_sim.l2_norm(F.col("v")) * F.col("qnrm")), 4)
@@ -516,21 +527,13 @@ def q_retrieve_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     only in the final projection (ranking uses raw doc_id-tiebroken
     order on the raw fused sum; membership cannot diverge)."""
     from hippo_claim_crossover_spark.plans.base import duck_round
-    from hippo_claim_crossover_spark.plans.text import q_bm25
 
-    lex = (q_bm25(spark, sf_dir)
-           .where(F.col("doc_id") != QUERY_VEC_ID)
-           .orderBy(F.col("score").desc(), "doc_id")
-           .limit(N_RERANK_CAND)
-           .select("doc_id", "score"))
+    lex = _bm25_candidates(spark, sf_dir)
     w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
     lex_r = lex.select("doc_id", F.row_number().over(w_lex)
                        .alias("lex_rank"))
-    e = t_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
-         .select(F.col("v").alias("qv"),
-                 ops_sim.l2_norm(F.col("v")).alias("qnrm")))
+    e = _vectors(spark, sf_dir)
+    q = _query_vec(e)
     dense = ops_sim.cosine_topk(
         e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
     w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")

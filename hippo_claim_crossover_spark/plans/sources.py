@@ -667,7 +667,7 @@ def q_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     a snapshot test (tests/test_plans.py). The mode is set as a
     per-write option, never session-wide (a session-level dynamic
     default is a loaded gun for unrelated writes)."""
-    from hippo_claim_crossover_spark.plans.base import hex2long
+    from hippo_claim_crossover_spark.plans.base import hex2long, money_micros
 
     out = os.path.join(_SCRATCH, f"src_backfill-{_tag(spark, sf_dir)}")
     base = t(spark, sf_dir, "events").select(
@@ -688,8 +688,7 @@ def q_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("event_type", T.StringType()),
     ])).parquet(out)
     h = hex2long(F.md5(F.concat_ws(
-        "#", "event_id",
-        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))))
+        "#", "event_id", money_micros(F.col("value")))))
     return (ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.pmod(F.sum(h.cast("decimal(38,0)")),

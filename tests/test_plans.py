@@ -1811,18 +1811,36 @@ def test_backfill_partition_touches_only_target_dir(spark):
     out = os.path.join(_SCRATCH, f"src_backfill-{_tag(spark, SF_DIR)}")
 
     def snap(skip_purchase):
-        return {p: os.path.getsize(p)
+        return {p: (os.path.getsize(p), os.path.getmtime(p))
                 for p in glob.glob(f"{out}/event_type=*/part-*.parquet")
                 if not (skip_purchase and "event_type=purchase" in p)}
 
-    before = snap(skip_purchase=True)
     # second invocation: fresh base rewrite + backfill; the audit rows
     # must be bit-identical run to run (idempotent reprocessing)
     rows2 = ALL_SPECS["q_backfill_partition"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
-    # and within the second run, the four non-target dirs written by
-    # its base step survive its dynamic-overwrite step untouched: the
-    # purchase dir carries 2 repartition files, the others 4
+    # now replay ONLY the dynamic-overwrite leg against the laid-down
+    # table and assert the non-target dirs are byte-identical (same
+    # files, sizes, AND mtimes — untouched, not rewritten-equal),
+    # while the purchase dir was fully replaced
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.base import t
+
+    before = snap(skip_purchase=True)
+    purchase_before = set(glob.glob(f"{out}/event_type=purchase/part-*"))
+    assert before and purchase_before
+    revised = (t(spark, SF_DIR, "events")
+               .select("event_id", "value", "event_type")
+               .where(F.col("event_type") == "purchase")
+               .withColumn("value", F.col("value") * 2))
+    (revised.repartition(2).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("event_type").parquet(out))
+    assert snap(skip_purchase=True) == before
+    purchase_after = set(glob.glob(f"{out}/event_type=purchase/part-*"))
+    assert purchase_after and purchase_after.isdisjoint(purchase_before)
+    # layout sanity: 2 repartition files in the target, 4 elsewhere
     per_dir = {}
     for p in glob.glob(f"{out}/event_type=*/part-*.parquet"):
         per_dir.setdefault(p.split("event_type=")[1].split("/")[0],
@@ -1831,7 +1849,6 @@ def test_backfill_partition_touches_only_target_dir(spark):
     for etype, files in per_dir.items():
         if etype != "purchase":
             assert len(files) == 4, (etype, files)
-    assert before  # the first snapshot actually saw the base layout
 
 
 def test_retrieve_fuse_bounds_windows_and_fuses_full_outer(spark):

@@ -374,9 +374,11 @@ def test_asof_join_matches_python_model(spark, lrows, rrows, tol_days):
 
     tol = None if tol_days is None else f"{tol_days} DAYS"
     for fn, fwd in ((asof_join, False), (asof_join_forward, True)):
-        got = {r["i"]: r["val"]
-               for r in fn(left, right, "k", "ts", "rts",
-                           tolerance=tol).collect()}
+        out = fn(left, right, "k", "ts", "rts", tolerance=tol).collect()
+        # left-outer cardinality BEFORE dict-collapsing (a duplicate-
+        # emitting regression would otherwise dedup away silently)
+        assert len(out) == len(lrows), (fn.__name__, tol_days)
+        got = {r["i"]: r["val"] for r in out}
         assert got == model(fwd), (fn.__name__, tol_days)
 
 
