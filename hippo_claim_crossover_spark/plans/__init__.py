@@ -56,33 +56,33 @@ GATE_ORDER = [
     # partition-overwrite backfill, hybrid-search RRF fusion);
     # the 11 late-r10 queries with NO driver record yet (VERDICT r10
     # item 1 — judge-verified locally, contract evidence pending);
-    # q_join_asof, whose shared _asof_impl changed this round (NULL
-    # timestamp guards; q_join_asof_fwd is already in the 11);
-    # and the 29 alphabetically-first queries of the r4 stale-evidence
-    # cohort (latest driver record r4 — VERDICT r10 item 2). --
+    # the 7 CHANGED-code queries (q_join_asof: _asof_impl NULL-ts
+    # guards; the q_sim_* family: the _vectors/_query_vec refactor —
+    # plan shapes unchanged, all re-verified vs the local oracle);
+    # and the 23 alphabetically-first queries of the r4
+    # stale-evidence cohort (VERDICT r10 item 2). --
     "q_retrieve_rerank", "q_train_matrix", "q_quantile_sketch_merge",
-    "q_stream_sink_audit", "q_compact_files", "q_curriculum",
-    "q_ann_recall", "q_backfill_partition", "q_retrieve_fuse",
-    "q_stream_resume", "q_outlier_seasonal",
-    "q_graph_sage_agg", "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup",
-    "q_rolling_zscore", "q_vocab_oov", "q_weighted_median",
-    "q_stream_chained", "q_bootstrap_ci", "q_join_asof", "q_agg_exists",
-    "q_agg_sum", "q_assoc_rules", "q_cluster_kmeans", "q_date_spine",
-    "q_decontaminate", "q_dedup_cluster", "q_dedup_embed",
-    "q_dedup_keep_best", "q_dedup_ngram", "q_dedup_simhash_pairs", "q_funnel",
-    "q_grouping_sets", "q_histogram", "q_histogram_eq", "q_join_anti",
-    "q_join_semi", "q_json", "q_json_project", "q_latest_snapshot",
-    "q_mm_binfile", "q_mm_shard", "q_pack_sequences", "q_pagerank",
-    "q_part_prune", "q_pipe_sql", "q_profile", "q_ship_priority", "q_sim_ivf",
+    "q_stream_sink_audit", "q_compact_files", "q_curriculum", "q_ann_recall",
+    "q_backfill_partition", "q_retrieve_fuse", "q_stream_resume",
+    "q_outlier_seasonal", "q_graph_sage_agg", "q_dp_counts",
+    "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore", "q_vocab_oov",
+    "q_weighted_median", "q_stream_chained", "q_bootstrap_ci", "q_join_asof",
+    "q_sim_topk", "q_sim_lsh_buckets", "q_sim_knn_blocked", "q_sim_ivf",
+    "q_sim_ivf_persisted", "q_sim_pq", "q_agg_exists", "q_agg_sum",
+    "q_assoc_rules", "q_cluster_kmeans", "q_date_spine", "q_decontaminate",
+    "q_dedup_cluster", "q_dedup_embed", "q_dedup_keep_best", "q_dedup_ngram",
+    "q_dedup_simhash_pairs", "q_funnel", "q_grouping_sets", "q_histogram",
+    "q_histogram_eq", "q_join_anti", "q_join_semi", "q_json",
+    "q_json_project", "q_latest_snapshot", "q_mm_binfile", "q_mm_shard",
+    "q_pack_sequences",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # next-round queue, oldest evidence first: the remaining 19
-    # r4-cohort queries, then the full 46-query r5 cohort.
-    "q_sim_lsh_buckets",
-    "q_sim_pq", "q_sim_topk", "q_sink_clustered", "q_src_csv",
-    "q_src_evolve", "q_src_jsonl", "q_src_orc", "q_stream_interval",
-    "q_stream_session", "q_stream_slide", "q_stream_tumble", "q_text_gopher",
-    "q_text_vocab", "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf",
-    "q_variant",
+    # next-round queue, oldest evidence first: the remaining 21
+    # r4-cohort queries, then the 45-query r5 cohort.
+    "q_pagerank", "q_part_prune", "q_pipe_sql", "q_profile",
+    "q_ship_priority", "q_sink_clustered", "q_src_csv", "q_src_evolve",
+    "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",
+    "q_stream_slide", "q_stream_tumble", "q_text_gopher", "q_text_vocab",
+    "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf", "q_variant",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
     "q_curation_pipeline", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
     "q_filter_first", "q_gapfill", "q_graph_bfs", "q_graph_triangles",
@@ -90,26 +90,25 @@ GATE_ORDER = [
     "q_lateral_join", "q_link_sorted", "q_merge_upsert", "q_outlier_zscore",
     "q_postings", "q_recommend", "q_region_volume", "q_regr_group",
     "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
-    "q_shuffle_shards", "q_sim_knn_blocked", "q_sink_pyds", "q_sink_zorder",
-    "q_skew_profile", "q_skyline", "q_snapshot_diff", "q_sql_udf",
-    "q_src_metadata", "q_src_pyds", "q_src_pyds_stream", "q_src_xml",
-    "q_stream_interval_lo", "q_stream_static", "q_transitions", "q_transpose",
-    "q_udf_cogrouped", "q_udf_grouped",
+    "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
+    "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
+    "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
+    "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
+    "q_udf_grouped",
     # remaining queries keep their prior relative order; all have
-    # post-r7 driver-green records (or r10/r11 local gate coverage)
-    # and unchanged code.
+    # post-r7 driver-green records (or r10/r11 local gate coverage).
     "q_parse_tree", "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops",
     "q_ngram_lm", "q_dedup_containment", "q_dedup_spans", "q_acf", "q_winnow",
-    "q_sim_ivf_persisted", "q_stream_dedup", "q_crossover", "q_scan",
-    "q_sink", "q_project_rename", "q_parent_denorm", "q_filter_eq",
-    "q_filter_notnull", "q_having", "q_join_inner", "q_join_broadcast",
-    "q_join_left", "q_explode", "q_explode_nested", "q_unpivot", "q_str_zip",
-    "q_str_name", "q_text_tokens", "q_text_lang", "q_text_langid",
-    "q_text_quality", "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash",
-    "q_win_rank", "q_win_running", "q_win_frame", "q_win_dist", "q_topk",
-    "q_topk_group", "q_udf", "q_pivot", "q_cube", "q_sample_hash",
-    "q_mm_meta", "q_stream_late", "q_seasonal", "q_percentile", "q_winsorize",
+    "q_stream_dedup", "q_crossover", "q_scan", "q_sink", "q_project_rename",
+    "q_parent_denorm", "q_filter_eq", "q_filter_notnull", "q_having",
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_explode",
+    "q_explode_nested", "q_unpivot", "q_str_zip", "q_str_name",
+    "q_text_tokens", "q_text_lang", "q_text_langid", "q_text_quality",
+    "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash", "q_win_rank",
+    "q_win_running", "q_win_frame", "q_win_dist", "q_topk", "q_topk_group",
+    "q_udf", "q_pivot", "q_cube", "q_sample_hash", "q_mm_meta",
+    "q_stream_late", "q_seasonal", "q_percentile", "q_winsorize",
     "q_percentile_approx", "q_percentile_highcard", "q_outlier_mad",
     "q_split_leakproof", "q_text_strip_html", "q_mm_pairfilter", "q_mor_read",
     "q_order_priority", "q_nation_trade", "q_cust_order_dist",
