@@ -413,3 +413,59 @@ def test_binned_interval_join_matches_naive_overlap(spark, ls, rs, width):
         for j, (s2, w2) in enumerate(rs)
         if s1 < s2 + w2 and s2 < s1 + w1)
     assert got == want, width
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["x", "y", "z"]),
+              st.integers(-30, 30), st.integers(1, 9)),
+    min_size=1, max_size=60))
+def test_grouped_histogram_cdf_matches_python_cumsum(spark, rows):
+    """grouped_histogram_cdf (the distributed-CDF building block under
+    the whole percentile/quantile family) vs a plain-Python per-group
+    cumulative sum over random (group, value, count) histograms —
+    including duplicate (group, value) pairs, which the operator's
+    unique-per-(group,value) precondition requires aggregating first."""
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_histogram_cdf,
+    )
+
+    agg: dict = {}
+    for g, v, c in rows:
+        agg[(g, v)] = agg.get((g, v), 0) + c
+    df = spark.createDataFrame(
+        [(g, v, c) for (g, v), c in agg.items()],
+        "g string, v long, _c long")
+    got = {(r["g"], r["v"]): r["_cum"]
+           for r in grouped_histogram_cdf(df, ["g"], "v",
+                                          cnt_col="_c").collect()}
+    want = {}
+    for g in {g for g, _ in agg}:
+        run = 0
+        for v in sorted(v for gg, v in agg if gg == g):
+            run += agg[(g, v)]
+            want[(g, v)] = run
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["x", "y"]), st.integers(-20, 20)),
+    min_size=1, max_size=80, unique=True))
+def test_grouped_global_rank_matches_window_rank(spark, rows):
+    """grouped_global_rank (range shuffle + per-partition window +
+    broadcast prefix offsets) must equal row_number() OVER the naive
+    per-group global window bit-for-bit on a unique order key."""
+    from pyspark.sql.window import Window as W
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_global_rank,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["g"], r["v"]): r["_rank"]
+           for r in grouped_global_rank(df, ["g"], ["v"]).collect()}
+    w = W.partitionBy("g").orderBy("v")
+    want = {(r["g"], r["v"]): r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()}
+    assert got == want
