@@ -383,39 +383,6 @@ def test_asof_join_matches_python_model(spark, lrows, rrows, tol_days):
 
 
 @settings(max_examples=6, deadline=None)
-@given(
-    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 25)),
-             min_size=1, max_size=20),
-    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 25)),
-             min_size=1, max_size=20),
-    st.sampled_from([1, 4, 16, 64]))
-def test_binned_interval_join_matches_naive_overlap(spark, ls, rs, width):
-    """binned_interval_join vs the naive O(n·m) overlap model on random
-    half-open integer intervals across bin widths from finer-than-any-
-    interval to coarser-than-the-domain: same pair set, no duplicates
-    (the canonical-bin rule), regardless of how many bins a pair
-    shares."""
-    from hippo_claim_crossover_spark.operators.joins import (
-        binned_interval_join,
-    )
-
-    left = spark.createDataFrame(
-        [(i, s, s + w) for i, (s, w) in enumerate(ls)],
-        "li long, ls long, le long")
-    right = spark.createDataFrame(
-        [(j, s, s + w) for j, (s, w) in enumerate(rs)],
-        "rj long, rs long, re long")
-    got = sorted((r["li"], r["rj"]) for r in binned_interval_join(
-        left, right, "ls", "le", "rs", "re", bin_width=width).collect())
-    want = sorted(
-        (i, j)
-        for i, (s1, w1) in enumerate(ls)
-        for j, (s2, w2) in enumerate(rs)
-        if s1 < s2 + w2 and s2 < s1 + w1)
-    assert got == want, width
-
-
-@settings(max_examples=6, deadline=None)
 @given(st.lists(
     st.tuples(st.sampled_from(["x", "y", "z"]),
               st.integers(-30, 30), st.integers(1, 9)),
@@ -468,4 +435,30 @@ def test_grouped_global_rank_matches_window_rank(spark, rows):
     w = W.partitionBy("g").orderBy("v")
     want = {(r["g"], r["v"]): r["rk"]
             for r in df.withColumn("rk", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(-20, 20), st.integers(-9, 9)),
+                min_size=1, max_size=80))
+def test_global_cumsum_matches_window_cumsum(spark, rows):
+    """global_cumsum (range shuffle + per-partition cumsums + broadcast
+    prefix offsets) vs the naive single-partition window running total,
+    on a unique synthetic order key with positive and negative
+    addends."""
+    from pyspark.sql.window import Window as W
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, x) for i, (v, x) in enumerate(rows)],
+        "i long, v long, x long")
+    got = {r["i"]: r["_cum_x"]
+           for r in global_cumsum(df, ["v", "i"], ["x"]).collect()}
+    w = (W.orderBy("v", "i")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    want = {r["i"]: r["c"]
+            for r in df.withColumn("c", F.sum("x").over(w)).collect()}
     assert got == want
