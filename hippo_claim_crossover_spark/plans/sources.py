@@ -582,7 +582,17 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-clustering form real OPTIMIZE jobs use; ``coalesce`` is the
     zero-shuffle alternative when layout doesn't change, but its file
     count follows the read-combine of the input — config-dependent —
-    so the pinned contract uses the shuffle form)."""
+    so the pinned contract uses the shuffle form).
+
+    PRECONDITION (pinned-contract validity): the fixture must have
+    ≥64 rows per round-robin output partition in expectation — i.e.
+    comfortably more than ``COMPACT_FRAG_FILES`` rows total — because
+    an EMPTY repartition output partition writes no parquet file and
+    the ``n_files_frag=64`` oracle constant would break. (Deriving
+    ``least(64, n_rows)`` instead would still be wrong below 64 rows:
+    round-robin target partitions can collide across input splits.)
+    Every shipped fixture is ≥60k lineitem rows; guarded by the
+    oracle's own hash-checked ``n_rows_frag`` column."""
     from hippo_claim_crossover_spark.plans.base import money_micros
 
     cols = ["l_orderkey", "l_linenumber", "qty_u", "price_u"]

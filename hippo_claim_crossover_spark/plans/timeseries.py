@@ -1472,9 +1472,15 @@ def q_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wholeTextFiles: the only Spark source that can list inside a
         # _-prefixed directory (see docstring); one tiny file per batch
         rdd = spark.sparkContext.wholeTextFiles(glob_path)
+        # metadata-log COMPACTION files ('9.compact', written every
+        # compactInterval batches on longer runs) match the [0-9]* glob
+        # but are rollups, not batches — casting them would yield a
+        # NULL batch_id row, so admit fully-numeric basenames only
         return (spark.createDataFrame(rdd, "lpath string, content string")
-                .select(_basename(F.col("lpath")).cast("long")
-                        .alias("batch_id"), "content"))
+                .withColumn("_base", _basename(F.col("lpath")))
+                .where(F.col("_base").rlike("^[0-9]+$"))
+                .select(F.col("_base").cast("long").alias("batch_id"),
+                        "content"))
 
     def _log_batches(glob_path):
         return _log_files(glob_path).select("batch_id").distinct()

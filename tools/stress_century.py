@@ -98,12 +98,15 @@ def _task_skew(spark, stage_ids) -> tuple[float, float]:
 
 def _skew_fixture(spark, mult: int, dest: str) -> None:
     """Fact table with a manufactured zipfian key: ~40% of rows land on
-    key 0 (md5-deterministic), the rest spread over 100k keys; plus a
-    100k-row dim. Volume scales with ``mult`` via a replica fan-out.
-    The hot/tail decision and the tail key come from INDEPENDENT digit
-    ranges of the hash (h%10 vs h//10) — deriving both from h would
-    correlate them (h%100000 shares its last digit with h%10), leaving
-    40% of the tail keyspace unreachable."""
+    key 0 (md5-deterministic), the rest spread over keys 1..99999 —
+    disjoint from the hot key, so key 0's share is exactly the
+    manufactured ~40% (r11 ADVICE: `% 100000` included 0 and mixed hot
+    and tail rows on it); plus a 100k-row dim. Volume scales with
+    ``mult`` via a replica fan-out. The hot/tail decision and the tail
+    key come from INDEPENDENT digit ranges of the hash (h%10 vs h//10)
+    — deriving both from h would correlate them (h%100000 shares its
+    last digit with h%10), leaving 40% of the tail keyspace
+    unreachable."""
     from pyspark.sql import functions as F
 
     from hippo_claim_crossover_spark.plans.base import hex2long, money_micros
@@ -118,7 +121,7 @@ def _skew_fixture(spark, mult: int, dest: str) -> None:
             .select(F.when(F.col("h") % 10 < 4, F.lit(0))
                     # integer DIV: h is ~2^60, a double quotient would
                     # lose exactly the low digits the modulo reads
-                    .otherwise(F.expr("(h DIV 10) % 100000"))
+                    .otherwise(F.expr("1 + (h DIV 10) % 99999"))
                     .alias("skew_key"),
                     "v"))
     fact.write.mode("overwrite").parquet(f"{dest}/fact")
@@ -158,8 +161,11 @@ def run_skewjoin() -> None:
         d = f"{SCRATCH}/skew_{tag}"
         _skew_fixture(spark, mult, d)
         for leg, build in legs(spark, d).items():
+            # AQE skew-split active ONLY on its own leg, so salted_64
+            # isolates salting alone (r11 ADVICE: `!=` left skew-split
+            # on during the salted leg, conflating the two mitigations)
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
-                           str(leg != "unsalted_no_aqe_skew").lower())
+                           str(leg == "unsalted_aqe_skew").lower())
             # reps=1: single execution so the stage-id window, the
             # taskSummary, and the spill sum all describe exactly one run
             before = {s["stageId"] for s in _stage_metrics(spark)}
