@@ -244,6 +244,8 @@ HEADLINE = [
     "q_ann_recall",
     "q_backfill_partition",
     "q_retrieve_fuse",
+    "q_semdedup",
+    "q_retrieve_eval",
 ]
 
 

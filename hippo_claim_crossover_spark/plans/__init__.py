@@ -48,21 +48,44 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 11 window (zero-sum, 50 slots): 9 NEW queries
-    # (retrieve->rerank two-stage pipeline, training-feature matrix,
-    # mergeable quantile summary, exactly-once streaming sink audit,
-    # small-files compaction with row-identity checksum, curriculum
-    # phase binning, ANN recall@k evaluation, dynamic
-    # partition-overwrite backfill, hybrid-search RRF fusion);
-    # the 11 late-r10 queries with NO driver record yet (VERDICT r10
-    # item 1 — judge-verified locally, contract evidence pending);
-    # the 7 CHANGED-code queries (q_join_asof: _asof_impl NULL-ts
-    # guards; the q_sim_* family: the _vectors/_query_vec refactor —
-    # plan shapes unchanged, all re-verified vs the local oracle);
-    # and the 23 alphabetically-first queries of the r4
-    # stale-evidence cohort (VERDICT r10 item 2). --
+    # -- round 12 window (zero-sum, 50 slots): 2 NEW queries
+    # (q_semdedup: SemDeDup cluster→within-cell-cosine→keep-best
+    # prune; q_retrieve_eval: nDCG@k + MRR of the RRF fusion vs the
+    # exact-cosine ideal); 1 CHANGED-code query (q_stream_sink_audit:
+    # _log_files now admits fully-numeric log basenames only — r11
+    # ADVICE compaction-file guard; behavior identical on the pinned
+    # 4-batch run, locally re-verified); the FULL 45-query r5
+    # stale-evidence cohort (VERDICT r11 item 1 — after this round no
+    # surviving evidence predates r7 except the judge-re-verified r4
+    # cohort, queued next); and the 2 alphabetically-first r7-cohort
+    # queries. r13 queue: 21 r4-cohort + 8 remaining r7. --
+    "q_semdedup", "q_retrieve_eval", "q_stream_sink_audit",
+    "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
+    "q_curation_pipeline", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
+    "q_filter_first", "q_gapfill", "q_graph_bfs", "q_graph_triangles",
+    "q_incr_agg", "q_join_bloom", "q_join_interval_binned", "q_langid_eval",
+    "q_lateral_join", "q_link_sorted", "q_merge_upsert", "q_outlier_zscore",
+    "q_postings", "q_recommend", "q_region_volume", "q_regr_group",
+    "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
+    "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
+    "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
+    "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
+    "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
+    "q_udf_grouped", "q_bool_eq", "q_bool_or",
+    # ---- end of gate window (first GATE_WINDOW entries) ----
+    # next-round queue, oldest evidence first: the 21 r4-cohort
+    # queries (judge-re-verified locally at r11 — VERDICT r11 fresh
+    # check #2), then the 8 remaining r7-cohort queries.
+    "q_pagerank", "q_part_prune", "q_pipe_sql", "q_profile",
+    "q_ship_priority", "q_sink_clustered", "q_src_csv", "q_src_evolve",
+    "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",
+    "q_stream_slide", "q_stream_tumble", "q_text_gopher", "q_text_vocab",
+    "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf", "q_variant",
+    "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
+    "q_case_struct", "q_cast", "q_large_orders", "q_small_qty",
+    # the round-11 window members (all driver-green r11):
     "q_retrieve_rerank", "q_train_matrix", "q_quantile_sketch_merge",
-    "q_stream_sink_audit", "q_compact_files", "q_curriculum", "q_ann_recall",
+    "q_compact_files", "q_curriculum", "q_ann_recall",
     "q_backfill_partition", "q_retrieve_fuse", "q_stream_resume",
     "q_outlier_seasonal", "q_graph_sage_agg", "q_dp_counts",
     "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore", "q_vocab_oov",
@@ -75,26 +98,6 @@ GATE_ORDER = [
     "q_histogram_eq", "q_join_anti", "q_join_semi", "q_json",
     "q_json_project", "q_latest_snapshot", "q_mm_binfile", "q_mm_shard",
     "q_pack_sequences",
-    # ---- end of gate window (first GATE_WINDOW entries) ----
-    # next-round queue, oldest evidence first: the remaining 21
-    # r4-cohort queries, then the 45-query r5 cohort.
-    "q_pagerank", "q_part_prune", "q_pipe_sql", "q_profile",
-    "q_ship_priority", "q_sink_clustered", "q_src_csv", "q_src_evolve",
-    "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",
-    "q_stream_slide", "q_stream_tumble", "q_text_gopher", "q_text_vocab",
-    "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf", "q_variant",
-    "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
-    "q_curation_pipeline", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
-    "q_filter_first", "q_gapfill", "q_graph_bfs", "q_graph_triangles",
-    "q_incr_agg", "q_join_bloom", "q_join_interval_binned", "q_langid_eval",
-    "q_lateral_join", "q_link_sorted", "q_merge_upsert", "q_outlier_zscore",
-    "q_postings", "q_recommend", "q_region_volume", "q_regr_group",
-    "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
-    "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
-    "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
-    "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
-    "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
-    "q_udf_grouped",
     # remaining queries keep their prior relative order; all have
     # post-r7 driver-green records (or r10/r11 local gate coverage).
     "q_parse_tree", "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops",
@@ -132,9 +135,7 @@ GATE_ORDER = [
     "q_export_pipeline", "q_join_setsim", "q_histogram_eq_approx",
     "q_reconcile", "q_bm25", "q_collocations", "q_sample_weighted",
     "q_sample_weighted_group", "q_diversity", "q_rag_pipeline", "q_agg_multi",
-    "q_chunk", "q_heavy_hitters", "q_small_qty", "q_large_orders",
-    "q_bool_eq", "q_bool_or", "q_branch_route", "q_case_2way", "q_case_dict",
-    "q_case_multi", "q_case_struct", "q_cast",
+    "q_chunk", "q_heavy_hitters",
 ]
 
 _missing = _BY_NAME.keys() - set(GATE_ORDER)

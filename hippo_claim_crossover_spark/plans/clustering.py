@@ -15,8 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators import clustering as ops_km
-from hippo_claim_crossover_spark.operators.similarity import l2_norm
-from hippo_claim_crossover_spark.plans.base import QuerySpec, t_wide
+from hippo_claim_crossover_spark.operators.similarity import dot, l2_norm
+from hippo_claim_crossover_spark.plans.base import (
+    QuerySpec,
+    hex2long,
+    sql_hex2long,
+    t_wide,
+)
 
 N_CELLS = 8
 ITERS = 2
@@ -99,8 +104,151 @@ JOIN c2 c ON s.cell = c.cent_id
 """
 
 
+SEM_TARGET_CELL = 64
+SEM_TAU = 0.25
+_CKSUM_MOD = 1 << 62
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication in embedding space, the published LLM-curation
+    recipe: k-means-cluster the corpus embeddings, compute pairwise
+    cosine ONLY within each cluster, and prune every near-duplicate
+    group down to one representative. The embedding-space sibling of
+    ``q_curation_pipeline`` (lexical) built entirely from declared
+    pieces: ``operators/clustering.kmeans_fit`` (2 Lloyd rounds, exact
+    integer-micros means — the q_cluster_kmeans machinery) +
+    ``operators/similarity``'s unit-normalize/dot cosine.
+
+    Keep-best rule (the paper's): within a near-dup pair, KEEP the
+    member with the LOWER cosine to its cluster centroid (retain the
+    less-typical example — pruning toward diversity), vec_id tiebreak;
+    a vector is removed if ANY same-cluster neighbor at cosine ≥
+    ``SEM_TAU`` (the q_dedup_embed threshold) beats it under that
+    total order.
+
+    100 TB shape: the cluster count ADAPTS to the corpus —
+    ``nc = max(8, n div 64)`` (footer-metadata count, the planes_for
+    pattern) keeps the EXPECTED cell population ~64, so the
+    within-cell pair stage does ~n·64/2 dot products instead of the
+    n²/2 a fixed cell count degrades to; there is never a
+    cross-cluster pair. Assignment is the broadcast-centroid map-side
+    argmax (no N-row shuffle per round); the pair stage is one
+    equi-join on ``cell``. K-means cells are NOT balance-guaranteed —
+    a production run bounds the tail by splitting oversized cells with
+    a secondary SRP bucket (q_dedup_embed's machinery) after a
+    q_skew_profile-style histogram probe; the fixtures' cells stay
+    near the 64 target so the plain equi-join is the honest shape
+    here. Output is per-cell accounting plus an order-insensitive
+    md5-sum checksum of the removed ids (DECIMAL(38,0)/HUGEINT mod
+    2^62 — pins the exact removed SET, not just its size).
+    """
+    e = t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # adaptive cell count: one metadata-only count on parquet sources
+    # (the oracle recomputes the identical value from its own COUNT(*))
+    nc = max(N_CELLS, e.count() // SEM_TARGET_CELL)
+    assign, cents = ops_km.kmeans_fit(e, nc, ITERS)
+    m0 = assign.select(
+        "vec_id", "cell",
+        F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("vn"))
+    # one materialization for the three consumers (pair sides + counts);
+    # the kmeans lineage above it is 2 Lloyd rounds deep
+    m = (m0.join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+         .select("vec_id", "cell", "vn",
+                 ops_km._duck_round(
+                     dot(F.col("vn"), F.col("cv")) / l2_norm(F.col("cv")),
+                     6).alias("ccos"))
+         .localCheckpoint(eager=False))
+    a, b = m.alias("a"), m.alias("b")
+    cos4 = ops_km._duck_round(dot(F.col("a.vn"), F.col("b.vn")), 4)
+    loser = F.when(
+        (F.col("a.ccos") > F.col("b.ccos"))
+        | ((F.col("a.ccos") == F.col("b.ccos"))
+           & (F.col("a.vec_id") > F.col("b.vec_id"))),
+        F.col("a.vec_id")).otherwise(F.col("b.vec_id"))
+    removed = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                      & (F.col("a.vec_id") < F.col("b.vec_id")))
+               .where(cos4 >= F.lit(SEM_TAU))
+               .select(F.col("a.cell").alias("cell"), loser.alias("rid"))
+               .distinct())
+    h = hex2long(F.md5(F.col("rid").cast("string")))
+    rem = removed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.pmod(F.sum(h.cast("decimal(38,0)")),
+               F.lit(_CKSUM_MOD).cast("decimal(38,0)"))
+        .cast("long").alias("removed_cksum"))
+    mem = m.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    n_rm = F.coalesce(F.col("n_removed"), F.lit(0))
+    return (mem.join(rem, "cell", "left")
+            .select("cell", "n_members",
+                    n_rm.alias("n_removed"),
+                    (F.col("n_members") - n_rm).alias("n_kept"),
+                    F.coalesce(F.col("removed_cksum"), F.lit(0))
+                    .alias("removed_cksum"))
+            .orderBy("cell"))
+
+
+def _oracle_semdedup() -> str:
+    pair_cos = _r4("list_dot_product(a.vn, b.vn)")
+    ccos = _r6("list_dot_product(m0.vn, c2.cv) / "
+               "sqrt(list_dot_product(c2.cv, c2.cv))")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), params AS (
+  SELECT greatest({N_CELLS}, count(*) // {SEM_TARGET_CELL}) AS nc
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cent_id, v AS cv FROM (
+    SELECT vec_id, v, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e), params
+  WHERE rn <= nc
+), {_assign_cte("a0", "c0")}, {_update_cte("u1", "c1", "a0")},
+{_assign_cte("a1", "c1")}, {_update_cte("u2", "c2", "a1")},
+{_assign_cte("a2", "c2")},
+m AS (
+  SELECT m0.vec_id, m0.cell, m0.vn, {ccos} AS ccos
+  FROM (SELECT vec_id, cell,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                 AS vn
+        FROM a2) m0 JOIN c2 ON m0.cell = c2.cent_id
+), removed AS (
+  SELECT DISTINCT a.cell AS cell,
+         CASE WHEN (a.ccos > b.ccos)
+                OR (a.ccos = b.ccos AND a.vec_id > b.vec_id)
+              THEN a.vec_id ELSE b.vec_id END AS rid
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {pair_cos} >= {SEM_TAU}
+), rem AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_removed,
+         CAST(sum(CAST({sql_hex2long("md5(CAST(rid AS VARCHAR))")}
+                       AS HUGEINT)) % {_CKSUM_MOD} AS BIGINT)
+           AS removed_cksum
+  FROM removed GROUP BY cell
+), mem AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cell
+)
+SELECT mem.cell, mem.n_members,
+       coalesce(rem.n_removed, 0) AS n_removed,
+       mem.n_members - coalesce(rem.n_removed, 0) AS n_kept,
+       coalesce(rem.removed_cksum, 0) AS removed_cksum
+FROM mem LEFT JOIN rem ON mem.cell = rem.cell
+ORDER BY mem.cell
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_cluster_kmeans": QuerySpec(
         q_cluster_kmeans, ORACLE_CLUSTER_KMEANS,
         "distributed k-means (2 Lloyd rounds, exact-integer means)"),
+    "q_semdedup": QuerySpec(
+        q_semdedup, _oracle_semdedup(),
+        "SemDeDup semantic dedup: adaptive k-means cells → "
+        "within-cluster cosine pairs → keep-farthest-from-centroid "
+        "prune, removed-set checksum"),
 }

@@ -12,6 +12,8 @@ is oracle-checkable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -627,7 +629,114 @@ FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)
 """
 
 
+NDCG_K = TOP_K
+# Inverse-log2 discount table for nDCG: inv_nanos[i-1] = round(1e9 /
+# log2(i+1)) for rank i. Computed ONCE here in Python and baked as the
+# same integer literals into BOTH engines' expressions, so no libm log2
+# ever crosses an engine boundary — DCG sums are exact integer nanos
+# (the q_text_entropy scaled-integer discipline applied to ranking).
+_INV_NANOS = [round(1e9 / math.log2(i + 1)) for i in range(1, NDCG_K + 1)]
+# Ideal DCG: graded gains K..1 laid down in rank order — a Python int.
+_IDCG_NANOS = sum((NDCG_K - j) * _INV_NANOS[j] for j in range(NDCG_K))
+
+
+def q_retrieve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY EVALUATION — nDCG@k and MRR of the hybrid RRF
+    ranking (q_retrieve_fuse) against the exact-cosine ideal
+    (q_sim_topk): the ranking-quality sibling of q_ann_recall (which
+    only measures set membership, blind to ORDER — a fused list with
+    every relevant doc at the bottom scores recall 1.0; nDCG catches
+    it). Graded relevance comes from the ideal's own order: the
+    exact top-k doc at position j carries gain k+1−j, docs outside it
+    gain 0, so the metric rewards putting the most-similar docs first.
+
+    Exactness: the log2 discounts are baked integer-nano literals
+    (shared by both engines — see ``_INV_NANOS``), DCG is an integer
+    sum, and nDCG/MRR are each ONE IEEE division rounded 6dp — fully
+    hash-checked, no float accumulation anywhere.
+
+    100 TB shape: both retrievals reduce to ≤k rows via their own
+    bounded plans first; the evaluation itself is one k-row broadcast
+    join plus a k-row aggregate — free at any corpus size, which is
+    the point: rank-quality evaluation should never re-scan the
+    corpus (the ideal is the already-declared exact top-k, reused
+    verbatim)."""
+    from hippo_claim_crossover_spark.plans.base import duck_round
+
+    fused = q_retrieve_fuse(spark, sf_dir)
+    wf = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    fr = fused.select("doc_id", F.row_number().over(wf).alias("fuse_rank"))
+    exact = q_sim_topk(spark, sf_dir)
+    wi = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    ideal = exact.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.lit(NDCG_K + 1) - F.row_number().over(wi)).alias("gain"))
+    # explicit long literals: the nano discounts fit int32, so without
+    # the cast gain*inv would multiply as int32 and overflow (ANSI mode)
+    inv = F.element_at(F.array(*[F.lit(x).cast("long")
+                                 for x in _INV_NANOS]),
+                       F.col("fuse_rank"))
+    j = (fr.join(F.broadcast(ideal), "doc_id", "left")
+         .select("fuse_rank",
+                 F.coalesce(F.col("gain"), F.lit(0)).alias("gain"),
+                 inv.alias("inv_nanos")))
+    agg = j.agg(
+        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_rel"),
+        F.min(F.when(F.col("gain") > 0, F.col("fuse_rank"))).alias("_fh"),
+        F.sum(F.col("gain") * F.col("inv_nanos")).alias("_dcg"))
+    return agg.select(
+        F.lit(NDCG_K).cast("long").alias("k"),
+        "n_rel",
+        F.coalesce(F.col("_fh").cast("long"), F.lit(0))
+        .alias("first_hit_rank"),
+        F.coalesce(duck_round(F.lit(1.0) / F.col("_fh"), 6), F.lit(0.0))
+        .alias("mrr"),
+        duck_round(F.col("_dcg").cast("double")
+                   / F.lit(float(_IDCG_NANOS)), 6).alias("ndcg"))
+
+
+def _oracle_retrieve_eval() -> str:
+    case_inv = " ".join(f"WHEN {i + 1} THEN {_INV_NANOS[i]}"
+                        for i in range(NDCG_K))
+    return f"""
+WITH f AS ({_oracle_retrieve_fuse()}),
+x AS ({ORACLE_SIM_TOPK}),
+fr AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS fuse_rank
+  FROM f
+), ideal AS (
+  SELECT vec_id AS doc_id,
+         {NDCG_K + 1} - CAST(row_number() OVER (
+           ORDER BY cosine DESC, vec_id) AS INTEGER) AS gain
+  FROM x
+), j AS (
+  SELECT fr.fuse_rank, coalesce(ideal.gain, 0) AS gain,
+         CAST(CASE fr.fuse_rank {case_inv} END AS BIGINT) AS inv_nanos
+  FROM fr LEFT JOIN ideal ON fr.doc_id = ideal.doc_id
+), a AS (
+  SELECT CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         min(CASE WHEN gain > 0 THEN fuse_rank END) AS fh,
+         sum(gain * inv_nanos) AS dcg
+  FROM j
+)
+SELECT CAST({NDCG_K} AS BIGINT) AS k, n_rel,
+       CAST(coalesce(fh, 0) AS BIGINT) AS first_hit_rank,
+       coalesce(floor(CAST(1 AS DOUBLE) / fh * 1e6 + 0.5) / 1e6, 0.0)
+         AS mrr,
+       floor(CAST(dcg AS DOUBLE) / CAST({_IDCG_NANOS} AS DOUBLE) * 1e6
+             + 0.5) / 1e6 AS ndcg
+FROM a
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q_retrieve_eval": QuerySpec(
+        q_retrieve_eval, _oracle_retrieve_eval(),
+        "nDCG@k + MRR of the RRF fusion vs the exact-cosine ideal "
+        "(graded gains, integer-nano log discounts, k-row eval)"),
     "q_ann_recall": QuerySpec(
         q_ann_recall, _oracle_ann_recall(),
         "recall@k of the IVF probe vs exact brute force (composed "

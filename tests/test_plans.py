@@ -1870,3 +1870,69 @@ def test_retrieve_fuse_bounds_windows_and_fuses_full_outer(spark):
         assert abs(r["rrf_score"] - round(terms, 6)) < 2e-6, r
     scores = [r["rrf_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_semdedup_pairs_are_cell_blocked_and_accounting_consistent(spark):
+    """q_semdedup: the pair stage must be an equi-join on the cluster
+    cell (never a cartesian), the centroid join must broadcast, and the
+    localCheckpoint boundary (ExistingRDD) must cut the 2-Lloyd-round
+    lineage once for all three consumers. Accounting invariants:
+    members partition the table, kept+removed=members, every cell keeps
+    at least one representative (the prune can never empty a cell —
+    each dup pair retains its winner)."""
+    plan = _plan(spark, "q_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" in plan  # localCheckpoint'ed m frame
+    rows = ALL_SPECS["q_semdedup"].fn(spark, SF_DIR).collect()
+    assert rows, "no cells"
+    n_table = 500  # sf0.001 embeddings fixture
+    assert sum(r["n_members"] for r in rows) == n_table
+    for r in rows:
+        assert r["n_kept"] + r["n_removed"] == r["n_members"], r
+        assert r["n_kept"] >= 1, r
+        assert (r["removed_cksum"] == 0) == (r["n_removed"] == 0), r
+    cells = [r["cell"] for r in rows]
+    assert cells == sorted(cells)
+
+
+def test_retrieve_eval_is_k_row_bounded_and_metrics_consistent(spark):
+    """q_retrieve_eval: the evaluation must reuse the two bounded
+    retrievals (TakeOrderedAndProject present, no cartesian) and join
+    the k-row ideal via broadcast. Metric invariants: 0 ≤ n_rel ≤ k,
+    ndcg/mrr in [0,1], mrr == round(1/first_hit_rank, 6) when any hit
+    exists, and ndcg == 1.0 only if the fused head carries every top
+    gain in ideal order (spot-checked against a brute recompute of the
+    two declared halves)."""
+    plan = _plan(spark, "q_retrieve_eval")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    [r] = ALL_SPECS["q_retrieve_eval"].fn(spark, SF_DIR).collect()
+    assert r["k"] == 10
+    assert 0 <= r["n_rel"] <= r["k"]
+    assert 0.0 <= r["ndcg"] <= 1.0
+    assert 0.0 <= r["mrr"] <= 1.0
+    if r["n_rel"] > 0:
+        assert r["first_hit_rank"] >= 1
+        assert abs(r["mrr"] - round(1.0 / r["first_hit_rank"], 6)) < 2e-6
+    else:
+        assert r["first_hit_rank"] == 0 and r["mrr"] == 0.0
+    # brute recompute from the declared halves
+    import math
+
+    from hippo_claim_crossover_spark.plans.similarity import (
+        q_retrieve_fuse,
+        q_sim_topk,
+    )
+    fused = q_retrieve_fuse(spark, SF_DIR).collect()
+    order = sorted(fused, key=lambda x: (-x["rrf_score"], x["doc_id"]))
+    exact = q_sim_topk(spark, SF_DIR).collect()
+    gain = {e["vec_id"]: 10 - i for i, e in enumerate(
+        sorted(exact, key=lambda x: (-x["cosine"], x["vec_id"])))}
+    inv = [round(1e9 / math.log2(i + 2)) for i in range(10)]
+    dcg = sum(gain.get(d["doc_id"], 0) * inv[i]
+              for i, d in enumerate(order))
+    idcg = sum((10 - j) * inv[j] for j in range(10))
+    assert abs(r["ndcg"] - round(dcg / idcg, 6)) < 2e-6
+    assert r["n_rel"] == sum(1 for d in order if d["doc_id"] in gain)
