@@ -246,6 +246,7 @@ HEADLINE = [
     "q_retrieve_fuse",
     "q_semdedup",
     "q_retrieve_eval",
+    "q_stream_compact",
 ]
 
 

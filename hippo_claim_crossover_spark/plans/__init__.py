@@ -48,18 +48,20 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 12 window (zero-sum, 50 slots): 2 NEW queries
+    # -- round 12 window (zero-sum, 50 slots): 3 NEW queries
     # (q_semdedup: SemDeDup cluster→within-cell-cosine→keep-best
     # prune; q_retrieve_eval: nDCG@k + MRR of the RRF fusion vs the
-    # exact-cosine ideal); 1 CHANGED-code query (q_stream_sink_audit:
+    # exact-cosine ideal; q_stream_compact: _spark_metadata .compact
+    # rollover audit); 1 CHANGED-code query (q_stream_sink_audit:
     # _log_files now admits fully-numeric log basenames only — r11
     # ADVICE compaction-file guard; behavior identical on the pinned
     # 4-batch run, locally re-verified); the FULL 45-query r5
     # stale-evidence cohort (VERDICT r11 item 1 — after this round no
     # surviving evidence predates r7 except the judge-re-verified r4
-    # cohort, queued next); and the 2 alphabetically-first r7-cohort
-    # queries. r13 queue: 21 r4-cohort + 8 remaining r7. --
-    "q_semdedup", "q_retrieve_eval", "q_stream_sink_audit",
+    # cohort, queued next); and the alphabetically-first r7-cohort
+    # query. r13 queue: 21 r4-cohort + 9 remaining r7. --
+    "q_semdedup", "q_retrieve_eval", "q_stream_compact",
+    "q_stream_sink_audit",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
     "q_curation_pipeline", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
     "q_filter_first", "q_gapfill", "q_graph_bfs", "q_graph_triangles",
@@ -71,8 +73,9 @@ GATE_ORDER = [
     "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
     "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
     "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
-    "q_udf_grouped", "q_bool_eq", "q_bool_or",
+    "q_udf_grouped", "q_bool_eq",
     # ---- end of gate window (first GATE_WINDOW entries) ----
+    "q_bool_or",
     # next-round queue, oldest evidence first: the 21 r4-cohort
     # queries (judge-re-verified locally at r11 — VERDICT r11 fresh
     # check #2), then the 8 remaining r7-cohort queries.

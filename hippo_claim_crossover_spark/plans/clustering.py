@@ -1,8 +1,9 @@
 """Semantic clustering over ``embeddings`` (§2b training-data-pipeline
 surface): distributed spherical k-means, hash-checked through the full
-iterative fit.
+iterative fit, and the SemDeDup composition built on it (cluster →
+within-cell cosine pairs → keep-best prune).
 
-The oracle replays every Lloyd round in SQL — seed sample, cosine-argmax
+The oracles replay every Lloyd round in SQL — seed sample, cosine-argmax
 assignment, exact-integer-micros centroid means — so the driver's
 value-hash pins the *entire* iterative computation, not just the final
 aggregate shape. See operators/clustering.py for why the means are exact

@@ -1537,6 +1537,166 @@ def q_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("batch_id"))
 
 
+def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-LOG COMPACTION AUDIT — the ``_spark_metadata``
+    ``.compact`` rollover a long-running file-sink stream performs
+    every ``fileSink.log.compactInterval`` batches (q_stream_sink_audit
+    covers a 4-batch run that never compacts; real streams run
+    thousands of batches, and readers of the sink depend on the compact
+    file carrying EVERY live entry — a dropped entry silently hides
+    committed data from every downstream scan).
+
+    Pinned run: 6 single-event data batches (events 30 min apart, 5 min
+    watermark, 10 min tumbling windows) + the trailing watermark-flush
+    batch = batch ids 0..6, with ``compactInterval=4`` (set for the run,
+    restored after) so batch 3 writes ``3.compact`` — and batch 2 has
+    already committed a sink file, so the compaction genuinely carries a
+    prior batch's entry forward (not just its own). The audit reconciles
+    four legs and emits the whole contract as one hash-checked row:
+    numeric/compact manifest counts, the ROWS attributable to the
+    compact file's entries (row counts, never file counts — per-batch
+    file layout is shuffle-partition-dependent: every batch commits an
+    empty part-00000 plus one file per non-empty partition), the
+    checkpoint commit-log high-water mark, sink rows + exact value sum
+    (metadata-aware read — only committed files count), and three
+    booleans: the compact file covers every pre-compaction add, no
+    on-disk part file escapes the live log (compact ∪ later manifests),
+    and no live entry is missing from disk.
+
+    100 TB shape: same distributed legs as q_stream_sink_audit
+    (``wholeTextFiles`` for the ``_``-prefixed logs — one
+    metadata-sized file per batch; binaryFile path-only disk listing;
+    metadata-aware parquet read), set algebra as LEFT ANTI joins on the
+    file name, 1-row broadcast aggregates crossJoined into the single
+    verdict row. No driver-side directory walk."""
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream,
+        run_to_parquet,
+        tumbling_agg,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    batches = [[(i + 1, base + dt.timedelta(minutes=30 * i), 1, "click",
+                 float(i + 1), None)] for i in range(6)]
+    src, _ = _write_stream_batches(spark, batches, "sinkcompact")
+    ckpt, out = f"{src}.ckpt", f"{src}.out"
+    # compactInterval pinned for the run (default 10 would never compact
+    # a 7-batch run); shuffle partitions shrunk for the run only — the
+    # 7 micro-batches each pay per-partition state-store/task overhead
+    # for a single-digit-row state, and nothing here pins file counts.
+    # Both restored in `finally`; queries execute sequentially.
+    tuned = {"spark.sql.streaming.fileSink.log.compactInterval": "4",
+             "spark.sql.shuffle.partitions": "4"}
+    prev: dict[str, str | None] = {}
+    for k, v in tuned.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        run_to_parquet(tumbling_agg(read_event_stream(
+            spark, src, max_files_per_trigger=1),
+            watermark="5 minutes"), out, ckpt)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    def _basename(col):
+        return F.element_at(F.split(col, "/"), -1)
+
+    def _listing(glob_path):
+        rdd = spark.sparkContext.wholeTextFiles(glob_path)
+        return (spark.createDataFrame(rdd, "lpath string, content string")
+                .select(_basename(F.col("lpath")).alias("fname"),
+                        "content"))
+
+    logs = _listing(f"{out}/_spark_metadata/*").localCheckpoint(eager=False)
+    numeric = (logs.where(F.col("fname").rlike("^[0-9]+$"))
+               .withColumn("batch_id", F.col("fname").cast("long")))
+    compact = (logs.where(F.col("fname").rlike("^[0-9]+\\.compact$"))
+               .withColumn("batch_id", F.regexp_extract(
+                   "fname", "^([0-9]+)", 1).cast("long")))
+
+    def _adds(df):
+        return (df.select("batch_id",
+                          F.explode(F.split("content", "\n")).alias("v"))
+                .where(F.col("v").startswith("{"))
+                .select("batch_id", _basename(F.from_json(
+                    "v", "path string, size bigint, action string")
+                    .getField("path")).alias("part")))
+
+    cid = compact.agg(F.max("batch_id").alias("cid"))
+    n_adds = _adds(numeric).localCheckpoint(eager=False)
+    c_adds = _adds(compact).localCheckpoint(eager=False)
+    pre = (n_adds.crossJoin(F.broadcast(cid))
+           .where(F.col("batch_id") < F.col("cid")).select("part"))
+    post = (n_adds.crossJoin(F.broadcast(cid))
+            .where(F.col("batch_id") > F.col("cid")).select("part"))
+    live = c_adds.select("part").unionByName(post)
+    disk = (spark.read.format("binaryFile").load(f"{out}/part-*")
+            .select(_basename(F.col("path")).alias("part"))
+            .localCheckpoint(eager=False))
+
+    m_counts = (numeric.agg(F.count(F.lit(1)).alias("n_numeric_manifests"))
+                .crossJoin(F.broadcast(compact.agg(
+                    F.count(F.lit(1)).alias("n_compact_manifests"),
+                    F.max("batch_id").alias("compact_batch_id")))))
+    # rows attributable to the compact file's entries (= everything the
+    # first 4 batches committed) — row-based, so shuffle-layout-immune
+    per_file = (spark.read.parquet(out)
+                .withColumn("_f", F.input_file_name())
+                .groupBy(_basename(F.col("_f")).alias("part"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    c_rows = (c_adds.join(per_file, "part", "left")
+              .agg(F.sum(F.coalesce(F.col("n"), F.lit(0)))
+                   .alias("n_rows_precompact")))
+    commits_hi = (_listing(f"{ckpt}/commits/*")
+                  .where(F.col("fname").rlike("^[0-9]+$"))
+                  .agg(F.max(F.col("fname").cast("long"))
+                       .alias("max_commit_batch")))
+    sink = spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n_rows_sink"),
+        F.round(F.sum("sum_value"), 2).alias("sum_value_sink"))
+    uncovered = (pre.join(c_adds, "part", "left_anti")
+                 .agg(F.count(F.lit(1)).alias("_n_uncovered")))
+    orphans = (disk.join(live, "part", "left_anti")
+               .agg(F.count(F.lit(1)).alias("_n_orphans")))
+    missing = (live.join(disk, "part", "left_anti")
+               .agg(F.count(F.lit(1)).alias("_n_missing")))
+    return (m_counts
+            .crossJoin(F.broadcast(c_rows))
+            .crossJoin(F.broadcast(commits_hi))
+            .crossJoin(F.broadcast(sink))
+            .crossJoin(F.broadcast(uncovered))
+            .crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(missing))
+            .select("n_numeric_manifests", "n_compact_manifests",
+                    "compact_batch_id", "n_rows_precompact",
+                    "max_commit_batch", "n_rows_sink", "sum_value_sink",
+                    (F.col("_n_uncovered") == 0)
+                    .alias("compact_covers_prior"),
+                    (F.col("_n_orphans") == 0).alias("no_orphans"),
+                    (F.col("_n_missing") == 0).alias("none_missing")))
+
+
+# Pinned contract of the 7-batch compacting run (see docstring for the
+# derivation): manifests 0,1,2,4,5,6 numeric + 3.compact; the compact
+# file's entries carry exactly the rows batches 0-3 committed (windows
+# 0 and 1, emitted in batches 2 and 3 → 2 rows); commits reach the
+# trailing flush batch 6; windows of events 1..5 finalize (5 rows,
+# value sum 15.0); all three set-algebra invariants hold.
+ORACLE_STREAM_COMPACT = """
+SELECT * FROM (VALUES
+  (CAST(6 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+   CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(5 AS BIGINT),
+   CAST(15.0 AS DOUBLE), TRUE, TRUE, TRUE)
+) AS t(n_numeric_manifests, n_compact_manifests, compact_batch_id,
+       n_rows_precompact, max_commit_batch, n_rows_sink, sum_value_sink,
+       compact_covers_prior, no_orphans, none_missing)
+"""
+
+
 ORACLE_STREAM_SINK_AUDIT = """
 SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE, TRUE, TRUE,
@@ -1834,6 +1994,11 @@ SPECS: dict[str, QuerySpec] = {
         q_stream_sink_audit, ORACLE_STREAM_SINK_AUDIT,
         "exactly-once sink audit: _spark_metadata manifests vs "
         "offset/commit logs vs disk, per-batch rows pinned"),
+    "q_stream_compact": QuerySpec(
+        q_stream_compact, ORACLE_STREAM_COMPACT,
+        "metadata-log .compact rollover audit: compact file covers "
+        "every pre-compaction add, live log == disk, pinned 7-batch "
+        "compacting run"),
     "q_stream_resume": QuerySpec(
         q_stream_resume, ORACLE_STREAM_RESUME,
         "checkpoint restart recovery: run-2 emits windows whose counts "

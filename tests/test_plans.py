@@ -1936,3 +1936,30 @@ def test_retrieve_eval_is_k_row_bounded_and_metrics_consistent(spark):
     idcg = sum((10 - j) * inv[j] for j in range(10))
     assert abs(r["ndcg"] - round(dcg / idcg, 6)) < 2e-6
     assert r["n_rel"] == sum(1 for d in order if d["doc_id"] in gain)
+
+
+def test_stream_compact_rollover_covers_live_log(spark):
+    """q_stream_compact: the pinned 7-batch compactInterval=4 run must
+    produce 3.compact + 6 numeric manifests, the compact file must carry
+    the pre-compaction committed rows (2 — windows 0,1 from batches 2,3),
+    the live log must equal the disk part-file set in both directions,
+    and the session confs touched for the run must be restored."""
+    before = (spark.conf.get("spark.sql.shuffle.partitions"),
+              spark.conf.get(
+                  "spark.sql.streaming.fileSink.log.compactInterval",
+                  "__unset__"))
+    [r] = ALL_SPECS["q_stream_compact"].fn(spark, SF_DIR).collect()
+    after = (spark.conf.get("spark.sql.shuffle.partitions"),
+             spark.conf.get(
+                 "spark.sql.streaming.fileSink.log.compactInterval",
+                 "__unset__"))
+    assert before == after, (before, after)
+    assert r["n_numeric_manifests"] == 6
+    assert r["n_compact_manifests"] == 1
+    assert r["compact_batch_id"] == 3
+    assert r["n_rows_precompact"] == 2
+    assert r["max_commit_batch"] == 6
+    assert r["n_rows_sink"] == 5
+    assert r["sum_value_sink"] == 15.0
+    assert r["compact_covers_prior"] and r["no_orphans"]
+    assert r["none_missing"]

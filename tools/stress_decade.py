@@ -62,6 +62,10 @@ KEY_COLS = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    # replicas duplicate the vectors under shifted ids — replica 0 keeps
+    # the original ids, so QUERY_VEC_ID=0 still exists; the duplicated
+    # geometry is exactly the near-dup-heavy corpus semdedup targets
+    "embeddings": ["vec_id"],
 }
 # Tables each target query reads (keeps materialization minimal).
 TABLES_FOR = {
@@ -82,6 +86,13 @@ TABLES_FOR = {
     "q_ngram_lm": ["documents"],
     # r11 >1s-tier addition
     "q_quantile_sketch_merge": ["orders"],
+    # r12: century points for the remaining r11 newcomers (VERDICT r11
+    # item 7) + the r12 additions
+    "q_curriculum": ["documents"],
+    "q_retrieve_fuse": ["documents", "embeddings"],
+    "q_retrieve_eval": ["documents", "embeddings"],
+    "q_compact_files": ["lineitem"],
+    "q_semdedup": ["embeddings"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
