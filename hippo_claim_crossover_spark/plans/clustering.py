@@ -108,6 +108,29 @@ JOIN c2 c ON s.cell = c.cent_id
 SEM_TARGET_CELL = 64
 SEM_TAU = 0.25
 _CKSUM_MOD = 1 << 62
+# K-means cell-count cap: the broadcast-argmax assignment costs
+# n·nc·dim flops, so an UNCAPPED nc = n/64 makes the assign stage
+# quadratic in the corpus (the r12 century run measured it: 1M vectors
+# → 15,625 centroids → ~1e12 flops/round). Cap the k-means level at
+# 256 cells and recover the ~64-member target cell by splitting each
+# cell with family-0 SRP sign bits (linear, map-side — q_dedup_embed's
+# machinery): final blocking key = (cell, sub-bucket), expected
+# population 256·64·2^p ≥ n. Sub-planes engage only past 16,384 rows,
+# so small-fixture behavior (and the gate evidence) is unchanged.
+SEM_MAX_KMEANS_CELLS = 256
+
+
+def _sem_subplanes_for(n_rows: int) -> int:
+    """Smallest p with SEM_MAX_KMEANS_CELLS·SEM_TARGET_CELL·2^p ≥ n_rows,
+    clamped to [0, MAX_PLANES]. Integer-only (no libm) so the DuckDB
+    oracle recomputes the identical count from its own COUNT(*)."""
+    from hippo_claim_crossover_spark.operators import similarity as ops_sim
+
+    p = 0
+    while (p < ops_sim.MAX_PLANES
+           and SEM_MAX_KMEANS_CELLS * SEM_TARGET_CELL * (1 << p) < n_rows):
+        p += 1
+    return p
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,35 +151,48 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SEM_TAU`` (the q_dedup_embed threshold) beats it under that
     total order.
 
-    100 TB shape: the cluster count ADAPTS to the corpus —
-    ``nc = max(8, n div 64)`` (footer-metadata count, the planes_for
-    pattern) keeps the EXPECTED cell population ~64, so the
-    within-cell pair stage does ~n·64/2 dot products instead of the
-    n²/2 a fixed cell count degrades to; there is never a
-    cross-cluster pair. Assignment is the broadcast-centroid map-side
-    argmax (no N-row shuffle per round); the pair stage is one
-    equi-join on ``cell``. K-means cells are NOT balance-guaranteed —
-    a production run bounds the tail by splitting oversized cells with
-    a secondary SRP bucket (q_dedup_embed's machinery) after a
-    q_skew_profile-style histogram probe; the fixtures' cells stay
-    near the 64 target so the plain equi-join is the honest shape
-    here. Output is per-cell accounting plus an order-insensitive
-    md5-sum checksum of the removed ids (DECIMAL(38,0)/HUGEINT mod
-    2^62 — pins the exact removed SET, not just its size).
+    100 TB shape (two-level blocking — the r12 century fix): the
+    k-means level is CAPPED at ``SEM_MAX_KMEANS_CELLS = 256`` cells,
+    because the broadcast-argmax assignment costs n·nc·dim flops and
+    an uncapped ``nc = n/64`` makes it quadratic in the corpus (the
+    century harness measured the cliff at 1M vectors). The ~64-member
+    target cell is recovered by splitting each k-means cell with
+    family-0 SRP sign bits (map-side, linear — q_dedup_embed's
+    machinery): the pair stage blocks on ``(cell, sub-bucket)`` with
+    ``2^p`` sub-buckets where ``256·64·2^p ≥ n``, so within-block pair
+    work stays ~n·64/2 dot products at any scale and assignment stays
+    linear. Sub-planes engage only past 16,384 rows; below that the
+    sub-bucket is the constant 0 and blocking is the plain k-means
+    cell. Like every LSH split, sub-bucketing can miss a near-dup pair
+    straddling two sub-buckets of one cell — the same recall trade
+    q_dedup_embed documents, bought deliberately for linearity.
+    ACCOUNTING stays per k-means cell (sub-buckets roll up), so the
+    output shape is scale-stable. Output is per-cell accounting plus
+    an order-insensitive md5-sum checksum of the removed ids
+    (DECIMAL(38,0)/HUGEINT mod 2^62 — pins the exact removed SET, not
+    just its size).
     """
+    from hippo_claim_crossover_spark.operators import similarity as ops_sim
+
     e = t_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # adaptive cell count: one metadata-only count on parquet sources
-    # (the oracle recomputes the identical value from its own COUNT(*))
-    nc = max(N_CELLS, e.count() // SEM_TARGET_CELL)
+    # adaptive, capped cell count + sub-plane count: one metadata-only
+    # count on parquet sources (the oracle recomputes both identical
+    # values from its own COUNT(*))
+    n = e.count()
+    nc = max(N_CELLS, min(SEM_MAX_KMEANS_CELLS, n // SEM_TARGET_CELL))
+    p_sub = _sem_subplanes_for(n)
     assign, cents = ops_km.kmeans_fit(e, nc, ITERS)
     m0 = assign.select(
         "vec_id", "cell",
         F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("vn"))
+    sub = (ops_sim.srp_bucket(
+        F.col("vn"), ops_sim.srp_family(0, p_sub, 64))
+        if p_sub else F.lit(0).cast("long"))
     # one materialization for the three consumers (pair sides + counts);
     # the kmeans lineage above it is 2 Lloyd rounds deep
     m = (m0.join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
-         .select("vec_id", "cell", "vn",
+         .select("vec_id", "cell", sub.alias("sub"), "vn",
                  ops_km._duck_round(
                      dot(F.col("vn"), F.col("cv")) / l2_norm(F.col("cv")),
                      6).alias("ccos"))
@@ -169,6 +205,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (F.col("a.vec_id") > F.col("b.vec_id"))),
         F.col("a.vec_id")).otherwise(F.col("b.vec_id"))
     removed = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                      & (F.col("a.sub") == F.col("b.sub"))
                       & (F.col("a.vec_id") < F.col("b.vec_id")))
                .where(cos4 >= F.lit(SEM_TAU))
                .select(F.col("a.cell").alias("cell"), loser.alias("rid"))
@@ -191,9 +228,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_semdedup() -> str:
+    from hippo_claim_crossover_spark.operators import similarity as ops_sim
+    from hippo_claim_crossover_spark.plans.similarity import _sql_plane
+
     pair_cos = _r4("list_dot_product(a.vn, b.vn)")
     ccos = _r6("list_dot_product(m0.vn, c2.cv) / "
                "sqrt(list_dot_product(c2.cv, c2.cv))")
+    # family-0 SRP sub-bucket, every potential plane baked in and gated
+    # on the runtime sub-plane count np_sub — mirrors
+    # _sem_subplanes_for() + srp_bucket() exactly
+    planes = ops_sim.srp_family(0, ops_sim.MAX_PLANES, 64)
+    sub_terms = " + ".join(
+        f"CASE WHEN {p} < np_sub AND list_dot_product(m0.vn, "
+        f"{_sql_plane(plane)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p, plane in enumerate(planes))
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -201,7 +249,14 @@ WITH e AS (
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
 ), params AS (
-  SELECT greatest({N_CELLS}, count(*) // {SEM_TARGET_CELL}) AS nc
+  SELECT greatest({N_CELLS},
+                  least({SEM_MAX_KMEANS_CELLS},
+                        count(*) // {SEM_TARGET_CELL})) AS nc,
+         greatest(0, COALESCE(
+           (SELECT MIN(p) FROM range(0, {ops_sim.MAX_PLANES + 1}) t(p)
+            WHERE {SEM_MAX_KMEANS_CELLS} * {SEM_TARGET_CELL} * (1 << p)
+                  >= (SELECT count(*) FROM embeddings)),
+           {ops_sim.MAX_PLANES})) AS np_sub
   FROM embeddings
 ), c0 AS (
   SELECT vec_id AS cent_id, v AS cv FROM (
@@ -213,17 +268,19 @@ WITH e AS (
 {_assign_cte("a1", "c1")}, {_update_cte("u2", "c2", "a1")},
 {_assign_cte("a2", "c2")},
 m AS (
-  SELECT m0.vec_id, m0.cell, m0.vn, {ccos} AS ccos
+  SELECT m0.vec_id, m0.cell, CAST({sub_terms} AS BIGINT) AS sub,
+         m0.vn, {ccos} AS ccos
   FROM (SELECT vec_id, cell,
                list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
                  AS vn
-        FROM a2) m0 JOIN c2 ON m0.cell = c2.cent_id
+        FROM a2) m0 JOIN c2 ON m0.cell = c2.cent_id, params
 ), removed AS (
   SELECT DISTINCT a.cell AS cell,
          CASE WHEN (a.ccos > b.ccos)
                 OR (a.ccos = b.ccos AND a.vec_id > b.vec_id)
               THEN a.vec_id ELSE b.vec_id END AS rid
-  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM m a JOIN m b ON a.cell = b.cell AND a.sub = b.sub
+                   AND a.vec_id < b.vec_id
   WHERE {pair_cos} >= {SEM_TAU}
 ), rem AS (
   SELECT cell, CAST(count(*) AS BIGINT) AS n_removed,

@@ -85,3 +85,44 @@ def test_fit_is_deterministic_across_runs(spark):
            sorted((r.vec_id, r.cell) for r in a2.collect())
     assert sorted(map(tuple, ((r.cent_id, tuple(r.cv)) for r in c1.collect()))) == \
            sorted(map(tuple, ((r.cent_id, tuple(r.cv)) for r in c2.collect())))
+
+
+def test_sem_subplanes_thresholds():
+    """Sub-planes engage exactly past SEM_MAX_KMEANS_CELLS·SEM_TARGET_CELL
+    rows (16,384) and double the bucket count per extra plane — the
+    integer-only rule the DuckDB oracle recomputes from COUNT(*)."""
+    from hippo_claim_crossover_spark.operators.similarity import MAX_PLANES
+    from hippo_claim_crossover_spark.plans.clustering import (
+        _sem_subplanes_for,
+    )
+
+    assert _sem_subplanes_for(1) == 0
+    assert _sem_subplanes_for(16384) == 0
+    assert _sem_subplanes_for(16385) == 1
+    assert _sem_subplanes_for(32768) == 1
+    assert _sem_subplanes_for(32769) == 2
+    assert _sem_subplanes_for(10**12) == MAX_PLANES
+
+
+def test_semdedup_subbuckets_only_prune_pairs(spark, monkeypatch):
+    """Forcing the SRP sub-split on the small fixture (cap constants
+    shrunk so p_sub=4 while the k-means level is unchanged at nc=8)
+    must keep the members partition identical and can only REMOVE
+    near-dup pairs relative to plain cell blocking — a pair straddling
+    two sub-buckets of one cell is the documented LSH recall trade,
+    never a new removal."""
+    from hippo_claim_crossover_spark.plans import clustering as mod
+
+    sf = "/root/testdata/sf0.001"
+    base = {r["cell"]: r for r in mod.q_semdedup(spark, sf).collect()}
+    # 8·4·2^p >= 500 -> p_sub = 4; nc = max(8, min(8, 500//4)) = 8 as before
+    monkeypatch.setattr(mod, "SEM_MAX_KMEANS_CELLS", 8)
+    monkeypatch.setattr(mod, "SEM_TARGET_CELL", 4)
+    split = {r["cell"]: r for r in mod.q_semdedup(spark, sf).collect()}
+    assert set(split) == set(base)
+    assert sum(r["n_removed"] for r in split.values()) < sum(
+        r["n_removed"] for r in base.values())  # 16 sub-buckets must prune
+    for cell, r in split.items():
+        assert r["n_members"] == base[cell]["n_members"]
+        assert r["n_removed"] <= base[cell]["n_removed"]
+        assert r["n_kept"] + r["n_removed"] == r["n_members"]

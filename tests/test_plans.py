@@ -1873,16 +1873,22 @@ def test_retrieve_fuse_bounds_windows_and_fuses_full_outer(spark):
 
 
 def test_semdedup_pairs_are_cell_blocked_and_accounting_consistent(spark):
-    """q_semdedup: the pair stage must be an equi-join on the cluster
-    cell (never a cartesian), the centroid join must broadcast, and the
-    localCheckpoint boundary (ExistingRDD) must cut the 2-Lloyd-round
-    lineage once for all three consumers. Accounting invariants:
-    members partition the table, kept+removed=members, every cell keeps
-    at least one representative (the prune can never empty a cell —
-    each dup pair retains its winner)."""
+    """q_semdedup: the pair stage must be an equi-join on the FULL
+    blocking key (cluster cell AND SRP sub-bucket — never a cartesian,
+    never cell-only, which would re-quadratize oversized cells at
+    scale), and the localCheckpoint boundary (ExistingRDD) must cut
+    the Lloyd lineage once for all three consumers (the centroid join
+    for ccos sits below it — r12: kmeans_fit collects centroids per
+    round, so that join is against a literal frame). Accounting
+    invariants: members partition the table, kept+removed=members,
+    every cell keeps at least one representative (the prune can never
+    empty a cell — each dup pair retains its winner)."""
+    import re
+
     plan = _plan(spark, "q_semdedup")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    pair_join = re.search(r"SortMergeJoin \[cell#\d+L, sub#\d+L\]", plan)
+    assert pair_join, "pair stage must equi-join on (cell, sub)"
     assert "ExistingRDD" in plan  # localCheckpoint'ed m frame
     rows = ALL_SPECS["q_semdedup"].fn(spark, SF_DIR).collect()
     assert rows, "no cells"
