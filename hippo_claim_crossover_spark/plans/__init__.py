@@ -55,16 +55,20 @@ GATE_ORDER = [
     # cluster→within-cell-cosine→keep-best prune; q_retrieve_eval:
     # nDCG@k + MRR of the RRF fusion vs the exact-cosine ideal;
     # q_stream_compact: _spark_metadata .compact rollover audit);
-    # 1 CHANGED-code query (q_stream_sink_audit: _log_files now admits
-    # fully-numeric log basenames only — r11 ADVICE compaction-file
-    # guard; behavior identical on the pinned 4-batch run, locally
-    # re-verified); and 44 of the 45-query r5 stale-evidence cohort
-    # (VERDICT r11 item 1; q_udf_grouped is the one the new queries
-    # displace — locally gate-green this round, queued FIRST for r13).
-    # r13 queue: q_udf_grouped + 21 r4-cohort + 10 r7. --
+    # 2 CHANGED-code queries (q_stream_sink_audit: _log_files now
+    # admits fully-numeric log basenames only — r11 ADVICE guard,
+    # behavior identical on the pinned 4-batch run; q_cluster_kmeans:
+    # kmeans_fit now collects centroids per Lloyd round and assigns
+    # via the Arrow matmul kernel — bit-identical values, locally
+    # re-verified; q_semdedup shares that change and adds the capped
+    # (cell, SRP-sub) blocking); and 43 of the 45-query r5
+    # stale-evidence cohort (VERDICT r11 item 1; q_udf_cogrouped and
+    # q_udf_grouped are the two the new queries displace — locally
+    # gate-green this round, queued FIRST for r13). r13 queue:
+    # q_udf_cogrouped, q_udf_grouped + 21 r4-cohort + 10 r7. --
     "q_dsir", "q_span_corrupt",
     "q_semdedup", "q_retrieve_eval", "q_stream_compact",
-    "q_stream_sink_audit",
+    "q_stream_sink_audit", "q_cluster_kmeans",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
     "q_curation_pipeline", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
     "q_filter_first", "q_gapfill", "q_graph_bfs", "q_graph_triangles",
@@ -75,12 +79,12 @@ GATE_ORDER = [
     "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
     "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
     "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
-    "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
+    "q_stream_static", "q_transitions", "q_transpose",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # next-round queue, oldest evidence first: the r5 straggler, the
     # 21 r4-cohort queries (judge-re-verified locally at r11 — VERDICT
     # r11 fresh check #2), then the 10 remaining r7-cohort queries.
-    "q_udf_grouped", "q_bool_eq", "q_bool_or",
+    "q_udf_cogrouped", "q_udf_grouped", "q_bool_eq", "q_bool_or",
     "q_pagerank", "q_part_prune", "q_pipe_sql", "q_profile",
     "q_ship_priority", "q_sink_clustered", "q_src_csv", "q_src_evolve",
     "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",
@@ -97,7 +101,7 @@ GATE_ORDER = [
     "q_weighted_median", "q_stream_chained", "q_bootstrap_ci", "q_join_asof",
     "q_sim_topk", "q_sim_lsh_buckets", "q_sim_knn_blocked", "q_sim_ivf",
     "q_sim_ivf_persisted", "q_sim_pq", "q_agg_exists", "q_agg_sum",
-    "q_assoc_rules", "q_cluster_kmeans", "q_date_spine", "q_decontaminate",
+    "q_assoc_rules", "q_date_spine", "q_decontaminate",
     "q_dedup_cluster", "q_dedup_embed", "q_dedup_keep_best", "q_dedup_ngram",
     "q_dedup_simhash_pairs", "q_funnel", "q_grouping_sets", "q_histogram",
     "q_histogram_eq", "q_join_anti", "q_join_semi", "q_json",

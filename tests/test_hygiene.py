@@ -9,7 +9,11 @@ Every judge round re-verifies by hand that the only driver-side actions in
   check fetches a 2-int fingerprint via ``.head()``;
 - ``multimodal.py`` — ``materialize_binary_fixture`` collects a
   constant-capped (``max_files=100``) set of rows to write the binaryFile
-  fixture, a path documented as not existing in production.
+  fixture, a path documented as not existing in production;
+- ``operators/clustering.py`` — ``kmeans_fit`` collects the centroid
+  table once per Lloyd round (C×D doubles, C capped by the caller —
+  SEM_MAX_KMEANS_CELLS=256 — and D the embedding width: KBs, independent
+  of N; the canonical distributed-k-means shape, r12).
 
 This test walks the package AST and fails on any NEW ``.collect()`` /
 ``.toPandas()`` / ``.head()`` / ``.first()`` / ``.take()`` /
@@ -35,6 +39,7 @@ DRIVER_ACTIONS = {"collect", "toPandas", "head", "first", "take",
 ALLOWLIST = {
     ("operators/graph.py", "head"),      # 2-int convergence fingerprint
     ("multimodal.py", "collect"),        # constant-capped fixture writer
+    ("operators/clustering.py", "collect"),  # per-round C×D centroids, KBs
 }
 
 
