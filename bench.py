@@ -249,6 +249,8 @@ HEADLINE = [
     "q_stream_compact",
     "q_dsir",
     "q_span_corrupt",
+    "q_observe",
+    "q_tok_fertility",
 ]
 
 

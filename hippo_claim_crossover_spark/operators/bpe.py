@@ -109,18 +109,13 @@ def bpe_merge_rules(docs: DataFrame, n_rounds: int = 3,
     return out
 
 
-def bpe_token_counts(docs: DataFrame, n_rounds: int = 3,
-                     text_col: str = "text") -> DataFrame:
-    """ENCODE side: apply ``n_rounds`` learned merges and return corpus
-    token counts (token, n).
-
-    Same distributed trick as training: the merges are applied to the
-    word VOCABULARY (each distinct word once), and corpus-level token
-    counts fall out by weighting each word's tokens with its corpus
-    frequency — the full corpus is never re-tokenized row by row. At
-    100 TB the encode of the raw corpus would join docs → (word, token
-    array) on the merged vocab instead; the counts here are identical
-    by construction."""
+def bpe_encoded_vocab(docs: DataFrame, n_rounds: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """ENCODE side, vocabulary form: apply ``n_rounds`` learned merges
+    and return (w, freq, seq) — each distinct word once with its merged
+    double-space-delimited token sequence. The full corpus is never
+    re-tokenized row by row; consumers weight per-word token counts by
+    corpus (or per-group) word frequencies instead."""
     vocab = word_vocab(docs, text_col).localCheckpoint(eager=False)
     for _ in range(n_rounds):
         best = _best(_pair_counts(vocab))
@@ -131,6 +126,22 @@ def bpe_token_counts(docs: DataFrame, n_rounds: int = 3,
                 F.concat(F.lit(" "), "l", F.lit("  "), "r", F.lit(" ")),
                 F.concat(F.lit(" "), "l", "r", F.lit(" "))).alias("seq"))
         vocab = vocab.localCheckpoint(eager=False)
+    return vocab
+
+
+def bpe_token_counts(docs: DataFrame, n_rounds: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """ENCODE side: apply ``n_rounds`` learned merges and return corpus
+    token counts (token, n).
+
+    Same distributed trick as training: the merges are applied to the
+    word VOCABULARY (each distinct word once — :func:`bpe_encoded_vocab`),
+    and corpus-level token counts fall out by weighting each word's
+    tokens with its corpus frequency — the full corpus is never
+    re-tokenized row by row. At 100 TB the encode of the raw corpus
+    would join docs → (word, token array) on the merged vocab instead;
+    the counts here are identical by construction."""
+    vocab = bpe_encoded_vocab(docs, n_rounds, text_col)
     return (
         vocab.select(F.explode(
             F.split(F.trim(F.col("seq")), "  ")).alias("token"), "freq")

@@ -1541,6 +1541,69 @@ FROM j GROUP BY status ORDER BY status
 """
 
 
+def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality counters via ``df.observe()`` — Spark's
+    Observation API, the production way to monitor a pipeline at scale:
+    the metrics are AccumulatorV2-backed aggregates that accumulate
+    DURING the one real action, so ingest/filtered row counts, money
+    totals and anomaly tallies cost zero extra scans (contrast a
+    separate ``.count()`` per stage, which re-runs the pipeline once
+    per metric — the classic 100 TB anti-pattern this query exists to
+    replace).
+
+    Two observation points bracket a filter stage; the pipeline itself
+    materializes through the noop sink. Every observed metric is an
+    exact BIGINT (micros-quantized money, conditional counts), and the
+    oracle recomputes the identical aggregates with plain SQL over the
+    same table — so the driver hash proves the observed metrics equal
+    the ground truth, not just that something was recorded."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag")
+    obs_in, obs_out = Observation(), Observation()
+    staged = li.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(money_micros(F.col("l_extendedprice"))).alias("price_micros"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long").alias("n_discounted"))
+    filtered = staged.where(F.col("l_returnflag") == "R").observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(money_micros(F.col("l_extendedprice"))).alias("price_micros"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long").alias("n_discounted"))
+    filtered.write.format("noop").mode("overwrite").save()
+    mi, mo = obs_in.get, obs_out.get
+    return spark.createDataFrame(
+        [("ingest", mi["n_rows"], mi["price_micros"], mi["n_discounted"]),
+         ("filtered", mo["n_rows"], mo["price_micros"],
+          mo["n_discounted"])],
+        "stage string, n_rows long, price_micros long, n_discounted long"
+    ).orderBy("stage")
+
+
+ORACLE_OBSERVE = """
+SELECT * FROM (
+  SELECT 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS price_micros,
+         CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_discounted
+  FROM lineitem
+  UNION ALL
+  SELECT 'filtered', CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT),
+         CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem WHERE l_returnflag = 'R'
+) ORDER BY stage
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_join_full": QuerySpec(
         q_join_full, ORACLE_JOIN_FULL,
@@ -1615,6 +1678,10 @@ SPECS: dict[str, QuerySpec] = {
                                "salted join under pathological key skew"),
     "q_join_bloom": QuerySpec(q_join_bloom, ORACLE_JOIN_BLOOM,
                               "Bloom-pruned exact semi join"),
+    "q_observe": QuerySpec(
+        q_observe, ORACLE_OBSERVE,
+        "df.observe() pipeline DQ counters: exact BIGINT metrics "
+        "accumulated during the one action, zero extra scans"),
     "q_dq_audit": QuerySpec(q_dq_audit, ORACLE_DQ_AUDIT,
                             "data-quality constraint audit"),
     "q_incr_agg": QuerySpec(q_incr_agg, ORACLE_INCR_AGG,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators.bpe import (
+    bpe_encoded_vocab,
     bpe_merge_rules,
     bpe_token_counts,
 )
@@ -124,6 +125,87 @@ LIMIT 20
 """
 
 
+def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — the standard tokenizer-quality
+    metric (subwords per word; also chars per subword) that multilingual
+    LM teams track per language/domain when choosing a vocabulary: a
+    high-fertility source pays more sequence length per word.
+
+    Distributed shape: per-(source, word) frequencies from one token
+    fan-out; the word→subword-count table comes from the SAME
+    vocabulary-compressed BPE encode as q_bpe_encode
+    (operators/bpe.bpe_encoded_vocab — merges applied to each distinct
+    word once, never a per-doc re-tokenize), joined back on the word
+    key (equi-join; the vocabulary side is Zipf-compact and AQE
+    broadcasts it when it fits). All outputs are exact integers —
+    fertility is reported in integer permille (``n_subwords·1000 div
+    n_words``), so no cross-engine float division exists."""
+    docs = t_wide(spark, sf_dir, "documents").select("source", "text")
+    words = (docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("fs")))
+    enc = bpe_encoded_vocab(docs, n_rounds=3).select(
+        "w",
+        F.size(F.split(F.trim("seq"), "  ")).cast("long").alias("nsub"),
+        F.length("w").cast("long").alias("nch"))
+    per = (words.join(enc, "w")
+           .groupBy("source")
+           .agg(F.sum("fs").alias("n_words"),
+                F.sum(F.col("fs") * F.col("nsub")).alias("n_subwords"),
+                F.sum(F.col("fs") * F.col("nch")).alias("n_chars")))
+    return (per.select(
+        "source", "n_words", "n_subwords", "n_chars",
+        F.expr("n_subwords * 1000 div n_words").alias("fertility_permille"),
+        F.expr("n_chars * 1000 div n_subwords")
+        .alias("chars_per_subword_permille"))
+        .orderBy("source"))
+
+
+# Same v4 encode chain as ORACLE_BPE_ENCODE, joined to per-source word
+# frequencies — fertility falls out in exact integer permille.
+ORACLE_TOK_FERTILITY = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq,
+         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seq
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+),
+p1 AS ({_pairs_sql("vocab")}),
+b1 AS ({_best_sql("p1")}),
+v2 AS ({_merge_sql("vocab", "b1")}),
+p2 AS ({_pairs_sql("v2")}),
+b2 AS ({_best_sql("p2")}),
+v3 AS ({_merge_sql("v2", "b2")}),
+p3 AS ({_pairs_sql("v3")}),
+b3 AS ({_best_sql("p3")}),
+v4 AS ({_merge_sql("v3", "b3")}),
+enc AS (
+  SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS nsub,
+         CAST(length(w) AS BIGINT) AS nch
+  FROM v4
+), words AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS fs
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) > 0 GROUP BY source, w
+), per AS (
+  SELECT source, CAST(sum(fs) AS BIGINT) AS n_words,
+         CAST(sum(fs * nsub) AS BIGINT) AS n_subwords,
+         CAST(sum(fs * nch) AS BIGINT) AS n_chars
+  FROM words JOIN enc USING (w) GROUP BY source
+)
+SELECT source, n_words, n_subwords, n_chars,
+       n_subwords * 1000 // n_words AS fertility_permille,
+       n_chars * 1000 // n_subwords AS chars_per_subword_permille
+FROM per ORDER BY source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_bpe_merges": QuerySpec(
         q_bpe_merges, ORACLE_BPE_MERGES,
@@ -131,4 +213,8 @@ SPECS: dict[str, QuerySpec] = {
     "q_bpe_encode": QuerySpec(
         q_bpe_encode, ORACLE_BPE_ENCODE,
         "BPE encode: vocab-weighted corpus token counts, top-20"),
+    "q_tok_fertility": QuerySpec(
+        q_tok_fertility, ORACLE_TOK_FERTILITY,
+        "tokenizer fertility per source (subwords/word, chars/subword "
+        "in exact integer permille; vocab-compressed encode)"),
 }

@@ -2043,3 +2043,46 @@ def test_span_corrupt_spans_are_disjoint_and_reproducible(spark):
     for r in rows:
         got = (r["masked_total"], r["spans_total"], r["mask_checksum"])
         assert got == tuple(want[r["source"]]), (r["source"], got)
+
+
+def test_observe_metrics_equal_ground_truth_with_zero_extra_scans(spark):
+    """q_observe: the observed metrics must equal independently computed
+    aggregates over the same table (ground truth, not just 'something
+    was recorded'), the filtered stage must be a strict subset of
+    ingest, and the pipeline must stay one scan (observe() adds
+    CollectMetrics, never a second FileScan of lineitem)."""
+    rows = {r["stage"]: r
+            for r in ALL_SPECS["q_observe"].fn(spark, SF_DIR).collect()}
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.base import money_micros, t
+    li = t(spark, SF_DIR, "lineitem")
+    truth = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money_micros(F.col("l_extendedprice"))).alias("p"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .alias("d")).collect()[0]
+    assert rows["ingest"]["n_rows"] == truth["n"]
+    assert rows["ingest"]["price_micros"] == truth["p"]
+    assert rows["ingest"]["n_discounted"] == truth["d"]
+    assert rows["filtered"]["n_rows"] < rows["ingest"]["n_rows"]
+    assert rows["filtered"]["price_micros"] <= rows["ingest"]["price_micros"]
+
+
+def test_tok_fertility_is_vocab_compressed_and_bounded(spark):
+    """q_tok_fertility: the BPE merges must be applied to the distinct-
+    word vocabulary (localCheckpoint'ed ExistingRDD in the plan — never
+    a per-doc re-tokenize), and the metric obeys its arithmetic bounds:
+    3 merges can only SHRINK a word's token count from len(w), so
+    n_chars >= n_subwords >= n_words (every word has >= 1 subword) and
+    fertility_permille >= 1000."""
+    plan = _plan(spark, "q_tok_fertility")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    rows = ALL_SPECS["q_tok_fertility"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_chars"] >= r["n_subwords"] >= r["n_words"] > 0, r
+        assert r["fertility_permille"] >= 1000, r
+        assert (r["fertility_permille"]
+                == r["n_subwords"] * 1000 // r["n_words"]), r

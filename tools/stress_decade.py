@@ -93,6 +93,8 @@ TABLES_FOR = {
     "q_retrieve_eval": ["documents", "embeddings"],
     "q_compact_files": ["lineitem"],
     "q_semdedup": ["embeddings"],
+    "q_dsir": ["documents"],
+    "q_span_corrupt": ["documents"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
