@@ -251,6 +251,7 @@ HEADLINE = [
     "q_span_corrupt",
     "q_observe",
     "q_tok_fertility",
+    "q_stream_state",
 ]
 
 

@@ -48,7 +48,7 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 12 window (zero-sum, 50 slots): 7 NEW queries
+    # -- round 12 window (zero-sum, 50 slots): 8 NEW queries
     # (q_dsir: hashed-unigram importance resampling, global top-K;
     # q_span_corrupt: T5 span-corruption mask plan, md5-placed
     # disjoint-segment spans; q_observe: df.observe() DQ counters,
@@ -56,19 +56,23 @@ GATE_ORDER = [
     # the vocab-compressed BPE encode; q_semdedup: SemDeDup
     # cluster→within-cell-cosine→keep-best prune; q_retrieve_eval:
     # nDCG@k + MRR of the RRF fusion vs the exact-cosine ideal;
-    # q_stream_compact: _spark_metadata .compact rollover audit);
+    # q_stream_compact: _spark_metadata .compact rollover audit;
+    # q_stream_state: applyInPandasWithState promoted to a declared
+    # REAL-SQL-checked query — cross-batch state vs a GROUP BY oracle);
     # 2 CHANGED-code queries (q_stream_sink_audit: _log_files now
     # admits fully-numeric log basenames only — r11 ADVICE guard,
     # behavior identical on the pinned 4-batch run; q_cluster_kmeans:
     # kmeans_fit now collects centroids per Lloyd round and assigns
     # via the Arrow matmul kernel — bit-identical values, locally
     # re-verified; q_semdedup shares that change and adds the capped
-    # (cell, SRP-sub) blocking); and 41 of the 45-query r5
-    # stale-evidence cohort (VERDICT r11 item 1; q_transitions,
-    # q_transpose, q_udf_cogrouped and q_udf_grouped are the four the
-    # new queries displace — locally gate-green this round, queued
-    # FIRST for r13). r13 queue: those four + 21 r4-cohort + 10 r7. --
+    # (cell, SRP-sub) blocking); and 40 of the 45-query r5
+    # stale-evidence cohort (VERDICT r11 item 1; q_stream_static,
+    # q_transitions, q_transpose, q_udf_cogrouped and q_udf_grouped
+    # are the five the new queries displace — locally gate-green this
+    # round, queued FIRST for r13). r13 queue: those five +
+    # 21 r4-cohort + 10 r7. --
     "q_dsir", "q_span_corrupt", "q_observe", "q_tok_fertility",
+    "q_stream_state",
     "q_semdedup", "q_retrieve_eval", "q_stream_compact",
     "q_stream_sink_audit", "q_cluster_kmeans",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
@@ -81,13 +85,12 @@ GATE_ORDER = [
     "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
     "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
     "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
-    "q_stream_static",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # next-round queue, oldest evidence first: the r5 straggler, the
     # 21 r4-cohort queries (judge-re-verified locally at r11 — VERDICT
     # r11 fresh check #2), then the 10 remaining r7-cohort queries.
-    "q_transitions", "q_transpose", "q_udf_cogrouped", "q_udf_grouped",
-    "q_bool_eq", "q_bool_or",
+    "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
+    "q_udf_grouped", "q_bool_eq", "q_bool_or",
     "q_pagerank", "q_part_prune", "q_pipe_sql", "q_profile",
     "q_ship_priority", "q_sink_clustered", "q_src_csv", "q_src_evolve",
     "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",

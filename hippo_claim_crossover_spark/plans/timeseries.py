@@ -1915,6 +1915,81 @@ FROM feat WHERE di >= 7
 """
 
 
+def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator as a declared, REAL-SQL-checked
+    query: ``applyInPandasWithState`` (streaming/stateful.py
+    cumulative_profile_exact) folds per-user running totals across a
+    3-micro-batch file-source run over the REAL events table — not a
+    pinned VALUES fixture — so the DuckDB oracle recomputes every output
+    value from ``events`` itself and the driver hash proves the
+    cross-batch state carriage end to end:
+
+    - the stream is the events table split into 3 batch files by
+      ``event_id % 3`` (deterministic membership, mtime-ordered,
+      maxFilesPerTrigger=1);
+    - update mode emits one row per (user, batch-where-present), so
+      ``n_updates = count(DISTINCT event_id % 3)`` per user — >1 for any
+      user spanning batches proves state survived the batch boundary;
+    - the final totals (``max_by`` the highest-n update row) must equal
+      a plain GROUP BY over the table; the state carries the value sum
+      as exact BIGINT micros, so no float-order drift exists.
+
+    At scale: state is one (long, long) row per user sharded by the
+    grouping key (O(distinct users), not O(events)); the per-batch
+    single-file write below is pinned-run harness setup (same class as
+    q_stream_compact's), not a production path — production feeds the
+    identical operator from Kafka."""
+    import glob
+    import os
+    import shutil
+
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream,
+        run_to_memory,
+    )
+    from hippo_claim_crossover_spark.streaming.stateful import (
+        cumulative_profile_exact,
+    )
+
+    run_id = next(_LATE_RUN)
+    src = ("/root/repo/_scratch/"
+           f"state_src-{spark.sparkContext.applicationId}-{run_id}")
+    os.makedirs(src, exist_ok=True)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    for b in range(3):
+        stage = f"{src}.stage"
+        (ev.where(F.col("event_id") % 3 == b)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{b}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + b * 100,) * 2)
+        shutil.rmtree(stage)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    prof = cumulative_profile_exact(stream)
+    out_name = f"state_out_{run_id}"
+    run_to_memory(prof, out_name, output_mode="update")
+    mem = spark.table(out_name)
+    return (mem.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_updates"),
+                 F.max("n_events").alias("n_events"),
+                 F.max_by("sum_micros", "n_events").alias("sum_micros"))
+            .orderBy("user_id"))
+
+
+ORACLE_STREAM_STATE = """
+SELECT user_id,
+       CAST(count(DISTINCT event_id % 3) AS BIGINT) AS n_updates,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_micros
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_ohlc": QuerySpec(
         q_ohlc, ORACLE_OHLC,
@@ -1986,6 +2061,11 @@ SPECS: dict[str, QuerySpec] = {
         q_active_users, ORACLE_ACTIVE_USERS,
         "DAU/WAU/MAU trailing distinct-user counts (fan-out distinct, "
         "never a sliding count-distinct window)"),
+    "q_stream_state": QuerySpec(
+        q_stream_state, ORACLE_STREAM_STATE,
+        "applyInPandasWithState cumulative per-user profile across 3 "
+        "real micro-batches — REAL-SQL oracle over events, exact "
+        "BIGINT-micros state, n_updates proves cross-batch carriage"),
     "q_stream_chained": QuerySpec(
         q_stream_chained, ORACLE_STREAM_CHAINED,
         "chained stateful streaming (dedup -> windowed agg in one "

@@ -60,6 +60,48 @@ def cumulative_user_profile(events: DataFrame) -> DataFrame:
     )
 
 
+EXACT_OUTPUT_SCHEMA = "user_id long, n_events long, sum_micros long"
+EXACT_STATE_SCHEMA = "n long, s long"
+
+
+def _update_profile_exact(key: tuple[Any, ...],
+                          pdfs: Iterator[pd.DataFrame],
+                          state: GroupState) -> Iterator[pd.DataFrame]:
+    """Exact-integer sibling of :func:`_update_user_profile`: the value
+    sum is carried as BIGINT micros (``floor(v·1e6 + 0.5)`` per row —
+    plans/base.money_micros' formula), so the cumulative state is an
+    exact integer at every batch and the emitted rows hash-match a SQL
+    oracle bit-for-bit (float accumulation order never enters)."""
+    import numpy as np
+
+    n, s = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+        s += int(np.floor(v * 1e6 + 0.5).astype("int64").sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "sum_micros": [s]})
+
+
+def cumulative_profile_exact(events: DataFrame) -> DataFrame:
+    """Running per-user (count, exact micros total) across the life of
+    the stream (update mode) — the hash-checkable face of
+    :func:`cumulative_user_profile`. State is one (long, long) row per
+    user in the state store, sharded by the grouping key."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile_exact,
+            outputStructType=EXACT_OUTPUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 TWS_OUTPUT_SCHEMA = ("user_id long, n_events long, sum_value double, "
                      "top1 double, top2 double, top3 double")
 

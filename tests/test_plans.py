@@ -2086,3 +2086,29 @@ def test_tok_fertility_is_vocab_compressed_and_bounded(spark):
         assert r["fertility_permille"] >= 1000, r
         assert (r["fertility_permille"]
                 == r["n_subwords"] * 1000 // r["n_words"]), r
+
+
+def test_stream_state_carries_state_across_batches(spark):
+    """q_stream_state: the update-mode output must contain MULTIPLE
+    update rows for users spanning batches (cross-batch state carriage
+    — the thing a batch GROUP BY cannot show), the final totals must
+    equal the batch ground truth, and n_updates is bounded by the
+    3-batch run."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.base import t
+    rows = ALL_SPECS["q_stream_state"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(1 <= r["n_updates"] <= 3 for r in rows)
+    assert any(r["n_updates"] > 1 for r in rows), \
+        "no user spanned a batch boundary — fixture no longer exercises state"
+    truth = {r["user_id"]: r for r in (
+        t(spark, SF_DIR, "events").groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0.0))
+                           * 1e6 + 0.5).cast("long")).alias("s"))
+        .collect())}
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert r["n_events"] == truth[r["user_id"]]["n"], r
+        assert r["sum_micros"] == truth[r["user_id"]]["s"], r
