@@ -252,6 +252,7 @@ HEADLINE = [
     "q_observe",
     "q_tok_fertility",
     "q_stream_state",
+    "q_mix_temperature",
 ]
 
 

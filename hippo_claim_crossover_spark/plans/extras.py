@@ -28,6 +28,7 @@ from hippo_claim_crossover_spark.plans.base import (
     money_sum_sql,
     sql_hex2long,
     t,
+    t_wide,
     within_rel_band,
 )
 
@@ -1545,6 +1546,79 @@ ORDER BY q.source
 """
 
 
+MIX_TEMP_BUDGET = 10_000  # draws to allocate across sources
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed dataset mixture (α = 1/2): sampling weights
+    ``p_i ∝ n_i^α`` — the multilingual-LM recipe (XLM-R/mT5
+    α-smoothing) that upweights small sources relative to their raw
+    share without equalizing them; the smoothing face of the mixture
+    family next to q_dataset_mixture's exact target proportions.
+
+    Exactness without libm pow: α is fixed at 1/2 because ``sqrt`` is
+    CORRECTLY-ROUNDED under IEEE-754 in every engine (pow(x, 0.5) is
+    not), and each source's smoothed mass is quantized to BIGINT micros
+    (``⌊√n_tok·1e6+0.5⌋``) BEFORE the cross-source total, so all shares
+    and draw allocations are pure integer arithmetic — permille shares
+    via cross-multiplication, budget draws via integer div; no
+    float-addition order exists anywhere.
+
+    Scale shape: one map-only token-count pass (codegen split+size),
+    one partial/final agg to |sources| rows, then constant-size
+    arithmetic; the scan dominates and everything after it is
+    broadcast-trivial at any corpus size."""
+    docs = t_wide(spark, sf_dir, "documents").select("source", "text")
+    per = (docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("ntok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("ntok").alias("n_tokens")))
+    smooth = F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                     * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per = per.withColumn("smooth_u", smooth)
+    tot = per.agg(F.sum("n_tokens").alias("tot_tok"),
+                  F.sum("smooth_u").alias("tot_u"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                "source", "n_docs", "n_tokens",
+                F.expr("n_tokens * 1000 div tot_tok")
+                .alias("raw_permille"),
+                F.expr("smooth_u * 1000 div tot_u")
+                .alias("temp_permille"),
+                F.expr(f"smooth_u * {MIX_TEMP_BUDGET} div tot_u")
+                .alias("n_draws"),
+                # upweight verdict: smoothed share strictly above raw
+                # share (cross-multiplied exactly, no division)
+                (F.expr("smooth_u * tot_tok") > F.expr("n_tokens * tot_u"))
+                .alias("upweighted"))
+            .orderBy("source"))
+
+
+ORACLE_MIX_TEMPERATURE = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), sm AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+                 AS BIGINT) AS smooth_u
+  FROM per
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+         CAST(sum(smooth_u) AS BIGINT) AS tot_u
+  FROM sm
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens * 1000 // tot_tok AS raw_permille,
+       smooth_u * 1000 // tot_u AS temp_permille,
+       smooth_u * {MIX_TEMP_BUDGET} // tot_u AS n_draws,
+       smooth_u * tot_tok > n_tokens * tot_u AS upweighted
+FROM sm CROSS JOIN tot
+ORDER BY source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_sample_balance": QuerySpec(
         q_sample_balance, ORACLE_SAMPLE_BALANCE,
@@ -1618,6 +1692,10 @@ SPECS: dict[str, QuerySpec] = {
         q_dp_counts, ORACLE_DP_COUNTS,
         "differentially-private release: seeded-Laplace noised count + "
         "clamped sum per nation, noise hash-checked outright"),
+    "q_mix_temperature": QuerySpec(
+        q_mix_temperature, ORACLE_MIX_TEMPERATURE,
+        "temperature-smoothed mixture weights (alpha=1/2, micros-"
+        "quantized sqrt -> pure integer shares/draws)"),
     "q_dataset_mixture": QuerySpec(
         q_dataset_mixture, ORACLE_DATASET_MIXTURE,
         "target-proportion domain mixture, integer quotas + md5 draw "

