@@ -253,6 +253,7 @@ HEADLINE = [
     "q_tok_fertility",
     "q_stream_state",
     "q_mix_temperature",
+    "q_sink_pyds_stream",
 ]
 
 

@@ -731,6 +731,77 @@ FROM h GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_sink_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write face of the custom Python connector
+    (``DataSourceStreamWriter`` — datasource.py
+    _ScratchJsonStreamWriter): a 3-micro-batch file-source stream over
+    the REAL events table goes out through the custom sink's
+    exactly-once protocol (per-task pending file → rename-at-commit to
+    ``batch-<id>-part-*.json`` → per-batch ``_SUCCESS-<id>`` manifest;
+    a replayed batch overwrites the same final names instead of
+    duplicating), comes back through the built-in JSON reader over the
+    committed finals, and aggregates per event_type. The oracle
+    computes the identical aggregate straight from the parquet table,
+    so the gate proves the full custom STREAM-sink round trip: stream →
+    per-batch distributed write → commit/rename → seal → list → parse →
+    compute; ``n_batches = count(DISTINCT event_id % 3)`` additionally
+    pins that every micro-batch's files survived. Timestamps/props are
+    projected out before the sink (the JSON writer round-trips
+    long/double/string; doubles survive via shortest-repr, q_src_csv
+    notes). Completes the connector's four declared faces: batch read
+    (q_src_pyds), stream read (q_src_pyds_stream), batch write
+    (q_sink_pyds), stream write (this)."""
+    from hippo_claim_crossover_spark import datasource
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream,
+        write_batch_files,
+    )
+
+    datasource.register(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+    def write(out: str) -> None:
+        src = f"{out}.src"
+        ckpt = f"{out}.ckpt"
+        write_batch_files(ev, src, "event_id", n_batches=3)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (stream.select("event_id", "user_id", "event_type", "value")
+             .writeStream.format("synthdocs")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    out = _materialize(spark, sf_dir, "pydsws", write)
+    back = spark.read.schema(T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])).json(os.path.join(out, "batch-*.json"))
+    return (back.groupBy("event_type")
+            .agg(F.count_distinct(F.col("event_id") % 3)
+                 .alias("n_batches"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0.0))
+                               * 1e6 + 0.5).cast("long"))
+                 .alias("sum_micros"))
+            .orderBy("event_type"))
+
+
+ORACLE_SINK_PYDS_STREAM = """
+SELECT event_type,
+       CAST(count(DISTINCT event_id % 3) AS BIGINT) AS n_batches,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_micros
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_backfill_partition": QuerySpec(
         q_backfill_partition, ORACLE_BACKFILL_PARTITION,
@@ -756,6 +827,11 @@ SPECS: dict[str, QuerySpec] = {
     "q_src_metadata": QuerySpec(q_src_metadata, ORACLE_SRC_METADATA,
                                 "_metadata hidden columns (file_path + "
                                 "row_index provenance)"),
+    "q_sink_pyds_stream": QuerySpec(
+        q_sink_pyds_stream, ORACLE_SINK_PYDS_STREAM,
+        "custom Python DataSource STREAM sink round trip: 3 "
+        "micro-batches, pending->rename-at-commit exactly-once, "
+        "per-batch manifests, real-SQL oracle"),
     "q_sink_pyds": QuerySpec(q_sink_pyds, ORACLE_SINK_PYDS,
                              "custom-sink round trip (Python DataSource "
                              "writer, two-phase commit)"),

@@ -1939,13 +1939,10 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file write below is pinned-run harness setup (same class as
     q_stream_compact's), not a production path — production feeds the
     identical operator from Kafka."""
-    import glob
-    import os
-    import shutil
-
     from hippo_claim_crossover_spark.streaming.ops import (
         read_event_stream,
         run_to_memory,
+        write_batch_files,
     )
     from hippo_claim_crossover_spark.streaming.stateful import (
         cumulative_profile_exact,
@@ -1954,18 +1951,9 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = next(_LATE_RUN)
     src = ("/root/repo/_scratch/"
            f"state_src-{spark.sparkContext.applicationId}-{run_id}")
-    os.makedirs(src, exist_ok=True)
     ev = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
-    for b in range(3):
-        stage = f"{src}.stage"
-        (ev.where(F.col("event_id") % 3 == b)
-         .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch-{b}.parquet")
-        shutil.copyfile(part, dst)
-        os.utime(dst, (1_000_000_000 + b * 100,) * 2)
-        shutil.rmtree(stage)
+    write_batch_files(ev, src, "event_id", n_batches=3)
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     prof = cumulative_profile_exact(stream)
     out_name = f"state_out_{run_id}"

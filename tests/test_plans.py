@@ -2141,3 +2141,42 @@ def test_mix_temperature_upweights_small_sources_only(spark):
     assert 1000 - n_src <= sum(r["temp_permille"] for r in rows) <= 1000
     assert 1000 - n_src <= sum(r["raw_permille"] for r in rows) <= 1000
     assert tot_tok > 0
+
+
+def test_sink_pyds_stream_batches_survive_and_round_trip(spark):
+    """q_sink_pyds_stream: the custom stream sink must leave exactly
+    one sealed manifest per micro-batch, every committed data file must
+    be named by a manifest (no orphans, no pending litter), and the
+    read-back totals must equal the events ground truth."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.base import t
+    rows = ALL_SPECS["q_sink_pyds_stream"].fn(spark, SF_DIR).collect()
+    truth = {r["event_type"]: r for r in (
+        t(spark, SF_DIR, "events").groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0.0))
+                           * 1e6 + 0.5).cast("long")).alias("s"))
+        .collect())}
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert 1 <= r["n_batches"] <= 3, r
+        assert r["n_events"] == truth[r["event_type"]]["n"], r
+        assert r["sum_micros"] == truth[r["event_type"]]["s"], r
+    # inspect the sink directory the run materialized
+    from hippo_claim_crossover_spark.plans.sources import _SCRATCH, _tag
+    out = os.path.join(_SCRATCH, f"src_pydsws-{_tag(spark, SF_DIR)}")
+    manifests = sorted(glob.glob(os.path.join(out, "_SUCCESS-*")))
+    assert len(manifests) == 3, manifests
+    named = set()
+    for m in manifests:
+        with open(m) as f:
+            named.update(json.load(f))
+    data = {os.path.basename(p)
+            for p in glob.glob(os.path.join(out, "batch-*.json"))}
+    assert data == named, (data ^ named)
+    assert not glob.glob(os.path.join(out, "pending-*"))

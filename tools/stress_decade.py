@@ -95,6 +95,11 @@ TABLES_FOR = {
     "q_semdedup": ["embeddings"],
     "q_dsir": ["documents"],
     "q_span_corrupt": ["documents"],
+    "q_tok_fertility": ["documents"],
+    "q_mix_temperature": ["documents"],
+    "q_observe": ["lineitem"],
+    "q_stream_state": ["events"],
+    "q_sink_pyds_stream": ["events"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
