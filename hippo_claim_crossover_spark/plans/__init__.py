@@ -48,7 +48,7 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 12 window (zero-sum, 50 slots): 8 NEW queries
+    # -- round 12 window (zero-sum, 50 slots): 10 NEW queries
     # (q_dsir: hashed-unigram importance resampling, global top-K;
     # q_span_corrupt: T5 span-corruption mask plan, md5-placed
     # disjoint-segment spans; q_observe: df.observe() DQ counters,
@@ -58,19 +58,22 @@ GATE_ORDER = [
     # nDCG@k + MRR of the RRF fusion vs the exact-cosine ideal;
     # q_stream_compact: _spark_metadata .compact rollover audit;
     # q_stream_state: applyInPandasWithState promoted to a declared
-    # REAL-SQL-checked query — cross-batch state vs a GROUP BY oracle);
+    # REAL-SQL-checked query — cross-batch state vs a GROUP BY oracle;
+    # q_mix_temperature: alpha=1/2 smoothed mixture weights;
+    # q_sink_pyds_stream: the custom connector's STREAM-write face);
     # 2 CHANGED-code queries (q_stream_sink_audit: _log_files now
     # admits fully-numeric log basenames only — r11 ADVICE guard,
     # behavior identical on the pinned 4-batch run; q_cluster_kmeans:
     # kmeans_fit now collects centroids per Lloyd round and assigns
     # via the Arrow matmul kernel — bit-identical values, locally
     # re-verified; q_semdedup shares that change and adds the capped
-    # (cell, SRP-sub) blocking); and 40 of the 45-query r5
-    # stale-evidence cohort (VERDICT r11 item 1; q_stream_static,
-    # q_transitions, q_transpose, q_udf_cogrouped and q_udf_grouped
-    # are the five the new queries displace — locally gate-green this
-    # round, queued FIRST for r13). r13 queue: those five +
-    # 21 r4-cohort + 10 r7. --
+    # (cell, SRP-sub) blocking); and 38 of the 45-query r5
+    # stale-evidence cohort (VERDICT r11 item 1; q_src_xml,
+    # q_stream_interval_lo, q_stream_static, q_transitions,
+    # q_transpose, q_udf_cogrouped and q_udf_grouped are the seven
+    # the new queries displace — locally gate-green this round,
+    # queued FIRST for r13). r13 queue: those seven + 21 r4-cohort
+    # + 10 r7. --
     "q_dsir", "q_span_corrupt", "q_observe", "q_tok_fertility",
     "q_stream_state", "q_mix_temperature", "q_sink_pyds_stream",
     "q_semdedup", "q_retrieve_eval", "q_stream_compact",
