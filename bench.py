@@ -254,6 +254,7 @@ HEADLINE = [
     "q_stream_state",
     "q_mix_temperature",
     "q_sink_pyds_stream",
+    "q_sql_script",
 ]
 
 

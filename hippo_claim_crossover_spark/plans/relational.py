@@ -1541,6 +1541,79 @@ FROM j GROUP BY status ORDER BY status
 """
 
 
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE — procedural control
+    flow running INSIDE the SQL layer): find the smallest integer
+    discount percentage whose cumulative revenue reaches half the total
+    by iterating thresholds in a WHILE loop — the driver-side Python
+    loop this surface replaces. The loop is bounded by the discount
+    domain (TPC-H discounts are 0.00–0.10 → ≤ 11 iterations), each
+    iteration one predicate-pushdown aggregate scan.
+
+    Exactness: revenue is summed as BIGINT micros and the stop rule is
+    the integer cross-multiplication ``2·cum ≥ total``; thresholds are
+    ``floor(l_discount·100 + 0.5)`` in both engines. The loop's answer
+    provably equals the declarative "min existing threshold whose
+    running total crosses half" (the oracle): cum only changes at
+    existing thresholds, so the first integer where the condition
+    holds is always an existing one. The scripting conf is restored
+    after the run."""
+    ev = t(spark, sf_dir, "lineitem").select("l_discount", "l_extendedprice")
+    ev.createOrReplaceTempView("script_li")
+    before = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql("""
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE cum BIGINT DEFAULT 0;
+          DECLARE thr INT DEFAULT -1;
+          SET total = (
+            SELECT sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+            FROM script_li);
+          WHILE 2 * cum < total DO
+            SET thr = thr + 1;
+            SET cum = (
+              SELECT coalesce(sum(
+                CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)), 0)
+              FROM script_li
+              WHERE CAST(floor(l_discount * 100 + 0.5) AS INT) <= thr);
+          END WHILE;
+          SELECT thr AS thr_pct, cum AS cum_micros, total AS total_micros;
+        END
+        """)
+    finally:
+        # the script body (DECLAREs, SETs, the loop) executed eagerly
+        # inside spark.sql(); only the final variable SELECT remains as
+        # the returned (conf-independent) one-row frame
+        spark.conf.set("spark.sql.scripting.enabled", before)
+    return out.select(
+        F.col("thr_pct").cast("int"),
+        F.col("cum_micros").cast("long"),
+        F.col("total_micros").cast("long"))
+
+
+ORACLE_SQL_SCRIPT = """
+WITH per AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER) AS thr,
+         CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(rev) AS BIGINT) AS total FROM per
+), cum AS (
+  SELECT thr,
+         CAST(sum(rev) OVER (ORDER BY thr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         total
+  FROM per CROSS JOIN tot
+)
+SELECT thr AS thr_pct, cum AS cum_micros, total AS total_micros
+FROM cum WHERE 2 * cum >= total ORDER BY thr LIMIT 1
+"""
+
+
 def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline data-quality counters via ``df.observe()`` — Spark's
     Observation API, the production way to monitor a pipeline at scale:
@@ -1678,6 +1751,10 @@ SPECS: dict[str, QuerySpec] = {
                                "salted join under pathological key skew"),
     "q_join_bloom": QuerySpec(q_join_bloom, ORACLE_JOIN_BLOOM,
                               "Bloom-pruned exact semi join"),
+    "q_sql_script": QuerySpec(
+        q_sql_script, ORACLE_SQL_SCRIPT,
+        "Spark 4 SQL scripting (BEGIN/DECLARE/WHILE): in-engine "
+        "procedural threshold search, integer-exact stop rule"),
     "q_observe": QuerySpec(
         q_observe, ORACLE_OBSERVE,
         "df.observe() pipeline DQ counters: exact BIGINT metrics "

@@ -2180,3 +2180,27 @@ def test_sink_pyds_stream_batches_survive_and_round_trip(spark):
             for p in glob.glob(os.path.join(out, "batch-*.json"))}
     assert data == named, (data ^ named)
     assert not glob.glob(os.path.join(out, "pending-*"))
+
+
+def test_sql_script_loop_matches_declarative_answer(spark):
+    """q_sql_script: the WHILE-loop threshold must equal the
+    declarative min-crossing computed independently, the session conf
+    must be restored, and the stop rule must actually hold (2·cum >=
+    total while the previous threshold fails it)."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.base import t
+    before = spark.conf.get("spark.sql.scripting.enabled", "false")
+    [r] = ALL_SPECS["q_sql_script"].fn(spark, SF_DIR).collect()
+    assert spark.conf.get("spark.sql.scripting.enabled", "false") == before
+    assert 2 * r["cum_micros"] >= r["total_micros"]
+    li = t(spark, SF_DIR, "lineitem")
+    micros = F.floor(F.col("l_extendedprice") * 1e6 + 0.5).cast("long")
+    thr = F.floor(F.col("l_discount") * 100 + 0.5).cast("int")
+    total = li.agg(F.sum(micros)).collect()[0][0]
+    assert r["total_micros"] == total
+    prev = li.where(thr <= r["thr_pct"] - 1).agg(
+        F.coalesce(F.sum(micros), F.lit(0))).collect()[0][0]
+    assert 2 * prev < total, "loop did not stop at the FIRST crossing"
+    cur = li.where(thr <= r["thr_pct"]).agg(F.sum(micros)).collect()[0][0]
+    assert cur == r["cum_micros"]
