@@ -255,6 +255,8 @@ HEADLINE = [
     "q_mix_temperature",
     "q_sink_pyds_stream",
     "q_sql_script",
+    "q_join_asof_near",
+    "q_twap",
 ]
 
 

@@ -146,6 +146,84 @@ def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
                       forward=True)
 
 
+def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str, right_ts: str) -> DataFrame:
+    """NEAREST as-of join: for each left row, the right row minimizing
+    ``|right_ts − left_ts|`` over the key (pandas
+    ``merge_asof(direction='nearest')``); an exact tie prefers the
+    BACKWARD (earlier) match — deterministic and oracle-mirrored.
+
+    Same one-shuffle union+window shape as :func:`asof_join`, but a
+    single pass carries BOTH candidate structs: the running backward
+    struct (``last`` ignorenulls over the preceding frame) and the
+    forward struct (``first`` ignorenulls over the following frame),
+    then picks by exact microsecond deltas (timestamp subtraction —
+    DayTimeInterval comparison, never float seconds). With right rows sorted before left rows at an
+    equal timestamp, an equal-ts right lands in the BACKWARD carry with
+    delta 0, which beats any forward candidate — so the forward frame's
+    equal-ts exclusivity under this sort can never change the answer.
+    NULL-timestamp handling matches :func:`asof_join` (right NULLs are
+    dropped up front; left NULLs survive unmatched). Timestamp-typed
+    axes only. Pre-reduce a right side with duplicate (key, ts) rows,
+    as with the other directions."""
+    from pyspark.sql.types import StructField, StructType
+
+    right = right.where(F.col(right_ts).isNotNull())
+
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if left_ts in rcols:
+        overlap.add(left_ts)
+    if overlap:
+        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
+    internal = {"_k", "_ts", "_is_left", "_r", "_rts", "_b", "_f"}
+    clash = internal & set(left.columns) | internal & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with asof_join internals: "
+            f"{sorted(clash)}")
+
+    r_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in rcols]
+        + [StructField("_rts", right.schema[right_ts].dataType)])
+    tagged_l = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(r_struct_t).alias("_r"),
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*[F.col(c) for c in rcols],
+                 F.col(right_ts).alias("_rts")).alias("_r"),
+    )
+    base = Window.partitionBy("_k").orderBy("_ts", "_is_left")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = (tagged_l.unionByName(tagged_r)
+         .withColumn("_b", F.when(F.col("_ts").isNotNull(),
+                                  F.last("_r", ignorenulls=True).over(wb)))
+         .withColumn("_f", F.when(F.col("_ts").isNotNull(),
+                                  F.first("_r", ignorenulls=True).over(wf)))
+         .where(F.col("_is_left") == 1))
+    # timestamp subtraction yields a DayTimeInterval — exact microsecond
+    # arithmetic for both TIMESTAMP and TIMESTAMP_NTZ axes (unix_micros
+    # rejects NTZ), and intervals compare exactly
+    db = F.col("_ts") - F.col("_b._rts")
+    df_ = F.col("_f._rts") - F.col("_ts")
+    pick = (F.when(F.col("_b").isNull(), F.col("_f"))
+            .when(F.col("_f").isNull(), F.col("_b"))
+            .when(df_ < db, F.col("_f"))
+            .otherwise(F.col("_b")))
+    out = u.withColumn("_r", pick)
+    return out.select(F.col("_k").alias(on), F.col("_ts").alias(left_ts),
+                      *lcols,
+                      *[F.col(f"_r.{c}").alias(c) for c in rcols])
+
+
 _SALTED_JOIN_HOW = {"inner", "left", "leftouter", "left_outer",
                     "left_semi", "leftsemi", "left_anti", "leftanti"}
 

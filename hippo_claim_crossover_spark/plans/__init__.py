@@ -48,7 +48,7 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 12 window (zero-sum, 50 slots): 11 NEW queries
+    # -- round 12 window (zero-sum, 50 slots): 13 NEW queries
     # (q_dsir: hashed-unigram importance resampling, global top-K;
     # q_span_corrupt: T5 span-corruption mask plan, md5-placed
     # disjoint-segment spans; q_observe: df.observe() DQ counters,
@@ -61,23 +61,25 @@ GATE_ORDER = [
     # REAL-SQL-checked query — cross-batch state vs a GROUP BY oracle;
     # q_mix_temperature: alpha=1/2 smoothed mixture weights;
     # q_sink_pyds_stream: the custom connector's STREAM-write face;
-    # q_sql_script: Spark 4 SQL scripting BEGIN/DECLARE/WHILE);
+    # q_sql_script: Spark 4 SQL scripting BEGIN/DECLARE/WHILE;
+    # q_join_asof_near: nearest-direction as-of, one-pass dual carry;
+    # q_twap: LOCF time-weighted average, exact integer core);
     # 2 CHANGED-code queries (q_stream_sink_audit: _log_files now
     # admits fully-numeric log basenames only — r11 ADVICE guard,
     # behavior identical on the pinned 4-batch run; q_cluster_kmeans:
     # kmeans_fit now collects centroids per Lloyd round and assigns
     # via the Arrow matmul kernel — bit-identical values, locally
     # re-verified; q_semdedup shares that change and adds the capped
-    # (cell, SRP-sub) blocking); and 37 of the 45-query r5
-    # stale-evidence cohort (VERDICT r11 item 1; q_src_pyds_stream,
-    # q_src_xml, q_stream_interval_lo, q_stream_static,
-    # q_transitions, q_transpose, q_udf_cogrouped and q_udf_grouped
-    # are the eight the new queries displace — locally gate-green
-    # this round, queued FIRST for r13). r13 queue: those eight +
-    # 21 r4-cohort + 10 r7. --
+    # (cell, SRP-sub) blocking); and 35 of the 45-query r5
+    # stale-evidence cohort (VERDICT r11 item 1; q_src_metadata,
+    # q_src_pyds, q_src_pyds_stream, q_src_xml, q_stream_interval_lo,
+    # q_stream_static, q_transitions, q_transpose, q_udf_cogrouped
+    # and q_udf_grouped are the ten the new queries displace —
+    # locally gate-green this round, queued FIRST for r13). r13
+    # queue: those ten + 21 r4-cohort + 10 r7. --
     "q_dsir", "q_span_corrupt", "q_observe", "q_tok_fertility",
     "q_stream_state", "q_mix_temperature", "q_sink_pyds_stream",
-    "q_sql_script",
+    "q_sql_script", "q_join_asof_near", "q_twap",
     "q_semdedup", "q_retrieve_eval", "q_stream_compact",
     "q_stream_sink_audit", "q_cluster_kmeans",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
@@ -88,12 +90,12 @@ GATE_ORDER = [
     "q_postings", "q_recommend", "q_region_volume", "q_regr_group",
     "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
     "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
-    "q_skyline", "q_snapshot_diff", "q_sql_udf", "q_src_metadata",
-    "q_src_pyds",
+    "q_skyline", "q_snapshot_diff", "q_sql_udf",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # next-round queue, oldest evidence first: the r5 straggler, the
+    # next-round queue, oldest evidence first: the r5 stragglers, the
     # 21 r4-cohort queries (judge-re-verified locally at r11 — VERDICT
     # r11 fresh check #2), then the 10 remaining r7-cohort queries.
+    "q_src_metadata", "q_src_pyds",
     "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
     "q_stream_static", "q_transitions",
     "q_transpose", "q_udf_cogrouped",

@@ -101,9 +101,77 @@ FROM m ORDER BY user_id, event_id
 """
 
 
+def q_join_asof_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: for each ``click`` event, the user's CLOSEST
+    ``purchase`` in either time direction (pandas
+    ``merge_asof(direction='nearest')``; exact ties prefer the earlier
+    match) — attribution semantics when the touch can precede or follow
+    the conversion. Spark side:
+    :func:`operators.joins.asof_join_nearest` — ONE shuffle+window pass
+    carrying both direction candidates, picked by exact integer
+    microsecond deltas. Oracle: DuckDB's two native ASOF joins (>= and
+    <=) re-picked with the identical epoch_us arithmetic — two
+    independent implementations of both the direction semantics and
+    the tie rule."""
+    from hippo_claim_crossover_spark.operators.joins import (
+        asof_join_nearest)
+
+    e = t(spark, sf_dir, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts"))
+    buys = (e.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", F.col("ts").alias("buy_ts"))
+            .agg(F.max(F.struct("event_id", "value")).alias("s"))
+            .select("user_id", "buy_ts",
+                    F.col("s.event_id").alias("buy_id"),
+                    F.col("s.value").alias("buy_value")))
+    out = asof_join_nearest(clicks, buys, on="user_id",
+                            left_ts="ts", right_ts="buy_ts")
+    return out.orderBy("user_id", "event_id")
+
+
+ORACLE_JOIN_ASOF_NEAR = """
+WITH b AS (
+  SELECT user_id, ts AS buy_ts, max(event_id) AS buy_id,
+         max_by(value, event_id) AS buy_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), back AS (
+  SELECT c.user_id, c.event_id, c.ts,
+         b.buy_ts AS bts, b.buy_id AS bid, b.buy_value AS bval
+  FROM c ASOF LEFT JOIN b
+    ON c.user_id = b.user_id AND c.ts >= b.buy_ts
+), fwd AS (
+  SELECT c.user_id, c.event_id,
+         b.buy_ts AS fts, b.buy_id AS fid, b.buy_value AS fval
+  FROM c ASOF LEFT JOIN b
+    ON c.user_id = b.user_id AND c.ts <= b.buy_ts
+), m AS (
+  SELECT back.user_id, back.event_id, back.ts,
+         CASE WHEN bts IS NULL THEN 'f'
+              WHEN fts IS NULL THEN 'b'
+              WHEN epoch_us(fts) - epoch_us(back.ts)
+                   < epoch_us(back.ts) - epoch_us(bts) THEN 'f'
+              ELSE 'b' END AS side,
+         bts, bid, bval, fts, fid, fval
+  FROM back JOIN fwd USING (user_id, event_id)
+)
+SELECT user_id, event_id, ts,
+       CASE WHEN side = 'b' THEN bts ELSE fts END AS buy_ts,
+       CASE WHEN side = 'b' THEN bid ELSE fid END AS buy_id,
+       CASE WHEN side = 'b' THEN bval ELSE fval END AS buy_value
+FROM m ORDER BY user_id, event_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_join_asof": QuerySpec(q_join_asof, ORACLE_JOIN_ASOF,
                              "as-of join via union+window vs DuckDB ASOF"),
+    "q_join_asof_near": QuerySpec(
+        q_join_asof_near, ORACLE_JOIN_ASOF_NEAR,
+        "nearest as-of (either direction, tie->backward) in one "
+        "union+window pass vs DuckDB dual ASOF re-pick"),
     "q_join_asof_fwd": QuerySpec(
         q_join_asof_fwd, ORACLE_JOIN_ASOF_FWD,
         "forward as-of with tolerance (next purchase within 2 days of "

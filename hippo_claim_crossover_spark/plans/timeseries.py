@@ -1915,6 +1915,78 @@ FROM feat WHERE di >= 7
 """
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP / TimescaleDB
+    ``time_weighted_average``): per user, each event's value holds
+    last-observation-carried-forward until the user's next event, so
+    the mean weights every value by its holding DURATION — the correct
+    average for irregularly-sampled series (a plain AVG over-weights
+    bursts). The user's last event has no following observation and
+    contributes no segment (the standard LOCF convention).
+
+    Exactness: duration is the exact integer microsecond gap
+    (``unix_micros``-equivalent via timestamp subtraction) floored to
+    whole SECONDS with integer division — identical in both engines —
+    and each segment's contribution is ``value_micros · dur_s``
+    (BIGINT). Overflow headroom: the per-user sum is bounded by
+    max_value_micros × total_duration_s — ~4×10^15 at the fixtures and
+    safe in BIGINT while value·duration per key stays under ~2.9×10^5
+    value-years; a larger deployment swaps the two sums to
+    DECIMAL(38,0) (the money_sum note). The TWAP itself is emitted in
+    integer micros via integer division, zero-duration users NULLed
+    identically by both engines.
+
+    Scale shape: one shuffle (the per-user window sort), one
+    partial/final agg; the window's lead() is a 1-row lookahead, no
+    unbounded frame."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id",
+                                           "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (ev.withColumn("_nxt", F.lead("ts").over(w))
+           .where(F.col("_nxt").isNotNull())
+           .select(
+               "user_id",
+               # exact integer microseconds (mirrors DuckDB
+               # date_diff('microsecond', ...)), floored to whole seconds
+               F.expr("timestampdiff(MICROSECOND, ts, _nxt) div 1000000")
+               .alias("_dur_s"),
+               money_micros(F.coalesce(F.col("value"), F.lit(0.0)))
+               .alias("_vm")))
+    per = (seg.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_segments"),
+                F.sum("_dur_s").alias("dur_s"),
+                F.sum(F.col("_vm") * F.col("_dur_s")).alias("wsum")))
+    return (per.select(
+        "user_id", "n_segments", "dur_s",
+        F.col("wsum").alias("wsum_micros_s"),
+        F.when(F.col("dur_s") > 0, F.expr("wsum div dur_s"))
+        .alias("twap_micros"))
+        .orderBy("user_id"))
+
+
+ORACLE_TWAP = """
+WITH seg AS (
+  SELECT user_id,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) // 1000000
+           AS dur_s,
+         CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+), seg2 AS (
+  SELECT user_id, dur_s, vm FROM seg WHERE dur_s IS NOT NULL
+), per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(dur_s) AS BIGINT) AS dur_s,
+         CAST(sum(vm * dur_s) AS BIGINT) AS wsum
+  FROM seg2 GROUP BY user_id
+)
+SELECT user_id, n_segments, dur_s, wsum AS wsum_micros_s,
+       CASE WHEN dur_s > 0 THEN wsum // dur_s END AS twap_micros
+FROM per ORDER BY user_id
+"""
+
+
 def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator as a declared, REAL-SQL-checked
     query: ``applyInPandasWithState`` (streaming/stateful.py
@@ -2049,6 +2121,10 @@ SPECS: dict[str, QuerySpec] = {
         q_active_users, ORACLE_ACTIVE_USERS,
         "DAU/WAU/MAU trailing distinct-user counts (fan-out distinct, "
         "never a sliding count-distinct window)"),
+    "q_twap": QuerySpec(
+        q_twap, ORACLE_TWAP,
+        "time-weighted average (LOCF segments, exact integer "
+        "micros x whole-second durations, integer-division TWAP)"),
     "q_stream_state": QuerySpec(
         q_stream_state, ORACLE_STREAM_STATE,
         "applyInPandasWithState cumulative per-user profile across 3 "

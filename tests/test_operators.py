@@ -607,3 +607,37 @@ def test_asof_null_timestamps_never_match(spark):
            for r in asof_join_forward(left, right, "k", "ts",
                                       "rts").collect()}
     assert fwd["early"] == 100.0  # real forward match still found
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    """asof_join_nearest: closer side wins in either direction; an exact
+    |delta| tie and an equal-ts match both resolve to the backward
+    (earlier) row; a key with only one side still matches; left rows
+    with no right rows at all keep NULLs."""
+    import datetime as dt
+
+    from hippo_claim_crossover_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(10)),   # back at 9 (d=1), fwd at 14 (d=4) -> back
+         (1, 101, ts(12)),   # back at 9 (d=3), fwd at 14 (d=2) -> fwd
+         (1, 102, ts(11.5)), # tie d=2.5 both sides -> backward (9)
+         (1, 103, ts(9)),    # equal-ts right at 9 -> delta 0 backward
+         (2, 200, ts(5)),    # only a forward right exists
+         (3, 300, ts(5))],   # no rights at all
+        "user_id long, event_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(9), 1), (1, ts(14), 2), (2, ts(50), 3)],
+        "user_id long, buy_ts timestamp, buy_id long")
+    got = {r["event_id"]: r["buy_id"]
+           for r in asof_join_nearest(
+               left, right, on="user_id",
+               left_ts="ts", right_ts="buy_ts").collect()}
+    assert got == {100: 1, 101: 2, 102: 1, 103: 1, 200: 3, 300: None}

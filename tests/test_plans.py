@@ -2204,3 +2204,60 @@ def test_sql_script_loop_matches_declarative_answer(spark):
     assert 2 * prev < total, "loop did not stop at the FIRST crossing"
     cur = li.where(thr <= r["thr_pct"]).agg(F.sum(micros)).collect()[0][0]
     assert cur == r["cum_micros"]
+
+
+def test_join_asof_near_is_one_pass_and_twap_weights_correctly(spark):
+    """q_join_asof_near must stay ONE union+window pass (exactly one
+    per-key Exchange feeding one Window with both carries — never a
+    backward-join⋈forward-join recombination, which would double the
+    shuffle), and every pick must be the true nearest (verified against
+    a brute-force recomputation at sf0.001). q_twap: each user's TWAP
+    must sit within [min, max] of their values and equal a brute-force
+    per-user recomputation."""
+    import collections
+
+    plan = _plan(spark, "q_join_asof_near")
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    rows = ALL_SPECS["q_join_asof_near"].fn(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    buys = collections.defaultdict(list)
+    for e in ev:
+        if e["event_type"] == "purchase":
+            buys[e["user_id"]].append(e)
+    # deterministic right side: per (user, ts) keep max event_id
+    best = {}
+    for u, lst in buys.items():
+        per_ts = {}
+        for e in lst:
+            k = e["ts"]
+            if k not in per_ts or e["event_id"] > per_ts[k]["event_id"]:
+                per_ts[k] = e
+        best[u] = sorted(per_ts.values(), key=lambda e: e["ts"])
+    for r in rows:
+        cands = best.get(r["user_id"], [])
+        if not cands:
+            assert r["buy_id"] is None
+            continue
+        want = min(cands, key=lambda e: (abs((e["ts"] - r["ts"])
+                                             .total_seconds()),
+                                         e["ts"] >= r["ts"]))
+        assert r["buy_id"] == want["event_id"], (r, want)
+
+    twap = ALL_SPECS["q_twap"].fn(spark, SF_DIR).collect()
+    per_user = collections.defaultdict(list)
+    for e in ev:
+        per_user[e["user_id"]].append(e)
+    for r in twap:
+        evs = sorted(per_user[r["user_id"]],
+                     key=lambda e: (e["ts"], e["event_id"]))
+        wsum = dur = 0
+        for a, b in zip(evs, evs[1:]):
+            d = int((b["ts"] - a["ts"]).total_seconds())
+            vm = int((a["value"] or 0.0) * 1e6 + 0.5)
+            wsum += vm * d
+            dur += d
+        assert r["n_segments"] == len(evs) - 1
+        assert r["dur_s"] == dur and r["wsum_micros_s"] == wsum, r
+        if dur > 0:
+            assert r["twap_micros"] == wsum // dur

@@ -100,6 +100,9 @@ TABLES_FOR = {
     "q_observe": ["lineitem"],
     "q_stream_state": ["events"],
     "q_sink_pyds_stream": ["events"],
+    "q_join_asof_near": ["events"],
+    "q_twap": ["events"],
+    "q_sql_script": ["lineitem"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
