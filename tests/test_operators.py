@@ -641,3 +641,52 @@ def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
                left, right, on="user_id",
                left_ts="ts", right_ts="buy_ts").collect()}
     assert got == {100: 1, 101: 2, 102: 1, 103: 1, 200: 3, 300: None}
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """asof_join_nearest equals pandas merge_asof(direction='nearest')
+    — an independent reference implementation — on a seeded random
+    fixture (6 keys × 300 left rows × 200 right rows, duplicate left
+    timestamps, no-right keys). pandas breaks exact-distance ties
+    backward, the same documented rule as the operator."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from hippo_claim_crossover_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left_rows = [(rng.randrange(6), i, ts(rng.randrange(10_000)))
+                 for i in range(300)]
+    seen = set()
+    right_rows = []
+    for j in range(200):
+        k, s = rng.randrange(5), rng.randrange(10_000)  # key 5: no rights
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        right_rows.append((k, ts(s), 1000 + j))
+    left = spark.createDataFrame(
+        left_rows, "k long, lid long, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "k long, rts timestamp, rid long")
+    got = {r["lid"]: r["rid"]
+           for r in asof_join_nearest(left, right, on="k",
+                                      left_ts="ts", right_ts="rts")
+           .collect()}
+    lpd = (pd.DataFrame(left_rows, columns=["k", "lid", "ts"])
+           .sort_values("ts"))
+    rpd = (pd.DataFrame(right_rows, columns=["k", "ts", "rid"])
+           .sort_values("ts"))
+    m = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="nearest")
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in m.itertuples()}
+    assert got == want
