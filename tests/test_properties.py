@@ -462,3 +462,90 @@ def test_global_cumsum_matches_window_cumsum(spark, rows):
     want = {r["i"]: r["c"]
             for r in df.withColumn("c", F.sum("x").over(w)).collect()}
     assert got == want
+
+
+@given(st.lists(st.integers(min_value=20, max_value=5000),
+                min_size=1, max_size=40),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=50, deadline=None)
+def test_span_corruption_spans_partition_mask_budget(ns, doc_seed):
+    """Pure-Python property over the q_span_corrupt derivation (the
+    same arithmetic the Spark/DuckDB sides run): for ANY eligible token
+    count, the placed spans are pairwise disjoint, stay inside the doc,
+    their lengths sum exactly to n·15 div 100, every span length is in
+    [1, 6] (the docstring's bound when n_spans >= 2, n_mask when 1),
+    and placement is a pure function of (doc_id, i)."""
+    import hashlib
+
+    for off, n in enumerate(ns):
+        doc_id = doc_seed + off
+        n_mask = n * 15 // 100
+        n_spans = max(1, n_mask // 3)
+        seg = n // n_spans
+        prev_end = -1
+        lens = []
+        for i in range(n_spans):
+            len_i = n_mask // n_spans + (1 if i < n_mask % n_spans else 0)
+            assert 1 <= len_i <= (6 if n_spans >= 2 else n_mask)
+            assert len_i <= seg
+            h = int(hashlib.md5(
+                f"{doc_id}#{i}".encode()).hexdigest()[:15], 16)
+            start = i * seg + h % (seg - len_i + 1)
+            assert start > prev_end            # disjoint, ordered
+            assert i * seg <= start
+            assert start + len_i <= min((i + 1) * seg, n)
+            prev_end = start + len_i - 1
+            lens.append(len_i)
+        assert sum(lens) == n_mask
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                          st.integers(min_value=0, max_value=10**6),
+                          st.floats(min_value=0, max_value=1000,
+                                    allow_nan=False)),
+                min_size=2, max_size=60))
+@settings(max_examples=10, deadline=None)
+def test_twap_matches_python_locf_model(spark, rows):
+    """q_twap's operator core vs a plain-Python LOCF model on generated
+    (user, second-offset, value) rows: identical segment counts,
+    durations, weighted sums and integer-division TWAPs."""
+    import collections
+    import datetime as dt
+
+    from pyspark.sql import functions as F, Window
+
+    from hippo_claim_crossover_spark.plans.base import money_micros
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(u, i, t0 + dt.timedelta(seconds=s), round(v, 2))
+            for i, (u, s, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, value double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    got = {r["user_id"]: r for r in (
+        df.withColumn("_nxt", F.lead("ts").over(w))
+        .where(F.col("_nxt").isNotNull())
+        .select("user_id",
+                F.expr("timestampdiff(MICROSECOND, ts, _nxt) div 1000000")
+                .alias("d"),
+                money_micros(F.col("value")).alias("vm"))
+        .groupBy("user_id")
+        .agg(F.sum("d").alias("dur"),
+             F.sum(F.col("vm") * F.col("d")).alias("wsum"))
+        .collect())}
+    per = collections.defaultdict(list)
+    for u, i, ts_, v in data:
+        per[u].append((ts_, i, v))
+    for u, evs in per.items():
+        evs.sort()
+        if len(evs) < 2:
+            assert u not in got
+            continue
+        dur = wsum = 0
+        for a, b in zip(evs, evs[1:]):
+            d = int((b[0] - a[0]).total_seconds())
+            import math
+            vm = math.floor(a[2] * 1e6 + 0.5)
+            dur += d
+            wsum += vm * d
+        assert got[u]["dur"] == dur and got[u]["wsum"] == wsum, u
