@@ -257,6 +257,7 @@ HEADLINE = [
     "q_sql_script",
     "q_join_asof_near",
     "q_twap",
+    "q_rolling_median",
 ]
 
 

@@ -79,7 +79,7 @@ GATE_ORDER = [
     # queue: those ten + 21 r4-cohort + 10 r7. --
     "q_dsir", "q_span_corrupt", "q_observe", "q_tok_fertility",
     "q_stream_state", "q_mix_temperature", "q_sink_pyds_stream",
-    "q_sql_script", "q_join_asof_near", "q_twap",
+    "q_sql_script", "q_join_asof_near", "q_twap", "q_rolling_median",
     "q_semdedup", "q_retrieve_eval", "q_stream_compact",
     "q_stream_sink_audit", "q_cluster_kmeans",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
@@ -90,12 +90,12 @@ GATE_ORDER = [
     "q_postings", "q_recommend", "q_region_volume", "q_regr_group",
     "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
     "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
-    "q_skyline", "q_snapshot_diff", "q_sql_udf",
+    "q_skyline", "q_snapshot_diff",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # next-round queue, oldest evidence first: the r5 stragglers, the
     # 21 r4-cohort queries (judge-re-verified locally at r11 — VERDICT
     # r11 fresh check #2), then the 10 remaining r7-cohort queries.
-    "q_src_metadata", "q_src_pyds",
+    "q_sql_udf", "q_src_metadata", "q_src_pyds",
     "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
     "q_stream_static", "q_transitions",
     "q_transpose", "q_udf_cogrouped",

@@ -1915,6 +1915,70 @@ FROM feat WHERE di >= 7
 """
 
 
+ROLLMED_FRAME = 6  # preceding rows: 7-row sliding frame
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding-window MEDIAN per user (7-row frame) — the robust
+    rolling statistic dashboards use where a rolling MEAN chases
+    outliers (the windowed sibling of q_outlier_mad's global median).
+    Spark has no median window function; the exact composition is
+    ``collect_list`` over the bounded ROWS frame → ``array_sort`` →
+    middle element (LOWER median on even counts — deterministic, no
+    cross-engine float averaging). The oracle mirrors it with DuckDB's
+    ``list() OVER`` + ``list_sort`` — the identical elements, never a
+    continuous-interpolation median.
+
+    Scale shape: one per-user window sort (the same shuffle every
+    rolling query pays), per-row state bounded by the CONSTANT frame
+    width (7 doubles — collect_list over an unbounded frame would be
+    the q_win_frame anti-pattern, this is the allowlisted
+    bounded-frame form), map-side sort of a 7-element array. Output is
+    the trailing row per user (deterministic single row each) to keep
+    the gate result compact while still forcing every window row to
+    compute."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-ROLLMED_FRAME, Window.currentRow))
+    wall = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    rolled = (ev.withColumn("_win", F.array_sort(
+        F.collect_list("value").over(w)))
+        .select("user_id", "event_id", "ts",
+                # integer div, NOT `/`+cast: Spark's double cast
+                # truncates 3.5 while DuckDB's CAST rounds it — `div`
+                # and `//` agree exactly
+                F.expr("element_at(_win, "
+                       "cast((size(_win) + 1) div 2 as int))")
+                .alias("roll_median"),
+                F.size("_win").cast("long").alias("n_in_frame")))
+    last = (rolled.withColumn("_rn", F.row_number().over(wall))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "event_id", "roll_median", "n_in_frame"))
+    return last.orderBy("user_id")
+
+
+ORACLE_ROLLING_MEDIAN = f"""
+WITH rolled AS (
+  SELECT user_id, event_id, ts,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {ROLLMED_FRAME} PRECEDING AND CURRENT ROW)) AS w
+  FROM events
+), picked AS (
+  SELECT user_id, event_id, ts,
+         w[CAST((len(w) + 1) // 2 AS INTEGER)] AS roll_median,
+         CAST(len(w) AS BIGINT) AS n_in_frame,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM rolled
+)
+SELECT user_id, event_id, roll_median, n_in_frame
+FROM picked WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average (TWAP / TimescaleDB
     ``time_weighted_average``): per user, each event's value holds
@@ -2121,6 +2185,10 @@ SPECS: dict[str, QuerySpec] = {
         q_active_users, ORACLE_ACTIVE_USERS,
         "DAU/WAU/MAU trailing distinct-user counts (fan-out distinct, "
         "never a sliding count-distinct window)"),
+    "q_rolling_median": QuerySpec(
+        q_rolling_median, ORACLE_ROLLING_MEDIAN,
+        "exact sliding-window median (bounded 7-row frame, lower "
+        "median, trailing row per user)"),
     "q_twap": QuerySpec(
         q_twap, ORACLE_TWAP,
         "time-weighted average (LOCF segments, exact integer "

@@ -2261,3 +2261,32 @@ def test_join_asof_near_is_one_pass_and_twap_weights_correctly(spark):
         assert r["dur_s"] == dur and r["wsum_micros_s"] == wsum, r
         if dur > 0:
             assert r["twap_micros"] == wsum // dur
+
+
+def test_rolling_median_frame_is_bounded_and_exact(spark):
+    """q_rolling_median: the collect_list window must run over the
+    BOUNDED 7-row frame (the plan's window spec says so — an unbounded
+    frame would be the q_win_frame anti-pattern), and the trailing
+    median per user must equal a Python recomputation of the lower
+    median over each user's last 7 values."""
+    plan = _plan(spark, "q_rolling_median")
+    assert "specifiedwindowframe(RowFrame, -6, currentrow$())" in plan
+    # the trailing-row pick compiles to WindowGroupLimit (per-partition
+    # top-1 prune before the rank window — no full sort materialized)
+    assert "WindowGroupLimit" in plan
+    rows = {r["user_id"]: r
+            for r in ALL_SPECS["q_rolling_median"].fn(spark, SF_DIR)
+            .collect()}
+    import collections
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per = collections.defaultdict(list)
+    for e in ev:
+        per[e["user_id"]].append((e["ts"], e["event_id"], e["value"]))
+    assert set(rows) == set(per)
+    for u, lst in per.items():
+        lst.sort()
+        tail = [v for _, _, v in lst[-7:]]
+        tail.sort()
+        want = tail[(len(tail) + 1) // 2 - 1]
+        assert rows[u]["n_in_frame"] == len(tail)
+        assert rows[u]["roll_median"] == want, (u, tail, rows[u])

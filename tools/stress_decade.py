@@ -103,6 +103,7 @@ TABLES_FOR = {
     "q_join_asof_near": ["events"],
     "q_twap": ["events"],
     "q_sql_script": ["lineitem"],
+    "q_rolling_median": ["events"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
