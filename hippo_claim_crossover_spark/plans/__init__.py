@@ -48,7 +48,7 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 12 window (zero-sum, 50 slots): 13 NEW queries
+    # -- round 12 window (zero-sum, 50 slots): 14 NEW queries
     # (q_dsir: hashed-unigram importance resampling, global top-K;
     # q_span_corrupt: T5 span-corruption mask plan, md5-placed
     # disjoint-segment spans; q_observe: df.observe() DQ counters,
@@ -63,20 +63,23 @@ GATE_ORDER = [
     # q_sink_pyds_stream: the custom connector's STREAM-write face;
     # q_sql_script: Spark 4 SQL scripting BEGIN/DECLARE/WHILE;
     # q_join_asof_near: nearest-direction as-of, one-pass dual carry;
-    # q_twap: LOCF time-weighted average, exact integer core);
+    # q_twap: LOCF time-weighted average, exact integer core;
+    # q_rolling_median: bounded-frame sliding median);
     # 2 CHANGED-code queries (q_stream_sink_audit: _log_files now
     # admits fully-numeric log basenames only — r11 ADVICE guard,
     # behavior identical on the pinned 4-batch run; q_cluster_kmeans:
     # kmeans_fit now collects centroids per Lloyd round and assigns
     # via the Arrow matmul kernel — bit-identical values, locally
     # re-verified; q_semdedup shares that change and adds the capped
-    # (cell, SRP-sub) blocking); and 35 of the 45-query r5
-    # stale-evidence cohort (VERDICT r11 item 1; q_src_metadata,
-    # q_src_pyds, q_src_pyds_stream, q_src_xml, q_stream_interval_lo,
-    # q_stream_static, q_transitions, q_transpose, q_udf_cogrouped
-    # and q_udf_grouped are the ten the new queries displace —
-    # locally gate-green this round, queued FIRST for r13). r13
-    # queue: those ten + 21 r4-cohort + 10 r7. --
+    # (cell, SRP-sub) blocking); and 34 of the 45-query r5
+    # stale-evidence cohort (VERDICT r11 item 1; q_sql_udf,
+    # q_src_metadata, q_src_pyds, q_src_pyds_stream, q_src_xml,
+    # q_stream_interval_lo, q_stream_static, q_transitions,
+    # q_transpose, q_udf_cogrouped and q_udf_grouped are the eleven
+    # the new queries displace — locally gate-green this round
+    # (every full-window pre-flight re-run covered them), queued
+    # FIRST for r13). r13 queue: those eleven + 21 r4-cohort
+    # + 10 r7 = 42 slots. --
     "q_dsir", "q_span_corrupt", "q_observe", "q_tok_fertility",
     "q_stream_state", "q_mix_temperature", "q_sink_pyds_stream",
     "q_sql_script", "q_join_asof_near", "q_twap", "q_rolling_median",
