@@ -1589,8 +1589,17 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"smooth_u * {MIX_TEMP_BUDGET} div tot_u")
                 .alias("n_draws"),
                 # upweight verdict: smoothed share strictly above raw
-                # share (cross-multiplied exactly, no division)
-                (F.expr("smooth_u * tot_tok") > F.expr("n_tokens * tot_u"))
+                # share (cross-multiplied exactly, no division). The
+                # operands are widened to DECIMAL(19,0) so the products
+                # compare in DECIMAL(38,0): smooth_u·tot_tok ≈
+                # √n·1e6·n exceeds BIGINT once total tokens reach
+                # ~10^12, where non-ANSI engines would wrap silently —
+                # decimal keeps the verdict exact to ~10^38 (any
+                # conceivable corpus; the money_sum widening note).
+                (F.expr("cast(smooth_u as decimal(19,0)) "
+                        "* cast(tot_tok as decimal(19,0))")
+                 > F.expr("cast(n_tokens as decimal(19,0)) "
+                          "* cast(tot_u as decimal(19,0))"))
                 .alias("upweighted"))
             .orderBy("source"))
 
@@ -1613,7 +1622,9 @@ SELECT source, n_docs, n_tokens,
        n_tokens * 1000 // tot_tok AS raw_permille,
        smooth_u * 1000 // tot_u AS temp_permille,
        smooth_u * {MIX_TEMP_BUDGET} // tot_u AS n_draws,
-       smooth_u * tot_tok > n_tokens * tot_u AS upweighted
+       CAST(smooth_u AS DECIMAL(19,0)) * CAST(tot_tok AS DECIMAL(19,0))
+         > CAST(n_tokens AS DECIMAL(19,0)) * CAST(tot_u AS DECIMAL(19,0))
+         AS upweighted
 FROM sm CROSS JOIN tot
 ORDER BY source
 """

@@ -1556,8 +1556,13 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably equals the declarative "min existing threshold whose
     running total crosses half" (the oracle): cum only changes at
     existing thresholds, so the first integer where the condition
-    holds is always an existing one. The scripting conf is restored
-    after the run."""
+    holds is always an existing one. Degenerate input is guarded the
+    same way on both sides: ``total`` is coalesced to 0 (a NULL total
+    on an empty table would skip the loop silently) and the final
+    SELECT emits only ``WHERE total > 0`` — so an empty lineitem
+    yields ZERO rows from script and oracle alike, not a sentinel
+    (thr=-1, total=NULL) row only one engine produces. The scripting
+    conf is restored after the run."""
     ev = t(spark, sf_dir, "lineitem").select("l_discount", "l_extendedprice")
     ev.createOrReplaceTempView("script_li")
     before = spark.conf.get("spark.sql.scripting.enabled", "false")
@@ -1569,9 +1574,10 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE cum BIGINT DEFAULT 0;
           DECLARE thr INT DEFAULT -1;
           SET total = (
-            SELECT sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+            SELECT coalesce(sum(
+              CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)), 0)
             FROM script_li);
-          WHILE 2 * cum < total DO
+          WHILE total > 0 AND 2 * cum < total DO
             SET thr = thr + 1;
             SET cum = (
               SELECT coalesce(sum(
@@ -1579,7 +1585,8 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM script_li
               WHERE CAST(floor(l_discount * 100 + 0.5) AS INT) <= thr);
           END WHILE;
-          SELECT thr AS thr_pct, cum AS cum_micros, total AS total_micros;
+          SELECT thr AS thr_pct, cum AS cum_micros, total AS total_micros
+          WHERE total > 0;
         END
         """)
     finally:

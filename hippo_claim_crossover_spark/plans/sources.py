@@ -613,15 +613,26 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(leg: str):
         from hippo_claim_crossover_spark.plans.base import hex2long
         # input_file_name() is non-deterministic to the optimizer, so it
-        # must be projected into a column before aggregation
+        # must be projected into a column before aggregation.
+        # Two-level shape (r12 VERDICT #5): per-FILE partials first —
+        # groupBy(_f) partial-aggregates map-side, and a task only ever
+        # holds 1-2 distinct files, so the exchange carries ONE ~100-byte
+        # row per file instead of the Expand-doubled row stream a
+        # count_distinct-with-other-aggs plan shuffles; the global agg
+        # then folds the per-file rows (file count = count of partials,
+        # rows/checksum = exact sums of sums). The rewrite legs above
+        # remain linear by definition — compaction physically moves
+        # every byte — but the audit leg is now metadata-sized.
         df = (spark.read.parquet(f"{out}/{leg}")
               .withColumn("_f", F.input_file_name()))
         h = hex2long(F.md5(F.concat_ws("#", *cols)))
-        return df.agg(
-            F.count_distinct(F.col("_f")).alias(f"n_files_{leg}"),
-            F.count(F.lit(1)).alias(f"n_rows_{leg}"),
-            F.pmod(F.sum(h.cast("decimal(38,0)")),
-                   F.lit(_CKSUM_MOD).cast("decimal(38,0)"))
+        per_file = df.groupBy("_f").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(h.cast("decimal(38,0)")).alias("_h"))
+        return per_file.agg(
+            F.count(F.lit(1)).alias(f"n_files_{leg}"),
+            F.sum("_n").alias(f"n_rows_{leg}"),
+            F.pmod(F.sum("_h"), F.lit(_CKSUM_MOD).cast("decimal(38,0)"))
             .cast("long").alias(f"checksum_{leg}"))
 
     return (audit("frag").crossJoin(audit("compact"))

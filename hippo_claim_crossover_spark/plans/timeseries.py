@@ -1936,9 +1936,18 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-frame form), map-side sort of a 7-element array. Output is
     the trailing row per user (deterministic single row each) to keep
     the gate result compact while still forcing every window row to
-    compute."""
+    compute.
+
+    NULL portability: the frame feeds ``coalesce(value, 0.0)`` on BOTH
+    sides — Spark's collect_list silently DROPS NULLs while DuckDB's
+    ``list()`` keeps them, so a raw ``value`` would diverge in both the
+    median element and ``n_in_frame`` the moment a NULL appears (the
+    sibling convention: q_twap/q_stream_state coalesce the same
+    column). Fixtures are NULL-free today, so values are unchanged;
+    the coalesce just removes the cross-engine semantic cliff."""
     ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value")
+        "user_id", "event_id", "ts",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-ROLLMED_FRAME, Window.currentRow))
     wall = Window.partitionBy("user_id").orderBy(
@@ -1962,7 +1971,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLING_MEDIAN = f"""
 WITH rolled AS (
   SELECT user_id, event_id, ts,
-         list_sort(list(value) OVER (
+         list_sort(list(coalesce(value, 0.0)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN {ROLLMED_FRAME} PRECEDING AND CURRENT ROW)) AS w
   FROM events

@@ -1742,14 +1742,17 @@ def test_stream_sink_audit_reconciles_all_logs(spark):
 
 
 def test_compact_files_lossless_and_distributed_audit(spark):
-    """q_compact_files: the audit must count files via a distributed
-    distinct over input_file_name (no driver directory walk — the plan
-    shows the parquet scans, not a LocalTableScan of listed paths), and
-    the emitted contract must hold: pinned 64→4 file counts, equal row
+    """q_compact_files: the audit must count files via distributed
+    per-FILE partial aggregates over input_file_name (no driver
+    directory walk — the plan shows the parquet scans, not a
+    LocalTableScan of listed paths — and no count_distinct Expand:
+    the r12 rework exchanges one partial row per file), and the
+    emitted contract must hold: pinned 64→4 file counts, equal row
     counts, equal checksums, lossless TRUE."""
     plan = _plan(spark, "q_compact_files")
     assert "input_file_name" in plan
     assert "CartesianProduct" not in plan  # 1-row x 1-row cross is BNLJ
+    assert "Expand" not in plan  # per-file partials, not count_distinct
     rows = ALL_SPECS["q_compact_files"].fn(spark, SF_DIR).collect()
     assert len(rows) == 1
     r = rows[0]
@@ -2204,6 +2207,21 @@ def test_sql_script_loop_matches_declarative_answer(spark):
     assert 2 * prev < total, "loop did not stop at the FIRST crossing"
     cur = li.where(thr <= r["thr_pct"]).agg(F.sum(micros)).collect()[0][0]
     assert cur == r["cum_micros"]
+
+
+def test_sql_script_empty_input_yields_zero_rows(spark, tmp_path):
+    """q_sql_script degenerate input (r12 ADVICE): on an EMPTY lineitem
+    the coalesced total is 0, the guarded loop never runs, and the
+    guarded final SELECT emits ZERO rows — matching the oracle's empty
+    result instead of a one-engine-only (thr=-1, total=NULL) sentinel."""
+    from hippo_claim_crossover_spark.io import SCHEMAS
+
+    (spark.createDataFrame([], SCHEMAS["lineitem"])
+     .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet")))
+    out = ALL_SPECS["q_sql_script"].fn(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "thr_pct", "cum_micros", "total_micros"]
 
 
 def test_join_asof_near_is_one_pass_and_twap_weights_correctly(spark):
