@@ -258,6 +258,11 @@ HEADLINE = [
     "q_join_asof_near",
     "q_twap",
     "q_rolling_median",
+    # round-13 additions: host-level URL dedup + the two streaming
+    # promotions (foreachBatch resume, RocksDB state store)
+    "q_host_dedup",
+    "q_stream_foreach",
+    "q_stream_rocksdb",
 ]
 
 
@@ -322,6 +327,22 @@ def main() -> None:
                   "q_udf_arrow"):
         ALL_SPECS[wname].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
+    # Session-health calibration (r12 VERDICT #2): a fixed, tiny,
+    # deterministic probe — the flagship plan at sf0.001, best-of-3
+    # AFTER warmup — timed and emitted as ``calib_sec`` in both JSON
+    # artifacts. The probe's steady-state cost is data-independent of
+    # the benchmark SF, so a hot/stalled session (GC pressure, host
+    # noise, thermal) is identifiable from the JSON alone: BASELINE.md
+    # records the calib band of the committed coherent runs; a
+    # calib_sec far above it marks the session's totals as
+    # out-of-band before any per-query forensics.
+    calib_times = []
+    for _ in range(3):
+        c0 = time.time()
+        ALL_SPECS["q_crossover"].fn(spark, "/root/testdata/sf0.001") \
+            .write.format("noop").mode("overwrite").save()
+        calib_times.append(time.time() - c0)
+    calib = round(min(calib_times), 3)
     timings: dict[str, float] = {}
     timings_run1: dict[str, float] = {}
     for name in HEADLINE:
@@ -338,6 +359,7 @@ def main() -> None:
         "queries": timings,
         "queries_run1": timings_run1,
         "value_run1": total_run1,
+        "calib_sec": calib,
         "sf": sf_val,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -354,6 +376,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "value_run1": total_run1,
+        "calib_sec": calib,
         "queries_slowest": slowest,
         "detail": "bench_detail.json",
     }))

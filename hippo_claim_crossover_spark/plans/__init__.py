@@ -48,43 +48,90 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 12 window (zero-sum, 50 slots): 14 NEW queries
-    # (q_dsir: hashed-unigram importance resampling, global top-K;
-    # q_span_corrupt: T5 span-corruption mask plan, md5-placed
-    # disjoint-segment spans; q_observe: df.observe() DQ counters,
-    # zero extra scans; q_tok_fertility: subwords/word per source off
-    # the vocab-compressed BPE encode; q_semdedup: SemDeDup
-    # cluster→within-cell-cosine→keep-best prune; q_retrieve_eval:
-    # nDCG@k + MRR of the RRF fusion vs the exact-cosine ideal;
-    # q_stream_compact: _spark_metadata .compact rollover audit;
-    # q_stream_state: applyInPandasWithState promoted to a declared
-    # REAL-SQL-checked query — cross-batch state vs a GROUP BY oracle;
-    # q_mix_temperature: alpha=1/2 smoothed mixture weights;
-    # q_sink_pyds_stream: the custom connector's STREAM-write face;
-    # q_sql_script: Spark 4 SQL scripting BEGIN/DECLARE/WHILE;
-    # q_join_asof_near: nearest-direction as-of, one-pass dual carry;
-    # q_twap: LOCF time-weighted average, exact integer core;
-    # q_rolling_median: bounded-frame sliding median);
-    # 2 CHANGED-code queries (q_stream_sink_audit: _log_files now
-    # admits fully-numeric log basenames only — r11 ADVICE guard,
-    # behavior identical on the pinned 4-batch run; q_cluster_kmeans:
-    # kmeans_fit now collects centroids per Lloyd round and assigns
-    # via the Arrow matmul kernel — bit-identical values, locally
-    # re-verified; q_semdedup shares that change and adds the capped
-    # (cell, SRP-sub) blocking); and 34 of the 45-query r5
-    # stale-evidence cohort (VERDICT r11 item 1; q_sql_udf,
-    # q_src_metadata, q_src_pyds, q_src_pyds_stream, q_src_xml,
-    # q_stream_interval_lo, q_stream_static, q_transitions,
-    # q_transpose, q_udf_cogrouped and q_udf_grouped are the eleven
-    # the new queries displace — locally gate-green this round
-    # (every full-window pre-flight re-run covered them), queued
-    # FIRST for r13). r13 queue: those eleven + 21 r4-cohort
-    # + 10 r7 = 42 slots. --
-    "q_dsir", "q_span_corrupt", "q_observe", "q_tok_fertility",
-    "q_stream_state", "q_mix_temperature", "q_sink_pyds_stream",
-    "q_sql_script", "q_join_asof_near", "q_twap", "q_rolling_median",
-    "q_semdedup", "q_retrieve_eval", "q_stream_compact",
-    "q_stream_sink_audit", "q_cluster_kmeans",
+    # -- round 13 window (zero-sum, 50 slots), executing VERDICT r12 #1:
+    # RETIRE THE EVIDENCE-ROTATION DEBT. Composition: 3 NEW queries
+    # (q_host_dedup: CCNet/RefinedWeb URL-canonicalize -> keep-best per
+    # canonical URL -> host-level rollup, two cascaded partial aggs;
+    # q_stream_foreach: foreachBatch idempotent sink + exactly-once
+    # checkpoint resume + no-op rerun over the real events table;
+    # q_stream_rocksdb: RocksDB state-store tumbling agg, 3-batch
+    # batch-parity — the two streaming promotions of VERDICT r12 #6);
+    # 4 CHANGED-code queries (r12 ADVICE hardening: q_rolling_median
+    # NULL-coalesced frame, q_mix_temperature DECIMAL cross-mult,
+    # q_sql_script empty-input guard; VERDICT #5: q_compact_files
+    # per-file pre-aggregated audit); the COMPLETE 42-query pre-r8
+    # evidence debt (11 r5 + 10 r7 + 21 r4 — after this round no
+    # query's latest driver record predates r8); and q_agg_multi, the
+    # first of the 44-query r8 cohort (next-oldest evidence). --
+    "q_host_dedup", "q_stream_foreach", "q_stream_rocksdb",
+    "q_rolling_median", "q_mix_temperature", "q_sql_script",
+    "q_compact_files", "q_sql_udf", "q_src_metadata", "q_src_pyds",
+    "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
+    "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
+    "q_udf_grouped", "q_bool_eq", "q_bool_or", "q_branch_route",
+    "q_case_2way", "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
+    "q_large_orders", "q_small_qty", "q_pagerank", "q_part_prune",
+    "q_pipe_sql", "q_profile", "q_ship_priority", "q_sink_clustered",
+    "q_src_csv", "q_src_evolve", "q_src_jsonl", "q_src_orc",
+    "q_stream_interval", "q_stream_session", "q_stream_slide",
+    "q_stream_tumble", "q_text_gopher", "q_text_vocab", "q_time_trunc",
+    "q_udaf", "q_udf_arrow", "q_udtf", "q_variant", "q_agg_multi",
+    # ---- end of gate window (first GATE_WINDOW entries) ----
+    # tail: oldest driver evidence first (r8 cohort, then r9/r10/r11,
+    # r12 last), so future rotations read the next window straight off
+    # the top of this list.
+    "q_split_leakproof", "q_attribution", "q_mm_frames", "q_mm_resize",
+    "q_matmul", "q_text_typicality", "q_ohlc", "q_sample_stratified",
+    "q_mm_decode", "q_disjunctive", "q_promo_share", "q_top_supplier",
+    "q_idle_customers", "q_pii_redact", "q_repetition", "q_fuzzy_link",
+    "q_embed_gram", "q_hof_array", "q_drift_ks", "q_join_full", "q_win_nav",
+    "q_collect_sorted", "q_gini", "q_rolling_7d", "q_negative_sample",
+    "q_target_encode", "q_feature_hash", "q_interval_coverage",
+    "q_subquery_sql", "q_sample_balance", "q_not_in", "q_export_pipeline",
+    "q_join_setsim", "q_histogram_eq_approx", "q_reconcile", "q_bm25",
+    "q_collocations", "q_sample_weighted", "q_sample_weighted_group",
+    "q_diversity", "q_rag_pipeline", "q_chunk", "q_heavy_hitters",
+    "q_seasonal", "q_percentile", "q_winsorize", "q_percentile_approx",
+    "q_percentile_highcard", "q_outlier_mad", "q_text_strip_html",
+    "q_mm_pairfilter", "q_mor_read", "q_order_priority", "q_nation_trade",
+    "q_cust_order_dist", "q_part_supplier_cnt", "q_waiting_supplier",
+    "q_cms_sketch", "q_text_entropy", "q_ewma", "q_min_cost_supplier",
+    "q_forecast_revenue", "q_market_share", "q_nation_profit",
+    "q_late_lines", "q_important_stock", "q_dominant_supplier",
+    "q_kmv_sketch", "q_dataset_mixture", "q_scd2_lookup", "q_time_travel",
+    "q_melt", "q_corr_matrix", "q_graph_lpa", "q_cusum_changepoint",
+    "q_ab_test", "q_mode", "q_active_users", "q_dedup_near", "q_hll_sketch",
+    "q_approx_cd", "q_coalesce2", "q_coalesce_pair", "q_date_fmt",
+    "q_distinct", "q_join_bucketed", "q_join_range", "q_join_salted",
+    "q_range_ends", "q_rollup", "q_setops", "q_str_dxcode", "q_str_join",
+    "q_parse_tree", "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops",
+    "q_ngram_lm", "q_dedup_containment", "q_dedup_spans", "q_acf",
+    "q_winnow", "q_stream_dedup", "q_crossover", "q_scan", "q_sink",
+    "q_project_rename", "q_parent_denorm", "q_filter_eq", "q_filter_notnull",
+    "q_having", "q_join_inner", "q_join_broadcast", "q_join_left",
+    "q_explode", "q_explode_nested", "q_unpivot", "q_str_zip", "q_str_name",
+    "q_text_tokens", "q_text_lang", "q_text_langid", "q_text_quality",
+    "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash", "q_win_rank",
+    "q_win_running", "q_win_frame", "q_win_dist", "q_topk", "q_topk_group",
+    "q_udf", "q_pivot", "q_cube", "q_sample_hash", "q_mm_meta",
+    "q_stream_late", "q_retrieve_rerank", "q_train_matrix",
+    "q_quantile_sketch_merge", "q_curriculum", "q_ann_recall",
+    "q_backfill_partition", "q_retrieve_fuse", "q_stream_resume",
+    "q_outlier_seasonal", "q_graph_sage_agg", "q_dp_counts",
+    "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore", "q_vocab_oov",
+    "q_weighted_median", "q_stream_chained", "q_bootstrap_ci", "q_join_asof",
+    "q_sim_topk", "q_sim_lsh_buckets", "q_sim_knn_blocked", "q_sim_ivf",
+    "q_sim_ivf_persisted", "q_sim_pq", "q_agg_exists", "q_agg_sum",
+    "q_assoc_rules", "q_date_spine", "q_decontaminate", "q_dedup_cluster",
+    "q_dedup_embed", "q_dedup_keep_best", "q_dedup_ngram",
+    "q_dedup_simhash_pairs", "q_funnel", "q_grouping_sets", "q_histogram",
+    "q_histogram_eq", "q_join_anti", "q_join_semi", "q_json",
+    "q_json_project", "q_latest_snapshot", "q_mm_binfile", "q_mm_shard",
+    "q_pack_sequences", "q_dsir", "q_span_corrupt", "q_observe",
+    "q_tok_fertility", "q_stream_state", "q_sink_pyds_stream",
+    "q_join_asof_near", "q_twap", "q_semdedup", "q_retrieve_eval",
+    "q_stream_compact", "q_stream_sink_audit", "q_cluster_kmeans",
     "q_bpe_encode", "q_bpe_merges", "q_calendar", "q_cohort_retention",
     "q_curation_pipeline", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
     "q_filter_first", "q_gapfill", "q_graph_bfs", "q_graph_triangles",
@@ -94,75 +141,6 @@ GATE_ORDER = [
     "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
     "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
     "q_skyline", "q_snapshot_diff",
-    # ---- end of gate window (first GATE_WINDOW entries) ----
-    # next-round queue, oldest evidence first: the r5 stragglers, the
-    # 21 r4-cohort queries (judge-re-verified locally at r11 — VERDICT
-    # r11 fresh check #2), then the 10 remaining r7-cohort queries.
-    "q_sql_udf", "q_src_metadata", "q_src_pyds",
-    "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
-    "q_stream_static", "q_transitions",
-    "q_transpose", "q_udf_cogrouped",
-    "q_udf_grouped", "q_bool_eq", "q_bool_or",
-    "q_pagerank", "q_part_prune", "q_pipe_sql", "q_profile",
-    "q_ship_priority", "q_sink_clustered", "q_src_csv", "q_src_evolve",
-    "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",
-    "q_stream_slide", "q_stream_tumble", "q_text_gopher", "q_text_vocab",
-    "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf", "q_variant",
-    "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
-    "q_case_struct", "q_cast", "q_large_orders", "q_small_qty",
-    # the round-11 window members (all driver-green r11):
-    "q_retrieve_rerank", "q_train_matrix", "q_quantile_sketch_merge",
-    "q_compact_files", "q_curriculum", "q_ann_recall",
-    "q_backfill_partition", "q_retrieve_fuse", "q_stream_resume",
-    "q_outlier_seasonal", "q_graph_sage_agg", "q_dp_counts",
-    "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore", "q_vocab_oov",
-    "q_weighted_median", "q_stream_chained", "q_bootstrap_ci", "q_join_asof",
-    "q_sim_topk", "q_sim_lsh_buckets", "q_sim_knn_blocked", "q_sim_ivf",
-    "q_sim_ivf_persisted", "q_sim_pq", "q_agg_exists", "q_agg_sum",
-    "q_assoc_rules", "q_date_spine", "q_decontaminate",
-    "q_dedup_cluster", "q_dedup_embed", "q_dedup_keep_best", "q_dedup_ngram",
-    "q_dedup_simhash_pairs", "q_funnel", "q_grouping_sets", "q_histogram",
-    "q_histogram_eq", "q_join_anti", "q_join_semi", "q_json",
-    "q_json_project", "q_latest_snapshot", "q_mm_binfile", "q_mm_shard",
-    "q_pack_sequences",
-    # remaining queries keep their prior relative order; all have
-    # post-r7 driver-green records (or r10/r11 local gate coverage).
-    "q_parse_tree", "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops",
-    "q_ngram_lm", "q_dedup_containment", "q_dedup_spans", "q_acf", "q_winnow",
-    "q_stream_dedup", "q_crossover", "q_scan", "q_sink", "q_project_rename",
-    "q_parent_denorm", "q_filter_eq", "q_filter_notnull", "q_having",
-    "q_join_inner", "q_join_broadcast", "q_join_left", "q_explode",
-    "q_explode_nested", "q_unpivot", "q_str_zip", "q_str_name",
-    "q_text_tokens", "q_text_lang", "q_text_langid", "q_text_quality",
-    "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact",
-    "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash", "q_win_rank",
-    "q_win_running", "q_win_frame", "q_win_dist", "q_topk", "q_topk_group",
-    "q_udf", "q_pivot", "q_cube", "q_sample_hash", "q_mm_meta",
-    "q_stream_late", "q_seasonal", "q_percentile", "q_winsorize",
-    "q_percentile_approx", "q_percentile_highcard", "q_outlier_mad",
-    "q_split_leakproof", "q_text_strip_html", "q_mm_pairfilter", "q_mor_read",
-    "q_order_priority", "q_nation_trade", "q_cust_order_dist",
-    "q_part_supplier_cnt", "q_waiting_supplier", "q_cms_sketch",
-    "q_text_entropy", "q_ewma", "q_min_cost_supplier", "q_forecast_revenue",
-    "q_market_share", "q_nation_profit", "q_late_lines", "q_important_stock",
-    "q_dominant_supplier", "q_kmv_sketch", "q_dataset_mixture",
-    "q_scd2_lookup", "q_time_travel", "q_melt", "q_corr_matrix",
-    "q_graph_lpa", "q_cusum_changepoint", "q_ab_test", "q_mode",
-    "q_active_users", "q_dedup_near", "q_hll_sketch", "q_approx_cd",
-    "q_coalesce2", "q_coalesce_pair", "q_date_fmt", "q_distinct",
-    "q_join_bucketed", "q_join_range", "q_join_salted", "q_range_ends",
-    "q_rollup", "q_setops", "q_str_dxcode", "q_str_join", "q_attribution",
-    "q_mm_frames", "q_mm_resize", "q_matmul", "q_text_typicality", "q_ohlc",
-    "q_sample_stratified", "q_mm_decode", "q_disjunctive", "q_promo_share",
-    "q_top_supplier", "q_idle_customers", "q_pii_redact", "q_repetition",
-    "q_fuzzy_link", "q_embed_gram", "q_hof_array", "q_drift_ks",
-    "q_join_full", "q_win_nav", "q_collect_sorted", "q_gini", "q_rolling_7d",
-    "q_negative_sample", "q_target_encode", "q_feature_hash",
-    "q_interval_coverage", "q_subquery_sql", "q_sample_balance", "q_not_in",
-    "q_export_pipeline", "q_join_setsim", "q_histogram_eq_approx",
-    "q_reconcile", "q_bm25", "q_collocations", "q_sample_weighted",
-    "q_sample_weighted_group", "q_diversity", "q_rag_pipeline", "q_agg_multi",
-    "q_chunk", "q_heavy_hitters",
 ]
 
 _missing = _BY_NAME.keys() - set(GATE_ORDER)

@@ -1461,6 +1461,113 @@ FROM sh GROUP BY source ORDER BY source
 """
 
 
+HOST_PATH_BUCKETS = 37     # synthetic path-id domain per host → real dups
+_KEEP_KEY_SHIFT = 1 << 40  # keep-best packed key: n_chars·2^40 − doc_id
+
+
+def q_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalize → keep-best-per-URL → HOST-level rollup — the
+    CCNet/RefinedWeb web-corpus host-aggregation stage (canonical URL
+    dedup before content dedup, then per-host statistics that drive
+    host-level filtering/blocking decisions). Reference scope parity:
+    the reference's field normalizer (lib/hippo_claim_crossover.rb:
+    60-101) canonicalizes identifier strings before keying; this is
+    the same normalize-then-key stage for web-scale corpora.
+
+    The fixtures carry no URL column, so a URL-SHAPED string is first
+    derived deterministically per document (md5(doc_id) bits pick
+    http/https, a ``www.`` prefix, a trailing slash, and a tracking
+    query param; host = source + '.example.com'; path id = an
+    md5-derived bucket in [0, 37), so birthday collisions within a
+    host create genuine URL-level dups at every fixture scale) —
+    fixture plumbing only, identical in the oracle. The OPERATOR under
+    test is everything after: canonicalization (strip scheme → strip
+    query string → strip ``www.`` → strip trailing slash — anchored
+    regexes, identical Java/RE2 semantics), then keep-BEST per
+    canonical URL (longest n_chars, ties to the smallest doc_id, via
+    an arg-max on the packed key ``n_chars·2^40 − doc_id`` — exact
+    while docs stay under 2^40 ≈ 1.1e12 chars, i.e. any real doc; the
+    key is unique per doc so max_by/arg_max is deterministic), then
+    the host rollup: total docs, distinct canonical URLs, dup rate in
+    exact permille, and the sum of kept doc_ids (pins every per-URL
+    keep decision into the driver hash).
+
+    Scale shape: map-side codegen string work, then TWO cascaded
+    partial aggregations (URL grain → host grain) — each map-side
+    combines before its exchange, so the shuffle carries one row per
+    distinct URL then one per host; no window over the raw stream, no
+    join, no driver collect. Skewed giant hosts cost one hot reduce
+    key at the URL grain only until AQE skew-split kicks in; the host
+    grain is |hosts|-sized."""
+    d = (t_wide(spark, sf_dir, "documents")
+         .select("doc_id", "source", "n_chars")
+         .withColumn("_h", hex2long(F.md5(F.col("doc_id").cast("string")))))
+    raw_url = F.concat(
+        F.when(F.expr("(_h % 2) = 0"), F.lit("http://"))
+        .otherwise(F.lit("https://")),
+        F.when(F.expr("((_h DIV 2) % 2) = 0"), F.lit(""))
+        .otherwise(F.lit("www.")),
+        F.col("source"), F.lit(".example.com/docs/"),
+        F.expr(f"(_h DIV 16) % {HOST_PATH_BUCKETS}").cast("string"),
+        F.when(F.expr("((_h DIV 4) % 2) = 0"), F.lit(""))
+        .otherwise(F.lit("/")),
+        F.when(F.expr("((_h DIV 8) % 2) = 0"), F.lit(""))
+        .otherwise(F.lit("?utm_source=feed")))
+    canon = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(raw_url, "^https?://", ""),
+        r"\?.*$", ""), r"^www\.", ""), "/$", "")
+    per_url = (
+        d.select("doc_id", "n_chars", canon.alias("curl"))
+        .withColumn("host", F.element_at(F.split("curl", "/"), 1))
+        .groupBy("host", "curl")
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.max_by("doc_id", F.col("n_chars") * F.lit(_KEEP_KEY_SHIFT)
+                      - F.col("doc_id")).alias("kept")))
+    return (per_url.groupBy("host")
+            .agg(F.sum("n_copies").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_urls"),
+                 F.expr("(sum(n_copies) - count(*)) * 1000 "
+                        "DIV sum(n_copies)").alias("dup_permille"),
+                 F.sum("kept").alias("kept_checksum"))
+            .orderBy("host"))
+
+
+ORACLE_HOST_DEDUP = f"""
+WITH u AS (
+  SELECT doc_id, source, n_chars,
+         {sql_hex2long("md5(CAST(doc_id AS VARCHAR))")} AS h
+  FROM documents
+), raw AS (
+  SELECT doc_id, n_chars,
+         (CASE WHEN (h % 2) = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN ((h // 2) % 2) = 0 THEN '' ELSE 'www.' END)
+         || source || '.example.com/docs/'
+         || CAST((h // 16) % {HOST_PATH_BUCKETS} AS VARCHAR)
+         || (CASE WHEN ((h // 4) % 2) = 0 THEN '' ELSE '/' END)
+         || (CASE WHEN ((h // 8) % 2) = 0 THEN ''
+             ELSE '?utm_source=feed' END) AS url
+  FROM u
+), canon AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           url, '^https?://', ''), '\\?.*$', ''), '^www\\.', ''),
+           '/$', '') AS curl
+  FROM raw
+), per_url AS (
+  SELECT split_part(curl, '/', 1) AS host, curl,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         arg_max(doc_id, n_chars * {_KEEP_KEY_SHIFT} - doc_id) AS kept
+  FROM canon GROUP BY 1, 2
+)
+SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST((sum(n_copies) - count(*)) * 1000 // sum(n_copies) AS BIGINT)
+         AS dup_permille,
+       CAST(sum(kept) AS BIGINT) AS kept_checksum
+FROM per_url GROUP BY host ORDER BY host
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_join_setsim": QuerySpec(
         q_join_setsim, ORACLE_JOIN_SETSIM,
@@ -1476,6 +1583,11 @@ SPECS: dict[str, QuerySpec] = {
         "keep-best → decontaminate → pack (one hash-proven chain)"),
     "q_link_sorted": QuerySpec(q_link_sorted, ORACLE_LINK_SORTED,
                                "sorted-neighborhood record linkage"),
+    "q_host_dedup": QuerySpec(
+        q_host_dedup, ORACLE_HOST_DEDUP,
+        "URL canonicalize -> keep-best per canonical URL -> host-level "
+        "rollup (CCNet/RefinedWeb host aggregation; two cascaded "
+        "partial aggs, no per-URL window)"),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
                                "exact hash-groupBy dedup"),
     "q_dedup_ngram": QuerySpec(q_dedup_ngram, ORACLE_DEDUP_NGRAM,

@@ -2123,6 +2123,147 @@ ORDER BY user_id
 """
 
 
+def q_stream_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` idempotent sink + exactly-once checkpoint RESUME
+    as a declared, REAL-SQL-checked query (the r12 verdict's promotion
+    of the unit-only behavior): the events table is split into 3
+    micro-batch files by ``event_id % 3``; run 1 lands splits 0 and 1
+    and drains them through ``write_foreach_batch`` (each micro-batch
+    appended as parquet stamped with its batch_id — the (batch_id,
+    checkpoint) pair that makes redelivery idempotent / MERGE-ready);
+    split 2 then lands and a FRESH query resumes from the SAME
+    checkpoint; a third run with nothing new must be a no-op. The
+    read-back aggregates per split, so the driver hash proves all
+    three contracts at once against a plain GROUP BY over the table:
+
+    - exactly-once across the restart — a replayed or skipped file
+      flips ``n_events``/``sum_micros`` red;
+    - each split processed in exactly ONE micro-batch
+      (``n_sink_batches = 1``: maxFilesPerTrigger=1 and the committed
+      offsets in the checkpoint are the source of truth);
+    - the no-op third run appended nothing.
+
+    At scale: foreachBatch is the production escape hatch for sinks
+    with no native streaming writer (JDBC, MERGE INTO); the batch
+    writer inside runs as a normal distributed job. The per-split
+    single-file landing is pinned-run harness setup (q_stream_state's
+    class), not a production path."""
+    from hippo_claim_crossover_spark.streaming.ops import (
+        land_batch_file,
+        read_event_stream,
+        write_foreach_batch,
+    )
+
+    run_id = next(_LATE_RUN)
+    tag = f"{spark.sparkContext.applicationId}-{run_id}"
+    src = f"/root/repo/_scratch/feb_src-{tag}"
+    out, ckpt = f"{src}.out", f"{src}.ckpt"
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    for b in (0, 1):
+        land_batch_file(ev.where(F.col("event_id") % 3 == b), src, b)
+    for landing in (2, None):  # run 2 resumes on split 2; run 3 is a no-op
+        if landing is not None:
+            land_batch_file(ev.where(F.col("event_id") % 3 == landing),
+                            src, landing)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        write_foreach_batch(stream.select("event_id", "value"), out, ckpt)
+    sunk = spark.read.parquet(out)
+    return (sunk.groupBy((F.col("event_id") % 3).alias("split"))
+            .agg(F.count_distinct("batch_id").alias("n_sink_batches"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(money_micros(F.coalesce(F.col("value"), F.lit(0.0))))
+                 .alias("sum_micros"))
+            .orderBy("split"))
+
+
+ORACLE_STREAM_FOREACH = """
+SELECT event_id % 3 AS split,
+       CAST(1 AS BIGINT) AS n_sink_batches,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_micros
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-free tumbling aggregation on the ROCKSDB state store
+    provider as a declared, REAL-SQL-checked query (r12 verdict
+    promotion): the 100 TB streaming-state backend — state lives
+    off-heap on executor-local disk with changelog checkpointing, so
+    per-executor state is bounded by disk rather than JVM heap — runs
+    a 3-micro-batch file-source pass over the REAL events table
+    (``event_id % 3`` splits, mtime-ordered, maxFilesPerTrigger=1) and
+    must produce exactly the batch GROUP BY the DuckDB oracle computes.
+    The splits interleave in time, so essentially every 10-minute
+    window receives rows in all three batches — equality with the
+    batch aggregate proves per-window state survived TWO RocksDB
+    commit/restore cycles, with exact BIGINT-micros sums (no float
+    order sensitivity across batch boundaries). The provider conf is
+    scoped to the run and restored.
+
+    Complete-mode memory sink: correct here because the oracle needs
+    every window; production emits append-mode finalized windows under
+    a watermark (q_stream_late pins those semantics) — the STATE
+    BACKEND under test is identical either way. The per-split
+    single-file landing is pinned-run harness setup, not a production
+    path; production feeds the same operator from Kafka."""
+    from hippo_claim_crossover_spark.streaming.ops import (
+        read_event_stream,
+        run_to_memory,
+        write_batch_files,
+    )
+
+    run_id = next(_LATE_RUN)
+    src = ("/root/repo/_scratch/"
+           f"rocks_src-{spark.sparkContext.applicationId}-{run_id}")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    write_batch_files(ev, src, "event_id", n_batches=3)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    out_name = f"rocks_out_{run_id}"
+    try:
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        agg = (stream
+               .groupBy(F.window("ts", "10 minutes"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(money_micros(
+                        F.coalesce(F.col("value"), F.lit(0.0))))
+                    .alias("sum_micros"))
+               .select(F.col("window.start").alias("window_start"),
+                       F.col("window.end").alias("window_end"),
+                       "event_type", "n_events", "sum_micros"))
+        run_to_memory(agg, out_name, output_mode="complete")
+    finally:
+        spark.conf.set(key, prev) if prev is not None \
+            else spark.conf.unset(key)
+    return spark.table(out_name)
+
+
+ORACLE_STREAM_ROCKSDB = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws, *
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value, props FROM events)
+)
+SELECT {_TS.format(expr="ws")} AS window_start,
+       {_TS.format(expr="ws + 600")} AS window_end,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_micros
+FROM b GROUP BY ws, event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q_ohlc": QuerySpec(
         q_ohlc, ORACLE_OHLC,
@@ -2159,6 +2300,14 @@ SPECS: dict[str, QuerySpec] = {
     "q_stream_late": QuerySpec(q_stream_late, ORACLE_STREAM_LATE,
                                "watermarked late-data drop (real 2-batch "
                                "streaming run, VALUES oracle)"),
+    "q_stream_foreach": QuerySpec(
+        q_stream_foreach, ORACLE_STREAM_FOREACH,
+        "foreachBatch idempotent sink + exactly-once checkpoint resume "
+        "(3-split real-table run + no-op rerun, GROUP BY oracle)"),
+    "q_stream_rocksdb": QuerySpec(
+        q_stream_rocksdb, ORACLE_STREAM_ROCKSDB,
+        "RocksDB state-store tumbling agg over the real events table "
+        "(3-batch run, exact micros, batch-parity oracle)"),
     "q_stream_dedup": QuerySpec(q_stream_dedup, ORACLE_STREAM_DEDUP,
                                 "dropDuplicatesWithinWatermark (3-batch "
                                 "run: suppress, evict, re-emit — VALUES "

@@ -206,28 +206,37 @@ def run_to_memory(result: DataFrame, name: str,
     q.awaitTermination()
 
 
-def write_batch_files(df: DataFrame, src_dir: str, key_col: str,
-                      n_batches: int = 3) -> None:
-    """Materialize a DataFrame as ``n_batches`` single-file parquet
-    micro-batch inputs under ``src_dir``, split deterministically by
-    ``key_col % n_batches`` with mtimes forced monotone (the file
-    source's modification-time ordering then never depends on write
-    latency). Pinned-run streaming-harness setup — the single-file
+def land_batch_file(df: DataFrame, src_dir: str, batch_idx: int) -> None:
+    """Materialize ONE single-file parquet micro-batch input under
+    ``src_dir`` with its mtime forced monotone in ``batch_idx`` (the
+    file source's modification-time ordering then never depends on
+    write latency). Callable incrementally — a resume-style run lands
+    the first splits, drains, then lands more against the same
+    directory. Pinned-run streaming-harness setup — the single-file
     coalesce is NOT a production path; production feeds the same
     operators from Kafka."""
     import glob
     import os
     import shutil
 
+    os.makedirs(src_dir, exist_ok=True)
+    stage = f"{src_dir}.stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dst = os.path.join(src_dir, f"batch-{batch_idx}.parquet")
+    shutil.copyfile(part, dst)
+    os.utime(dst, (1_000_000_000 + batch_idx * 100,) * 2)
+    shutil.rmtree(stage)
+
+
+def write_batch_files(df: DataFrame, src_dir: str, key_col: str,
+                      n_batches: int = 3) -> None:
+    """Materialize a DataFrame as ``n_batches`` single-file parquet
+    micro-batch inputs under ``src_dir``, split deterministically by
+    ``key_col % n_batches`` (see :func:`land_batch_file` for the
+    mtime/production caveats)."""
     from pyspark.sql import functions as F
 
-    os.makedirs(src_dir, exist_ok=True)
     for b in range(n_batches):
-        stage = f"{src_dir}.stage"
-        (df.where(F.col(key_col) % n_batches == b)
-         .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src_dir, f"batch-{b}.parquet")
-        shutil.copyfile(part, dst)
-        os.utime(dst, (1_000_000_000 + b * 100,) * 2)
-        shutil.rmtree(stage)
+        land_batch_file(df.where(F.col(key_col) % n_batches == b),
+                        src_dir, b)

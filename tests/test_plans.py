@@ -2308,3 +2308,95 @@ def test_rolling_median_frame_is_bounded_and_exact(spark):
         want = tail[(len(tail) + 1) // 2 - 1]
         assert rows[u]["n_in_frame"] == len(tail)
         assert rows[u]["roll_median"] == want, (u, tail, rows[u])
+
+
+def test_host_dedup_matches_independent_recomputation(spark):
+    """q_host_dedup: the plan must be two cascaded aggregations with no
+    window/join/cartesian (the host rollup partial-aggregates — never a
+    per-URL window over the raw stream), and the rollup must equal a
+    from-scratch Python reimplementation of the synthesis +
+    canonicalization + keep-best pipeline at sf0.001."""
+    import collections
+    import hashlib
+    import re
+
+    plan = _plan(spark, "q_host_dedup")
+    assert plan.count("HashAggregate") >= 4  # partial+final at 2 grains
+    assert "Window" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    rows = {r["host"]: r
+            for r in ALL_SPECS["q_host_dedup"].fn(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    per_url = collections.defaultdict(list)
+    for d in docs:
+        h = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:15], 16)
+        url = (("http://" if h % 2 == 0 else "https://")
+               + ("" if (h // 2) % 2 == 0 else "www.")
+               + f"{d['source']}.example.com/docs/{(h // 16) % 37}"
+               + ("" if (h // 4) % 2 == 0 else "/")
+               + ("" if (h // 8) % 2 == 0 else "?utm_source=feed"))
+        curl = re.sub(r"^https?://", "", url)
+        curl = re.sub(r"\?.*$", "", curl)
+        curl = re.sub(r"^www\.", "", curl)
+        curl = re.sub(r"/$", "", curl)
+        per_url[curl].append((d["n_chars"], d["doc_id"]))
+    want = collections.defaultdict(
+        lambda: {"n_docs": 0, "n_urls": 0, "kept": 0})
+    for curl, members in per_url.items():
+        host = curl.split("/")[0]
+        kept = max(members, key=lambda m: m[0] * (1 << 40) - m[1])[1]
+        want[host]["n_docs"] += len(members)
+        want[host]["n_urls"] += 1
+        want[host]["kept"] += kept
+    assert set(rows) == set(want)
+    saw_dup = False
+    for host, w in want.items():
+        r = rows[host]
+        assert (r["n_docs"], r["n_urls"], r["kept_checksum"]) == \
+            (w["n_docs"], w["n_urls"], w["kept"]), host
+        assert r["dup_permille"] == \
+            (w["n_docs"] - w["n_urls"]) * 1000 // w["n_docs"]
+        saw_dup = saw_dup or w["n_docs"] > w["n_urls"]
+    assert saw_dup, "fixture produced no URL-level dup — dedup untested"
+
+
+def test_stream_foreach_resume_is_exactly_once(spark):
+    """q_stream_foreach: every split must land in exactly ONE sink
+    micro-batch (n_sink_batches=1 — the checkpoint resume processed
+    only the new file, the no-op rerun appended nothing), and the
+    totals must equal the batch ground truth."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.base import t
+    rows = ALL_SPECS["q_stream_foreach"].fn(spark, SF_DIR).collect()
+    assert [r["split"] for r in rows] == [0, 1, 2]
+    assert all(r["n_sink_batches"] == 1 for r in rows)
+    ev = t(spark, SF_DIR, "events")
+    n = ev.count()
+    assert sum(r["n_events"] for r in rows) == n > 0
+
+
+def test_stream_rocksdb_matches_batch_and_restores_conf(spark):
+    """q_stream_rocksdb: the RocksDB-backed 3-batch streaming run must
+    equal the batch window aggregate exactly (state survived two
+    commit/restore cycles) and must restore the provider conf."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.plans.base import money_micros, t
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, "unset")
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["sum_micros"])
+           for r in ALL_SPECS["q_stream_rocksdb"].fn(spark, SF_DIR)
+           .collect()}
+    assert spark.conf.get(key, "unset") == before
+    ev = t(spark, SF_DIR, "events")
+    want = {(r["ws"], r["event_type"]): (r["n"], r["s"])
+            for r in ev.groupBy(
+                F.window("ts", "10 minutes").getField("start").alias("ws"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(money_micros(F.coalesce(F.col("value"),
+                                               F.lit(0.0)))).alias("s"))
+            .collect()}
+    assert got == want and got

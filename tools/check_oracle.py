@@ -5,6 +5,13 @@ Runs every ``queries()`` entry on Spark and (where declared) the matching
 row-count, column names, and order-insensitive values exactly.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+                                    [--times-json PATH]
+
+``--times-json PATH`` additionally dumps per-query Spark wall times (the
+toPandas leg, seconds) as one JSON object — the committed timing tier for
+the ~80 non-headline queries (r12 VERDICT #4): bench.py ledgers the
+headline set, and the full-surface sweep's times make a perf regression
+in any remaining query visible round-over-round.
 """
 
 from __future__ import annotations
@@ -110,8 +117,16 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = sys.argv[1:]
+    times_json = None
+    if "--times-json" in argv:
+        i = argv.index("--times-json")
+        times_json = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for tbl in TABLES:
@@ -121,6 +136,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     failures = []
+    spark_secs: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -133,6 +149,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             continue
         t1 = time.time()
+        spark_secs[name] = round(t1 - t0, 3)
         if name not in oracles:
             n_rowsonly += 1
             print(f"rows-only {name}: {len(sdf)} rows [{t1-t0:.1f}s]")
@@ -157,6 +174,15 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if failures:
         print("failures:", " ".join(failures))
+    if times_json:
+        with open(times_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "unit": "sec",
+                       "note": "single-run Spark toPandas wall time per "
+                               "query from the correctness sweep (run-1 "
+                               "cost incl. codegen warmup, not best-of-N)",
+                       "times": dict(sorted(spark_secs.items()))},
+                      f, indent=1, sort_keys=True)
+        print(f"wrote {len(spark_secs)} timings to {times_json}")
     return 1 if n_fail else 0
 
 
