@@ -104,6 +104,10 @@ TABLES_FOR = {
     "q_twap": ["events"],
     "q_sql_script": ["lineitem"],
     "q_rolling_median": ["events"],
+    # r13 newcomers
+    "q_host_dedup": ["documents"],
+    "q_stream_foreach": ["events"],
+    "q_stream_rocksdb": ["events"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
