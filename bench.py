@@ -329,26 +329,33 @@ def main() -> None:
             "noop").mode("overwrite").save()
     # Session-health calibration (r12 VERDICT #2): a fixed, tiny,
     # deterministic probe — the flagship plan at sf0.001, best-of-3
-    # AFTER warmup — timed and emitted as ``calib_sec`` in both JSON
-    # artifacts. The probe's steady-state cost is data-independent of
-    # the benchmark SF, so a hot/stalled session (GC pressure, host
-    # noise, thermal) is identifiable from the JSON alone: BASELINE.md
-    # records the calib band of the committed coherent runs; a
-    # calib_sec far above it marks the session's totals as
+    # AFTER warmup — timed BEFORE the measured loop (``calib_sec``)
+    # and AGAIN after it (``calib_end_sec``), both emitted in both
+    # JSON artifacts. The probe's steady-state cost is
+    # data-independent of the benchmark SF, so a hot/stalled session
+    # (GC pressure, host/VM neighbor noise, thermal) is identifiable
+    # from the JSON alone — and a session that DEGRADES mid-run (fine
+    # start probe, inflated totals) shows up in the end probe.
+    # BASELINE.md records the calib band of the committed coherent
+    # runs; probes far above it mark the session's totals as
     # out-of-band before any per-query forensics.
-    calib_times = []
-    for _ in range(3):
-        c0 = time.time()
-        ALL_SPECS["q_crossover"].fn(spark, "/root/testdata/sf0.001") \
-            .write.format("noop").mode("overwrite").save()
-        calib_times.append(time.time() - c0)
-    calib = round(min(calib_times), 3)
+    def calibrate() -> float:
+        probe_times = []
+        for _ in range(3):
+            c0 = time.time()
+            ALL_SPECS["q_crossover"].fn(spark, "/root/testdata/sf0.001") \
+                .write.format("noop").mode("overwrite").save()
+            probe_times.append(time.time() - c0)
+        return round(min(probe_times), 3)
+
+    calib = calibrate()
     timings: dict[str, float] = {}
     timings_run1: dict[str, float] = {}
     for name in HEADLINE:
         r1, best = run_query(spark, name, sf_dir)
         timings[name] = round(best, 3)
         timings_run1[name] = round(r1, 3)
+    calib_end = calibrate()
     total = round(sum(timings.values()), 3)
     total_run1 = round(sum(timings_run1.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -360,6 +367,7 @@ def main() -> None:
         "queries_run1": timings_run1,
         "value_run1": total_run1,
         "calib_sec": calib,
+        "calib_end_sec": calib_end,
         "sf": sf_val,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -377,6 +385,7 @@ def main() -> None:
         "n_queries": len(timings),
         "value_run1": total_run1,
         "calib_sec": calib,
+        "calib_end_sec": calib_end,
         "queries_slowest": slowest,
         "detail": "bench_detail.json",
     }))
