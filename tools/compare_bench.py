@@ -44,6 +44,18 @@ def load(path: str) -> dict[str, float]:
     raise SystemExit(f"no per-query timings found in {path}")
 
 
+def calib_of(path: str) -> str:
+    """Session-health probes (bench.py calib_sec/calib_end_sec, r13+) —
+    shown so a hot session is visible next to its totals."""
+    try:
+        obj = json.loads(open(path).read())
+    except json.JSONDecodeError:
+        return "n/a"
+    parts = [f"{obj[k]}s" for k in ("calib_sec", "calib_end_sec")
+             if k in obj]
+    return "/".join(parts) if parts else "n/a"
+
+
 def main() -> None:
     band = 0.15
     args = [a for a in sys.argv[1:] if not a.startswith("--band")]
@@ -55,8 +67,12 @@ def main() -> None:
     shared = sorted(set(old) & set(new))
     t_old = sum(old[k] for k in shared)
     t_new = sum(new[k] for k in shared)
+    import statistics
+    ratios = [new[k] / old[k] for k in shared if old[k] > 0.05]
     print(f"shared={len(shared)}  old={t_old:.2f}s  new={t_new:.2f}s  "
-          f"delta={t_new - t_old:+.2f}s")
+          f"delta={t_new - t_old:+.2f}s  "
+          f"median-ratio={statistics.median(ratios):.3f}  "
+          f"calib old={calib_of(args[0])} new={calib_of(args[1])}")
     regr = [(k, old[k], new[k]) for k in shared
             if new[k] > (1 + band) * old[k] + 0.15]
     for k, a, b in sorted(regr, key=lambda t: t[1] - t[2]):
