@@ -112,3 +112,25 @@ def test_readme_query_count_matches_registry():
     for c in claims:
         assert int(c) == len(ALL_SPECS), (
             f"README says {c} queries; registry has {len(ALL_SPECS)}")
+
+
+def test_bench_headline_is_a_subset_of_the_registry():
+    """Every bench.py HEADLINE name must resolve in ALL_SPECS (a renamed
+    or dropped query would otherwise crash the driver's per-round bench
+    at runtime), contain no duplicates, and the committed
+    bench_detail.json must carry the session-health calibration probe
+    the round verdicts read (r12 VERDICT #2)."""
+    import json
+    import os
+
+    import bench
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    missing = [q for q in bench.HEADLINE if q not in ALL_SPECS]
+    assert not missing, missing
+    detail = os.path.join(os.path.dirname(PKG), "bench_detail.json")
+    with open(detail) as f:
+        d = json.load(f)
+    assert "calib_sec" in d, "committed bench run lacks the calib probe"
+    assert set(d["queries"]) == set(bench.HEADLINE)
