@@ -263,6 +263,9 @@ HEADLINE = [
     "q_host_dedup",
     "q_stream_foreach",
     "q_stream_rocksdb",
+    # round-14 addition: RRF fusion ablation across two embedding
+    # families (full 64-dim vs Matryoshka-truncated 16-dim)
+    "q_fuse_ablation",
 ]
 
 

@@ -48,38 +48,18 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 13 window (zero-sum, 50 slots), executing VERDICT r12 #1:
-    # RETIRE THE EVIDENCE-ROTATION DEBT. Composition: 3 NEW queries
-    # (q_host_dedup: CCNet/RefinedWeb URL-canonicalize -> keep-best per
-    # canonical URL -> host-level rollup, two cascaded partial aggs;
-    # q_stream_foreach: foreachBatch idempotent sink + exactly-once
-    # checkpoint resume + no-op rerun over the real events table;
-    # q_stream_rocksdb: RocksDB state-store tumbling agg, 3-batch
-    # batch-parity — the two streaming promotions of VERDICT r12 #6);
-    # 4 CHANGED-code queries (r12 ADVICE hardening: q_rolling_median
-    # NULL-coalesced frame, q_mix_temperature DECIMAL cross-mult,
-    # q_sql_script empty-input guard; VERDICT #5: q_compact_files
-    # per-file pre-aggregated audit); the COMPLETE 42-query pre-r8
-    # evidence debt (11 r5 + 10 r7 + 21 r4 — after this round no
-    # query's latest driver record predates r8); and q_agg_multi, the
-    # first of the 44-query r8 cohort (next-oldest evidence). --
-    "q_host_dedup", "q_stream_foreach", "q_stream_rocksdb",
-    "q_rolling_median", "q_mix_temperature", "q_sql_script",
-    "q_compact_files", "q_sql_udf", "q_src_metadata", "q_src_pyds",
-    "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
-    "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
-    "q_udf_grouped", "q_bool_eq", "q_bool_or", "q_branch_route",
-    "q_case_2way", "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
-    "q_large_orders", "q_small_qty", "q_pagerank", "q_part_prune",
-    "q_pipe_sql", "q_profile", "q_ship_priority", "q_sink_clustered",
-    "q_src_csv", "q_src_evolve", "q_src_jsonl", "q_src_orc",
-    "q_stream_interval", "q_stream_session", "q_stream_slide",
-    "q_stream_tumble", "q_text_gopher", "q_text_vocab", "q_time_trunc",
-    "q_udaf", "q_udf_arrow", "q_udtf", "q_variant", "q_agg_multi",
-    # ---- end of gate window (first GATE_WINDOW entries) ----
-    # tail: oldest driver evidence first (r8 cohort, then r9/r10/r11,
-    # r12 last), so future rotations read the next window straight off
-    # the top of this list.
+    # -- round 14 window (zero-sum, 50 slots), executing VERDICT r13 #1:
+    # rotate the COMPLETE 43-query r8 evidence cohort (the oldest
+    # remaining; judge re-verified 43/43 at r13). Composition: 1 NEW
+    # query (q_fuse_ablation: RRF fusion ablation across two embedding
+    # families -- full 64-dim vs Matryoshka-truncated 16-dim -- the
+    # VERDICT r13 #6 depth pick); 2 CHANGED-code queries (r13 ADVICE:
+    # q_host_dedup keep-best key widened to DECIMAL(38,0) so BIGINT
+    # can't silently wrap at n_chars >= 2^23; q_stream_rocksdb oracle
+    # gains the convention ORDER BY); the 43-query r8 cohort; and the
+    # first 4 of the r9 cohort (next-oldest evidence). After this round
+    # no query's latest driver record predates r9. --
+    "q_fuse_ablation", "q_host_dedup", "q_stream_rocksdb",
     "q_split_leakproof", "q_attribution", "q_mm_frames", "q_mm_resize",
     "q_matmul", "q_text_typicality", "q_ohlc", "q_sample_stratified",
     "q_mm_decode", "q_disjunctive", "q_promo_share", "q_top_supplier",
@@ -92,24 +72,28 @@ GATE_ORDER = [
     "q_collocations", "q_sample_weighted", "q_sample_weighted_group",
     "q_diversity", "q_rag_pipeline", "q_chunk", "q_heavy_hitters",
     "q_seasonal", "q_percentile", "q_winsorize", "q_percentile_approx",
+    # ---- end of gate window (first GATE_WINDOW entries) ----
+    # tail: oldest driver evidence first (r9 remainder, then r10/r11/
+    # r12, the r13-window cohort last), so future rotations read the
+    # next window straight off the top of this list.
     "q_percentile_highcard", "q_outlier_mad", "q_text_strip_html",
     "q_mm_pairfilter", "q_mor_read", "q_order_priority", "q_nation_trade",
     "q_cust_order_dist", "q_part_supplier_cnt", "q_waiting_supplier",
     "q_cms_sketch", "q_text_entropy", "q_ewma", "q_min_cost_supplier",
-    "q_forecast_revenue", "q_market_share", "q_nation_profit",
-    "q_late_lines", "q_important_stock", "q_dominant_supplier",
-    "q_kmv_sketch", "q_dataset_mixture", "q_scd2_lookup", "q_time_travel",
-    "q_melt", "q_corr_matrix", "q_graph_lpa", "q_cusum_changepoint",
-    "q_ab_test", "q_mode", "q_active_users", "q_dedup_near", "q_hll_sketch",
-    "q_approx_cd", "q_coalesce2", "q_coalesce_pair", "q_date_fmt",
-    "q_distinct", "q_join_bucketed", "q_join_range", "q_join_salted",
-    "q_range_ends", "q_rollup", "q_setops", "q_str_dxcode", "q_str_join",
-    "q_parse_tree", "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops",
-    "q_ngram_lm", "q_dedup_containment", "q_dedup_spans", "q_acf",
-    "q_winnow", "q_stream_dedup", "q_crossover", "q_scan", "q_sink",
-    "q_project_rename", "q_parent_denorm", "q_filter_eq", "q_filter_notnull",
-    "q_having", "q_join_inner", "q_join_broadcast", "q_join_left",
-    "q_explode", "q_explode_nested", "q_unpivot", "q_str_zip", "q_str_name",
+    "q_forecast_revenue", "q_market_share", "q_nation_profit", "q_late_lines",
+    "q_important_stock", "q_dominant_supplier", "q_kmv_sketch",
+    "q_dataset_mixture", "q_scd2_lookup", "q_time_travel", "q_melt",
+    "q_corr_matrix", "q_graph_lpa", "q_cusum_changepoint", "q_ab_test",
+    "q_mode", "q_active_users", "q_dedup_near", "q_hll_sketch", "q_approx_cd",
+    "q_coalesce2", "q_coalesce_pair", "q_date_fmt", "q_distinct",
+    "q_join_bucketed", "q_join_range", "q_join_salted", "q_range_ends",
+    "q_rollup", "q_setops", "q_str_dxcode", "q_str_join", "q_parse_tree",
+    "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops", "q_ngram_lm",
+    "q_dedup_containment", "q_dedup_spans", "q_acf", "q_winnow",
+    "q_stream_dedup", "q_crossover", "q_scan", "q_sink", "q_project_rename",
+    "q_parent_denorm", "q_filter_eq", "q_filter_notnull", "q_having",
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_explode",
+    "q_explode_nested", "q_unpivot", "q_str_zip", "q_str_name",
     "q_text_tokens", "q_text_lang", "q_text_langid", "q_text_quality",
     "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash", "q_win_rank",
@@ -140,7 +124,18 @@ GATE_ORDER = [
     "q_postings", "q_recommend", "q_region_volume", "q_regr_group",
     "q_returned_items", "q_sample_group", "q_scd2_history", "q_sessionize",
     "q_shuffle_shards", "q_sink_pyds", "q_sink_zorder", "q_skew_profile",
-    "q_skyline", "q_snapshot_diff",
+    "q_skyline", "q_snapshot_diff", "q_stream_foreach", "q_rolling_median",
+    "q_mix_temperature", "q_sql_script", "q_compact_files", "q_sql_udf",
+    "q_src_metadata", "q_src_pyds", "q_src_pyds_stream", "q_src_xml",
+    "q_stream_interval_lo", "q_stream_static", "q_transitions", "q_transpose",
+    "q_udf_cogrouped", "q_udf_grouped", "q_bool_eq", "q_bool_or",
+    "q_branch_route", "q_case_2way", "q_case_dict", "q_case_multi",
+    "q_case_struct", "q_cast", "q_large_orders", "q_small_qty", "q_pagerank",
+    "q_part_prune", "q_pipe_sql", "q_profile", "q_ship_priority",
+    "q_sink_clustered", "q_src_csv", "q_src_evolve", "q_src_jsonl",
+    "q_src_orc", "q_stream_interval", "q_stream_session", "q_stream_slide",
+    "q_stream_tumble", "q_text_gopher", "q_text_vocab", "q_time_trunc",
+    "q_udaf", "q_udf_arrow", "q_udtf", "q_variant", "q_agg_multi",
 ]
 
 _missing = _BY_NAME.keys() - set(GATE_ORDER)

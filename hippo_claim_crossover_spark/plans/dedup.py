@@ -1485,9 +1485,12 @@ def q_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query string → strip ``www.`` → strip trailing slash — anchored
     regexes, identical Java/RE2 semantics), then keep-BEST per
     canonical URL (longest n_chars, ties to the smallest doc_id, via
-    an arg-max on the packed key ``n_chars·2^40 − doc_id`` — exact
-    while docs stay under 2^40 ≈ 1.1e12 chars, i.e. any real doc; the
-    key is unique per doc so max_by/arg_max is deterministic), then
+    an arg-max on the packed key ``n_chars·2^40 − doc_id`` computed in
+    DECIMAL(38,0) — exact while n_chars·2^40 stays under 10^38, i.e.
+    n_chars < ~10^26, far past any real doc; BIGINT packing would
+    silently wrap at n_chars ≥ 2^23 ≈ 8.4M chars, attainable for real
+    web documents, so both sides widen before multiplying. The key is
+    unique per doc so max_by/arg_max is deterministic), then
     the host rollup: total docs, distinct canonical URLs, dup rate in
     exact permille, and the sum of kept doc_ids (pins every per-URL
     keep decision into the driver hash).
@@ -1521,7 +1524,11 @@ def q_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("host", F.element_at(F.split("curl", "/"), 1))
         .groupBy("host", "curl")
         .agg(F.count(F.lit(1)).alias("n_copies"),
-             F.max_by("doc_id", F.col("n_chars") * F.lit(_KEEP_KEY_SHIFT)
+             # DECIMAL(19,0) operands -> DECIMAL(38,0) product: exact
+             # (no silent BIGINT wrap) for n_chars up to ~10^26
+             F.max_by("doc_id",
+                      F.col("n_chars").cast("decimal(19,0)")
+                      * F.lit(_KEEP_KEY_SHIFT).cast("decimal(19,0)")
                       - F.col("doc_id")).alias("kept")))
     return (per_url.groupBy("host")
             .agg(F.sum("n_copies").alias("n_docs"),
@@ -1556,7 +1563,9 @@ WITH u AS (
 ), per_url AS (
   SELECT split_part(curl, '/', 1) AS host, curl,
          CAST(count(*) AS BIGINT) AS n_copies,
-         arg_max(doc_id, n_chars * {_KEEP_KEY_SHIFT} - doc_id) AS kept
+         arg_max(doc_id, CAST(n_chars AS DECIMAL(19,0))
+                         * CAST({_KEEP_KEY_SHIFT} AS DECIMAL(19,0))
+                         - doc_id) AS kept
   FROM canon GROUP BY 1, 2
 )
 SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_docs,

@@ -594,6 +594,130 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT {TOP_K}
 """
 
 
+TRUNC_DIM = 16  # Matryoshka ablation family: the first-16-dims prefix
+
+
+def _fused_topk_ranks(lex_r: DataFrame, e: DataFrame,
+                      rank_col: str) -> DataFrame:
+    """RRF-fuse one dense family's top-50 with the shared lexical top-50
+    and return the fused top-:data:`TOP_K` as (doc_id, <rank_col>) —
+    q_retrieve_fuse's fuse stage, parameterized over the embedding frame
+    so the ablation runs it once per family."""
+    q = _query_vec(e)
+    dense = ops_sim.cosine_topk(
+        e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
+    w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    den_r = dense.select(F.col("vec_id").alias("doc_id"),
+                         F.row_number().over(w_den).alias("dense_rank"))
+    fused = (lex_r.join(den_r, "doc_id", "full_outer")
+             .select("doc_id",
+                     (F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(RRF_K)
+                                          + F.col("dense_rank")),
+                                   F.lit(0.0))).alias("_rrf")))
+    w_f = Window.orderBy(F.col("_rrf").desc(), "doc_id")
+    return (fused.orderBy(F.col("_rrf").desc(), "doc_id").limit(TOP_K)
+            .select("doc_id", F.row_number().over(w_f).alias(rank_col)))
+
+
+def q_fuse_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSION ABLATION ACROSS EMBEDDING FAMILIES — the analysis a
+    retrieval team runs before shipping truncated ("Matryoshka", Kusupati
+    et al. 2022) embeddings: fuse the SAME lexical ranking (BM25 top-50)
+    with TWO genuinely different dense families — the full 64-dim cosine
+    and the first-:data:`TRUNC_DIM`-dims-prefix cosine (what an
+    MRL-truncated index serves) — via the identical RRF(k=60) recipe,
+    and align the two fused top-10 lists doc-by-doc. Output is one row
+    per doc appearing in EITHER fused list: (doc_id, rank_full,
+    rank_trunc), NULL where a doc survives only one family — exactly the
+    rank-shift/dropout table that decides whether the cheaper index is
+    safe. Reference scope parity: the reference normalizes then compares
+    keyed record sets across two sources (lib/hippo_claim_crossover.rb:
+    102-212); this is the same two-system keyed alignment applied to
+    rankings.
+
+    100 TB shape: the lexical leg is posting-list-bounded with ONE
+    TakeOrderedAndProject; each dense leg is a 1-row broadcast +
+    map-side higher-order-function scoring + TakeOrdered (the truncated
+    leg SLICES the vector before any arithmetic, so it also models the
+    cheaper scan); every fuse/align join thereafter runs over ≤50-row
+    frames. Nothing data-sized reaches a window or a single partition,
+    and the corpus is scanned exactly twice (once per family) — at
+    scale the truncated family would read a physically narrower index,
+    which this plan's slice-first shape prunes toward.
+
+    Determinism: both families rank on 4dp-rounded cosines with vec_id
+    tiebreaks, fused order breaks ties on doc_id, output ranks are
+    integers — fully hash-checked."""
+    lex = _bm25_candidates(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex)
+                       .alias("lex_rank"))
+    e = _vectors(spark, sf_dir)
+    full_r = _fused_topk_ranks(lex_r, e, "rank_full")
+    e_tr = e.select("vec_id", F.slice("v", 1, TRUNC_DIM).alias("v"))
+    tr_r = _fused_topk_ranks(lex_r, e_tr, "rank_trunc")
+    return (full_r.join(tr_r, "doc_id", "full_outer")
+            .select("doc_id", "rank_full", "rank_trunc")
+            .orderBy(F.coalesce(F.col("rank_full"), F.lit(99)),
+                     F.coalesce(F.col("rank_trunc"), F.lit(99)),
+                     "doc_id"))
+
+
+def _oracle_fused_cte(tag: str, vexpr: str) -> str:
+    """The per-family CTE chain of the ablation oracle: normalize →
+    dense top-50 → rank → RRF fuse with lex_r → fused top-10 ranks."""
+    return f"""n_{tag} AS (
+  SELECT vec_id, {vexpr} AS v,
+         sqrt(list_dot_product({vexpr}, {vexpr})) AS nrm
+  FROM embeddings
+), q_{tag} AS (
+  SELECT v AS qv, nrm AS qnrm FROM n_{tag} WHERE vec_id = {QUERY_VEC_ID}
+), dense_{tag} AS (
+  SELECT n.vec_id,
+         {_r4('list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm)')} AS cosine
+  FROM n_{tag} n, q_{tag} q WHERE n.vec_id != {QUERY_VEC_ID}
+  ORDER BY cosine DESC, vec_id LIMIT {N_RERANK_CAND}
+), den_r_{tag} AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+              AS INTEGER) AS dense_rank
+  FROM dense_{tag}
+), fused_{tag} AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+           + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0.0) AS rrf
+  FROM lex_r l FULL OUTER JOIN den_r_{tag} d ON l.doc_id = d.doc_id
+), top_{tag} AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                      AS INTEGER) AS rank_{tag}
+  FROM (SELECT doc_id, rrf FROM fused_{tag}
+        ORDER BY rrf DESC, doc_id LIMIT {TOP_K})
+)"""
+
+
+def _oracle_fuse_ablation() -> str:
+    from hippo_claim_crossover_spark.plans.text import ORACLE_BM25
+    full_v = "CAST(embedding AS DOUBLE[])"
+    trunc_v = f"(CAST(embedding AS DOUBLE[]))[1:{TRUNC_DIM}]"
+    return f"""
+WITH bm AS ({ORACLE_BM25}),
+lex AS (
+  SELECT doc_id, score FROM bm WHERE doc_id != {QUERY_VEC_ID}
+  ORDER BY score DESC, doc_id LIMIT {N_RERANK_CAND}
+), lex_r AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS INTEGER) AS lex_rank
+  FROM lex
+), {_oracle_fused_cte("full", full_v)},
+{_oracle_fused_cte("trunc", trunc_v)}
+SELECT coalesce(f.doc_id, t.doc_id) AS doc_id, f.rank_full, t.rank_trunc
+FROM top_full f FULL OUTER JOIN top_trunc t ON f.doc_id = t.doc_id
+ORDER BY coalesce(f.rank_full, 99), coalesce(t.rank_trunc, 99), doc_id
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX EVALUATION — recall@k of the IVF probe against exact
     brute force, the measurement every pipeline runs before trusting an
@@ -767,4 +891,9 @@ SPECS: dict[str, QuerySpec] = {
         q_retrieve_fuse, _oracle_retrieve_fuse(),
         "hybrid-search RRF fusion of BM25 and dense top-50 rankings "
         "(bounded rank windows, full-outer fuse, k=60)"),
+    "q_fuse_ablation": QuerySpec(
+        q_fuse_ablation, _oracle_fuse_ablation(),
+        "RRF fusion ablation across two embedding families (full 64-dim "
+        "vs Matryoshka-truncated 16-dim): doc-aligned rank-shift/dropout "
+        "table over the two fused top-10 lists"),
 }

@@ -2260,7 +2260,7 @@ SELECT {_TS.format(expr="ws")} AS window_start,
        event_type, count(*) AS n_events,
        CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
             AS BIGINT) AS sum_micros
-FROM b GROUP BY ws, event_type
+FROM b GROUP BY ws, event_type ORDER BY ws, event_type
 """
 
 

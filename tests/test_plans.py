@@ -1875,6 +1875,36 @@ def test_retrieve_fuse_bounds_windows_and_fuses_full_outer(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_fuse_ablation_bounded_and_families_genuinely_differ(spark):
+    """q_fuse_ablation: every rank window runs AFTER a TakeOrdered
+    reduction (two lex legs, two dense legs, two fused top-10s — so ≥6
+    TakeOrderedAndProject), the two fuses plus the final alignment are
+    full-outer joins (≥3 FullOuter), and no cartesian anywhere. Value
+    invariants: the non-null ranks of EACH family are exactly 1..10
+    (both fused lists are complete top-10s), no row has both ranks
+    NULL, rows are ordered by (rank_full NULLS-as-99, rank_trunc
+    NULLS-as-99, doc_id), and — the ablation's reason to exist — the
+    truncated family must GENUINELY disagree with the full one (some
+    doc appears in only one list, or some shared doc moves rank)."""
+    plan = _plan(spark, "q_fuse_ablation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 6
+    assert plan.count("FullOuter") >= 3
+    rows = ALL_SPECS["q_fuse_ablation"].fn(spark, SF_DIR).collect()
+    assert 10 <= len(rows) <= 20
+    full = [r["rank_full"] for r in rows if r["rank_full"] is not None]
+    trunc = [r["rank_trunc"] for r in rows if r["rank_trunc"] is not None]
+    assert sorted(full) == list(range(1, 11))
+    assert sorted(trunc) == list(range(1, 11))
+    assert all(r["rank_full"] is not None or r["rank_trunc"] is not None
+               for r in rows)
+    keys = [(r["rank_full"] or 99, r["rank_trunc"] or 99, r["doc_id"])
+            for r in rows]
+    assert keys == sorted(keys)
+    assert any(r["rank_full"] != r["rank_trunc"] for r in rows), \
+        "families agree exactly — ablation exercises nothing"
+
+
 def test_semdedup_pairs_are_cell_blocked_and_accounting_consistent(spark):
     """q_semdedup: the pair stage must be an equi-join on the FULL
     blocking key (cluster cell AND SRP sub-bucket — never a cartesian,

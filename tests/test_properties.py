@@ -552,16 +552,19 @@ def test_twap_matches_python_locf_model(spark, rows):
 
 
 @settings(**_SETTINGS)
-@given(st.lists(st.tuples(st.integers(0, (1 << 22) - 1),
-                          st.integers(0, (1 << 38) - 1)),
+@given(st.lists(st.tuples(st.integers(0, 10 ** 19 - 1),
+                          st.integers(0, (1 << 40) - 1)),
                 min_size=2, max_size=30))
 def test_keep_best_packed_key_orders_like_the_tuple(pairs):
     """q_host_dedup's keep-best arg-max key ``n_chars·2^40 − doc_id``
-    must order exactly like the tuple (n_chars DESC → doc_id ASC) for
-    any n_chars < 2^22 and doc_id < 2^40 — i.e. the packing never lets
-    a doc_id difference outweigh a n_chars difference, and within equal
-    n_chars the SMALLER doc_id wins the max. Pure-integer property; no
-    Spark session needed."""
+    (computed in DECIMAL(38,0), so exact — Python ints model that) must
+    order exactly like the tuple (n_chars DESC → doc_id ASC) for any
+    n_chars < 10^19 (the full DECIMAL(19,0) operand domain, far past
+    the 2^23 point where a BIGINT key would silently wrap) and
+    doc_id < 2^40 — i.e. the packing never lets a doc_id difference
+    outweigh a n_chars difference, and within equal n_chars the SMALLER
+    doc_id wins the max. Pure-integer property; no Spark session
+    needed."""
     shift = 1 << 40
     key = lambda p: p[0] * shift - p[1]  # noqa: E731
     want = max(pairs, key=lambda p: (p[0], -p[1]))

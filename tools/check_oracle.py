@@ -123,6 +123,10 @@ def main() -> int:
     times_json = None
     if "--times-json" in argv:
         i = argv.index("--times-json")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [SF_DIR] [QUERY ...] "
+                  "[--times-json PATH]", file=sys.stderr)
+            return 2
         times_json = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

@@ -69,9 +69,10 @@ def main() -> None:
     t_new = sum(new[k] for k in shared)
     import statistics
     ratios = [new[k] / old[k] for k in shared if old[k] > 0.05]
+    med = f"{statistics.median(ratios):.3f}" if ratios else "n/a"
     print(f"shared={len(shared)}  old={t_old:.2f}s  new={t_new:.2f}s  "
           f"delta={t_new - t_old:+.2f}s  "
-          f"median-ratio={statistics.median(ratios):.3f}  "
+          f"median-ratio={med}  "
           f"calib old={calib_of(args[0])} new={calib_of(args[1])}")
     regr = [(k, old[k], new[k]) for k in shared
             if new[k] > (1 + band) * old[k] + 0.15]

@@ -6,7 +6,12 @@ members, and flags any query whose latest record is a failure. A query
 with no driver record yet (new this round, window-pending) is listed
 separately.
 
-Usage: python tools/freshness.py
+Usage: python tools/freshness.py [--json PATH]
+
+With ``--json PATH`` also writes the histogram, oldest-cohort members,
+pending/failing lists, and the CURRENT declared gate window to PATH —
+the committed round-close artifact (VERDICT r13 #5) that makes window
+composition auditable without running tools.
 """
 
 from __future__ import annotations
@@ -20,10 +25,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from hippo_claim_crossover_spark.plans import ALL_SPECS  # noqa: E402
+from hippo_claim_crossover_spark.plans import (  # noqa: E402
+    ALL_SPECS,
+    GATE_ORDER,
+    GATE_WINDOW,
+)
 
 
 def main() -> int:
+    json_out = None
+    if "--json" in sys.argv:
+        i = sys.argv.index("--json")
+        if i + 1 >= len(sys.argv):
+            print("usage: freshness.py [--json PATH]", file=sys.stderr)
+            return 2
+        json_out = sys.argv[i + 1]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
@@ -54,6 +70,19 @@ def main() -> int:
         print(f"oldest cohort r{oldest:02d}: {' '.join(members)}")
     if pending:
         print(f"no driver record yet ({len(pending)}): {' '.join(sorted(pending))}")
+    if json_out:
+        payload = {
+            "histogram": {f"r{r:02d}": hist[r] for r in sorted(hist)},
+            "oldest_cohort": {f"r{oldest:02d}": members}
+            if oldest is not None else {},
+            "pending": sorted(pending),
+            "failing": [{"query": n, "round": r} for n, r in failing],
+            "gate_window": GATE_ORDER[:GATE_WINDOW],
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        print(f"wrote {json_out}")
     if failing:
         print("LATEST RECORD IS A FAILURE:",
               " ".join(f"{n}(r{r})" for n, r in failing))

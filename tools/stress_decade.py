@@ -108,6 +108,8 @@ TABLES_FOR = {
     "q_host_dedup": ["documents"],
     "q_stream_foreach": ["events"],
     "q_stream_rocksdb": ["events"],
+    # r14 newcomer
+    "q_fuse_ablation": ["documents", "embeddings"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
