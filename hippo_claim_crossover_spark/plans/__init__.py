@@ -53,13 +53,15 @@ GATE_ORDER = [
     # remaining; judge re-verified 43/43 at r13). Composition: 1 NEW
     # query (q_fuse_ablation: RRF fusion ablation across two embedding
     # families -- full 64-dim vs Matryoshka-truncated 16-dim -- the
-    # VERDICT r13 #6 depth pick); 2 CHANGED-code queries (r13 ADVICE:
+    # VERDICT r13 #6 depth pick); 3 CHANGED-code queries (q_approx_cd:
+    # sketch/exact aggregation split so HLL++ buffers never ride the
+    # distinct-rewrite Expand, 30s -> 2s at sf0.1; r13 ADVICE:
     # q_host_dedup keep-best key widened to DECIMAL(38,0) so BIGINT
     # can't silently wrap at n_chars >= 2^23; q_stream_rocksdb oracle
     # gains the convention ORDER BY); the 43-query r8 cohort; and the
-    # first 4 of the r9 cohort (next-oldest evidence). After this round
+    # first 3 of the r9 cohort (next-oldest evidence). After this round
     # no query's latest driver record predates r9. --
-    "q_fuse_ablation", "q_host_dedup", "q_stream_rocksdb",
+    "q_approx_cd", "q_fuse_ablation", "q_host_dedup", "q_stream_rocksdb",
     "q_split_leakproof", "q_attribution", "q_mm_frames", "q_mm_resize",
     "q_matmul", "q_text_typicality", "q_ohlc", "q_sample_stratified",
     "q_mm_decode", "q_disjunctive", "q_promo_share", "q_top_supplier",
@@ -71,35 +73,35 @@ GATE_ORDER = [
     "q_join_setsim", "q_histogram_eq_approx", "q_reconcile", "q_bm25",
     "q_collocations", "q_sample_weighted", "q_sample_weighted_group",
     "q_diversity", "q_rag_pipeline", "q_chunk", "q_heavy_hitters",
-    "q_seasonal", "q_percentile", "q_winsorize", "q_percentile_approx",
+    "q_seasonal", "q_percentile", "q_winsorize",
     # ---- end of gate window (first GATE_WINDOW entries) ----
     # tail: oldest driver evidence first (r9 remainder, then r10/r11/
     # r12, the r13-window cohort last), so future rotations read the
     # next window straight off the top of this list.
-    "q_percentile_highcard", "q_outlier_mad", "q_text_strip_html",
-    "q_mm_pairfilter", "q_mor_read", "q_order_priority", "q_nation_trade",
-    "q_cust_order_dist", "q_part_supplier_cnt", "q_waiting_supplier",
-    "q_cms_sketch", "q_text_entropy", "q_ewma", "q_min_cost_supplier",
-    "q_forecast_revenue", "q_market_share", "q_nation_profit", "q_late_lines",
-    "q_important_stock", "q_dominant_supplier", "q_kmv_sketch",
-    "q_dataset_mixture", "q_scd2_lookup", "q_time_travel", "q_melt",
-    "q_corr_matrix", "q_graph_lpa", "q_cusum_changepoint", "q_ab_test",
-    "q_mode", "q_active_users", "q_dedup_near", "q_hll_sketch", "q_approx_cd",
-    "q_coalesce2", "q_coalesce_pair", "q_date_fmt", "q_distinct",
-    "q_join_bucketed", "q_join_range", "q_join_salted", "q_range_ends",
-    "q_rollup", "q_setops", "q_str_dxcode", "q_str_join", "q_parse_tree",
-    "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops", "q_ngram_lm",
-    "q_dedup_containment", "q_dedup_spans", "q_acf", "q_winnow",
-    "q_stream_dedup", "q_crossover", "q_scan", "q_sink", "q_project_rename",
-    "q_parent_denorm", "q_filter_eq", "q_filter_notnull", "q_having",
-    "q_join_inner", "q_join_broadcast", "q_join_left", "q_explode",
-    "q_explode_nested", "q_unpivot", "q_str_zip", "q_str_name",
-    "q_text_tokens", "q_text_lang", "q_text_langid", "q_text_quality",
-    "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact",
-    "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash", "q_win_rank",
-    "q_win_running", "q_win_frame", "q_win_dist", "q_topk", "q_topk_group",
-    "q_udf", "q_pivot", "q_cube", "q_sample_hash", "q_mm_meta",
-    "q_stream_late", "q_retrieve_rerank", "q_train_matrix",
+    "q_percentile_approx", "q_percentile_highcard", "q_outlier_mad",
+    "q_text_strip_html", "q_mm_pairfilter", "q_mor_read", "q_order_priority",
+    "q_nation_trade", "q_cust_order_dist", "q_part_supplier_cnt",
+    "q_waiting_supplier", "q_cms_sketch", "q_text_entropy", "q_ewma",
+    "q_min_cost_supplier", "q_forecast_revenue", "q_market_share",
+    "q_nation_profit", "q_late_lines", "q_important_stock",
+    "q_dominant_supplier", "q_kmv_sketch", "q_dataset_mixture",
+    "q_scd2_lookup", "q_time_travel", "q_melt", "q_corr_matrix",
+    "q_graph_lpa", "q_cusum_changepoint", "q_ab_test", "q_mode",
+    "q_active_users", "q_dedup_near", "q_hll_sketch", "q_coalesce2",
+    "q_coalesce_pair", "q_date_fmt", "q_distinct", "q_join_bucketed",
+    "q_join_range", "q_join_salted", "q_range_ends", "q_rollup", "q_setops",
+    "q_str_dxcode", "q_str_join", "q_parse_tree", "q_dedup_incremental",
+    "q_minhash_merge", "q_kmv_setops", "q_ngram_lm", "q_dedup_containment",
+    "q_dedup_spans", "q_acf", "q_winnow", "q_stream_dedup", "q_crossover",
+    "q_scan", "q_sink", "q_project_rename", "q_parent_denorm", "q_filter_eq",
+    "q_filter_notnull", "q_having", "q_join_inner", "q_join_broadcast",
+    "q_join_left", "q_explode", "q_explode_nested", "q_unpivot", "q_str_zip",
+    "q_str_name", "q_text_tokens", "q_text_lang", "q_text_langid",
+    "q_text_quality", "q_text_tokcount", "q_text_fingerprint", "q_text_tfidf",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lshband", "q_dedup_simhash",
+    "q_win_rank", "q_win_running", "q_win_frame", "q_win_dist", "q_topk",
+    "q_topk_group", "q_udf", "q_pivot", "q_cube", "q_sample_hash",
+    "q_mm_meta", "q_stream_late", "q_retrieve_rerank", "q_train_matrix",
     "q_quantile_sketch_merge", "q_curriculum", "q_ann_recall",
     "q_backfill_partition", "q_retrieve_fuse", "q_stream_resume",
     "q_outlier_seasonal", "q_graph_sage_agg", "q_dp_counts",

