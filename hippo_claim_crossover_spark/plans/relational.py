@@ -110,12 +110,15 @@ def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (li.groupBy("l_returnflag")
              .agg(F.countDistinct("l_partkey").alias("exact_parts"),
                   F.countDistinct("l_orderkey").alias("exact_claims")))
-    approx = (li.groupBy("l_returnflag")
+    approx = (li.groupBy(F.col("l_returnflag").alias("_rf"))
               .agg(F.approx_count_distinct("l_partkey", 0.01)
                    .alias("_apx_parts"),
                    F.approx_count_distinct("l_orderkey", 0.01)
                    .alias("_apx_claims")))
-    return (exact.join(F.broadcast(approx), "l_returnflag")
+    # eqNullSafe: both groupBys emit a NULL-key group if the column is
+    # ever NULL; a plain equi-join would silently drop that row (r15).
+    return (exact.join(F.broadcast(approx),
+                       F.col("l_returnflag").eqNullSafe(F.col("_rf")))
             .select("l_returnflag", "exact_parts", "exact_claims",
                     within_rel_band(F.col("_apx_parts"),
                                     F.col("exact_parts"), 0.05)

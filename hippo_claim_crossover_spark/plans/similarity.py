@@ -25,6 +25,10 @@ DIM = 64
 N_PLANES = 8
 QUERY_VEC_ID = 0
 TOP_K = 10
+# NULL-rank ordering sentinel for the ablation's full-outer alignment:
+# must sort after every real rank (1..TOP_K), so derive it from TOP_K
+# rather than a literal that would interleave if TOP_K grew (r15).
+NULL_RANK_SENTINEL = TOP_K + 1
 
 
 # Hyperplanes come from the operators API (md5-seeded, deterministic) —
@@ -660,8 +664,10 @@ def q_fuse_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr_r = _fused_topk_ranks(lex_r, e_tr, "rank_trunc")
     return (full_r.join(tr_r, "doc_id", "full_outer")
             .select("doc_id", "rank_full", "rank_trunc")
-            .orderBy(F.coalesce(F.col("rank_full"), F.lit(99)),
-                     F.coalesce(F.col("rank_trunc"), F.lit(99)),
+            .orderBy(F.coalesce(F.col("rank_full"),
+                                F.lit(NULL_RANK_SENTINEL)),
+                     F.coalesce(F.col("rank_trunc"),
+                                F.lit(NULL_RANK_SENTINEL)),
                      "doc_id"))
 
 
@@ -714,7 +720,8 @@ lex AS (
 {_oracle_fused_cte("trunc", trunc_v)}
 SELECT coalesce(f.doc_id, t.doc_id) AS doc_id, f.rank_full, t.rank_trunc
 FROM top_full f FULL OUTER JOIN top_trunc t ON f.doc_id = t.doc_id
-ORDER BY coalesce(f.rank_full, 99), coalesce(t.rank_trunc, 99), doc_id
+ORDER BY coalesce(f.rank_full, {NULL_RANK_SENTINEL}),
+         coalesce(t.rank_trunc, {NULL_RANK_SENTINEL}), doc_id
 """
 
 

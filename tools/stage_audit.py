@@ -46,9 +46,12 @@ MB = 1024.0 * 1024.0
 
 
 def _stages(spark) -> list[dict]:
+    # No status filter: FAILED stages must be attributed too, else a
+    # query whose job retried/errored gets a silently partial ledger
+    # (undercounted shuffle/spill) instead of being flagged (r15).
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
-    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    url = f"{base}/api/v1/applications/{app_id}/stages"
     with urllib.request.urlopen(url, timeout=15) as r:
         return json.load(r)
 
@@ -64,6 +67,8 @@ def audit_query(spark, name: str, sf_dir: str) -> dict:
     return {
         "wall_sec": round(wall, 3),
         "n_stages": len(new),
+        "n_failed_stages": sum(1 for s in new
+                               if s.get("status") == "FAILED"),
         "n_tasks": sum(s.get("numCompleteTasks", 0) for s in new),
         "shuffle_write_mb": round(sum(writes) / MB, 2),
         "shuffle_read_mb": round(
@@ -107,6 +112,9 @@ def main() -> int:
         f.write("\n")
 
     ok = {k: v for k, v in results.items() if "error" not in v}
+    errored = sorted(k for k in results if k not in ok)
+    failed_stage = sorted(k for k, v in ok.items()
+                          if v.get("n_failed_stages", 0) > 0)
     spillers = {k: v for k, v in ok.items()
                 if v["spill_mem_mb"] > 0 or v["spill_disk_mb"] > 0}
     print(f"wrote {out_path} ({len(ok)}/{len(results)} audited)")
@@ -121,8 +129,21 @@ def main() -> int:
                                             + kv[1]["spill_disk_mb"])):
             print(f"  {k:30s} mem {v['spill_mem_mb']:.1f} MB  "
                   f"disk {v['spill_disk_mb']:.1f} MB")
+    else:
+        print("no query spills at this SF")
+    # Distinct exit codes so a green-looking ledger can't hide failures:
+    # 1 = spill, 3 = a query's audit itself errored, 4 = a stage FAILED
+    # during a query (work retried/lost — ledger is attributed, flagged).
+    if errored:
+        print(f"AUDIT ERRORS ({len(errored)}): {' '.join(errored)}")
+    if failed_stage:
+        print(f"FAILED STAGES in: {' '.join(failed_stage)}")
+    if spillers:
         return 1
-    print("no query spills at this SF")
+    if errored:
+        return 3
+    if failed_stage:
+        return 4
     return 0
 
 
