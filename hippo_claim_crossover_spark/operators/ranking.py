@@ -234,6 +234,61 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
                     .alias("value")))
 
 
+def grouped_bounded_percentiles(df: DataFrame, group_cols: list[str],
+                                value_col: str,
+                                ps: list[float]) -> DataFrame:
+    """EXACT linear-interpolation percentiles per group for frames that
+    are BOUNDED BY CONSTRUCTION — the caller guarantees each group
+    holds O(constant) rows (e.g. bootstrap replicate cells: B per
+    group, B a compile-time constant), so a per-group window sort is a
+    single small task and the heavyweight
+    :func:`grouped_exact_percentiles` histogram-CDF machinery (range
+    shuffle + prefix offsets + multi-consumer checkpoint) is pure
+    overhead. Same output contract — one row per (group, percentile):
+    ``group_cols ++ [_p_idx, value]`` — and the IDENTICAL quantile_cont
+    interpolation discipline (``rn = (n-1)*p`` in IEEE double, the
+    SYMMETRIC ``(1-frac)*v_lo + frac*v_hi`` form), so a caller can swap
+    implementations without moving a hash. NULLs are excluded first
+    (SQL percentile semantics).
+
+    Scale shape: ONE hash shuffle on the group key, per-group window
+    over the bounded frame, map-side filter to the ≤2 straddling rows
+    per (group, p), tiny final agg. No checkpoint, no extra consumers:
+    the upstream plan executes exactly once inside the action, never at
+    plan-build (the r14 AQE/localCheckpoint gotcha — SCALE.md)."""
+    vals = (df.select(*group_cols, value_col)
+            .where(F.col(value_col).isNotNull()))
+    w_rank = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_all = Window.partitionBy(*group_cols)
+    ranked = vals.select(
+        *group_cols, value_col,
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"))
+    targets_per_p = F.array(*[
+        F.struct(F.lit(i).alias("_p_idx"),
+                 F.lit(float(p)).alias("_p")) for i, p in enumerate(ps)])
+    rn = (F.col("_n") - F.lit(1)).cast("double") * F.col("_t._p")
+    tg = (ranked.select(*group_cols, value_col, "_rn",
+                        F.explode(targets_per_p).alias("_t"),
+                        F.col("_n"))
+          .select(*group_cols, value_col, "_rn",
+                  F.col("_t._p_idx").alias("_p_idx"),
+                  (F.floor(rn).cast("long") + 1).alias("_lo"),
+                  (F.ceil(rn).cast("long") + 1).alias("_hi"),
+                  (rn - F.floor(rn)).alias("_frac")))
+    hit_lo = F.col("_rn") == F.col("_lo")
+    hit_hi = F.col("_rn") == F.col("_hi")
+    return (tg.where(hit_lo | hit_hi)
+            .groupBy(*group_cols, "_p_idx")
+            .agg(F.max(F.when(hit_lo, F.col(value_col))).alias("_v_lo"),
+                 F.max(F.when(hit_hi, F.col(value_col))).alias("_v_hi"),
+                 F.min("_frac").alias("_frac"))
+            .select(*group_cols, "_p_idx",
+                    ((F.lit(1.0) - F.col("_frac")) * F.col("_v_lo")
+                     + F.col("_frac") * F.col("_v_hi"))
+                    .alias("value")))
+
+
 def ntile_bucket(rank: Column, total: Column, n: int) -> Column:
     """Exact ntile bucket from a 1-based global rank: the first
     ``total mod n`` buckets hold ``total div n + 1`` rows, the rest

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators.ranking import (
+    grouped_bounded_percentiles,
     grouped_exact_percentiles,
 )
 from hippo_claim_crossover_spark.plans.base import (
@@ -393,13 +394,24 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     × B is map-side, never shuffled raw: the partial agg combines to
     (group, replicate) cells before the exchange), one partial/final
     agg to B·|groups| cells, and the interval over B values per group
-    runs through the histogram-CDF percentile machinery. At 100 TB the
-    shuffle carries |groups|·B fixed-width cells — independent of row
+    is a bounded-frame window interpolation
+    (grouped_bounded_percentiles — the cells are |groups|·B by
+    construction, so the histogram-CDF machinery and its plan-build
+    checkpoint are pure overhead; r15, was 16.8s one-shot at sf0.1,
+    dominated by the checkpoint materializing the fan-out in ONE task
+    off a single parquet split). The narrow (prio, key, micros)
+    projection is explicitly repartitioned before the explode so the
+    ×B md5 draw — the only row-proportional CPU in the query —
+    parallelizes across all cores even when the scan yields few input
+    splits; the explicit partition count keeps AQE from coalescing the
+    KB-sized exchange back to one task. At 100 TB the post-agg shuffle
+    still carries |groups|·B fixed-width cells — independent of row
     count."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("prio"), "o_orderkey",
         money_micros(F.col("o_totalprice")).alias("x_u"))
-    rep = o.select(
+    parts = spark.sparkContext.defaultParallelism
+    rep = o.repartition(parts).select(
         "prio", "o_orderkey", "x_u",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"))
     u = (hex2long(F.md5(F.concat_ws(
@@ -416,7 +428,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("mean_b",
                          F.col("_swx").cast("double")
                          / F.col("_sw").cast("double") / F.lit(1e6)))
-    ci = grouped_exact_percentiles(
+    ci = grouped_bounded_percentiles(
         means.select("prio", "mean_b"), ["prio"], "mean_b",
         [0.025, 0.975])
     point = (o.groupBy("prio")
@@ -424,11 +436,15 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.sum("x_u").cast("double")
                    / F.count(F.lit(1)).cast("double") / F.lit(1e6))
                   .alias("_pm")))
-    lo = ci.where(F.col("_p_idx") == 0).select(
-        "prio", F.col("value").alias("_lo"))
-    hi = ci.where(F.col("_p_idx") == 1).select(
-        "prio", F.col("value").alias("_hi"))
-    return (point.join(lo, "prio").join(hi, "prio")
+    # Pivot lo/hi into ONE row per group so the replicate subplan has
+    # exactly one consumer (two filtered joins would execute the ×B
+    # fan-out twice — exchange reuse is not guaranteed under AQE).
+    band = (ci.groupBy("prio")
+            .agg(F.max(F.when(F.col("_p_idx") == 0, F.col("value")))
+                 .alias("_lo"),
+                 F.max(F.when(F.col("_p_idx") == 1, F.col("value")))
+                 .alias("_hi")))
+    return (point.join(band, "prio")
             .select(F.col("prio").alias("o_orderpriority"), "n",
                     duck_round(F.col("_pm"), 4).alias("mean_value"),
                     duck_round(F.col("_lo"), 4).alias("ci_lo"),

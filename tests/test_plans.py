@@ -1643,13 +1643,20 @@ def test_weighted_median_rides_histogram_cdf(spark):
 def test_bootstrap_ci_shuffles_cells_not_rows(spark):
     """q_bootstrap_ci: the replicate fan-out must combine map-side to
     (group, replicate) cells before the exchange (partial_sum in plan),
-    the interval must ride the histogram-CDF machinery
-    (rangepartitioning), no CartesianProduct; statistically the CI must
-    bracket the point mean with positive width."""
+    the fan-out stage must be explicitly repartitioned so the ×B md5
+    draw parallelizes off a single parquet split (REPARTITION_BY_NUM
+    hint survives into the optimized plan), the interval must be the
+    bounded-frame window interpolation (a Window node, and NO
+    checkpointed RDD scan — the r15 one-shot fix dropped the
+    histogram-CDF machinery whose plan-build localCheckpoint surfaced
+    as `Scan ExistingRDD`), no CartesianProduct; statistically the CI
+    must bracket the point mean with positive width."""
     plan = _plan(spark, "q_bootstrap_ci")
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "ExistingRDD" not in plan
+    assert "Window" in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
     rows = ALL_SPECS["q_bootstrap_ci"].fn(spark, SF_DIR).collect()
     assert len(rows) == 5  # order priorities
     for r in rows:
