@@ -101,6 +101,26 @@ SCHEMAS: dict[str, T.StructType] = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Small driver-side literal table as a DataFrame via the
+    Arrow/pandas path. ``createDataFrame(list)`` builds a
+    defaultParallelism-slice PYTHON RDD — every evaluation runs ~32
+    pickled-partition tasks through Python workers, and a downstream
+    ``coalesce(1)`` chains them into one task paying a worker round
+    trip PER SLICE (measured ~4.4s for a 2-row frame, r15). Routing
+    through pandas keeps the literal JVM-side. ``schema`` may be a DDL
+    string (``"a long, b string"``) or a StructType; column order in
+    ``rows`` must match it."""
+    import pandas as pd
+
+    if isinstance(schema, str):
+        names = [f.name for f in T.StructType.fromDDL(schema).fields]
+    else:
+        names = [f.name for f in schema.fields]
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=names), schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; Parquet carries the schema, Catalyst prunes
     columns/pushes filters into the scan automatically."""

@@ -199,7 +199,7 @@ def kmeans_fit(df: DataFrame, n_cells: int, iters: int,
             kmeans_assign_arrow(df, crows, id_col=id_col, vec_col=vec_col),
             vec_col=vec_col)
     crows = [(r[0], list(r[1])) for r in cents.orderBy("cent_id").collect()]
-    cents_lit = spark.createDataFrame(
-        crows, "cent_id long, cv array<double>")
+    from hippo_claim_crossover_spark.io import local_frame
+    cents_lit = local_frame(spark, crows, "cent_id long, cv array<double>")
     return (kmeans_assign_arrow(df, crows, id_col=id_col, vec_col=vec_col),
             cents_lit)

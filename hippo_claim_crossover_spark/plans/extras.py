@@ -1473,8 +1473,9 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/ranking.py grouped_global_rank — range shuffle + local
     row_number + broadcast prefix offsets — not a per-source Window
     that would sort each domain's full corpus in one task at 100 TB."""
-    shares = F.broadcast(spark.createDataFrame(
-        MIX_SHARES, "source string, share bigint"))
+    from hippo_claim_crossover_spark.io import local_frame
+    shares = F.broadcast(local_frame(
+        spark, MIX_SHARES, "source string, share bigint"))
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     tagged = docs.join(shares, "source").localCheckpoint(eager=False)
     avail = (tagged.groupBy("source", "share")

@@ -1679,7 +1679,9 @@ def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_discounted"))
     filtered.write.format("noop").mode("overwrite").save()
     mi, mo = obs_in.get, obs_out.get
-    return spark.createDataFrame(
+    from hippo_claim_crossover_spark.io import local_frame
+    return local_frame(
+        spark,
         [("ingest", mi["n_rows"], mi["price_micros"], mi["n_discounted"]),
          ("filtered", mo["n_rows"], mo["price_micros"],
           mo["n_discounted"])],

@@ -138,7 +138,7 @@ def _write_stream_batches(spark: SparkSession, batches,
 
     from hippo_claim_crossover_spark.streaming.ops import EVENT_STREAM_SCHEMA
 
-    import pandas as pd
+    from hippo_claim_crossover_spark.io import local_frame
 
     run_id = next(_LATE_RUN)
     src = src_dir or ("/root/repo/_scratch/"
@@ -147,15 +147,13 @@ def _write_stream_batches(spark: SparkSession, batches,
     os.makedirs(src, exist_ok=True)
     for i, rows in enumerate(batches, start=start):
         stage = f"{src}.stage"
-        # Arrow/pandas path: plans as a JVM LocalRelation. The plain
-        # list path builds a 32-slice PYTHON RDD whose coalesce(1)
-        # chains every pickled slice into one task — one Python-worker
-        # round trip PER SLICE, measured ~4.4s per 2-row batch write vs
-        # ~0.1s here (r15; was the dominant cost of every streaming
-        # harness query in the sweep).
-        pdf = pd.DataFrame(rows, columns=[f.name for f in
-                                          EVENT_STREAM_SCHEMA.fields])
-        (spark.createDataFrame(pdf, EVENT_STREAM_SCHEMA)
+        # local_frame (Arrow/pandas path): the plain-list
+        # createDataFrame builds a 32-slice PYTHON RDD whose
+        # coalesce(1) chains every pickled slice into one task — one
+        # Python-worker round trip PER SLICE, measured ~4.4s per 2-row
+        # batch write vs ~0.1s here (r15; was the dominant cost of
+        # every streaming harness query in the sweep).
+        (local_frame(spark, rows, EVENT_STREAM_SCHEMA)
          .coalesce(1).write.mode("overwrite").parquet(stage))
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         dst = os.path.join(src, f"batch-{i}.parquet")
