@@ -114,6 +114,27 @@ def test_readme_query_count_matches_registry():
             f"README says {c} queries; registry has {len(ALL_SPECS)}")
 
 
+def test_survey_section2_tags_match_the_registry_exactly():
+    """SURVEY.md §2 claims to be the 1:1 operator contract
+    (`__spark_entry__.py`: "one entry per implemented operator from
+    SURVEY.md §2") — so its backticked q_* tag set must equal ALL_SPECS
+    exactly: a registry query without a §2 row is an undocumented
+    operator (the r14 VERDICT's doc gap), and a §2 tag without a
+    registry entry is a dead claim."""
+    import re
+
+    from hippo_claim_crossover_spark.plans import ALL_SPECS
+
+    survey = os.path.join(os.path.dirname(PKG), "SURVEY.md")
+    with open(survey) as f:
+        text = f.read()
+    sec2_start = re.search(r"^## 2\. ", text, re.M).start()
+    sec2 = text[sec2_start:re.search(r"^## 3\. ", text, re.M).start()]
+    tags = set(re.findall(r"`(q_[a-z0-9_]+)`", sec2))
+    assert tags - set(ALL_SPECS) == set(), sorted(tags - set(ALL_SPECS))
+    assert set(ALL_SPECS) - tags == set(), sorted(set(ALL_SPECS) - tags)
+
+
 def test_bench_headline_is_a_subset_of_the_registry():
     """Every bench.py HEADLINE name must resolve in ALL_SPECS (a renamed
     or dropped query would otherwise crash the driver's per-round bench
