@@ -266,6 +266,8 @@ HEADLINE = [
     # round-14 addition: RRF fusion ablation across two embedding
     # families (full 64-dim vs Matryoshka-truncated 16-dim)
     "q_fuse_ablation",
+    # round-15 addition: RRF k-sensitivity ablation (k in {20,60,100})
+    "q_fuse_k_ablation",
 ]
 
 

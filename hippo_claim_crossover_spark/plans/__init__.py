@@ -54,11 +54,12 @@ GATE_ORDER = [
     # passed fresh at r14). Composition: 4 CHANGED-code queries first
     # (q_approx_cd: null-safe exact/approx join, r14 ADVICE;
     # q_bootstrap_ci: bounded-percentile restructure, one-shot 21.6s ->
-    # ~5s; q_fuse_ablation: TOP_K-derived rank sentinel + RRF
-    # k-sensitivity axis; q_sim_ivf: IVF-assign Arrow kernel) + the 46
-    # r9-cohort queries. After this round no query's latest driver
-    # record predates r10. --
-    "q_approx_cd", "q_bootstrap_ci", "q_fuse_ablation", "q_sim_ivf",
+    # ~5s; q_fuse_ablation: TOP_K-derived rank sentinel; NEW
+    # q_fuse_k_ablation: the VERDICT r14 #6 depth pick — RRF
+    # k-sensitivity ablation over k in {20,60,100}) + the 46 r9-cohort
+    # queries. After this round no query's latest driver record
+    # predates r10. --
+    "q_approx_cd", "q_bootstrap_ci", "q_fuse_ablation", "q_fuse_k_ablation",
     "q_ab_test", "q_active_users", "q_cms_sketch", "q_coalesce2",
     "q_coalesce_pair", "q_corr_matrix", "q_cust_order_dist",
     "q_cusum_changepoint", "q_dataset_mixture", "q_date_fmt", "q_dedup_near",
@@ -93,7 +94,8 @@ GATE_ORDER = [
     "q_outlier_seasonal", "q_graph_sage_agg", "q_dp_counts", "q_join_asof_fwd",
     "q_mm_dedup", "q_rolling_zscore", "q_vocab_oov", "q_weighted_median",
     "q_stream_chained", "q_join_asof", "q_sim_topk", "q_sim_lsh_buckets",
-    "q_sim_knn_blocked", "q_sim_ivf_persisted", "q_sim_pq", "q_agg_exists",
+    "q_sim_knn_blocked", "q_sim_ivf", "q_sim_ivf_persisted", "q_sim_pq",
+    "q_agg_exists",
     "q_agg_sum", "q_assoc_rules", "q_date_spine", "q_decontaminate",
     "q_dedup_cluster", "q_dedup_embed", "q_dedup_keep_best", "q_dedup_ngram",
     "q_dedup_simhash_pairs", "q_funnel", "q_grouping_sets", "q_histogram",

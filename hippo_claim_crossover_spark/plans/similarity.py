@@ -725,6 +725,115 @@ ORDER BY coalesce(f.rank_full, {NULL_RANK_SENTINEL}),
 """
 
 
+RRF_K_GRID = (20, 60, 100)
+
+
+def q_fuse_k_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF k-SENSITIVITY ABLATION — the other axis of the fusion
+    analysis (q_fuse_ablation varies the EMBEDDING family at fixed k;
+    this varies the RRF constant k over :data:`RRF_K_GRID` at the fixed
+    full-dim family). Small k trusts top ranks sharply (rank 1 scores
+    ~3.3× rank 10 at k=20); large k flattens toward set-union voting —
+    Cormack et al.'s k=60 is a robustness middle. The deliverable is
+    the doc-aligned rank table across the three fused top-10 lists:
+    one row per doc appearing in ANY list, (doc_id, rank_k20, rank_k60,
+    rank_k100), NULL where that k's list drops the doc — how a
+    retrieval team decides whether the fusion is k-stable before
+    shipping it.
+
+    Shape: the lexical and dense rank lists are k-INDEPENDENT, so both
+    are computed once (each bounded to top-50 by its own
+    TakeOrderedAndProject, exactly q_retrieve_fuse's stages); the k
+    axis is a constant 3-way explode over the ≤100-row fused frame,
+    ranked per k by one bounded window, pivoted to columns by a
+    conditional agg. Nothing data-sized is re-scanned per k — the
+    corpus is read once for BM25 and once for cosines regardless of
+    grid size.
+
+    Determinism: same discipline as q_retrieve_fuse — integer ranks
+    over (rounded score, doc_id) orders; per-k fused scores are
+    fixed-order sums of exact binary rationals' IEEE quotients,
+    identical cross-engine; per-k membership breaks ties on doc_id."""
+    lex = _bm25_candidates(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex)
+                       .alias("lex_rank"))
+    e = _vectors(spark, sf_dir)
+    q = _query_vec(e)
+    dense = ops_sim.cosine_topk(
+        e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
+    w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    den_r = dense.select(F.col("vec_id").alias("doc_id"),
+                         F.row_number().over(w_den).alias("dense_rank"))
+    scored = (lex_r.join(den_r, "doc_id", "full_outer")
+              .select("doc_id", "lex_rank", "dense_rank",
+                      F.explode(F.array(*[F.lit(k) for k in RRF_K_GRID]))
+                      .alias("k"))
+              .withColumn(
+                  "_rrf",
+                  F.coalesce(1.0 / (F.col("k") + F.col("lex_rank")),
+                             F.lit(0.0))
+                  + F.coalesce(1.0 / (F.col("k") + F.col("dense_rank")),
+                               F.lit(0.0))))
+    w_k = Window.partitionBy("k").orderBy(F.col("_rrf").desc(), "doc_id")
+    ranked = (scored.withColumn("_rn", F.row_number().over(w_k))
+              .where(F.col("_rn") <= TOP_K))
+    return (ranked.groupBy("doc_id")
+            .agg(*[F.max(F.when(F.col("k") == k, F.col("_rn")))
+                   .alias(f"rank_k{k}") for k in RRF_K_GRID])
+            .orderBy("doc_id"))
+
+
+def _oracle_fuse_k_ablation() -> str:
+    from hippo_claim_crossover_spark.plans.text import ORACLE_BM25
+    grid = ", ".join(str(k) for k in RRF_K_GRID)
+    pivot = ",\n       ".join(
+        f"CAST(max(CASE WHEN k = {k} THEN rn END) AS INTEGER)"
+        f" AS rank_k{k}" for k in RRF_K_GRID)
+    return f"""
+WITH bm AS ({ORACLE_BM25}),
+lex AS (
+  SELECT doc_id, score FROM bm WHERE doc_id != {QUERY_VEC_ID}
+  ORDER BY score DESC, doc_id LIMIT {N_RERANK_CAND}
+), lex_r AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS INTEGER) AS lex_rank
+  FROM lex
+), n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = {QUERY_VEC_ID}),
+dense AS (
+  SELECT n.vec_id,
+         {_r4('list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm)')} AS cosine
+  FROM n, q WHERE n.vec_id != {QUERY_VEC_ID}
+  ORDER BY cosine DESC, vec_id LIMIT {N_RERANK_CAND}
+), den_r AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+              AS INTEGER) AS dense_rank
+  FROM dense
+), grid AS (SELECT unnest([{grid}]) AS k),
+fused AS (
+  SELECT g.k, coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / (g.k + l.lex_rank), 0.0)
+           + coalesce(1.0 / (g.k + d.dense_rank), 0.0) AS rrf
+  FROM (lex_r l FULL OUTER JOIN den_r d ON l.doc_id = d.doc_id)
+       CROSS JOIN grid g
+), ranked AS (
+  SELECT k, doc_id, row_number() OVER (PARTITION BY k
+         ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT doc_id,
+       {pivot}
+FROM ranked WHERE rn <= {TOP_K}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX EVALUATION — recall@k of the IVF probe against exact
     brute force, the measurement every pipeline runs before trusting an
@@ -903,4 +1012,9 @@ SPECS: dict[str, QuerySpec] = {
         "RRF fusion ablation across two embedding families (full 64-dim "
         "vs Matryoshka-truncated 16-dim): doc-aligned rank-shift/dropout "
         "table over the two fused top-10 lists"),
+    "q_fuse_k_ablation": QuerySpec(
+        q_fuse_k_ablation, _oracle_fuse_k_ablation(),
+        "RRF k-sensitivity ablation (k in {20,60,100}, fixed full-dim "
+        "family): doc-aligned rank table across the three fused top-10 "
+        "lists — rank lists computed once, k axis a constant explode"),
 }

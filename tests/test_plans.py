@@ -1930,6 +1930,37 @@ def test_fuse_ablation_bounded_and_families_genuinely_differ(spark):
         "families agree exactly — ablation exercises nothing"
 
 
+def test_fuse_k_ablation_single_scan_per_system_and_k_stable_shape(spark):
+    """q_fuse_k_ablation: the rank lists are computed ONCE — exactly one
+    lex TakeOrdered and one dense TakeOrdered feed all three k values
+    (so TakeOrderedAndProject appears for the two system reductions,
+    NOT once per k), exactly ONE full-outer fuse join, a single Expand/
+    explode carries the constant k axis, and no cartesian. Value
+    invariants: each k column's non-null ranks are exactly 1..10 (every
+    fused list is a complete top-10), no all-NULL row, rows ordered by
+    doc_id, and k=60's ranks must match q_retrieve_fuse's fused order
+    restricted to the same docs (the shared-k cross-check)."""
+    plan = _plan(spark, "q_fuse_k_ablation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FullOuter") == 1
+    assert 2 <= plan.count("TakeOrderedAndProject") <= 3
+    rows = ALL_SPECS["q_fuse_k_ablation"].fn(spark, SF_DIR).collect()
+    assert 10 <= len(rows) <= 30
+    for k in (20, 60, 100):
+        ranks = [r[f"rank_k{k}"] for r in rows
+                 if r[f"rank_k{k}"] is not None]
+        assert sorted(ranks) == list(range(1, 11)), k
+    assert all(any(r[f"rank_k{k}"] is not None for k in (20, 60, 100))
+               for r in rows)
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids)
+    fuse = ALL_SPECS["q_retrieve_fuse"].fn(spark, SF_DIR).collect()
+    order60 = {r["doc_id"]: i + 1 for i, r in enumerate(fuse)}
+    for r in rows:
+        if r["rank_k60"] is not None:
+            assert order60.get(r["doc_id"]) == r["rank_k60"], r
+
+
 def test_semdedup_pairs_are_cell_blocked_and_accounting_consistent(spark):
     """q_semdedup: the pair stage must be an equi-join on the FULL
     blocking key (cluster cell AND SRP sub-bucket — never a cartesian,

@@ -110,6 +110,8 @@ TABLES_FOR = {
     "q_stream_rocksdb": ["events"],
     # r14 newcomer
     "q_fuse_ablation": ["documents", "embeddings"],
+    # r15 newcomer
+    "q_fuse_k_ablation": ["documents", "embeddings"],
 }
 N_JUNK = 12  # documents salt size; see module docstring for the bound
 
