@@ -262,6 +262,47 @@ def test_grouped_exact_percentiles_property(spark, rows, ps):
                 g, p, got[(g, i)], want)
 
 
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False,
+                        width=64)),
+    min_size=1, max_size=60),
+    st.lists(st.floats(min_value=0.0, max_value=1.0,
+                       allow_nan=False, width=64),
+             min_size=1, max_size=4, unique=True))
+def test_grouped_bounded_percentiles_matches_exact_form(spark, rows, ps):
+    """grouped_bounded_percentiles (the r15 window form for
+    bounded-by-construction frames) must be BIT-IDENTICAL to
+    grouped_exact_percentiles on the same input — the swap-without-
+    moving-a-hash contract its docstring promises — and equal numpy's
+    linear quantile."""
+    import numpy as np
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_bounded_percentiles,
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g"], r["_p_idx"]): r["value"]
+           for r in grouped_bounded_percentiles(df, ["g"], "v",
+                                                ps).collect()}
+    ref = {(r["g"], r["_p_idx"]): r["value"]
+           for r in grouped_exact_percentiles(df, ["g"], "v", ps,
+                                              n_partitions=4).collect()}
+    assert got == ref  # bit-identical, not approximately equal
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        for i, p in enumerate(ps):
+            want = float(np.quantile(np.array(vs), p, method="linear"))
+            assert abs(got[(g, i)] - want) <= 1e-9 * max(1.0, abs(want)), (
+                g, p, got[(g, i)], want)
+
+
 @settings(max_examples=6, deadline=None)
 @given(st.lists(
     st.tuples(st.sampled_from(["a", "b"]),
