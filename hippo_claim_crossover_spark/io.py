@@ -110,7 +110,14 @@ def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
     trip PER SLICE (measured ~4.4s for a 2-row frame, r15). Routing
     through pandas keeps the literal JVM-side. ``schema`` may be a DDL
     string (``"a long, b string"``) or a StructType; column order in
-    ``rows`` must match it."""
+    ``rows`` must match it.
+
+    Caveat (r15): pandas uses NaN as its null sentinel, so a
+    ``float('nan')`` in a double column arrives as SQL NULL here,
+    where the list path would preserve it as NaN. No call site passes
+    NaN (fixture literals are ints/strings/timestamps); if one ever
+    must, use ``createDataFrame(list)`` for that frame or an explicit
+    ``pyarrow.Table`` with ``nan_as_null=False``."""
     import pandas as pd
 
     if isinstance(schema, str):

@@ -511,6 +511,30 @@ LIMIT {TOP_K}
 RRF_K = 60
 
 
+def _lex_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lexical ranked list: the BM25 top-50 candidate frame as
+    (doc_id, lex_rank). One definition for the fuse family
+    (q_retrieve_fuse and both ablations) so the tiebreak discipline —
+    score desc, doc_id — cannot silently diverge between the query and
+    the ablations that cross-check it (r15)."""
+    lex = _bm25_candidates(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    return lex.select("doc_id", F.row_number().over(w_lex)
+                      .alias("lex_rank"))
+
+
+def _dense_ranks(e: DataFrame) -> DataFrame:
+    """Dense ranked list for one embedding family: cosine top-50 as
+    (doc_id, dense_rank), tiebreak cosine desc then vec_id — the
+    single definition shared by the fuse family (r15)."""
+    q = _query_vec(e)
+    dense = ops_sim.cosine_topk(
+        e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
+    w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    return dense.select(F.col("vec_id").alias("doc_id"),
+                        F.row_number().over(w_den).alias("dense_rank"))
+
+
 def q_retrieve_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID-SEARCH FUSION via Reciprocal Rank Fusion — the other
     standard way to combine lexical and dense retrieval (q_retrieve_
@@ -534,17 +558,8 @@ def q_retrieve_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on the raw fused sum; membership cannot diverge)."""
     from hippo_claim_crossover_spark.plans.base import duck_round
 
-    lex = _bm25_candidates(spark, sf_dir)
-    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
-    lex_r = lex.select("doc_id", F.row_number().over(w_lex)
-                       .alias("lex_rank"))
-    e = _vectors(spark, sf_dir)
-    q = _query_vec(e)
-    dense = ops_sim.cosine_topk(
-        e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
-    w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")
-    den_r = dense.select(F.col("vec_id").alias("doc_id"),
-                         F.row_number().over(w_den).alias("dense_rank"))
+    lex_r = _lex_ranks(spark, sf_dir)
+    den_r = _dense_ranks(_vectors(spark, sf_dir))
     fused = (lex_r.join(den_r, "doc_id", "full_outer")
              .select("doc_id", "lex_rank", "dense_rank",
                      (F.coalesce(1.0 / (F.lit(RRF_K)
@@ -607,12 +622,7 @@ def _fused_topk_ranks(lex_r: DataFrame, e: DataFrame,
     and return the fused top-:data:`TOP_K` as (doc_id, <rank_col>) —
     q_retrieve_fuse's fuse stage, parameterized over the embedding frame
     so the ablation runs it once per family."""
-    q = _query_vec(e)
-    dense = ops_sim.cosine_topk(
-        e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
-    w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")
-    den_r = dense.select(F.col("vec_id").alias("doc_id"),
-                         F.row_number().over(w_den).alias("dense_rank"))
+    den_r = _dense_ranks(e)
     fused = (lex_r.join(den_r, "doc_id", "full_outer")
              .select("doc_id",
                      (F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")),
@@ -654,10 +664,7 @@ def q_fuse_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both families rank on 4dp-rounded cosines with vec_id
     tiebreaks, fused order breaks ties on doc_id, output ranks are
     integers — fully hash-checked."""
-    lex = _bm25_candidates(spark, sf_dir)
-    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
-    lex_r = lex.select("doc_id", F.row_number().over(w_lex)
-                       .alias("lex_rank"))
+    lex_r = _lex_ranks(spark, sf_dir)
     e = _vectors(spark, sf_dir)
     full_r = _fused_topk_ranks(lex_r, e, "rank_full")
     e_tr = e.select("vec_id", F.slice("v", 1, TRUNC_DIM).alias("v"))
@@ -754,17 +761,8 @@ def q_fuse_k_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (rounded score, doc_id) orders; per-k fused scores are
     fixed-order sums of exact binary rationals' IEEE quotients,
     identical cross-engine; per-k membership breaks ties on doc_id."""
-    lex = _bm25_candidates(spark, sf_dir)
-    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
-    lex_r = lex.select("doc_id", F.row_number().over(w_lex)
-                       .alias("lex_rank"))
-    e = _vectors(spark, sf_dir)
-    q = _query_vec(e)
-    dense = ops_sim.cosine_topk(
-        e.where(F.col("vec_id") != QUERY_VEC_ID), q, N_RERANK_CAND)
-    w_den = Window.orderBy(F.col("cosine").desc(), "vec_id")
-    den_r = dense.select(F.col("vec_id").alias("doc_id"),
-                         F.row_number().over(w_den).alias("dense_rank"))
+    lex_r = _lex_ranks(spark, sf_dir)
+    den_r = _dense_ranks(_vectors(spark, sf_dir))
     scored = (lex_r.join(den_r, "doc_id", "full_outer")
               .select("doc_id", "lex_rank", "dense_rank",
                       F.explode(F.array(*[F.lit(k) for k in RRF_K_GRID]))

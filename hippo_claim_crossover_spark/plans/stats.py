@@ -400,18 +400,32 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint are pure overhead; r15, was 16.8s one-shot at sf0.1,
     dominated by the checkpoint materializing the fan-out in ONE task
     off a single parquet split). The narrow (prio, key, micros)
-    projection is explicitly repartitioned before the explode so the
-    ×B md5 draw — the only row-proportional CPU in the query —
-    parallelizes across all cores even when the scan yields few input
-    splits; the explicit partition count keeps AQE from coalescing the
-    KB-sized exchange back to one task. At 100 TB the post-agg shuffle
-    still carries |groups|·B fixed-width cells — independent of row
+    projection is explicitly repartitioned before the explode — but
+    ONLY when the scan yields fewer splits than cores — so the ×B md5
+    draw (the only row-proportional CPU in the query) parallelizes on
+    the single-split local fixture while a many-split cluster scan
+    pays no row-proportional exchange; the explicit partition count
+    keeps AQE from coalescing the small exchange back to one task. At
+    100 TB the scan side is split-parallel already and the post-agg
+    shuffle carries |groups|·B fixed-width cells — independent of row
     count."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("prio"), "o_orderkey",
         money_micros(F.col("o_totalprice")).alias("x_u"))
+    # Even the ×B CPU across cores ONLY when the scan yields fewer
+    # splits than the cluster has slots (the local single-split
+    # fixture case). At 100 TB the scan already has thousands of
+    # splits, so an unconditional RoundRobin exchange of every raw
+    # (prio, key, micros) row would be pure network cost — the
+    # condition keeps the plan's contract that only the |groups|·B
+    # fixed-width cells shuffle at scale. getNumPartitions() is a
+    # plan-time question (scan split arithmetic); no job runs.
     parts = spark.sparkContext.defaultParallelism
-    rep = o.repartition(parts).select(
+    if o.rdd.getNumPartitions() < parts:
+        o_spread = o.repartition(parts)
+    else:
+        o_spread = o
+    rep = o_spread.select(
         "prio", "o_orderkey", "x_u",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"))
     u = (hex2long(F.md5(F.concat_ws(

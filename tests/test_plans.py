@@ -1645,7 +1645,10 @@ def test_bootstrap_ci_shuffles_cells_not_rows(spark):
     (group, replicate) cells before the exchange (partial_sum in plan),
     the fan-out stage must be explicitly repartitioned so the ×B md5
     draw parallelizes off a single parquet split (REPARTITION_BY_NUM
-    hint survives into the optimized plan), the interval must be the
+    hint survives into the optimized plan — the repartition is
+    CONDITIONAL on scan splits < cores, which always holds for the
+    single-split local fixture this test reads; a many-split cluster
+    scan skips the exchange entirely, r15), the interval must be the
     bounded-frame window interpolation (a Window node, and NO
     checkpointed RDD scan — the r15 one-shot fix dropped the
     histogram-CDF machinery whose plan-build localCheckpoint surfaced

@@ -64,6 +64,43 @@ def test_freshness_json_artifact_shape(tmp_path):
     assert d["failing"] == []
 
 
+def test_stage_audit_ledger_dedupes_attempts_and_skipped():
+    """r15 ADVICE: /stages returns one entry per stage ATTEMPT and
+    includes SKIPPED exchange-reuse placeholders. A retried stage must
+    count its LATEST attempt's metrics only (no double-counted
+    shuffle), the failed attempt must still be flagged, and SKIPPED
+    stages must not inflate n_stages."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from stage_audit import _ledger
+    finally:
+        sys.path.pop(0)
+    mb = 1024 * 1024
+    entries = [
+        # stage 1: failed attempt 0 (partial shuffle) + retry attempt 1
+        {"stageId": 1, "attemptId": 0, "status": "FAILED",
+         "shuffleWriteBytes": 3 * mb, "numCompleteTasks": 2,
+         "memoryBytesSpilled": 5 * mb},
+        {"stageId": 1, "attemptId": 1, "status": "COMPLETE",
+         "shuffleWriteBytes": 10 * mb, "numCompleteTasks": 8},
+        # stage 2: plain complete stage
+        {"stageId": 2, "attemptId": 0, "status": "COMPLETE",
+         "shuffleReadBytes": 10 * mb, "numCompleteTasks": 4},
+        # stage 3: exchange-reuse placeholder
+        {"stageId": 3, "attemptId": 0, "status": "SKIPPED",
+         "numCompleteTasks": 0},
+    ]
+    led = _ledger(entries)
+    assert led["n_stages"] == 2
+    assert led["n_skipped_stages"] == 1
+    assert led["n_failed_stages"] == 1          # flagged, not summed
+    assert led["n_tasks"] == 12
+    assert led["shuffle_write_mb"] == 10.0      # not 13: latest attempt
+    assert led["shuffle_read_mb"] == 10.0
+    assert led["spill_mem_mb"] == 0.0           # failed attempt's spill
+    assert led["peak_stage_shuffle_write_mb"] == 10.0
+
+
 def test_stage_audit_end_to_end_two_queries(tmp_path):
     """The audit must attribute stages per query via the snapshot
     discipline (n_stages > 0 for both), report the spill/shuffle
@@ -83,6 +120,7 @@ def test_stage_audit_end_to_end_two_queries(tmp_path):
         assert "error" not in q, q
         assert q["n_stages"] > 0 and q["n_tasks"] > 0
         assert q["n_failed_stages"] == 0
+        assert "n_skipped_stages" in q
         for field in ("shuffle_write_mb", "shuffle_read_mb",
                       "spill_mem_mb", "spill_disk_mb", "wall_sec"):
             assert field in q

@@ -63,20 +63,40 @@ def audit_query(spark, name: str, sf_dir: str) -> dict:
         .mode("overwrite").save()
     wall = time.time() - t0
     new = [s for s in _stages(spark) if s["stageId"] not in before]
-    writes = [s.get("shuffleWriteBytes", 0) for s in new]
+    return {"wall_sec": round(wall, 3), **_ledger(new)}
+
+
+def _ledger(new: list[dict]) -> dict:
+    """Aggregate one query's newly-appeared stage entries into the
+    per-query ledger. The endpoint returns one entry per stage
+    ATTEMPT; summing raw entries would double-count a retried stage
+    (the failed attempt's partial shuffle plus the retry's full one)
+    and would count SKIPPED exchange-reuse placeholders toward
+    n_stages. Metrics therefore come from the LATEST attempt per
+    stage, excluding SKIPPED; retries and reuse are flagged, not
+    summed (r15)."""
+    latest: dict[int, dict] = {}
+    for s in new:
+        k = s["stageId"]
+        if k not in latest or s.get("attemptId", 0) \
+                > latest[k].get("attemptId", 0):
+            latest[k] = s
+    live = [s for s in latest.values() if s.get("status") != "SKIPPED"]
+    writes = [s.get("shuffleWriteBytes", 0) for s in live]
     return {
-        "wall_sec": round(wall, 3),
-        "n_stages": len(new),
+        "n_stages": len(live),
+        "n_skipped_stages": sum(1 for s in latest.values()
+                                if s.get("status") == "SKIPPED"),
         "n_failed_stages": sum(1 for s in new
                                if s.get("status") == "FAILED"),
-        "n_tasks": sum(s.get("numCompleteTasks", 0) for s in new),
+        "n_tasks": sum(s.get("numCompleteTasks", 0) for s in live),
         "shuffle_write_mb": round(sum(writes) / MB, 2),
         "shuffle_read_mb": round(
-            sum(s.get("shuffleReadBytes", 0) for s in new) / MB, 2),
+            sum(s.get("shuffleReadBytes", 0) for s in live) / MB, 2),
         "spill_mem_mb": round(
-            sum(s.get("memoryBytesSpilled", 0) for s in new) / MB, 2),
+            sum(s.get("memoryBytesSpilled", 0) for s in live) / MB, 2),
         "spill_disk_mb": round(
-            sum(s.get("diskBytesSpilled", 0) for s in new) / MB, 2),
+            sum(s.get("diskBytesSpilled", 0) for s in live) / MB, 2),
         "peak_stage_shuffle_write_mb": round(max(writes, default=0) / MB, 2),
     }
 
@@ -132,18 +152,20 @@ def main() -> int:
     else:
         print("no query spills at this SF")
     # Distinct exit codes so a green-looking ledger can't hide failures:
-    # 1 = spill, 3 = a query's audit itself errored, 4 = a stage FAILED
-    # during a query (work retried/lost — ledger is attributed, flagged).
+    # 3 = a query's audit itself errored, 4 = a stage FAILED during a
+    # query (work retried/lost — ledger flagged), 1 = spill. Severity
+    # order: a broken audit outranks a failed stage outranks spill, so
+    # a spilling run can never mask an errored one (r15).
     if errored:
         print(f"AUDIT ERRORS ({len(errored)}): {' '.join(errored)}")
     if failed_stage:
         print(f"FAILED STAGES in: {' '.join(failed_stage)}")
-    if spillers:
-        return 1
     if errored:
         return 3
     if failed_stage:
         return 4
+    if spillers:
+        return 1
     return 0
 
 
