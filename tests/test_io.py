@@ -253,3 +253,39 @@ def test_pyds_stream_writer_batch_replay_is_idempotent(tmp_path):
     assert set(manifest) == {os.path.basename(p) for p in data_files}
     total = sum(sum(1 for _ in open(p)) for p in data_files)
     assert total == 2                                      # not doubled
+
+
+def test_local_frame_stays_on_the_arrow_path(spark):
+    """io.local_frame exists to keep driver-side literals JVM-side: the
+    list path (`createDataFrame(list)`) plans as a 32-slice Python RDD
+    whose every evaluation pays a Python-worker round trip per slice
+    (~4.4s for a 2-row frame at r15's measurement — it carried ~120s
+    of the r14 sweep). Results are IDENTICAL either way, so only a
+    plan pin can catch a revert: the literal must plan as a
+    LocalTableScan / LocalRelation, never `Scan ExistingRDD`. Also
+    round-trips the value types the call sites use (long, string,
+    double, timestamp) and both schema spellings (DDL + StructType)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from hippo_claim_crossover_spark.io import local_frame
+
+    rows = [(1, "a", 1.5, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, "b", -0.25, datetime.datetime(2024, 6, 7, 8, 9, 10))]
+    ddl = "k long, s string, x double, ts timestamp"
+    df = local_frame(spark, rows, ddl)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
+    assert "ExistingRDD" not in plan and "LogicalRDD" not in plan, plan
+    got = sorted(df.collect(), key=lambda r: r["k"])
+    assert [tuple(r) for r in got] == rows
+    assert df.schema.simpleString() == (
+        "struct<k:bigint,s:string,x:double,ts:timestamp>")
+
+    st = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("s", T.StringType())])
+    df2 = local_frame(spark, [(7, "z")], st)
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan2 and "ExistingRDD" not in plan2
+    assert df2.collect() == [(7, "z")]
