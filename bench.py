@@ -13,6 +13,15 @@ plan cost, comparable with BENCH_r05); ``value_run1`` is the run-1 total
 cross-round comparisons no longer need a warmup correction factor.
 Each query is fully materialized via the noop sink (executes the whole
 plan, no driver collect, no output cost).
+
+r15 measurement fix: each timed run now REBUILDS the query's DataFrame
+(``fn()`` inside the timed window) so that work executed at plan-build
+time — AQE materializes every shuffle stage beneath a
+``localCheckpoint`` during ``toRdd`` — is measured, and so that no run
+reuses a previous run's checkpointed blocks. Totals are therefore NOT
+comparable with BENCH_r14 and earlier (which timed only the noop
+writes of one shared frame); OPTIMIZATION_r15.md and BASELINE.md
+carry the old-method numbers alongside.
 """
 
 from __future__ import annotations
@@ -273,30 +282,43 @@ HEADLINE = [
 
 def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     """Repeated full materializations through the noop sink; returns
-    (run1, best-of-N).
+    (run1, best-of-N). Each run times ``fn() + noop write`` on a FRESH
+    DataFrame — plan build is INSIDE the timed window (r15 measurement
+    fix, guide §1: time the computation).
 
-    The first execution of a plan carries one-time Janino codegen + JIT
-    warmup (measured 2-4× steady state) and the single-JVM harness adds
-    a roaming multi-second stall to ~one query per 48-query session
-    (GC/host noise — BASELINE.md). The min is the steady-state plan
-    cost — the quantity that scales to a cluster — while single-run
-    numbers mostly rank queries by which one the stall landed on. Both
-    are reported (BOTH totals land in the summary line) so cross-round
-    comparisons against single-run rounds need no correction factor.
-    Queries whose best-of-2 exceeds 1 s get a THIRD run (r6 verdict #7):
-    the roaming stall is rare enough that two samples usually exclude
-    it, but when it lands on one of the slow tier's two runs it used to
-    carry a 2-3× outlier into the round artifact — a third sample caps
-    that at the cost of ~a dozen extra executions per session. Plan
-    build (fn) stays outside the timed window, as before."""
-    df = ALL_SPECS[name].fn(spark, sf_dir)
+    Why fn() must be timed: ~60 plans materialize multi-consumer or
+    iterative intermediates via ``localCheckpoint`` (the legitimate
+    write-once-read-many / plan-truncation discipline), and under AQE
+    ``localCheckpoint`` → ``queryExecution.toRdd`` →
+    ``getFinalPhysicalPlan()`` EXECUTES every shuffle stage below the
+    checkpoint at plan-build time. The previous methodology (build the
+    frame once outside the window, time only the writes) therefore
+    (a) never timed that upstream work at all and (b) let the second
+    timed run reuse the first run's checkpointed blocks — measured
+    r15: q_graph_lpa fn()=4.6s vs timed-write 0.2s; q_decontaminate
+    true one-shot ~5s vs best-of 0.7s. Rebuilding the frame per run
+    makes every run a complete, independent computation from the
+    parquet inputs: nothing computed outside the window, nothing
+    reused across runs. One-time session fixture synthesis (exists-
+    guarded scratch writers some fns perform) lands in run 1 only;
+    best-of-N reads steady state, as before.
+
+    The first execution of a plan still carries one-time Janino
+    codegen + JIT warmup, and the single-JVM harness adds a roaming
+    multi-second stall to ~one query per 48-query session (GC/host
+    noise — BASELINE.md). The min is the steady-state plan cost — the
+    quantity that scales to a cluster. Both run-1 and best-of totals
+    are reported. Queries whose best-of-2 exceeds 1 s get a THIRD run
+    (r6 verdict #7) to cap the stall's leverage on the slow tier."""
     times = []
     for _ in range(2):
         t0 = time.time()
+        df = ALL_SPECS[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
     if min(times) > 1.0:
         t0 = time.time()
+        df = ALL_SPECS[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
     return times[0], min(times)
