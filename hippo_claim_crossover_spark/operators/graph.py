@@ -127,6 +127,47 @@ def connected_components(edges: DataFrame, src: str = "src",
     return members.unionAll(roots).distinct()
 
 
+def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
+                 out_a: str = "u", out_b: str = "v",
+                 sup_col: str = "_sup") -> DataFrame:
+    """Co-occurrence pair support — ``(a < b, #baskets containing both)``
+    — via ONE basket aggregation and row-local pair expansion, replacing
+    the distinct + self-join formulation (r15 optimization).
+
+    The classic shape (``SELECT DISTINCT basket,item`` self-joined on the
+    basket key with ``a.item < b.item``) plans as an exchange for the
+    distinct plus a sort-merge self-join before the pair aggregate: two
+    wide shuffles and two sorts of the item table. Because baskets are
+    BOUNDED (order lines: ≤ tens of items — the same contract that makes
+    the self-join "basket-bounded"), the pairs of one basket fit a row:
+    ``collect_set`` dedups items per basket map-side (one exchange,
+    set-sized records), ``array_sort`` fixes the a<b orientation, and a
+    nested ``transform``/``slice`` expansion emits each basket's
+    C(k,2) pairs without any join. Result is row-identical to the
+    self-join form: collect_set ≡ DISTINCT per basket, i<j over the
+    sorted set ≡ the a<b predicate, and the final (a, b) count is the
+    same multiset. NULL items never pair in either form (the < predicate
+    rejects NULL; collect_set drops it).
+
+    Scale: shuffle 1 carries one set-record per basket (≡ the distinct's
+    bytes), shuffle 2 carries C(k,2) pair rows per basket with map-side
+    partial counts — the same bytes the self-join's aggregate shuffled —
+    and no sort anywhere. A basket too large for a row would be the same
+    basket that explodes the self-join quadratically; cap upstream."""
+    baskets = (df.groupBy(basket_col)
+               .agg(F.array_sort(F.collect_set(item_col)).alias("_items")))
+    items = F.col("_items")
+    pair_structs = F.flatten(F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + F.lit(2), F.size(items)),
+            lambda y: F.struct(x.alias("_a"), y.alias("_b")))))
+    return (baskets.select(F.explode(pair_structs).alias("_p"))
+            .groupBy(F.col("_p._a").alias(out_a),
+                     F.col("_p._b").alias(out_b))
+            .agg(F.count(F.lit(1)).alias(sup_col)))
+
+
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Exact triangle count, wedge count, and global clustering
     coefficient of an undirected graph given as CANONICAL edges

@@ -33,19 +33,19 @@ MIN_SUP = 2
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (u < v) co-purchase edges with support ≥ MIN_SUP."""
-    li = (t(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .where(F.col("_sup") >= MIN_SUP)
-        .select("u", "v")
-    )
+    """Canonical (u < v) co-purchase edges with support ≥ MIN_SUP.
+
+    r15: built by :func:`~..operators.graph.basket_pairs` (one basket
+    collect_set + row-local expansion) instead of the distinct +
+    self-join — row-identical output, two exchanges instead of three,
+    no join, no sorts."""
+    from hippo_claim_crossover_spark.operators.graph import basket_pairs
+
+    return (basket_pairs(t(spark, sf_dir, "lineitem")
+                         .select("l_orderkey", "l_partkey"),
+                         "l_orderkey", "l_partkey")
+            .where(F.col("_sup") >= MIN_SUP)
+            .select("u", "v"))
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,16 +284,12 @@ def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    pairs = (
-        li.alias("a").join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .where(F.col("sup") >= MIN_SUP)
-    )
+    from hippo_claim_crossover_spark.operators.graph import basket_pairs
+
+    pairs = (basket_pairs(t(spark, sf_dir, "lineitem")
+                          .select("l_orderkey", "l_partkey"),
+                          "l_orderkey", "l_partkey", sup_col="sup")
+             .where(F.col("sup") >= MIN_SUP))
     sim = (pairs.select("u", "v", "sup")
            .unionByName(pairs.select(F.col("v").alias("u"),
                                      F.col("u").alias("v"), "sup")))

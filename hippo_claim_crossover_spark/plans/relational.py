@@ -834,13 +834,17 @@ ASSOC_TOP = 20
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over claims: part pairs
     co-occurring on one order, scored by support / confidence / lift.
-    The pair generation is a self-join on the order key — bounded by the
-    basket size (≤7 lines per order in the fixtures), so candidate pairs
-    are O(orders · basket²), never O(parts²); the per-part and per-pair
-    supports are partial-aggregated shuffles on compact keys. Ratios go
+    Pair generation is basket-bounded (≤7 lines per order in the
+    fixtures) so candidate pairs are O(orders · basket²), never
+    O(parts²); since r15 it is one basket collect_set + row-local
+    expansion (operators/graph.basket_pairs) instead of the equivalent
+    distinct + self-join; the per-part and per-pair supports are
+    partial-aggregated shuffles on compact keys. Ratios go
     through duck_round so inexact k/n quotients rank identically in both
     engines; top-20 by lift with full tiebreaks."""
     from hippo_claim_crossover_spark.plans.base import duck_round
+
+    from hippo_claim_crossover_spark.operators.graph import basket_pairs
 
     li = (t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
@@ -848,14 +852,13 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.count(F.lit(1)).alias("n_orders")))
     part_sup = (li.groupBy("l_partkey")
                 .agg(F.count(F.lit(1)).alias("sup")))
-    a, b = li.alias("a"), li.alias("b")
-    pair_sup = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("part_a"),
-                 F.col("b.l_partkey").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("sup_ab"))
-    )
+    # r15: pair support via one basket collect_set + row-local expansion
+    # (operators/graph.basket_pairs) — row-identical to the previous
+    # distinct + self-join, one fewer exchange and no join/sorts.
+    pair_sup = basket_pairs(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey",
+        out_a="part_a", out_b="part_b", sup_col="sup_ab")
     sa = part_sup.select(F.col("l_partkey").alias("part_a"),
                          F.col("sup").alias("sup_a"))
     sb = part_sup.select(F.col("l_partkey").alias("part_b"),

@@ -245,6 +245,34 @@ def test_sorted_neighborhood_pairs_exact_window(spark):
     assert got == {(10, 20), (10, 30), (20, 30), (20, 40), (30, 40)}
 
 
+def test_basket_pairs_matches_distinct_self_join(spark):
+    """basket_pairs (collect_set + row-local expansion, r15) must be
+    row-identical to the distinct + self-join formulation it replaced —
+    including duplicate (basket, item) rows (dedup'd per basket), NULL
+    items (never pair), and singleton/empty baskets (no pairs)."""
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.operators.graph import basket_pairs
+
+    rows = [(1, 10), (1, 20), (1, 30), (1, 20),      # dup item in basket
+            (2, 20), (2, 30),
+            (3, 40),                                  # singleton
+            (4, None), (4, 50),                       # NULL item
+            (5, 10), (5, 30)]
+    df = spark.createDataFrame(rows, "bk int, it int")
+    got = {(r["u"], r["v"], r["_sup"])
+           for r in basket_pairs(df, "bk", "it").collect()}
+    li = df.select("bk", "it").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ref = {(r["u"], r["v"], r["_sup"]) for r in (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.it") < F.col("b.it")))
+        .groupBy(F.col("a.it").alias("u"), F.col("b.it").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_sup"))).collect()}
+    assert got == ref
+    assert got == {(10, 20, 1), (10, 30, 2), (20, 30, 2)}
+
+
 def test_triangle_stats_on_known_graphs(spark):
     from hippo_claim_crossover_spark.operators.graph import triangle_stats
 
