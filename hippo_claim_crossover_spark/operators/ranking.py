@@ -194,7 +194,32 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
     hist = (vals.groupBy(*group_cols, value_col)
             .agg(F.count(F.lit(1)).alias("_cnt"))
             .localCheckpoint(eager=False))
-    cdf = grouped_histogram_cdf(hist, group_cols, value_col, "_cnt",
+    return grouped_percentiles_from_hist(
+        hist, group_cols, value_col, ps, "_cnt", n_partitions,
+        broadcast_offsets=broadcast_offsets)
+
+
+def grouped_percentiles_from_hist(hist: DataFrame, group_cols: list[str],
+                                  value_col: str, ps: list[float],
+                                  cnt_col: str = "_cnt",
+                                  n_partitions: int | None = None,
+                                  broadcast_offsets: bool = True
+                                  ) -> DataFrame:
+    """The rank-and-interpolate half of :func:`grouped_exact_percentiles`
+    for callers that ALREADY hold a (group, value, count) histogram —
+    r15: a derived histogram (|value − median| for MAD, a residual grid)
+    is an aggregate over the *existing* histogram's few rows, so
+    re-running the raw-row scan + partial/final agg just to build it is
+    a full wasted pass. Same output contract and the identical
+    quantile_cont interpolation, so swapping in a derived histogram
+    moves no hashes. NULL ``value_col`` rows in ``hist`` are excluded
+    here (SQL percentile semantics), so callers may pass histograms
+    that still carry a NULL-value group for other consumers. The caller
+    is responsible for materializing ``hist`` if its lineage is
+    expensive (this function fans out into sampling + CDF + totals
+    consumers, exactly like the parent)."""
+    hist = hist.where(F.col(value_col).isNotNull())
+    cdf = grouped_histogram_cdf(hist, group_cols, value_col, cnt_col,
                                 n_partitions,
                                 broadcast_offsets=broadcast_offsets)
     targets_per_p = F.array(*[
@@ -205,7 +230,7 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
     # `cdf` — the range-shuffle branch is consumed exactly once, by the
     # straddle probe below.
     targets = (hist.groupBy(*group_cols)
-               .agg(F.sum("_cnt").alias("_n"))
+               .agg(F.sum(cnt_col).alias("_n"))
                .select(*group_cols, "_n",
                        F.explode(targets_per_p).alias("_t"))
                .select(*group_cols,
@@ -219,9 +244,9 @@ def grouped_exact_percentiles(df: DataFrame, group_cols: list[str],
     targets_side = F.broadcast(targets) if broadcast_offsets else targets
     # A histogram row covers global ranks (_cum - _cnt, _cum]; it
     # straddles a target when _lo or _hi falls inside that range.
-    hit_lo = ((F.col("_lo") > F.col("_cum") - F.col("_cnt"))
+    hit_lo = ((F.col("_lo") > F.col("_cum") - F.col(cnt_col))
               & (F.col("_lo") <= F.col("_cum")))
-    hit_hi = ((F.col("_hi") > F.col("_cum") - F.col("_cnt"))
+    hit_hi = ((F.col("_hi") > F.col("_cum") - F.col(cnt_col))
               & (F.col("_hi") <= F.col("_cum")))
     straddle = cdf.join(targets_side, group_cols).where(hit_lo | hit_hi)
     return (straddle.groupBy(*group_cols, "_p_idx")

@@ -1227,10 +1227,15 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, ["priority"], "o_totalprice", "o_orderkey",
         n_buckets=QSK_BUCKETS, keep=QSK_KEEP).withColumnRenamed(
         "_cum_m", "cum_m")
-    sizes = (merged.groupBy("priority")
-             .agg(F.count(F.lit(1)).alias("n_kept"),
-                  F.sum("_wv").alias("n")))
-    est = (merged.join(F.broadcast(sizes), "priority")
+    # r15: per-group sizes ride WINDOW aggregates over the partitioning
+    # the summary's cum window just established — the old groupBy +
+    # broadcast-self-join evaluated the whole summary subtree twice
+    # (once for `sizes`, once for `est`); same values, one evaluation.
+    wp = Window.partitionBy("priority")
+    sized = (merged
+             .withColumn("n_kept", F.count(F.lit(1)).over(wp))
+             .withColumn("n", F.sum("_wv").over(wp)))
+    est = (sized
            .groupBy("priority")
            .agg(F.max("n").alias("n_orders"),
                 F.max("n_kept").alias("n_kept"),
@@ -1244,9 +1249,17 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (o.groupBy("priority", "o_totalprice")
             .agg(F.count(F.lit(1)).alias("_c")))
     cdf = grouped_histogram_cdf(hist, ["priority"], "o_totalprice", "_c")
+    # r15: est's columns ride THROUGH the audit aggregate (constant per
+    # priority group, so max() reproduces them) — the old
+    # est.join(audit) re-evaluated the whole est subtree (and the
+    # summary beneath it) a second time for the final projection.
     audit = (cdf.join(F.broadcast(est), "priority")
              .groupBy("priority")
-             .agg(F.max(F.when(F.col("o_totalprice") == F.col("est_p50"),
+             .agg(F.max("n_orders").alias("n_orders"),
+                  F.max("n_kept").alias("n_kept"),
+                  F.max("est_p50").alias("est_p50"),
+                  F.max("est_p90").alias("est_p90"),
+                  F.max(F.when(F.col("o_totalprice") == F.col("est_p50"),
                                F.col("_cum"))).alias("r50"),
                   F.max(F.when(F.col("o_totalprice") == F.col("est_p90"),
                                F.col("_cum"))).alias("r90"),
@@ -1257,7 +1270,7 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("o_totalprice"))).alias("exact_p90")))
     slack = (F.floor(F.col("n_orders") / 32).cast("long")
              + F.lit(2 * QSK_BUCKETS))
-    return (est.join(audit, "priority")
+    return (audit
             .select(
                 "priority", "n_orders", "n_kept",
                 "est_p50", "est_p90", "exact_p50", "exact_p90",

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators.ranking import (
     grouped_bounded_percentiles,
-    grouped_exact_percentiles,
+    grouped_percentiles_from_hist,
 )
 from hippo_claim_crossover_spark.plans.base import (
     QuerySpec,
@@ -222,25 +222,40 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute deviation, both 50%-breakdown statistics.
 
     Both medians run through the distributed rank-and-interpolate
-    operator (operators/ranking.py) — the same no-per-group-buffering
-    machinery as q_percentile, exercised here twice in sequence (median
-    of value, then median of |value − median|) on the 5-value
-    event_type key that would OOM an exact-median aggregate at scale.
+    machinery (operators/ranking.py) — the same no-per-group-buffering
+    shape as q_percentile — on the 5-value event_type key that would
+    OOM an exact-median aggregate at scale. r15: the value HISTOGRAM is
+    built once; the median of value reads it directly, and the
+    |value − median| histogram for the MAD is DERIVED from it (join the
+    5-row median table, re-key by abs(value − med), sum counts) — an
+    aggregate over the histogram's few rows, replacing the second full
+    scan + partial/final agg over the raw events the old
+    two-sequential-percentile-calls form paid. Identical medians:
+    the derived histogram is exactly the histogram of the row-level
+    adev values, and the interpolation discipline is unchanged.
     Medians interpolate with the symmetric quantile_cont form, so they
     are bit-identical to DuckDB's ``median`` and the robust z
     ``(x − med)/mad`` hash-matches after duck_round. Top-5 per type via
     the two-phase-safe row_number window, tie-broken by event_id."""
     e = t(spark, sf_dir, "events")
     vals = e.select("event_id", "event_type", "value")
-    med = grouped_exact_percentiles(
-        vals, ["event_type"], "value", [0.5]).select(
+    hist = (vals.groupBy("event_type", "value")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .localCheckpoint(eager=False))
+    med = grouped_percentiles_from_hist(
+        hist, ["event_type"], "value", [0.5]).select(
         "event_type", F.col("value").alias("med"))
-    dev = (vals.join(F.broadcast(med), "event_type")
-           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
-    mad = grouped_exact_percentiles(
-        dev, ["event_type"], "adev", [0.5]).select(
+    adev_hist = (hist.join(F.broadcast(med), "event_type")
+                 .groupBy("event_type",
+                          F.abs(F.col("value") - F.col("med"))
+                          .alias("adev"))
+                 .agg(F.sum("_cnt").alias("_cnt"))
+                 .localCheckpoint(eager=False))
+    mad = grouped_percentiles_from_hist(
+        adev_hist, ["event_type"], "adev", [0.5]).select(
         "event_type", F.col("value").alias("mad"))
-    scored = (dev.join(F.broadcast(mad), "event_type")
+    scored = (vals.join(F.broadcast(med), "event_type")
+              .join(F.broadcast(mad), "event_type")
               .withColumn("rz", (F.col("value") - F.col("med"))
                           / F.col("mad")))
     w = Window.partitionBy("event_type").orderBy(
@@ -292,8 +307,9 @@ def q_outlier_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered (0/0 NaN-vs-NULL, and NULL ordering diverges cross-engine).
 
     Shape: one scan → profile partial/final agg (type × 24 rows,
-    broadcast back) → residual map → two histogram-CDF median passes →
-    WindowGroupLimit top-3."""
+    broadcast back) → residual map → ONE residual histogram (the MAD's
+    deviation histogram derives from it, r15) → two histogram-CDF
+    median walks → WindowGroupLimit top-3."""
     e = t(spark, sf_dir, "events").select(
         "event_id", "event_type", "value",
         F.hour("ts").cast("long").alias("hr"))
@@ -306,15 +322,27 @@ def q_outlier_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.col("v_u").cast("double")
                           - F.col("_s").cast("double")
                           / F.col("_n").cast("double")) / F.lit(1e6)))
-    med = grouped_exact_percentiles(
-        resid, ["event_type"], "resid", [0.5]).select(
+    # r15: one residual histogram feeds the median, and the MAD's
+    # |resid − med| histogram is derived from it (histogram-sized
+    # aggregate) instead of a second full scan + agg — same shape as
+    # q_outlier_mad; medians bit-identical.
+    rhist = (resid.groupBy("event_type", "resid")
+             .agg(F.count(F.lit(1)).alias("_cnt"))
+             .localCheckpoint(eager=False))
+    med = grouped_percentiles_from_hist(
+        rhist, ["event_type"], "resid", [0.5]).select(
         "event_type", F.col("value").alias("med"))
-    dev = (resid.join(F.broadcast(med), "event_type")
-           .withColumn("adev", F.abs(F.col("resid") - F.col("med"))))
-    mad = grouped_exact_percentiles(
-        dev, ["event_type"], "adev", [0.5]).select(
+    adev_hist = (rhist.join(F.broadcast(med), "event_type")
+                 .groupBy("event_type",
+                          F.abs(F.col("resid") - F.col("med"))
+                          .alias("adev"))
+                 .agg(F.sum("_cnt").alias("_cnt"))
+                 .localCheckpoint(eager=False))
+    mad = grouped_percentiles_from_hist(
+        adev_hist, ["event_type"], "adev", [0.5]).select(
         "event_type", F.col("value").alias("mad"))
-    scored = (dev.join(F.broadcast(mad), "event_type")
+    scored = (resid.join(F.broadcast(med), "event_type")
+              .join(F.broadcast(mad), "event_type")
               .where(F.col("mad") != 0)
               .withColumn("rz", (F.col("resid") - F.col("med"))
                           / F.col("mad")))
@@ -890,37 +918,46 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before aggregating heavy-tailed values.
 
     The boundary percentiles run through the SAME distributed
-    rank-and-interpolate operator as q_percentile/q_outlier_mad
+    rank-and-interpolate machinery as q_percentile/q_outlier_mad
     (operators/ranking.py — no per-group buffering on the 3-value key,
-    so no exact-percentile OOM cliff at 100×).  Boundaries broadcast
-    back (3×2 rows) and clipping is row-local; means accumulate in exact
-    integer micros so raw and winsorized means are engine-identical.
-    One range shuffle + one broadcast join + one partial/final agg.
+    so no exact-percentile OOM cliff at 100×).  r15: the clip report is
+    computed from the (flag, price) HISTOGRAM the percentiles already
+    tie-compressed, not from a second full scan — every aggregate is a
+    count-weighted fold over histogram rows (Σ cnt·⌊v·1e6+0.5⌋ equals
+    the row-level micros sum exactly, long arithmetic), so the output
+    is bit-identical while lineitem is scanned ONCE.  Boundaries
+    broadcast back (3×2 rows) and clipping is histogram-row-local;
+    means accumulate in exact integer micros so raw and winsorized
+    means are engine-identical.
     """
     li = t(spark, sf_dir, "lineitem").select("l_returnflag",
                                              "l_extendedprice")
-    pcts = (grouped_exact_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95])
+    hist = (li.groupBy("l_returnflag", "l_extendedprice")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .localCheckpoint(eager=False))
+    pcts = (grouped_percentiles_from_hist(
+        hist, ["l_returnflag"], "l_extendedprice", [0.05, 0.95])
         .groupBy("l_returnflag")
         .agg(F.max(F.when(F.col("_p_idx") == 0, F.col("value")))
              .alias("p05"),
              F.max(F.when(F.col("_p_idx") == 1, F.col("value")))
              .alias("p95")))
-    clipped = (li.join(F.broadcast(pcts), "l_returnflag")
+    clipped = (hist.join(F.broadcast(pcts), "l_returnflag")
                .withColumn("w", F.least(F.greatest("l_extendedprice",
                                                    F.col("p05")),
                                         F.col("p95"))))
     u = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    cnt = F.col("_cnt")
     return (clipped.groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
+            .agg(F.sum(cnt).alias("n_rows"),
                  F.min("p05").alias("p05"),
                  F.min("p95").alias("p95"),
-                 F.sum(F.when(F.col("l_extendedprice") < F.col("p05"), 1)
+                 F.sum(F.when(F.col("l_extendedprice") < F.col("p05"), cnt)
                        .otherwise(0)).alias("n_clip_lo"),
-                 F.sum(F.when(F.col("l_extendedprice") > F.col("p95"), 1)
+                 F.sum(F.when(F.col("l_extendedprice") > F.col("p95"), cnt)
                        .otherwise(0)).alias("n_clip_hi"),
-                 F.sum(u("l_extendedprice")).alias("_raw_u"),
-                 F.sum(u("w")).alias("_w_u"))
+                 F.sum(cnt * u("l_extendedprice")).alias("_raw_u"),
+                 F.sum(cnt * u("w")).alias("_w_u"))
             .select("l_returnflag", "n_rows",
                     duck_round(F.col("p05"), 4).alias("p05"),
                     duck_round(F.col("p95"), 4).alias("p95"),
