@@ -14,9 +14,41 @@ parquet/kafka writeStream; tests use the memory sink with availableNow.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Shuffle/state partition count for the pinned streaming-harness drains
+# (r15). The stateful operators instantiate ONE state store per shuffle
+# partition PER MICRO-BATCH (load, update, snapshot, commit), so a drain
+# of K tiny fixture batches pays K × partitions state-store commits; at
+# the session default of 32 that fixed cost dwarfs the handcrafted
+# 3-6-row batches every declared stream query processes — and the
+# fixture size is pinned by the query semantics, NOT by the scale
+# factor, so a small count is right at any sf. Production streams size
+# this to their real state volume: override via env. Declared outputs
+# are partition-count-independent by design (row counts per batch are
+# the pinned invariant; file counts are deliberately never emitted).
+STREAM_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_STREAM_SHUFFLE", "4")
+
+
+@contextmanager
+def stream_shuffle_scope(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the stream drain (set
+    before ``start()``, restored after ``awaitTermination()``). The
+    harness is single-threaded per session, so the temporary session
+    conf cannot leak into a concurrently-planned batch query."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 # Schema of the *converted* event stream (µs timestamps — see io._load_events).
 EVENT_STREAM_SCHEMA = T.StructType([
@@ -170,10 +202,11 @@ def write_foreach_batch(result: DataFrame, out_dir: str,
         (batch_df.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
 
-    q = (result.writeStream.foreachBatch(_write)
-         .option("checkpointLocation", checkpoint_dir)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_scope(result.sparkSession):
+        q = (result.writeStream.foreachBatch(_write)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
 
 
 def run_to_parquet(result: DataFrame, out_dir: str,
@@ -182,11 +215,12 @@ def run_to_parquet(result: DataFrame, out_dir: str,
     fault-tolerant sink whose commit log makes checkpoint RESTARTS
     exactly-once (the memory sink refuses to recover); q_stream_resume
     runs two of these against one checkpoint to pin the contract."""
-    q = (result.writeStream.format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_scope(result.sparkSession):
+        q = (result.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
 
 
 def run_to_memory(result: DataFrame, name: str,
@@ -202,8 +236,9 @@ def run_to_memory(result: DataFrame, name: str,
          .outputMode(output_mode).trigger(availableNow=True))
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    with stream_shuffle_scope(result.sparkSession):
+        q = w.start()
+        q.awaitTermination()
 
 
 def land_batch_file(df: DataFrame, src_dir: str, batch_idx: int) -> None:

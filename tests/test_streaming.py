@@ -478,3 +478,33 @@ def test_stream_resume_state_survives_restart(spark):
     # and every emitted row lives in a run-2 file: recovered state, not
     # a re-read of run 1's input, produced the finalized counts
     assert spark.read.parquet(*sorted(run2_files)).count() == len(rows)
+
+
+def test_stream_drains_scope_shuffle_partitions(spark):
+    """The drain helpers (r15) must plan the stream at the harness
+    stream-partition count and RESTORE the session conf afterwards —
+    a leaked value would silently re-plan every later batch query."""
+    import datetime as dt
+
+    from hippo_claim_crossover_spark.plans.timeseries import (
+        _write_stream_batches)
+    from hippo_claim_crossover_spark.streaming import ops
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    assert before != ops.STREAM_SHUFFLE_PARTITIONS, \
+        "fixture session must differ from the stream count for this test"
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    batches = [[(1, base, 1, "click", 1.0, None),
+                (2, base + dt.timedelta(minutes=90), 1, "view", 2.0, None)]]
+    src, _ = _write_stream_batches(spark, batches, "scope_test")
+    ckpt, out = f"{src}.ckpt", f"{src}.out"
+    ops.run_to_parquet(ops.tumbling_agg(ops.read_event_stream(spark, src)),
+                       out, ckpt)
+    assert spark.conf.get(key) == before, "session conf must be restored"
+    # the checkpoint's state operator really ran at the scoped count
+    import glob as _g
+    state_parts = _g.glob(f"{ckpt}/state/0/*")
+    n_state = len([p for p in state_parts
+                   if p.rsplit("/", 1)[-1].isdigit()])
+    assert n_state == int(ops.STREAM_SHUFFLE_PARTITIONS), state_parts
