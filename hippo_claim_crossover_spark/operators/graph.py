@@ -103,11 +103,15 @@ def connected_components(edges: DataFrame, src: str = "src",
     ``stats`` to receive ``{"rounds": k}`` — the O(log n) round bound is
     pinned by a test (tests/test_dedup.py) so a semantics change that
     silently degrades to diameter-bound propagation fails CI."""
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    # Checkpoints are LAZY: the fingerprint action that immediately
+    # follows each one is what materializes the blocks, so every round
+    # runs ONE job, not an eager-checkpoint job plus the fingerprint
+    # job (r15 — halves the per-round fixed cost of the loop).
+    e = _canon(edges, src, dst).localCheckpoint(eager=False)
     fp = _fingerprint(e)
     rounds = 0
     for _ in range(max_iter):
-        e2 = _round(e).localCheckpoint(eager=True)
+        e2 = _round(e).localCheckpoint(eager=False)
         fp2 = _fingerprint(e2)
         e = e2
         rounds += 1
