@@ -2093,20 +2093,18 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_stream_compact's), not a production path — production feeds the
     identical operator from Kafka."""
     from hippo_claim_crossover_spark.streaming.ops import (
+        ensure_event_batches,
         read_event_stream,
         run_to_memory,
-        write_batch_files,
     )
     from hippo_claim_crossover_spark.streaming.stateful import (
         cumulative_profile_exact,
     )
 
     run_id = next(_LATE_RUN)
-    src = ("/root/repo/_scratch/"
-           f"state_src-{spark.sparkContext.applicationId}-{run_id}")
     ev = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
-    write_batch_files(ev, src, "event_id", n_batches=3)
+    src = ensure_event_batches(spark, ev, sf_dir)
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     prof = cumulative_profile_exact(stream)
     out_name = f"state_out_{run_id}"
@@ -2220,17 +2218,15 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file landing is pinned-run harness setup, not a production
     path; production feeds the same operator from Kafka."""
     from hippo_claim_crossover_spark.streaming.ops import (
+        ensure_event_batches,
         read_event_stream,
         run_to_memory,
-        write_batch_files,
     )
 
     run_id = next(_LATE_RUN)
-    src = ("/root/repo/_scratch/"
-           f"rocks_src-{spark.sparkContext.applicationId}-{run_id}")
     ev = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
-    write_batch_files(ev, src, "event_id", n_batches=3)
+    src = ensure_event_batches(spark, ev, sf_dir)
     key = "spark.sql.streaming.stateStore.providerClass"
     try:
         prev = spark.conf.get(key)

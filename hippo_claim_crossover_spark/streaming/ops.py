@@ -264,6 +264,34 @@ def land_batch_file(df: DataFrame, src_dir: str, batch_idx: int) -> None:
     shutil.rmtree(stage)
 
 
+def ensure_event_batches(spark: SparkSession, df: DataFrame,
+                         sf_dir: str, prefix: str = "evbatch",
+                         key_col: str = "event_id",
+                         n_batches: int = 3) -> str:
+    """Exists-guarded SHARED source dir for the real-table 3-batch
+    stream fixtures (r15): the batch files are a deterministic function
+    of (sf_dir, key_col, n_batches), so q_stream_state/q_stream_rocksdb
+    re-running ``fn()`` per timed bench run were re-writing identical
+    input files every time. Source synthesis is input setup (the
+    stand-in for a Kafka topic), not the measured operator — the same
+    exists-guard discipline as the binaryFile and bucketed-table
+    fixtures. CHECKPOINTS stay per-run (a reused checkpoint would turn
+    a fresh run into a resume); only the source dir is shared, keyed by
+    session app-id (so the stale-scratch pruner reclaims it) + sf tag.
+    The ``_complete`` marker is written last and is invisible to the
+    file source (``_``-prefixed), so a crashed half-write is rebuilt."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    src = ("/root/repo/_scratch/"
+           f"{prefix}-{spark.sparkContext.applicationId}"
+           f"-{sf_tag}-{key_col}-{n_batches}")
+    marker = os.path.join(src, "_complete")
+    if not os.path.exists(marker):
+        write_batch_files(df, src, key_col, n_batches)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return src
+
+
 def write_batch_files(df: DataFrame, src_dir: str, key_col: str,
                       n_batches: int = 3) -> None:
     """Materialize a DataFrame as ``n_batches`` single-file parquet
