@@ -133,7 +133,8 @@ def connected_components(edges: DataFrame, src: str = "src",
 
 def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
                  out_a: str = "u", out_b: str = "v",
-                 sup_col: str = "_sup") -> DataFrame:
+                 sup_col: str = "_sup",
+                 max_items: int | None = None) -> DataFrame:
     """Co-occurrence pair support — ``(a < b, #baskets containing both)``
     — via ONE basket aggregation and row-local pair expansion, replacing
     the distinct + self-join formulation (r15 optimization).
@@ -157,9 +158,29 @@ def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
     bytes), shuffle 2 carries C(k,2) pair rows per basket with map-side
     partial counts — the same bytes the self-join's aggregate shuffled —
     and no sort anywhere. A basket too large for a row would be the same
-    basket that explodes the self-join quadratically; cap upstream."""
-    baskets = (df.groupBy(basket_col)
+    basket that explodes the self-join quadratically; cap upstream, or
+    pass ``max_items`` to fail loudly (``assert_true`` task error) on a
+    contract violation instead of OOMing an executor.
+
+    NULL basket keys are DROPPED (r16): the replaced self-join's
+    ``a.bk == b.bk`` equi-predicate never matches NULL, while
+    ``groupBy(basket_col)`` keeps a NULL-key group — without the filter
+    a NULL basket's items would pair with each other. Every current
+    caller groups by a non-null-by-schema key, so this pins the
+    contract rather than changing any result (property test covers a
+    NULL-basket row)."""
+    baskets = (df.where(F.col(basket_col).isNotNull())
+               .groupBy(basket_col)
                .agg(F.array_sort(F.collect_set(item_col)).alias("_items")))
+    if max_items is not None:
+        # assert_true returns NULL when the predicate holds and raises
+        # otherwise; the .isNull() filter forces its evaluation without
+        # changing any surviving row.
+        baskets = baskets.where(F.assert_true(
+            F.size("_items") <= F.lit(max_items),
+            F.concat(F.lit(f"basket_pairs: basket exceeds max_items="
+                           f"{max_items}: "),
+                     F.col(basket_col).cast("string"))).isNull())
     items = F.col("_items")
     pair_structs = F.flatten(F.transform(
         items,

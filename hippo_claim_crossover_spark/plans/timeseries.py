@@ -2096,6 +2096,7 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_event_batches,
         read_event_stream,
         run_to_memory,
+        sized_stream_partitions,
     )
     from hippo_claim_crossover_spark.streaming.stateful import (
         cumulative_profile_exact,
@@ -2108,7 +2109,11 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     prof = cumulative_profile_exact(stream)
     out_name = f"state_out_{run_id}"
-    run_to_memory(prof, out_name, output_mode="update")
+    # real-table stream: partition count derives from the source bytes
+    # (r16 — the pinned-fixture default is harness-sized; this stream's
+    # state is data-proportional). Output is partition-count-independent.
+    run_to_memory(prof, out_name, output_mode="update",
+                  partitions=sized_stream_partitions(src))
     mem = spark.table(out_name)
     return (mem.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_updates"),
@@ -2221,6 +2226,7 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_event_batches,
         read_event_stream,
         run_to_memory,
+        sized_stream_partitions,
     )
 
     run_id = next(_LATE_RUN)
@@ -2246,7 +2252,10 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("window.start").alias("window_start"),
                        F.col("window.end").alias("window_end"),
                        "event_type", "n_events", "sum_micros"))
-        run_to_memory(agg, out_name, output_mode="complete")
+        # real-table stream: size the state partitions from source bytes
+        # (r16), same rationale as q_stream_state.
+        run_to_memory(agg, out_name, output_mode="complete",
+                      partitions=sized_stream_partitions(src))
     finally:
         spark.conf.set(key, prev) if prev is not None \
             else spark.conf.unset(key)

@@ -21,30 +21,74 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Shuffle/state partition count for the pinned streaming-harness drains
-# (r15). The stateful operators instantiate ONE state store per shuffle
-# partition PER MICRO-BATCH (load, update, snapshot, commit), so a drain
-# of K tiny fixture batches pays K × partitions state-store commits; at
-# the session default of 32 that fixed cost dwarfs the handcrafted
-# 3-6-row batches every declared stream query processes — and the
-# fixture size is pinned by the query semantics, NOT by the scale
-# factor, so a small count is right at any sf. Production streams size
-# this to their real state volume: override via env. Declared outputs
+# Default shuffle/state partition count for the pinned streaming-harness
+# drains (r15). The stateful operators instantiate ONE state store per
+# shuffle partition PER MICRO-BATCH (load, update, snapshot, commit), so
+# a drain of K tiny fixture batches pays K × partitions state-store
+# commits; at the session default of 32 that fixed cost dwarfs the
+# handcrafted 3-6-row batches every pinned-fixture stream query
+# processes — and the fixture size is pinned by the query semantics,
+# NOT by the scale factor, so a small count is right at any sf.
+# Production streams size this to their real state volume: override via
+# SPARK_GRAFT_STREAM_SHUFFLE (read PER DRAIN, not at import — r16), or
+# pass an explicit ``partitions`` (the real-table streams derive theirs
+# from input bytes, :func:`sized_stream_partitions`). Declared outputs
 # are partition-count-independent by design (row counts per batch are
 # the pinned invariant; file counts are deliberately never emitted).
-STREAM_SHUFFLE_PARTITIONS = os.environ.get(
-    "SPARK_GRAFT_STREAM_SHUFFLE", "4")
+STREAM_SHUFFLE_DEFAULT = 4
+
+
+def stream_shuffle_partitions() -> int:
+    """The drain partition count: ``SPARK_GRAFT_STREAM_SHUFFLE`` when
+    set (validated here so a bad override fails at the drain that uses
+    it, with the variable named), else :data:`STREAM_SHUFFLE_DEFAULT`.
+    Read at call time — a same-process override after import works."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if raw is None:
+        return STREAM_SHUFFLE_DEFAULT
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_STREAM_SHUFFLE must be an integer shuffle/state "
+            f"partition count, got {raw!r}") from None
+
+
+def sized_stream_partitions(src_dir: str,
+                            target_bytes: int = 64 << 20) -> int:
+    """Input-size-derived partition count for streams over REAL tables
+    (r16, VERDICT r15 #2): the pinned-fixture default is harness-sized,
+    but q_stream_state/q_stream_rocksdb drain the events table through
+    their batches — at 100 TB a constant 4 state partitions is a wall.
+    Derives ``ceil(total source bytes / target_bytes)`` from local file
+    metadata (no job), floored at the fixture default so tiny inputs
+    keep the cheap drain; an explicit SPARK_GRAFT_STREAM_SHUFFLE still
+    wins (the production override path)."""
+    if os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE") is not None:
+        return stream_shuffle_partitions()
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for name in files:
+            if not name.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, name))
+                except OSError:
+                    pass
+    return max(STREAM_SHUFFLE_DEFAULT,
+               -(-total // target_bytes))  # ceil div
 
 
 @contextmanager
-def stream_shuffle_scope(spark: SparkSession):
+def stream_shuffle_scope(spark: SparkSession,
+                         partitions: int | None = None):
     """Scope ``spark.sql.shuffle.partitions`` to the stream drain (set
     before ``start()``, restored after ``awaitTermination()``). The
     harness is single-threaded per session, so the temporary session
     conf cannot leak into a concurrently-planned batch query."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS)
+    n = partitions if partitions is not None else stream_shuffle_partitions()
+    spark.conf.set(key, str(n))
     try:
         yield
     finally:
@@ -190,7 +234,8 @@ def interval_join(left: DataFrame, right: DataFrame,
 
 
 def write_foreach_batch(result: DataFrame, out_dir: str,
-                        checkpoint_dir: str) -> None:
+                        checkpoint_dir: str,
+                        partitions: int | None = None) -> None:
     """Sink surface: ``foreachBatch`` writeStream — each micro-batch
     arrives as a *batch* DataFrame, so any batch writer (partitioned
     parquet here, MERGE INTO / JDBC upsert in production) becomes a
@@ -202,7 +247,7 @@ def write_foreach_batch(result: DataFrame, out_dir: str,
         (batch_df.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
 
-    with stream_shuffle_scope(result.sparkSession):
+    with stream_shuffle_scope(result.sparkSession, partitions):
         q = (result.writeStream.foreachBatch(_write)
              .option("checkpointLocation", checkpoint_dir)
              .outputMode("append").trigger(availableNow=True).start())
@@ -210,12 +255,13 @@ def write_foreach_batch(result: DataFrame, out_dir: str,
 
 
 def run_to_parquet(result: DataFrame, out_dir: str,
-                   checkpoint: str) -> None:
+                   checkpoint: str,
+                   partitions: int | None = None) -> None:
     """Drain the stream into a parquet FILE sink (availableNow) — the
     fault-tolerant sink whose commit log makes checkpoint RESTARTS
     exactly-once (the memory sink refuses to recover); q_stream_resume
     runs two of these against one checkpoint to pin the contract."""
-    with stream_shuffle_scope(result.sparkSession):
+    with stream_shuffle_scope(result.sparkSession, partitions):
         q = (result.writeStream.format("parquet")
              .option("path", out_dir)
              .option("checkpointLocation", checkpoint)
@@ -225,7 +271,8 @@ def run_to_parquet(result: DataFrame, out_dir: str,
 
 def run_to_memory(result: DataFrame, name: str,
                   output_mode: str = "complete",
-                  checkpoint: str | None = None) -> None:
+                  checkpoint: str | None = None,
+                  partitions: int | None = None) -> None:
     """Drain the stream into an in-memory table (tests/dev): availableNow
     processes everything currently in the source, then stops. Passing
     ``checkpoint`` persists source offsets + operator state across
@@ -236,7 +283,7 @@ def run_to_memory(result: DataFrame, name: str,
          .outputMode(output_mode).trigger(availableNow=True))
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
-    with stream_shuffle_scope(result.sparkSession):
+    with stream_shuffle_scope(result.sparkSession, partitions):
         q = w.start()
         q.awaitTermination()
 
@@ -280,10 +327,17 @@ def ensure_event_batches(spark: SparkSession, df: DataFrame,
     session app-id (so the stale-scratch pruner reclaims it) + sf tag.
     The ``_complete`` marker is written last and is invisible to the
     file source (``_``-prefixed), so a crashed half-write is rebuilt."""
+    import hashlib
+
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # r16 (ADVICE): key the shared dir by the projected schema too — two
+    # callers with identical defaults but different projections must
+    # never read each other's fixture.
+    schema_tag = hashlib.md5(
+        df.schema.simpleString().encode()).hexdigest()[:8]
     src = ("/root/repo/_scratch/"
            f"{prefix}-{spark.sparkContext.applicationId}"
-           f"-{sf_tag}-{key_col}-{n_batches}")
+           f"-{sf_tag}-{key_col}-{n_batches}-{schema_tag}")
     marker = os.path.join(src, "_complete")
     if not os.path.exists(marker):
         write_batch_files(df, src, key_col, n_batches)

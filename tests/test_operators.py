@@ -258,12 +258,15 @@ def test_basket_pairs_matches_distinct_self_join(spark):
             (2, 20), (2, 30),
             (3, 40),                                  # singleton
             (4, None), (4, 50),                       # NULL item
-            (5, 10), (5, 30)]
+            (5, 10), (5, 30),
+            (None, 60), (None, 70)]                   # NULL basket key
     df = spark.createDataFrame(rows, "bk int, it int")
     got = {(r["u"], r["v"], r["_sup"])
            for r in basket_pairs(df, "bk", "it").collect()}
     li = df.select("bk", "it").distinct()
     a, b = li.alias("a"), li.alias("b")
+    # the self-join's a.bk == b.bk never matches NULL baskets — the
+    # r16 isNotNull filter pins basket_pairs to the same contract
     ref = {(r["u"], r["v"], r["_sup"]) for r in (
         a.join(b, (F.col("a.bk") == F.col("b.bk"))
                & (F.col("a.it") < F.col("b.it")))
@@ -271,6 +274,21 @@ def test_basket_pairs_matches_distinct_self_join(spark):
         .agg(F.count(F.lit(1)).alias("_sup"))).collect()}
     assert got == ref
     assert got == {(10, 20, 1), (10, 30, 2), (20, 30, 2)}
+
+
+def test_basket_pairs_max_items_guard(spark):
+    """The optional defensive cap must pass bounded baskets through
+    unchanged and fail LOUDLY (not OOM) on a violation."""
+    from hippo_claim_crossover_spark.operators.graph import basket_pairs
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (2, 40), (2, 50)], "bk int, it int")
+    ok = {(r["u"], r["v"], r["_sup"])
+          for r in basket_pairs(df, "bk", "it", max_items=3).collect()}
+    assert ok == {(10, 20, 1), (30, 40, 1), (30, 50, 1), (40, 50, 1)}
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="max_items"):
+        basket_pairs(df, "bk", "it", max_items=2).collect()
 
 
 def test_triangle_stats_on_known_graphs(spark):

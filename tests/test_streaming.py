@@ -492,7 +492,7 @@ def test_stream_drains_scope_shuffle_partitions(spark):
 
     key = "spark.sql.shuffle.partitions"
     before = spark.conf.get(key)
-    assert before != ops.STREAM_SHUFFLE_PARTITIONS, \
+    assert before != str(ops.stream_shuffle_partitions()), \
         "fixture session must differ from the stream count for this test"
     base = dt.datetime(2024, 1, 1, 10, 0)
     batches = [[(1, base, 1, "click", 1.0, None),
@@ -507,4 +507,33 @@ def test_stream_drains_scope_shuffle_partitions(spark):
     state_parts = _g.glob(f"{ckpt}/state/0/*")
     n_state = len([p for p in state_parts
                    if p.rsplit("/", 1)[-1].isdigit()])
-    assert n_state == int(ops.STREAM_SHUFFLE_PARTITIONS), state_parts
+    assert n_state == ops.stream_shuffle_partitions(), state_parts
+
+
+def test_stream_shuffle_partitions_env(monkeypatch, tmp_path):
+    """r16: the env override is read at CALL time (not import), a
+    non-numeric value fails with the variable named, and the real-table
+    sizing helper scales with input bytes, floors at the fixture
+    default, and defers to an explicit env override."""
+    import pytest
+
+    from hippo_claim_crossover_spark.streaming import ops
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE", raising=False)
+    assert ops.stream_shuffle_partitions() == ops.STREAM_SHUFFLE_DEFAULT
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "12")
+    assert ops.stream_shuffle_partitions() == 12      # post-import override
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "banana")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_STREAM_SHUFFLE"):
+        ops.stream_shuffle_partitions()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "batch-0.parquet").write_bytes(b"x" * 1024)
+    (src / "_complete").write_bytes(b"ok")            # metadata: ignored
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "7")
+    assert ops.sized_stream_partitions(str(src)) == 7  # env wins
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE")
+    assert ops.sized_stream_partitions(str(src)) == ops.STREAM_SHUFFLE_DEFAULT
+    assert ops.sized_stream_partitions(str(src), target_bytes=256) == 4
+    assert ops.sized_stream_partitions(str(src), target_bytes=128) == 8
