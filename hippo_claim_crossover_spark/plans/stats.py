@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from hippo_claim_crossover_spark.operators.ranking import (
     grouped_bounded_percentiles,
+    grouped_percentiles_from_bounded_hist,
     grouped_percentiles_from_hist,
 )
 from hippo_claim_crossover_spark.plans.base import (
@@ -221,19 +222,21 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest — so robust pipelines score against the MEDIAN and the median
     absolute deviation, both 50%-breakdown statistics.
 
-    Both medians run through the distributed rank-and-interpolate
-    machinery (operators/ranking.py) — the same no-per-group-buffering
-    shape as q_percentile — on the 5-value event_type key that would
-    OOM an exact-median aggregate at scale. r15: the value HISTOGRAM is
-    built once; the median of value reads it directly, and the
-    |value − median| histogram for the MAD is DERIVED from it (join the
-    5-row median table, re-key by abs(value − med), sum counts) — an
-    aggregate over the histogram's few rows, replacing the second full
-    scan + partial/final agg over the raw events the old
-    two-sequential-percentile-calls form paid. Identical medians:
-    the derived histogram is exactly the histogram of the row-level
-    adev values, and the interpolation discipline is unchanged.
-    Medians interpolate with the symmetric quantile_cont form, so they
+    Both medians walk the value HISTOGRAM (tie-compressed partial/final
+    agg — never an exact-median aggregate buffering O(rows/group) on
+    the 5-value key). r15: the histogram is built once; the median of
+    value reads it directly, and the |value − median| histogram for the
+    MAD is DERIVED from it (join the 5-row median table, re-key by
+    abs(value − med), sum counts) — an aggregate over the histogram's
+    few rows, replacing the second full scan + partial/final agg over
+    the raw events the old two-sequential-percentile-calls form paid.
+    r16: both walks use the BOUNDED-histogram path
+    (grouped_percentiles_from_bounded_hist) — ``value`` is a 2-decimal
+    bounded-domain grid, so |histogram rows per type| is capped by the
+    VALUE DOMAIN (~1e5) independent of the row count, a static
+    caller-declared bound that replaces the range-shuffle CDF machinery
+    with one hash-partition window per walk. Identical medians: same
+    histograms, same symmetric quantile_cont interpolation — so they
     are bit-identical to DuckDB's ``median`` and the robust z
     ``(x − med)/mad`` hash-matches after duck_round. Top-5 per type via
     the two-phase-safe row_number window, tie-broken by event_id."""
@@ -242,16 +245,16 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (vals.groupBy("event_type", "value")
             .agg(F.count(F.lit(1)).alias("_cnt"))
             .localCheckpoint(eager=False))
-    med = grouped_percentiles_from_hist(
+    med = grouped_percentiles_from_bounded_hist(
         hist, ["event_type"], "value", [0.5]).select(
         "event_type", F.col("value").alias("med"))
+    # single consumer now (the bounded walk) — no checkpoint needed
     adev_hist = (hist.join(F.broadcast(med), "event_type")
                  .groupBy("event_type",
                           F.abs(F.col("value") - F.col("med"))
                           .alias("adev"))
-                 .agg(F.sum("_cnt").alias("_cnt"))
-                 .localCheckpoint(eager=False))
-    mad = grouped_percentiles_from_hist(
+                 .agg(F.sum("_cnt").alias("_cnt")))
+    mad = grouped_percentiles_from_bounded_hist(
         adev_hist, ["event_type"], "adev", [0.5]).select(
         "event_type", F.col("value").alias("mad"))
     scored = (vals.join(F.broadcast(med), "event_type")
@@ -325,20 +328,23 @@ def q_outlier_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: one residual histogram feeds the median, and the MAD's
     # |resid − med| histogram is derived from it (histogram-sized
     # aggregate) instead of a second full scan + agg — same shape as
-    # q_outlier_mad; medians bit-identical.
+    # q_outlier_mad; medians bit-identical. r16: both walks use the
+    # bounded-histogram path — residuals live on the 2-decimal value
+    # grid shifted by ≤ |type|×24 profile means, so |rows per type| is
+    # capped by the value DOMAIN × 24, independent of the row count.
     rhist = (resid.groupBy("event_type", "resid")
              .agg(F.count(F.lit(1)).alias("_cnt"))
              .localCheckpoint(eager=False))
-    med = grouped_percentiles_from_hist(
+    med = grouped_percentiles_from_bounded_hist(
         rhist, ["event_type"], "resid", [0.5]).select(
         "event_type", F.col("value").alias("med"))
+    # single consumer now (the bounded walk) — no checkpoint needed
     adev_hist = (rhist.join(F.broadcast(med), "event_type")
                  .groupBy("event_type",
                           F.abs(F.col("resid") - F.col("med"))
                           .alias("adev"))
-                 .agg(F.sum("_cnt").alias("_cnt"))
-                 .localCheckpoint(eager=False))
-    mad = grouped_percentiles_from_hist(
+                 .agg(F.sum("_cnt").alias("_cnt")))
+    mad = grouped_percentiles_from_bounded_hist(
         adev_hist, ["event_type"], "adev", [0.5]).select(
         "event_type", F.col("value").alias("mad"))
     scored = (resid.join(F.broadcast(med), "event_type")

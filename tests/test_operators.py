@@ -377,6 +377,46 @@ def test_grouped_exact_percentiles_match_numpy(spark):
             assert abs(got[(g, i)] - want) < 1e-9, (g, p, got[(g, i)], want)
 
 
+def test_bounded_hist_percentiles_match_machinery_and_numpy(spark):
+    """grouped_percentiles_from_bounded_hist (r16 — one hash-partition
+    window over a caller-declared-bounded histogram) must be
+    BIT-IDENTICAL to the scale-safe grouped_percentiles_from_hist walk
+    on the same histogram, and equal numpy's linear quantile — including
+    one-row groups, heavy ties, and exact-integral target ranks."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hippo_claim_crossover_spark.operators.ranking import (
+        grouped_percentiles_from_bounded_hist,
+        grouped_percentiles_from_hist,
+    )
+
+    rng = random.Random(11)
+    rows = [("solo", 42.0)]
+    rows += [("tiny", float(v)) for v in (3, 1, 2)]
+    rows += [("ties", float(v)) for v in [5] * 50 + [7] * 50]
+    rows += [("big", round(rng.uniform(0, 100), 1)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(16)
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("_cnt"))
+    ps = [0.0, 0.05, 0.25, 0.5, 0.95, 1.0]
+    got = {(r["g"], r["_p_idx"]): r["value"]
+           for r in grouped_percentiles_from_bounded_hist(
+               hist, ["g"], "v", ps).collect()}
+    ref = {(r["g"], r["_p_idx"]): r["value"]
+           for r in grouped_percentiles_from_hist(
+               hist, ["g"], "v", ps).collect()}
+    assert got == ref  # bit-identical, not approximately equal
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        for i, p in enumerate(ps):
+            want = float(np.quantile(np.array(vs), p, method="linear"))
+            assert abs(got[(g, i)] - want) < 1e-9, (g, p, got[(g, i)], want)
+
+
 def test_salted_join_bounds_reducer_skew_zipfian(spark):
     """Measured (not just structural) skew protection: on a zipfian key
     where the hot key is ~40% of all rows, the UNSALTED hash shuffle
