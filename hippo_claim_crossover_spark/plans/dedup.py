@@ -363,8 +363,16 @@ def band_key_table(docs: DataFrame) -> DataFrame:
 def band_pairs_for(docs: DataFrame) -> DataFrame:
     """Same candidate-pair stage over an arbitrary (doc_id, text) set —
     the pipeline composite runs it on its quality/exact-dedup survivors
-    rather than the raw table."""
-    keyed = band_key_table(docs)
+    rather than the raw table.
+
+    The band-key table is materialized once (lazy localCheckpoint, the
+    operators/dedup.py:100-111 trade): the self-join references it on
+    BOTH sides and the sides end up with different exchange types
+    (hash vs broadcast), so nothing is reused — the r15 plan dumps show
+    the full shingle→md5→8-way-min minhash pipeline duplicated under
+    each side (r16 fix; the checkpoint is band-key-table-sized, 4 rows
+    per doc)."""
+    keyed = band_key_table(docs).localCheckpoint(eager=False)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -834,12 +842,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: train shingles reduce to DISTINCT 8-byte xxhash64
     keys (partial-agg shuffle over hashes, never text); the eval side
-    left-semi-joins its own shingle hashes against them (the classic
-    inverted-index probe, cost ∝ posting lists); hit counts group back on
-    doc_id. Three shuffles total, all on compact keys; the train corpus
-    is never re-shipped. Rates round via duck_round so inexact k/n
-    quotients that print as 5-decimal halfway values round identically in
-    both engines."""
+    LEFT-joins its own shingle hashes against the marker-tagged train
+    set (the classic inverted-index probe, cost ∝ posting lists; train
+    keys are distinct so each eval row matches ≤ 1 and count(_e) ≡ the
+    semi-join hit count), and ONE doc aggregate folds hits and the
+    constant-per-doc denominator together (r16 — replaces the earlier
+    {semi-join → hits agg → (doc_id, n_sh) distinct → left join} tail:
+    two fewer exchanges, one fewer join). Two shuffles total, all on
+    compact keys; the train corpus is never re-shipped. Rates round via
+    duck_round so inexact k/n quotients that print as 5-decimal halfway
+    values round identically in both engines."""
     from hippo_claim_crossover_spark.plans.base import duck_round
 
     d = t_wide(spark, sf_dir, "documents")
@@ -858,17 +870,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tighter run-to-run variance at sf0.1.
     tr_sh = (ops_dedup.shingle_table(tr, "doc_id", "text", NGRAM)
              .select("sh").localCheckpoint(eager=False).distinct())
-    hits = (ev_sh.join(tr_sh, "sh", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("_hits")))
-    docs = ev_sh.select("doc_id", "n_sh").distinct()
-    n_cont = F.coalesce(F.col("_hits"), F.lit(0)).cast("long")
+    n_cont = F.count("_e")
     return (
-        docs.join(hits, "doc_id", "left")
-        .select("doc_id", "n_sh",
-                n_cont.alias("n_contaminated"),
-                duck_round(n_cont.cast("double") / F.col("n_sh"), 4)
-                .alias("contamination_rate"))
+        ev_sh.join(tr_sh.withColumn("_e", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.max("n_sh").alias("n_sh"),
+             n_cont.alias("n_contaminated"),
+             duck_round(n_cont.cast("double") / F.max("n_sh"), 4)
+             .alias("contamination_rate"))
+        .select("doc_id", "n_sh", "n_contaminated", "contamination_rate")
     )
 
 
@@ -962,11 +972,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per source with every stage's surviving count, the
     final token total, and the packed bin count — the curation report a
-    100 TB run would emit. Each stage's survivor set is lazily
-    localCheckpoint-ed: stages 3-5 and the per-stage counters each
-    consume their predecessor, and without the checkpoints the shingle/
+    100 TB run would emit. Each multi-consumer stage's survivor set is
+    lazily localCheckpoint-ed: without the checkpoints the shingle/
     signature pipelines would re-derive once per consumer (the measured
-    family-wide pathology, operators/dedup.py:100-111).
+    family-wide pathology, operators/dedup.py:100-111). r16 counter
+    fusion: the scored frame (scan + quality regexes, map-only) is
+    checkpointed once and the n_input/n_quality counters are ONE
+    aggregate over it (count + count_if ≡ the two separate stage
+    counts), so the documents scan and the quality-regex pass each run
+    exactly once where the r15 shape paid one extra full scan
+    (n_input), one extra regex pass (n_quality), and one extra
+    counter join.
 
     The DuckDB oracle replays all five stages as one WITH RECURSIVE
     chain, so a hash match proves the full composition end-to-end.
@@ -985,7 +1001,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, stopwords=("the", "a", "and", "of"), target_tokens=80,
     ).select("doc_id", "source", "text",
              F.col("n_tokens").cast("long").alias("n_tokens"),
-             "quality_score")
+             "quality_score").localCheckpoint(eager=False)
     q1 = scored.where(F.col("quality_score") >= QUALITY_FLOOR)
     wdup = Window.partitionBy(F.md5("text"))
     q2 = (q1.withColumn("_keep", F.min("doc_id").over(wdup))
@@ -1006,6 +1022,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              == EVAL_SOURCE))
              .select("sh").distinct())
     tr_sh = ops_dedup.shingle_table(q3).localCheckpoint(eager=False)
+    # Deliberately the SEMI-join shape, not a left-join+count fusion
+    # (r16: measured — the semi join drops >90% of shingle rows before
+    # the doc aggregate, so fusing hits and n_sh into one aggregate
+    # over ALL rows costs more than the distinct+join it saves here;
+    # q_decontaminate's eval-side direction is the opposite case).
     contaminated = (
         tr_sh.join(ev_sh, "sh", "left_semi")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("hits"))
@@ -1027,8 +1048,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         (F.max(F.expr(f"(start_tok + n_tokens - 1) div {PIPE_BIN}"))
          + 1).alias("n_bins"))
-    out = (cnt(train, "n_input")
-           .join(cnt(q1, "n_quality"), "source", "left")
+    # stage-0/1 counters fused into one aggregate over the checkpointed
+    # scored frame: count(*) ≡ count over train (quality_metrics is a
+    # 1:1 map), count_if(≥ floor) ≡ count over q1.
+    in_q = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(F.col("quality_score") >= QUALITY_FLOOR)
+        .alias("n_quality"))
+    out = (in_q
            .join(cnt(q2, "n_exact"), "source", "left")
            .join(cnt(q3, "n_neardup"), "source", "left")
            .join(fin, "source", "left"))
