@@ -22,6 +22,14 @@ reuses a previous run's checkpointed blocks. Totals are therefore NOT
 comparable with BENCH_r14 and earlier (which timed only the noop
 writes of one shared frame); OPTIMIZATION_r15.md and BASELINE.md
 carry the old-method numbers alongside.
+
+r16 measurement fix (sink honesty, plans/sources.py per_run
+materialization): the five sink-class queries (q_sink_pyds,
+q_sink_clustered, q_sink_zorder, q_compact_files, q_sink_pyds_stream)
+now write a FRESH run-numbered output dir on every ``fn()`` call, so
+best-of-N times the write — previously runs 2+ hit the exists-guard
+and timed only the readback. The sink tier's best-of RISES vs r15 by
+design; r15 sink numbers are not comparable for those five queries.
 """
 
 from __future__ import annotations
@@ -386,6 +394,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_run1 = round(sum(timings_run1.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # r16 (VERDICT r15 #6): carry the core count in the detail and give
+    # non-default core counts their own detail file, so per-query
+    # scaling ratios (c8 vs c32) are computable from committed artifacts
+    # — a genuinely serial query (driver-loop rounds) is then
+    # distinguishable from the suite's per-job latency floor.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -395,10 +409,13 @@ def main() -> None:
         "value_run1": total_run1,
         "calib_sec": calib,
         "calib_end_sec": calib_end,
+        "cpus": cpus,
         "sf": sf_val,
     }
+    detail_name = ("bench_detail.json" if cpus == 32
+                   else f"bench_detail_c{cpus}.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as f:
+                           detail_name), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
@@ -413,8 +430,9 @@ def main() -> None:
         "value_run1": total_run1,
         "calib_sec": calib,
         "calib_end_sec": calib_end,
+        "cpus": cpus,
         "queries_slowest": slowest,
-        "detail": "bench_detail.json",
+        "detail": detail_name,
     }))
 
 

@@ -41,12 +41,29 @@ def _tag(spark: SparkSession, sf_dir: str) -> str:
 # One materialization per (applicationId, sf_dir, format) — concurrent
 # harness runs never share paths (app id in the tag).
 _READY: set[tuple[str, str, str]] = set()
+_RUN_SEQ: dict[tuple[str, str, str], int] = {}
 
 
 def _materialize(spark: SparkSession, sf_dir: str, fmt: str,
-                 write) -> str:
-    out = os.path.join(_SCRATCH, f"src_{fmt}-{_tag(spark, sf_dir)}")
+                 write, per_run: bool = False) -> str:
+    """``per_run=False`` (source fixtures): exists-guarded — the write
+    is INPUT SETUP (the stand-in for an upstream table), so one
+    materialization per (app, sf, format) is the honest treatment and
+    repeated plan builds read steady state. ``per_run=True`` (sink
+    queries, r16 — VERDICT r15 #5): the write IS the declared operator,
+    so every call gets a fresh run-numbered dir and pays the write —
+    best-of-N bench runs now time the sink, not an exists-guard
+    short-circuit. Abandoned run dirs are app-id-tagged and reclaimed
+    by the stale-scratch pruner."""
     key = (spark.sparkContext.applicationId, sf_dir, fmt)
+    if per_run:
+        n = _RUN_SEQ.get(key, 0) + 1
+        _RUN_SEQ[key] = n
+        out = os.path.join(_SCRATCH,
+                           f"src_{fmt}-{_tag(spark, sf_dir)}-r{n}")
+        write(out)
+        return out
+    out = os.path.join(_SCRATCH, f"src_{fmt}-{_tag(spark, sf_dir)}")
     if key not in _READY:
         write(out)
         _READY.add(key)
@@ -353,7 +370,7 @@ def q_sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.format("synthdocs").mode("overwrite")
          .option("path", out).save())
 
-    out = _materialize(spark, sf_dir, "pydsw", write)
+    out = _materialize(spark, sf_dir, "pydsw", write, per_run=True)
     back = spark.read.schema(T.StructType([
         T.StructField("o_orderkey", T.LongType()),
         T.StructField("o_orderpriority", T.StringType()),
@@ -430,7 +447,7 @@ def q_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
          .sortWithinPartitions("l_shipdate")
          .write.mode("overwrite").parquet(out))
 
-    out = _materialize(spark, sf_dir, "clustered", write)
+    out = _materialize(spark, sf_dir, "clustered", write, per_run=True)
     li = spark.read.parquet(out)
     return (
         li.where((F.col("l_shipdate") >= "1995-01-01")
@@ -490,7 +507,7 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
          .drop("_z", "plo", "phi", "slo", "shi")
          .write.mode("overwrite").parquet(out))
 
-    out = _materialize(spark, sf_dir, "zorder", write)
+    out = _materialize(spark, sf_dir, "zorder", write, per_run=True)
     li = spark.read.parquet(out)
     return (
         li.where((F.col("l_partkey") < 400)
@@ -608,7 +625,7 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(COMPACT_TARGET_FILES) \
             .write.mode("overwrite").parquet(f"{out}/compact")
 
-    out = _materialize(spark, sf_dir, "compact", write)
+    out = _materialize(spark, sf_dir, "compact", write, per_run=True)
 
     def audit(leg: str):
         from hippo_claim_crossover_spark.plans.base import hex2long
@@ -784,7 +801,7 @@ def q_sink_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
-    out = _materialize(spark, sf_dir, "pydsws", write)
+    out = _materialize(spark, sf_dir, "pydsws", write, per_run=True)
     back = spark.read.schema(T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("user_id", T.LongType()),
