@@ -127,11 +127,47 @@ _LATE_RUN = itertools.count()
 
 def _write_stream_batches(spark: SparkSession, batches,
                           prefix: str, src_dir: str | None = None,
-                          start: int = 0) -> tuple[str, int]:
+                          start: int = 0,
+                          shared: bool = False) -> tuple[str, int]:
     """Materialize a pinned micro-batch sequence for a file-source
     streaming run: one parquet file per batch under a per-(app, run)
     scratch dir, mtimes forced monotone so the file source's
-    modification-time ordering never depends on write latency."""
+    modification-time ordering never depends on write latency.
+
+    ``shared=True`` (r16): single-shot fixtures — the batch files are a
+    pure function of the literal ``batches`` this query pins, so a
+    SINGLE-DRAIN caller may share one exists-guarded source dir per
+    (app-id, prefix) across runs, the ensure_event_batches discipline
+    (input synthesis is the Kafka stand-in, not the operator). The
+    ``run_id`` still advances so checkpoints/outputs/sink tables stay
+    PER-RUN — a reused checkpoint would turn a fresh run into a resume.
+    Callers that land batches INCREMENTALLY against one dir
+    (q_stream_resume) must keep ``shared=False``: a pre-populated
+    shared dir would leak later splits into the first drain."""
+    import os
+
+    run_id = next(_LATE_RUN)
+    if shared and src_dir is None:
+        src = ("/root/repo/_scratch/"
+               f"{prefix}-{spark.sparkContext.applicationId}-shared")
+        marker = os.path.join(src, "_complete")
+        if os.path.exists(marker):
+            return src, run_id
+        os.makedirs(src, exist_ok=True)
+        _land_stream_batches(spark, batches, src, start)
+        with open(marker, "w") as f:
+            f.write("ok")
+        return src, run_id
+    src = src_dir or ("/root/repo/_scratch/"
+                      f"{prefix}-{spark.sparkContext.applicationId}"
+                      f"-{run_id}")
+    os.makedirs(src, exist_ok=True)
+    _land_stream_batches(spark, batches, src, start)
+    return src, run_id
+
+
+def _land_stream_batches(spark: SparkSession, batches, src: str,
+                         start: int) -> None:
     import glob
     import os
     import shutil
@@ -139,12 +175,6 @@ def _write_stream_batches(spark: SparkSession, batches,
     from hippo_claim_crossover_spark.streaming.ops import EVENT_STREAM_SCHEMA
 
     from hippo_claim_crossover_spark.io import local_frame
-
-    run_id = next(_LATE_RUN)
-    src = src_dir or ("/root/repo/_scratch/"
-                      f"{prefix}-{spark.sparkContext.applicationId}"
-                      f"-{run_id}")
-    os.makedirs(src, exist_ok=True)
     for i, rows in enumerate(batches, start=start):
         stage = f"{src}.stage"
         # local_frame (Arrow/pandas path): the plain-list
@@ -160,7 +190,6 @@ def _write_stream_batches(spark: SparkSession, batches,
         shutil.copyfile(part, dst)
         os.utime(dst, (1_000_000_000 + i * 100,) * 2)
         shutil.rmtree(stage)
-    return src, run_id
 
 
 def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,7 +238,8 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
          ev(7, 65, "view", 5.0)],
     ]
 
-    src, run_id = _write_stream_batches(spark, batches, "late_src")
+    src, run_id = _write_stream_batches(spark, batches, "late_src",
+                                         shared=True)
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     out_name = f"late_out_{run_id}"
     run_to_memory(tumbling_agg(stream), out_name, output_mode="append")
@@ -278,7 +308,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ev(4, 125, 13, "click", 4.0)],
     ]
 
-    src, run_id = _write_stream_batches(spark, batches, "dedup_src")
+    src, run_id = _write_stream_batches(spark, batches, "dedup_src",
+                                         shared=True)
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     out_name = f"stream_dedup_out_{run_id}"
     run_to_memory(dedup_stream(stream, ["event_id"], "30 minutes"),
@@ -1341,7 +1372,8 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         [ev(3, 120, "click", 4.0)],
         [ev(4, 130, "view", 5.0)],
     ]
-    src, run_id = _write_stream_batches(spark, batches, "chained_src")
+    src, run_id = _write_stream_batches(spark, batches, "chained_src",
+                                         shared=True)
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     # ONE watermark for the whole chain (set by dedup_stream; Spark
     # forbids redefining it between chained stateful operators), so the
@@ -1468,8 +1500,10 @@ def q_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [[ev(1, 0, "click", 1.0), ev(2, 4, "click", 2.0),
                 ev(3, 9, "view", 3.0), ev(4, 15, "click", 10.0)],
                [ev(5, 90, "click", 4.0)], [ev(6, 91, "view", 5.0)]]
-    src, _ = _write_stream_batches(spark, batches, "sinkaudit")
-    ckpt, out = f"{src}.ckpt", f"{src}.out"
+    src, run_id = _write_stream_batches(spark, batches, "sinkaudit",
+                                         shared=True)
+    # ckpt/out stay PER-RUN (run_id-keyed): only the input dir is shared
+    ckpt, out = f"{src}.ckpt-{run_id}", f"{src}.out-{run_id}"
     run_to_parquet(tumbling_agg(read_event_stream(
         spark, src, max_files_per_trigger=1)), out, ckpt)
 
@@ -1586,8 +1620,10 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = dt.datetime(2024, 1, 1, 10, 0)
     batches = [[(i + 1, base + dt.timedelta(minutes=30 * i), 1, "click",
                  float(i + 1), None)] for i in range(6)]
-    src, _ = _write_stream_batches(spark, batches, "sinkcompact")
-    ckpt, out = f"{src}.ckpt", f"{src}.out"
+    src, run_id = _write_stream_batches(spark, batches, "sinkcompact",
+                                         shared=True)
+    # ckpt/out stay PER-RUN (run_id-keyed): only the input dir is shared
+    ckpt, out = f"{src}.ckpt-{run_id}", f"{src}.out-{run_id}"
     # compactInterval pinned for the run (default 10 would never compact
     # a 7-batch run); shuffle partitions shrunk for the run only — the
     # 7 micro-batches each pay per-partition state-store/task overhead
