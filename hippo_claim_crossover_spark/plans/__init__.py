@@ -48,41 +48,41 @@ for _m in _MODULES:
 # the identical local gate, tools/check_oracle.py, run before each round).
 GATE_WINDOW = 50
 GATE_ORDER = [
-    # -- round 15 OPTIMIZATION window (zero-sum, 50 slots): every query
-    # whose code path changed this round leads — 4 carried from the r15
-    # build (q_approx_cd, q_bootstrap_ci, q_fuse_ablation,
-    # q_fuse_k_ablation) + 27 optimization-touched queries
-    # (basket_pairs graph family + q_assoc_rules/q_recommend; the
-    # percentile family's derived-histogram refactor; the
-    # connected_components lazy-checkpoint callers; the scoped stream
-    # drains) — then the oldest-evidence r9 cohort fills the remaining
-    # 19 slots. The 23 displaced r9-cohort queries sit FIRST after the
-    # marker so the next rotation reads them straight off the top.
-    # Changed code outranks stale-but-green evidence in a zero-sum
-    # window (OPTIMIZATION_r15.md). --
-    "q_approx_cd", "q_bootstrap_ci", "q_fuse_ablation", "q_fuse_k_ablation",
-    "q_pagerank", "q_graph_lpa", "q_graph_triangles", "q_graph_bfs",
-    "q_graph_sage_agg", "q_recommend", "q_assoc_rules", "q_percentile",
-    "q_percentile_approx", "q_percentile_highcard", "q_winsorize",
-    "q_outlier_mad", "q_outlier_seasonal", "q_quantile_sketch_merge",
-    "q_dedup_cluster", "q_dedup_keep_best", "q_split_leakproof",
-    "q_curation_pipeline", "q_stream_chained", "q_stream_compact",
-    "q_stream_dedup", "q_stream_foreach", "q_stream_late", "q_stream_resume",
-    "q_stream_rocksdb", "q_stream_sink_audit", "q_stream_state", "q_ab_test",
-    "q_active_users", "q_cms_sketch", "q_coalesce2", "q_coalesce_pair",
-    "q_corr_matrix", "q_cust_order_dist", "q_cusum_changepoint",
-    "q_dataset_mixture", "q_date_fmt", "q_dedup_near", "q_distinct",
-    "q_dominant_supplier", "q_ewma", "q_forecast_revenue", "q_hll_sketch",
-    "q_important_stock", "q_join_bucketed", "q_join_range",
+    # -- round 16 OPTIMIZATION window (zero-sum, 50 slots): the 27
+    # queries whose code path changed this round lead — the bounded-hist
+    # percentile walk (outlier MAD family), the banding/curation/
+    # decontamination restructure, the basket_pairs NULL-basket contract
+    # (graph family), the shared stream fixture inputs + size-derived
+    # real-table drains, and the per-run sink materialization — then the
+    # 23-query r9 cohort displaced by the r15 rotation (oldest driver
+    # evidence, read straight off the tail top as planned there) fills
+    # the window exactly. Changed code outranks stale-but-green evidence
+    # in a zero-sum window (OPTIMIZATION_r16.md). --
+    "q_outlier_mad", "q_outlier_seasonal", "q_curation_pipeline",
+    "q_decontaminate", "q_dedup_lshband", "q_dedup_cluster",
+    "q_dedup_keep_best", "q_split_leakproof", "q_pagerank", "q_graph_lpa",
+    "q_graph_triangles", "q_graph_bfs", "q_graph_sage_agg", "q_recommend",
+    "q_assoc_rules", "q_stream_late", "q_stream_dedup", "q_stream_chained",
+    "q_stream_sink_audit", "q_stream_compact", "q_stream_state",
+    "q_stream_rocksdb", "q_sink_pyds", "q_sink_clustered", "q_sink_zorder",
+    "q_compact_files", "q_sink_pyds_stream", "q_join_salted", "q_kmv_sketch",
+    "q_late_lines", "q_market_share", "q_melt", "q_min_cost_supplier",
+    "q_mm_pairfilter", "q_mode", "q_mor_read", "q_nation_profit",
+    "q_nation_trade", "q_order_priority", "q_part_supplier_cnt",
+    "q_range_ends", "q_rollup", "q_scd2_lookup", "q_setops", "q_str_dxcode",
+    "q_str_join", "q_text_entropy", "q_text_strip_html", "q_time_travel",
+    "q_waiting_supplier",
     # ---- end of gate window (first GATE_WINDOW entries) ----
-    # tail: the displaced r9 cohort first (oldest evidence), then the
-    # prior tail order unchanged.
-    "q_join_salted", "q_kmv_sketch", "q_late_lines", "q_market_share",
-    "q_melt", "q_min_cost_supplier", "q_mm_pairfilter", "q_mode",
-    "q_mor_read", "q_nation_profit", "q_nation_trade", "q_order_priority",
-    "q_part_supplier_cnt", "q_range_ends", "q_rollup", "q_scd2_lookup",
-    "q_setops", "q_str_dxcode", "q_str_join", "q_text_entropy",
-    "q_text_strip_html", "q_time_travel", "q_waiting_supplier",
+    # tail: the r15-window queries displaced by this rotation first (their
+    # driver evidence is one round old), then the prior tail order unchanged.
+    "q_approx_cd", "q_bootstrap_ci", "q_fuse_ablation", "q_fuse_k_ablation",
+    "q_percentile", "q_percentile_approx", "q_percentile_highcard",
+    "q_winsorize", "q_quantile_sketch_merge", "q_stream_foreach",
+    "q_stream_resume", "q_ab_test", "q_active_users", "q_cms_sketch",
+    "q_coalesce2", "q_coalesce_pair", "q_corr_matrix", "q_cust_order_dist",
+    "q_cusum_changepoint", "q_dataset_mixture", "q_date_fmt", "q_dedup_near",
+    "q_distinct", "q_dominant_supplier", "q_ewma", "q_forecast_revenue",
+    "q_hll_sketch", "q_important_stock", "q_join_bucketed", "q_join_range",
     "q_parse_tree", "q_dedup_incremental", "q_minhash_merge", "q_kmv_setops",
     "q_ngram_lm", "q_dedup_containment", "q_dedup_spans", "q_acf", "q_winnow",
     "q_crossover", "q_scan", "q_sink", "q_project_rename", "q_parent_denorm",
@@ -91,41 +91,40 @@ GATE_ORDER = [
     "q_unpivot", "q_str_zip", "q_str_name", "q_text_tokens", "q_text_lang",
     "q_text_langid", "q_text_quality", "q_text_tokcount",
     "q_text_fingerprint", "q_text_tfidf", "q_dedup_exact", "q_dedup_minhash",
-    "q_dedup_lshband", "q_dedup_simhash", "q_win_rank", "q_win_running",
-    "q_win_frame", "q_win_dist", "q_topk", "q_topk_group", "q_udf", "q_pivot",
-    "q_cube", "q_sample_hash", "q_mm_meta", "q_retrieve_rerank",
-    "q_train_matrix", "q_curriculum", "q_ann_recall", "q_backfill_partition",
-    "q_retrieve_fuse", "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup",
-    "q_rolling_zscore", "q_vocab_oov", "q_weighted_median", "q_join_asof",
-    "q_sim_topk", "q_sim_lsh_buckets", "q_sim_knn_blocked", "q_sim_ivf",
+    "q_dedup_simhash", "q_win_rank", "q_win_running", "q_win_frame",
+    "q_win_dist", "q_topk", "q_topk_group", "q_udf", "q_pivot", "q_cube",
+    "q_sample_hash", "q_mm_meta", "q_retrieve_rerank", "q_train_matrix",
+    "q_curriculum", "q_ann_recall", "q_backfill_partition", "q_retrieve_fuse",
+    "q_dp_counts", "q_join_asof_fwd", "q_mm_dedup", "q_rolling_zscore",
+    "q_vocab_oov", "q_weighted_median", "q_join_asof", "q_sim_topk",
+    "q_sim_lsh_buckets", "q_sim_knn_blocked", "q_sim_ivf",
     "q_sim_ivf_persisted", "q_sim_pq", "q_agg_exists", "q_agg_sum",
-    "q_date_spine", "q_decontaminate", "q_dedup_embed", "q_dedup_ngram",
-    "q_dedup_simhash_pairs", "q_funnel", "q_grouping_sets", "q_histogram",
-    "q_histogram_eq", "q_join_anti", "q_join_semi", "q_json",
-    "q_json_project", "q_latest_snapshot", "q_mm_binfile", "q_mm_shard",
-    "q_pack_sequences", "q_dsir", "q_span_corrupt", "q_observe",
-    "q_tok_fertility", "q_sink_pyds_stream", "q_join_asof_near", "q_twap",
-    "q_semdedup", "q_retrieve_eval", "q_cluster_kmeans", "q_bpe_encode",
-    "q_bpe_merges", "q_calendar", "q_cohort_retention", "q_dq_audit",
-    "q_drift_chi2", "q_explode_outer", "q_filter_first", "q_gapfill",
-    "q_incr_agg", "q_join_bloom", "q_join_interval_binned", "q_langid_eval",
-    "q_lateral_join", "q_link_sorted", "q_merge_upsert", "q_outlier_zscore",
-    "q_postings", "q_region_volume", "q_regr_group", "q_returned_items",
-    "q_sample_group", "q_scd2_history", "q_sessionize", "q_shuffle_shards",
-    "q_sink_pyds", "q_sink_zorder", "q_skew_profile", "q_skyline",
-    "q_snapshot_diff", "q_rolling_median", "q_mix_temperature",
-    "q_sql_script", "q_compact_files", "q_sql_udf", "q_src_metadata",
-    "q_src_pyds", "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
+    "q_date_spine", "q_dedup_embed", "q_dedup_ngram", "q_dedup_simhash_pairs",
+    "q_funnel", "q_grouping_sets", "q_histogram", "q_histogram_eq",
+    "q_join_anti", "q_join_semi", "q_json", "q_json_project",
+    "q_latest_snapshot", "q_mm_binfile", "q_mm_shard", "q_pack_sequences",
+    "q_dsir", "q_span_corrupt", "q_observe", "q_tok_fertility",
+    "q_join_asof_near", "q_twap", "q_semdedup", "q_retrieve_eval",
+    "q_cluster_kmeans", "q_bpe_encode", "q_bpe_merges", "q_calendar",
+    "q_cohort_retention", "q_dq_audit", "q_drift_chi2", "q_explode_outer",
+    "q_filter_first", "q_gapfill", "q_incr_agg", "q_join_bloom",
+    "q_join_interval_binned", "q_langid_eval", "q_lateral_join",
+    "q_link_sorted", "q_merge_upsert", "q_outlier_zscore", "q_postings",
+    "q_region_volume", "q_regr_group", "q_returned_items", "q_sample_group",
+    "q_scd2_history", "q_sessionize", "q_shuffle_shards", "q_skew_profile",
+    "q_skyline", "q_snapshot_diff", "q_rolling_median", "q_mix_temperature",
+    "q_sql_script", "q_sql_udf", "q_src_metadata", "q_src_pyds",
+    "q_src_pyds_stream", "q_src_xml", "q_stream_interval_lo",
     "q_stream_static", "q_transitions", "q_transpose", "q_udf_cogrouped",
     "q_udf_grouped", "q_bool_eq", "q_bool_or", "q_branch_route",
     "q_case_2way", "q_case_dict", "q_case_multi", "q_case_struct", "q_cast",
     "q_large_orders", "q_small_qty", "q_part_prune", "q_pipe_sql",
-    "q_profile", "q_ship_priority", "q_sink_clustered", "q_src_csv",
-    "q_src_evolve", "q_src_jsonl", "q_src_orc", "q_stream_interval",
-    "q_stream_session", "q_stream_slide", "q_stream_tumble", "q_text_gopher",
-    "q_text_vocab", "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf",
-    "q_variant", "q_agg_multi", "q_host_dedup", "q_attribution",
-    "q_mm_frames", "q_mm_resize", "q_matmul", "q_text_typicality", "q_ohlc",
+    "q_profile", "q_ship_priority", "q_src_csv", "q_src_evolve",
+    "q_src_jsonl", "q_src_orc", "q_stream_interval", "q_stream_session",
+    "q_stream_slide", "q_stream_tumble", "q_text_gopher", "q_text_vocab",
+    "q_time_trunc", "q_udaf", "q_udf_arrow", "q_udtf", "q_variant",
+    "q_agg_multi", "q_host_dedup", "q_attribution", "q_mm_frames",
+    "q_mm_resize", "q_matmul", "q_text_typicality", "q_ohlc",
     "q_sample_stratified", "q_mm_decode", "q_disjunctive", "q_promo_share",
     "q_top_supplier", "q_idle_customers", "q_pii_redact", "q_repetition",
     "q_fuzzy_link", "q_embed_gram", "q_hof_array", "q_drift_ks",
